@@ -1,0 +1,232 @@
+"""Deduplication operators for large text corpora.
+
+Four tiers, cheapest → most recall, all expressed as distributed
+DataFrame plans (no driver-side loops, no Python UDFs — everything is
+Catalyst expressions, so the hot path stays in whole-stage codegen):
+
+1. exact_dedup        — identical keys; one hash-aggregate shuffle.
+2. fingerprint_dedup  — md5 over normalized text; catches
+                        whitespace/case-variant copies at the same cost.
+3. minhash_lsh_*      — near-duplicates via shingling → MinHash
+                        signatures → banded LSH self-join. Candidate
+                        generation is an equi-join on (band, band_hash),
+                        which shuffles only bucket ids + doc keys, never
+                        full text. This is the 100 TB path: cost is
+                        O(n · sig_len) + join on collision buckets.
+4. simhash            — 64-bit SimHash signatures; near-dup candidates
+                        share one of four 16-bit chunks (Hamming ≤ 3
+                        guaranteed recall within chunk scheme).
+
+Determinism: hashes are xxhash64 with fixed seed=42 and the permutation
+parameters are generated from a fixed table, so signatures are stable
+across runs/partitionings (required for incremental dedup at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus for the universal-hash permutation
+# family h_i(x) = (a_i * x + b_i) mod p used by MinHash. 31-bit hashes
+# and parameters keep a_i * x < 2^62, safely inside int64 under ANSI
+# mode (Spark 4 default: long overflow is an error, not a wrap).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def normalize_text(col) -> "F.Column":
+    """Lowercase, collapse whitespace, strip — the canonical form used
+    by fingerprint and shingle dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, keys: list[str], tie_break: str) -> DataFrame:
+    """Keep exactly one row per key-set: the minimum ``tie_break`` row.
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). One shuffle on ``keys``.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(tie_break).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by md5(normalized text); emit one keeper per group.
+
+    Returns (fingerprint, keeper_id, n_members). The groupBy is a
+    map-side-combinable hash aggregate — at 100 TB only 32-char digests
+    and ids shuffle, never document bodies.
+    """
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_members"))
+    )
+
+
+def shingle(col, k: int = 3) -> "F.Column":
+    """k-token shingles of a text column as array<string>.
+
+    Pure SQL higher-order functions: split → sliding window via
+    transform(sequence(...)) — JVM-side, no UDF.
+    """
+    name = col if isinstance(col, str) else None
+    expr = f"split({name}, ' ')" if name else None
+    if expr is None:
+        raise ValueError("shingle() takes a column name")
+    return F.expr(
+        f"transform(sequence(1, greatest(size({expr}) - {k - 1}, 1)),"
+        f" i -> array_join(slice({expr}, i, {k}), ' '))"
+    )
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family.
+
+    Derived from a fixed linear-congruential stream — no RNG state, so
+    every run/cluster computes identical signatures.
+    """
+    params = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x % (_MERSENNE_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_perm: int = 32, k_shingle: int = 3) -> DataFrame:
+    """Append ``signature: array<bigint>`` (length num_perm).
+
+    sig[i] = min over shingles s of (a_i * xxhash64(s) + b_i) mod p.
+    Cost O(rows · shingles · num_perm), embarrassingly parallel,
+    no shuffle.
+    """
+    shingles = shingle(text_col, k_shingle).alias("__shingles")
+    df = df.withColumn("__shingles", shingles)
+    # Hash each shingle once (reduced to 31 bits), then apply the cheap
+    # affine permutations — products stay < 2^62, no int64 overflow.
+    df = df.withColumn(
+        "__h", F.expr(f"transform(__shingles, s -> pmod(xxhash64(s, 42), {_MERSENNE_P}L))")
+    )
+    sig_exprs = [
+        F.expr(
+            f"array_min(transform(__h, h -> (h * {a}L + {b}L) % {_MERSENNE_P}L))"
+        )
+        for (a, b) in _perm_params(num_perm)
+    ]
+    return df.withColumn("signature", F.array(*sig_exprs)).drop("__shingles", "__h")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Pipeline: signature → explode into ``bands`` band-hashes →
+    self-equi-join on (band, band_hash) with id<id → estimate Jaccard
+    from full signatures → filter. Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+
+    Scale: the join key is a 64-bit band hash; the shuffled payload is
+    (id, signature) only. Skewed buckets (boilerplate text) are the
+    known hazard — AQE skew-join splitting handles moderate skew, and a
+    bucket-size cap can be layered on for pathological corpora.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(df, text_col, num_perm, k_shingle).select(
+        F.col(id_col).alias("id"), "signature"
+    )
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band', b,"
+                f" 'bhash', xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ','), 42)))"
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on=["band", "bhash"], how="inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        f" / cast({num_perm} as double)"
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over tokens; returns (id, simhash bigint).
+
+    bit j of the signature = sign of sum over tokens of ±1 according to
+    bit j of xxhash64(token). Expressed as nested higher-order
+    functions — heavy constant factor (64 × tokens adds per row) but
+    fully JVM-side and shuffle-free.
+    """
+    toks = f"split({text_col}, ' ')"
+    bit_sums = (
+        f"transform(sequence(0, 63), j -> "
+        f"aggregate({toks}, 0L, (acc, t) -> acc + if((shiftright(xxhash64(t, 42), j) & 1) = 1, 1, -1)))"
+    )
+    sig = (
+        f"aggregate(zip_with({bit_sums}, sequence(0, 63), (s, j) -> if(s > 0, shiftleft(1L, j), 0L)),"
+        f" 0L, (acc, v) -> acc + v)"
+    )
+    return df.select(F.col(id_col).alias("id"), F.expr(sig).alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates whose SimHashes differ in ≤ max_hamming bits.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks; any
+    pair within Hamming ≤ 3 shares at least one chunk (pigeonhole), so
+    an equi-join per chunk has full recall. Returns
+    (id_a, id_b, hamming).
+    """
+    sig = simhash_signature(df, text_col, id_col)
+    chunked = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> named_struct('chunk', c,"
+                " 'ckey', shiftright(simhash, c * 16) & 65535))"
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    l, r = chunked.alias("l"), chunked.alias("r")
+    hamming = F.expr("bit_count(l.simhash ^ r.simhash)")
+    return (
+        l.join(r, on=["chunk", "ckey"], how="inner")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,87 @@
+"""Relational building blocks derived from the reference's semantics.
+
+Reference parity (SURVEY.md §2):
+- J1 update-join (`/root/reference/database_manager.py:200-240`): the
+  reference loops a batched `UPDATE ... FROM` in 50-key windows purely
+  to bound PostgreSQL transaction size. In Spark that is ONE broadcast
+  left join + coalesce — no loop, no state, shuffle-free on the fact
+  side when the dim broadcasts.
+- X4 dense sequence (`/root/reference/create_tables.sql:32-35`): a
+  PostgreSQL sequence assigning dense surrogate keys. Spark equivalent
+  is `row_number()` over an explicit deterministic ordering, offset by
+  the current max. Single-partition window — acceptable ONLY for
+  dim-sized inputs (the reference's dim is one row per simulation);
+  never use this on a fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich_with_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """One-pass J1: propagate dim payload columns onto fact rows by equi-key.
+
+    Replaces the reference's batched UPDATE-join loop
+    (`database_manager.py:221-240`). If a payload column already exists
+    on the fact side, NULL gaps are filled (F1 semantics:
+    `fs.simulation_num is null`); rows already enriched keep their value.
+
+    At 100 TB: dim tables that fit in executor memory are broadcast
+    (no shuffle of the fact table at all); larger dims fall back to a
+    shuffle hash/sort-merge join that AQE sizes — drop
+    ``broadcast_dim`` in that case.
+    """
+    dim_sel = dim.select(key, *payload_cols)
+    right = F.broadcast(dim_sel) if broadcast_dim else dim_sel
+    joined = fact.join(right.withColumnsRenamed({c: f"__dim_{c}" for c in payload_cols}), on=key, how="left")
+    out = joined
+    for c in payload_cols:
+        if c in fact.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__dim_{c}")))
+        else:
+            out = out.withColumn(c, F.col(f"__dim_{c}"))
+        out = out.drop(f"__dim_{c}")
+    return out
+
+
+def dense_sequence(
+    df: DataFrame,
+    order_by: list[str],
+    out_col: str = "seq_num",
+    offset: int = 0,
+) -> DataFrame:
+    """X4: dense, deterministic surrogate-key assignment.
+
+    ``row_number() OVER (ORDER BY <order_by>) + offset``. The empty
+    partitionBy forces a single-partition window — correct for small
+    dimension tables, wrong for facts (use zipWithIndex-style or
+    non-dense `monotonically_increasing_id` there; SURVEY.md §1.2).
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(out_col, F.row_number().over(w) + F.lit(offset))
+
+
+def topk(df: DataFrame, order_exprs: list, k: int) -> DataFrame:
+    """Global deterministic top-k. Spark plans this as TakeOrderedAndProject:
+    per-partition heaps + a k-row merge on the driver — no global sort,
+    no single-partition shuffle, scales to any input size."""
+    return df.orderBy(*order_exprs).limit(k)
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_exprs: list, k: int) -> DataFrame:
+    """Top-k within each group via ranked window; one shuffle on the
+    group keys. Deterministic iff ``order_exprs`` is a total order."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact; one scan, no shuffle for a single
+  query (query vector broadcast). This is the correctness baseline and
+  the right choice when queries are few and the corpus scan is
+  amortized.
+- random-hyperplane LSH top-k: approximate; hashes every vector into
+  sign-pattern buckets once, then searches only same-bucket candidates.
+  At 100 TB the bucketed table is the reusable index: build cost is one
+  scan, each query touches ~1/2^bits of the data.
+
+All vector math is Catalyst higher-order functions
+(`functions/vectors.py`) — JVM-side, codegen'd, no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.functions.vectors import as_double_array, cosine_similarity, dot
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the vector with ``query_id``.
+
+    The 1-row query side is broadcast; the corpus side is a single
+    parallel scan + TakeOrderedAndProject (per-partition heaps, k-row
+    driver merge) — no global sort, no wide shuffle.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        as_double_array(vec_col).alias("__q")
+    )
+    corpus = embeddings.filter(F.col(id_col) != query_id)
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    return (
+        corpus.join(F.broadcast(q))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG, no RNG state):
+    identical across runs/executors, which makes the LSH index stable
+    and incrementally appendable."""
+    x = 88172645463325252
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            # xorshift64
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((x % 2_000_001) / 1_000_000.0) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Append a random-hyperplane LSH bucket id (int, 0..2^bits-1).
+
+    Vectors with the same sign pattern against ``bits`` fixed
+    hyperplanes land in the same bucket; cosine-similar vectors collide
+    with probability (1 - θ/π)^bits. Pure expression — at scale, write
+    the result partitioned by bucket and ANN queries become partition
+    -pruned scans.
+    """
+    v = as_double_array(vec_col)
+    bit_cols = []
+    for i, plane in enumerate(_hyperplanes(dim, bits)):
+        plane_col = F.array(*[F.lit(w) for w in plane])
+        bit_cols.append(F.when(dot(v, plane_col) > 0.0, F.lit(1 << i)).otherwise(F.lit(0)))
+    bucket = bit_cols[0]
+    for c in bit_cols[1:]:
+        bucket = bucket + c
+    return embeddings.withColumn(out_col, bucket)
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket. Recall improves with multi-probe (neighboring buckets);
+    this baseline probes the exact bucket only."""
+    bucketed = with_lsh_bucket(embeddings, dim, bits, vec_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        as_double_array(vec_col).alias("__q"), F.col("lsh_bucket").alias("__qb")
+    )
+    cand = bucketed.filter(F.col(id_col) != query_id).join(
+        F.broadcast(q), on=F.col("lsh_bucket") == F.col("__qb"), how="inner"
+    )
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    return (
+        cand.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built from `pyspark.sql.functions` string/array
+expressions — per-document work parallelizes across partitions with no
+shuffle; the only shuffles are the final aggregations on small keys
+(lang, source). No Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately minimal — real pipelines plug in fastText or
+# CLD3 via a pandas UDF; the heuristic keeps everything JVM-side.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+}
+
+# A BPE-ish tokenizer regex: word pieces, numbers, or single
+# non-space symbols — a public approximation of GPT-2-style pretokenization.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def regex_token_count(col, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Token count under a BPE-ish pretokenization regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def stopword_ratio(col, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def unique_token_ratio(col) -> Column:
+    toks = tokens(col)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Heuristic document quality in [0, 1]:
+    0.4·length-score + 0.3·lexical-diversity + 0.3·(1 − stopword excess).
+
+    Mirrors the length/punctuation/stopword-ratio family of filters
+    used by public pretraining pipelines (C4, Gopher rules), expressed
+    as one Catalyst expression tree.
+
+    Quantized via floor(x·10⁴ + 0.5)/10⁴ instead of round(): floor on
+    the shared binary double is engine-independent, while round()
+    differs between Spark (shortest-decimal HALF_UP) and other engines
+    (binary-value rounding) exactly at .00005 boundaries.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    diversity = unique_token_ratio(c)
+    sw_excess = F.greatest(stopword_ratio(c) - F.lit(0.4), F.lit(0.0))
+    raw = F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * (F.lit(1.0) - sw_excess)
+    return F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+_ROLL_P = 1_000_000_007  # modulus keeps acc*31 + h < 2^36: ANSI-safe
+
+
+def rolling_fingerprint(col) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token xxhashes, modulo a 30-bit prime (no int64 wrap-around —
+    Spark 4's ANSI mode treats overflow as an error). Stable across
+    partitionings; cheap incremental re-fingerprinting."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t, F.lit(42)), F.lit(_ROLL_P).cast("long")))
+        % F.lit(_ROLL_P).cast("long"),
+    )
+
+
+def lang_scores(col) -> Column:
+    """Map<lang, marker hit count> for the language-ID heuristic."""
+    toks = tokens(col)
+    entries = []
+    for lang, markers in LANG_MARKERS.items():
+        sw = F.array(*[F.lit(s) for s in markers])
+        entries.append(F.struct(F.lit(lang).alias("lang"), F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id(col) -> Column:
+    """argmax of marker hits; 'und' (undetermined) when no marker fires.
+    Ties break by language code order for determinism."""
+    scored = lang_scores(col)
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats frame: tokens, chars, diversity, quality."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+        F.round(unique_token_ratio(text_col), 4).alias("uniq_ratio"),
+        F.round(stopword_ratio(text_col), 4).alias("stop_ratio"),
+        quality_score(text_col).alias("quality"),
+    )

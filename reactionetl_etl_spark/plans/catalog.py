@@ -1,0 +1,937 @@
+"""Query catalog: the engine's declared query surface.
+
+Each entry pairs a Spark DataFrame builder with (where SQL-expressible)
+an equivalent ANSI-SQL oracle string that DuckDB runs over the same
+parquet tables. The driver's correctness gate compares row count +
+schema + order-insensitive value hash between the two, so:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates are `round()`ed identically on both sides
+  (double summation order differs between engines in the low bits);
+- timestamp-valued outputs are cast to strings (dtype-normalization
+  differences between Spark NTZ and DuckDB TIMESTAMP_NS otherwise leak
+  into hashing);
+- every ORDER BY under a LIMIT carries a unique tie-break key so the
+  selected row SET is deterministic.
+
+Coverage maps to SURVEY.md §2: reference-derived operator shapes
+(S/P/F/J/A/X ids cited per query) plus the Spark-native completions
+(group-bys, windows, set ops, rollup/cube, JSON functions) and the
+north-star extension operators (dedup / similarity / text analysis).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.operators import dedup as D
+from reactionetl_etl_spark.operators import relational as R
+from reactionetl_etl_spark.operators import similarity as S
+from reactionetl_etl_spark.operators import text as TX
+from reactionetl_etl_spark.sources.tables import load_events, load_table
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+    bench: bool = False
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: Builder) -> Builder:
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip(), tags, bench)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> QuerySpec:
+    return _REGISTRY[name]
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {k: v for k, v in _REGISTRY.items() if v.bench}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-derived shapes (SURVEY.md §2.1-§2.8)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style pricing summary. Filter pushes to the
+    parquet scan; partial aggregation is map-side combined, so the
+    shuffle carries only (flag,status) groups — constant size at any SF."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "filter_scan_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_quantity BETWEEN 30 AND 40
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    """,
+    tags=("scan", "filter"),
+)
+def filter_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/F2/P3: selective scan. Both predicates and the 6-column
+    projection reach the parquet reader (PushedFilters/ReadSchema) —
+    row groups outside the ranges are skipped via min/max stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.col("l_quantity").between(30, 40)
+            & (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            # round to 4: the true product of 2-decimal price × 2-decimal
+            # (1-discount) has exactly 4 decimals, so no .5-boundary
+            # ambiguity between Spark and DuckDB rounding rules.
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "enrich_orders_customer",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_nationkey AS nationkey
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join", "reference-J1"),
+)
+def enrich_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F1: the reference's batched UPDATE-join
+    (database_manager.py:200-240) re-expressed as ONE broadcast left
+    join — no 50-key batching loop; the fact side never shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    enriched = R.enrich_with_dim(orders, customer, "o_custkey", ["c_nationkey"])
+    return enriched.select("o_orderkey", "o_custkey", F.col("c_nationkey").alias("nationkey"))
+
+
+@_q(
+    "agg_max_bounds",
+    """
+    SELECT max(o_orderkey) AS max_orderkey,
+           round(max(o_totalprice), 2) AS max_totalprice,
+           CAST(max(o_orderdate) AS VARCHAR) AS max_orderdate
+    FROM orders
+    """,
+    tags=("agg", "reference-A1"),
+)
+def agg_max_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: scalar max() aggregates (the reference's join-loop bounds,
+    database_manager.py:207,212). Parquet aggregate pushdown can answer
+    these from footer stats without scanning rows."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_totalprice"),
+        F.max("o_orderdate").cast("string").alias("max_orderdate"),
+    )
+
+
+@_q(
+    "ingest_rowcount",
+    "SELECT count(*) AS records_inserted FROM lineitem",
+    tags=("agg", "reference-A2"),
+)
+def ingest_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: load row count (the reference's cur.rowcount after COPY)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("records_inserted"))
+
+
+@_q(
+    "dense_sequence_customer",
+    """
+    SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS seq_num
+    FROM customer
+    """,
+    tags=("window", "reference-X4"),
+)
+def dense_sequence_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: dense surrogate-key assignment (the reference's PostgreSQL
+    sequence, create_tables.sql:32-35) — row_number over a deterministic
+    order. Single-partition window: valid for dim-sized inputs only."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return R.dense_sequence(cust, ["c_custkey"], out_col="seq_num")
+
+
+@_q(
+    "key_extract_regexp",
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) AS name_num
+    FROM customer
+    """,
+    tags=("scalar", "reference-P5"),
+)
+def key_extract_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/X5: key extraction from a formatted string — the engine's
+    version of the reference's filename slicing (main.py:23,36), done
+    with regexp_extract instead of positional slicing."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"#([0-9]+)", 1).cast("bigint").alias("name_num"),
+    )
+
+
+@_q(
+    "conform_rename_part",
+    """
+    SELECT p_partkey AS part_key, upper(p_brand) AS brand,
+           p_type AS part_type, p_size AS size_mm,
+           round(p_retailprice, 2) AS retail_price
+    FROM part
+    """,
+    tags=("project", "reference-P1"),
+)
+def conform_rename_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3: map-driven rename + conforming projection (the
+    reference's column_map.json rename, file_manager.py:50-53)."""
+    rename = {
+        "p_partkey": "part_key",
+        "p_type": "part_type",
+        "p_size": "size_mm",
+    }
+    return (
+        _t(spark, sf_dir, "part")
+        .withColumnsRenamed(rename)
+        .select(
+            "part_key",
+            F.upper("p_brand").alias("brand"),
+            "part_type",
+            "size_mm",
+            F.round("p_retailprice", 2).alias("retail_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-native completions: joins, aggregation, windows, set ops (§2.4-§2.7)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "shipping_priority_top10",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: selective dim filter → join → agg → top-k.
+    customer filter broadcast onto orders; top-k runs as
+    TakeOrderedAndProject (no global sort)."""
+    cutoff = F.expr("TIMESTAMP_NTZ '1998-03-15 00:00:00'")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, li.l_orderkey == orders.o_orderkey
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return R.topk(
+        agg.select("o_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("orderdate")),
+        [F.col("revenue").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@_q(
+    "order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style EXISTS → left-semi join. The semi join shuffles
+    only the join key from the big side; no payload duplication."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select("l_orderkey")
+    hit = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@_q(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-table join. region/nation/supplier broadcast;
+    Catalyst + AQE order the remaining shuffles. The s_nationkey =
+    c_nationkey equi-condition rides on the supplier join."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    joined = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@_q(
+    "revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("scan", "agg"),
+    bench=True,
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style selective scalar aggregate: every predicate pushes
+    to parquet; the whole query is scan → partial agg → 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("promo_revenue"))
+    )
+
+
+@_q("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer", tags=("distinct",))
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as hash aggregate (map-side combined)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@_q(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("semi",),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@_q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("anti",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "running_total_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    tags=("window",),
+    bench=True,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window: one shuffle on the partition key, then
+    a per-partition sort — the canonical Spark window pattern."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@_q(
+    "top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("window", "topk"),
+)
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via ranked window (deterministic tie-break)."""
+    top = R.topk_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        1,
+    )
+    return top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+@_q(
+    "top10_orders_global",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("topk", "sort"),
+)
+def top10_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, not a full sort."""
+    top = R.topk(
+        _t(spark, sf_dir, "orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+    return top.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+
+
+@_q(
+    "custkey_union",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    tags=("setop",),
+)
+def custkey_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) = union + hash distinct."""
+    a = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@_q(
+    "custkey_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+    tags=("setop",),
+)
+def custkey_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, dedup semantics)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
+
+
+@_q(
+    "rollup_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@_q(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations)."""
+    return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_q(
+    "monthly_order_stats",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar", "date", "agg"),
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 family: date_trunc bucketing + aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        # cast to date first: DuckDB's date_trunc('month') yields DATE,
+        # Spark's yields timestamp — normalize both to 'yyyy-MM-dd'.
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@_q(
+    "part_string_functions",
+    """
+    SELECT p_partkey,
+           p_brand || ':' || p_type AS brand_type,
+           string_split(p_name, ' ')[1] AS first_word,
+           length(p_name) AS name_len,
+           CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER) AS brand_num
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface: concat/split/length/regexp."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"#([0-9]+)", 1).cast("int").alias("brand_num"),
+    )
+
+
+@_q(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json", "agg"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + aggregation over the
+    events table's `props` JSON column."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_q(
+    "totalprice_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar", "case"),
+)
+def totalprice_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN bucketing + aggregation."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return _t(spark, sf_dir, "orders").groupBy(bucket).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@_q(
+    "nation_acctbal_having",
+    """
+    SELECT c_nationkey, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY c_nationkey HAVING count(*) >= 5
+    """,
+    tags=("agg", "having"),
+)
+def nation_acctbal_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .where(F.col("n_cust") >= 5)
+    )
+
+
+@_q(
+    "small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice), 2) AS total_revenue
+    FROM lineitem l
+    JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey) p
+      ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.5 * p.avg_qty
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated aggregate, decorrelated into an
+    aggregate + self-join (what Catalyst does to the subquery form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_revenue"))
+    )
+
+
+@_q(
+    "events_hourly_by_type",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "time", "agg"),
+    bench=True,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form (the streaming module
+    runs the same plan over readStream with a watermark)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts_ntz")).cast("string").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star extensions: dedup / text analysis / similarity (§2.13)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_exact_documents",
+    """
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row kept per identical text (deterministic
+    min-doc_id keeper)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id", "n_chars")
+
+
+@_q(
+    "dedup_fingerprint_md5",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS keeper_id, count(*) AS n_members
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint dedup: only 32-char digests shuffle."""
+    return D.fingerprint_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_q(
+    "text_stats_by_lang",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "agg"),
+    bench=True,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language tag."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(TX.token_count("text")), 2).alias("avg_tokens"),
+    )
+
+
+@_q(
+    "regex_token_totals",
+    """
+    SELECT source,
+           sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+    tags=("text", "agg"),
+)
+def regex_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting aggregated per source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.regex_token_count("text")).cast("bigint").alias("total_tokens")
+    )
+
+
+@_q(
+    "doc_quality_scores",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n FROM documents
+    )
+    SELECT doc_id,
+           floor((0.4 * least(CAST(n AS DOUBLE) / 500.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))
+               + 0.3 * (1.0 - greatest(
+                     CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+                     / greatest(len(toks), 1) - 0.4, 0.0))) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (length / diversity / stopword
+    excess) — C4/Gopher-style filter signals as one expression tree."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@_q(
+    "lang_id_heuristic",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to'], t))) AS he,
+               len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ein'], t))) AS hd,
+               len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les','des'], t))) AS hf,
+               len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','una','y'], t))) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+                WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+                WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM h
+    """,
+    tags=("text", "langid"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (argmax with fixed tie order; 'und' when
+    nothing fires). Real pipelines swap in fastText via pandas UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@_q(
+    "doc_fingerprint_rolling",
+    None,  # DuckDB lacks int64 wrap-around semantics for the rolling hash
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprints (rows-only
+    check: relies on Java long wrap-around arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_fingerprint("text").alias("fingerprint64"))
+
+
+@_q(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity",),
+    bench=True,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vec_id=0; single scan +
+    TakeOrderedAndProject, all math JVM-side (zip_with/aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, query_id=0, k=10)
+
+
+@_q("minhash_neardup_pairs", None, tags=("dedup", "lsh"), bench=True)
+def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (est. Jaccard ≥ 0.5);
+    rows-only check — banded LSH join is not expressible in ANSI SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=8, min_jaccard=0.5)
+
+
+@_q("simhash_neardup_pairs", None, tags=("dedup", "simhash"))
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (Hamming ≤ 3) via 16-bit chunk
+    blocking; rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+
+
+@_q("lsh_cosine_topk", None, tags=("similarity", "lsh"))
+def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucket restriction;
+    rows-only check (approximation is seed-defined, not SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk(emb, query_id=0, dim=64, k=10, bits=8)
+
+
+@_q("approx_distinct_users", None, tags=("agg", "approx"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (sketch differs from DuckDB's
+    → rows-only check)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )

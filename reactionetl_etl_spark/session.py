@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Single place where engine-level Spark configuration lives. Local mode
+defaults are sized for the test container (local[32], 128 GiB); on a
+real cluster the same code runs unchanged — only master/memory configs
+differ, and those come from spark-submit, not from here.
+
+Scale posture:
+- AQE on (runtime re-plan: coalesce shuffle partitions, skew-join
+  splitting, dynamic broadcast decisions).
+- shuffle.partitions default kept modest locally; AQE coalesces up,
+  cluster deployments set ~2-3x total cores.
+- Arrow enabled for the pandas-UDF paths (vectorized Python).
+- Session timezone pinned to UTC so timestamp semantics are
+  deterministic across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ~10 MB broadcast threshold is Spark's default; raise a bit — our
+    # dims (region/nation/date-like) are tiny even at 100 TB fact scale.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "reactionetl-etl-spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Master resolution: $SPARK_GRAFT_MASTER > local[$SPARK_GRAFT_CPUS] >
+    local[*]. On a cluster, spark-submit's --master wins because an
+    existing session is returned as-is.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

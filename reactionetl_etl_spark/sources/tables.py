@@ -1,0 +1,78 @@
+"""Parquet table loaders for the benchmark/test star schema.
+
+The driver ships TPC-H-ish parquet tables (TESTDATA.md). We read them
+with `spark.read.parquet` so Catalyst gets parquet statistics, filter
+pushdown, and column pruning for free. No schema inference cost —
+parquet footers carry the schema.
+
+At 100 TB these would be directory-partitioned (e.g. orders by month)
+and the loaders below would pick partition pruning up automatically —
+the call sites don't change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so `spark.sql` can address them."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's
+# parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Reading the
+# physical INT64 with an explicit LongType schema keeps the scan fully
+# distributed + pushdown-capable; `ts_ntz` reconstructs a microsecond
+# TIMESTAMP_NTZ timezone-independently (no session-tz dependency).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),  # JSON document
+    ]
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with `ts` (epoch ns, long) and `ts_ntz` (timestamp_ntz)."""
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return df.withColumn(
+        "ts_ntz",
+        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )

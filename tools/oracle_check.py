@@ -1,0 +1,96 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle over the same
+parquet tables, then compares row count + sorted-value matrix. Use
+while iterating; the real gate is the driver's CORRECTNESS_r{N}.json.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from reactionetl_etl_spark.plans.catalog import all_queries
+from reactionetl_etl_spark.session import get_spark
+from reactionetl_etl_spark.sources.tables import TABLE_NAMES
+
+
+def _normalize(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        norm = []
+        for v in row:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                norm.append("<NULL>")
+            elif isinstance(v, float):
+                norm.append(f"{v:.9g}")
+            else:
+                norm.append(str(v))
+        rows.append(tuple(norm))
+    return sorted(rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name, spec in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.builder(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            continue
+        s_rows, o_rows = _normalize(sdf), _normalize(odf)
+        if s_rows != o_rows:
+            failures.append(name)
+            bad = next((i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
+            print(f"FAIL  {name}: value mismatch at sorted row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            continue
+        print(f"ok    {name}: {len(sdf)} rows")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
