@@ -682,18 +682,28 @@ def totalprice_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "nation_acctbal_having",
     """
-    SELECT c_nationkey, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+    SELECT c_nationkey, count(*) AS n_cust,
+           floor(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*)) / 100.0 AS avg_bal
     FROM customer GROUP BY c_nationkey HAVING count(*) >= 5
     """,
     tags=("agg", "having"),
 )
 def nation_acctbal_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (post-aggregation filter)."""
+    """GROUP BY + HAVING (post-aggregation filter).
+
+    avg computed in exact integer cents (per-row round → bigint sum →
+    floor of the double quotient) so the result is bit-identical across
+    engines — `round(avg(double), 2)` sits on a .xx5 boundary for some
+    groups and Spark/DuckDB round it in opposite directions, and integer
+    division differs on negatives (floor vs truncate)."""
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
     return (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_cust"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+        .agg(F.count("*").alias("n_cust"), F.sum(cents).alias("_sum_cents"))
         .where(F.col("n_cust") >= 5)
+        .withColumn("avg_bal", F.floor(F.col("_sum_cents") / F.col("n_cust")) / 100.0)
+        .drop("_sum_cents")
     )
 
 

@@ -1,0 +1,195 @@
+"""Unit tests for the operator modules over small inline frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.operators import dedup as D
+from reactionetl_etl_spark.operators import relational as R
+from reactionetl_etl_spark.operators import similarity as S
+from reactionetl_etl_spark.operators import text as TX
+
+
+# ---------------------------------------------------------------------------
+# relational
+# ---------------------------------------------------------------------------
+
+
+def test_enrich_fills_null_gaps_only(spark):
+    """J1/F1 semantics: NULL fact keys get the dim value; existing keys
+    are preserved (reference: database_manager.py:224-233)."""
+    fact = spark.createDataFrame(
+        [("s1", None), ("s2", 99), ("s3", None)],
+        "simulation_id string, simulation_num int",
+    )
+    dim = spark.createDataFrame(
+        [("s1", 1), ("s2", 2)], "simulation_id string, simulation_num int"
+    )
+    out = {
+        r["simulation_id"]: r["simulation_num"]
+        for r in R.enrich_with_dim(fact, dim, "simulation_id", ["simulation_num"]).collect()
+    }
+    assert out == {"s1": 1, "s2": 99, "s3": None}
+
+
+def test_enrich_preserves_rowcount(spark, sf_dir):
+    """Property: enrichment never changes fact cardinality (SURVEY §5.3)."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    enriched = R.enrich_with_dim(orders, cust, "o_custkey", ["c_nationkey"])
+    assert enriched.count() == orders.count()
+
+
+def test_dense_sequence_is_dense_and_offset(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    out = R.dense_sequence(df, ["k"], out_col="n", offset=10).collect()
+    assert {(r["k"], r["n"]) for r in out} == {("a", 11), ("b", 12), ("c", 13)}
+
+
+def test_topk_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 10, "y"), (2, 5, "z")], "g int, v int, id string"
+    )
+    out = R.topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], 1).collect()
+    assert {(r["g"], r["id"]) for r in out} == {(1, "x"), (2, "z")}
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")  # one token differs → near-dup
+    other = "completely different content about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    kept = {r["doc_id"] for r in D.exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_fingerprint_dedup_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world "), (3, "bye")], "doc_id long, text string"
+    )
+    out = D.fingerprint_dedup(df, "text", "doc_id").collect()
+    groups = {r["keeper_id"]: r["n_members"] for r in out}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_neardup(spark, docs):
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", min_jaccard=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near-dup should be caught
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_signature_stable_across_partitioning(spark, docs):
+    a = D.minhash_signature(docs, "text").select("doc_id", "signature").collect()
+    b = (
+        D.minhash_signature(docs.repartition(7), "text")
+        .select("doc_id", "signature")
+        .collect()
+    )
+    assert {r["doc_id"]: r["signature"] for r in a} == {r["doc_id"]: r["signature"] for r in b}
+
+
+def test_simhash_neardup_and_separation(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_candidates(docs, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text → identical simhash
+    assert all(4 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids, vecs = tbl["vec_id"], np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    q = vecs[ids.index(0)]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        ((s, i) for s, i in zip(sims, ids) if i != 0), key=lambda t: (-round(t[0], 6), t[1])
+    )
+    expected = [i for _, i in order[:10]]
+
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [r["vec_id"] for r in S.cosine_topk(emb, query_id=0, k=10).collect()]
+    assert got == expected
+
+
+def test_lsh_topk_subset_of_corpus(spark, sf_dir):
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = S.lsh_cosine_topk(emb, query_id=0, dim=64, k=10, bits=4).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["vec_id"] != 0 for r in rows)
+    # sims sorted descending
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(TX.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of to a house"),
+            (2, "der hund und die katze das ein haus"),
+            (3, "xyzzy plugh quux"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred"] for r in df.select("doc_id", TX.lang_id("text").alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, 42 times!")], "id long, text string")
+    row = df.select(
+        TX.token_count("text").alias("ws"),
+        TX.regex_token_count("text").alias("bpe"),
+    ).first()
+    assert row["ws"] == 4
+    # hello / world / , / 42 / times / !
+    assert row["bpe"] == 6
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], "id long, text string")
+    out = [r["fp"] for r in df.select(TX.rolling_fingerprint("text").alias("fp")).collect()]
+    assert out[0] != out[1]

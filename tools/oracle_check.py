@@ -22,7 +22,7 @@ from reactionetl_etl_spark.session import get_spark
 from reactionetl_etl_spark.sources.tables import TABLE_NAMES
 
 
-def _normalize(df: pd.DataFrame) -> list[tuple]:
+def normalize_rows(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
@@ -76,7 +76,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
             continue
-        s_rows, o_rows = _normalize(sdf), _normalize(odf)
+        s_rows, o_rows = normalize_rows(sdf), normalize_rows(odf)
         if s_rows != o_rows:
             failures.append(name)
             bad = next((i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
