@@ -1,12 +1,18 @@
-"""Benchmark harness: times the headline catalog queries.
+"""Benchmark harness: times the headline catalog queries + ETL ingest.
 
 Runs every catalog query flagged `bench=True` at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], executing
 each plan to completion with a no-op sink (measures scan + compute +
-shuffle, excludes driver-side row transfer), and prints ONE JSON line:
+shuffle, excludes driver-side row transfer), plus one end-to-end ETL
+ingest run (synthetic incoming CSV batch → cleanse → fact parquet →
+enrichment), and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <float>}
+     "queries": {"<name>": sec, ..., "etl_ingest": sec},
+     "ingest_mb_per_s": N, "sf": <float>}
+
+ingest_mb_per_s is directly comparable to the reference's published
+~20 GB/day ≈ 0.23 MB/s single-node ingest (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -14,13 +20,71 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from reactionetl_etl_spark.plans.catalog import bench_queries
 from reactionetl_etl_spark.session import get_spark
+
+N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
+ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
+
+
+def _gen_incoming(root: str) -> int:
+    """Synthesize an incoming/ batch (FIXTURES.md §A1/§A2 shapes);
+    returns total CSV bytes. One body template reused per file keeps
+    generation out of the measured window's noise floor."""
+    import uuid
+
+    header = "SimulationID,CA (mol/m^3),CB (mol/m^3),CC (mol/m^3),CD (mol/m^3),T (K),Tsensor (K),t (sec)"
+    body_rows = [
+        f"@SID@,{10.0 - 0.001 * i:.4f},{8.0 - 0.0008 * i:.4f},{0.001 * i:.4f},"
+        f"{0.0005 * i:.4f},{300.0 + 0.01 * i:.2f},{300.2 + 0.01 * i:.2f},{float(i):.1f}"
+        for i in range(ROWS_PER_FILE)
+    ]
+    template = header + "\n" + "\n".join(body_rows) + "\n"
+    total = 0
+    for n in range(N_ETL_FILES):
+        day = f"2026-03-{(n % 4) + 1:02d}"
+        day_dir = os.path.join(root, day)
+        os.makedirs(day_dir, exist_ok=True)
+        sid = str(uuid.UUID(int=n + 1))
+        content = template.replace("@SID@", sid)
+        path = os.path.join(day_dir, f"reaction{sid}.csv")
+        with open(path, "w") as fh:
+            fh.write(content)
+        total += len(content)
+        meta = (
+            f'{{"simulation_id": "{sid}", "reaction_name": "rxn_{n}",'
+            f' "activation_energy (J/mol)": {52000.0 + n}, "CA0_(mol/m^3)": 10.0,'
+            f' "CB0_(mol/m^3)": 8.0, "T0_(K)": 300.0, "date_run": "{day}",'
+            f' "stop_reason": "steady_state", "stop_time_(s)": {100.0 + n}}}'
+        )
+        with open(os.path.join(day_dir, f"metadata_{sid}.json"), "w") as fh:
+            fh.write(meta)
+    return total
+
+
+def bench_etl_ingest(spark) -> tuple[float, float]:
+    """(seconds, MB/s) for a full incremental ETL run + enrichment."""
+    from reactionetl_etl_spark.etl.pipeline import ReactionLake
+
+    work = tempfile.mkdtemp(prefix="spark_etl_bench_")
+    try:
+        incoming = os.path.join(work, "incoming")
+        n_bytes = _gen_incoming(incoming)
+        lake = ReactionLake(os.path.join(work, "lake"))
+        t0 = time.perf_counter()
+        lake.run_once(spark, incoming)
+        lake.materialize_enrichment(spark)
+        elapsed = time.perf_counter() - t0
+        return elapsed, n_bytes / 1e6 / elapsed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def run_bench(sf_dir: str) -> dict:
@@ -38,6 +102,9 @@ def run_bench(sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    etl_sec, etl_mbps = bench_etl_ingest(spark)
+    timings["etl_ingest"] = round(etl_sec, 3)
+
     spark.stop()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -47,6 +114,7 @@ def run_bench(sf_dir: str) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "ingest_mb_per_s": round(etl_mbps, 2),
         "sf": sf,
     }
 

@@ -92,6 +92,49 @@ def with_lsh_bucket(
     return embeddings.withColumn(out_col, bucket)
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_dim: int | None = None,
+    lsh_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine ≥ threshold.
+
+    Default is the exact all-pairs baseline (self-join): O(n²) dot
+    products, correct at any threshold — fine for dim-table-sized
+    corpora and the correctness oracle. Pass ``lsh_dim`` to switch to
+    the scale path: vectors are first bucketed by random-hyperplane LSH
+    and only same-bucket pairs are compared — the join becomes an
+    equi-join on the bucket id (shuffle keyed on 2^bits values instead
+    of a cartesian product), trading recall for ~2^bits less work.
+    """
+    base = embeddings
+    join_keys: list[str] = []
+    if lsh_dim is not None:
+        base = with_lsh_bucket(base, lsh_dim, lsh_bits, vec_col)
+        join_keys = ["lsh_bucket"]
+    left = base.select(
+        *join_keys, F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("__va")
+    )
+    right = base.select(
+        *join_keys, F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("__vb")
+    )
+    pairs = (
+        left.join(right, on=join_keys, how="inner")
+        if join_keys
+        else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_id: int,

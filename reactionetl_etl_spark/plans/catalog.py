@@ -753,6 +753,213 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "order_gaps_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(lag(o_orderdate)  OVER w AS VARCHAR) AS prev_orderdate,
+           CAST(lead(o_orderdate) OVER w AS VARCHAR) AS next_orderdate
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offset windows (previous/next order per customer)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).cast("string").alias("prev_orderdate"),
+        F.lead("o_orderdate").over(w).cast("string").alias("next_orderdate"),
+    )
+
+
+@_q(
+    "price_rank_ntile",
+    """
+    SELECT o_orderkey,
+           rank()       OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank,
+           ntile(4)     OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+    FROM orders
+    WINDOW w AS (ORDER BY round(o_totalprice, 0) DESC)
+    """,
+    tags=("window", "rank"),
+)
+def price_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (with real ties, via rounded price) + ntile
+    quartiles under a total order."""
+    w = Window.orderBy(F.round("o_totalprice", 0).desc())
+    wt = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@_q(
+    "custkey_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    """,
+    tags=("setop",),
+)
+def custkey_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics)."""
+    a = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@_q(
+    "lineitem_stats_by_flag",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)               AS sd_qty,
+           round(var_samp(l_discount), 6)                  AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4)     AS corr_qty_price,
+           round(median(l_quantity), 1)                    AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def lineitem_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/median."""
+    return _t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.median("l_quantity"), 1).alias("median_qty"),
+    )
+
+
+@_q(
+    "orders_pivot_priority",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (explicit value list → no extra distinct pass); oracle is
+    the equivalent FILTERed conditional aggregation."""
+    pivoted = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renamed = pivoted.toDF("o_orderstatus", "urgent", "high", "medium", "not_specified", "low")
+    return renamed.na.fill(0, ["urgent", "high", "medium", "not_specified", "low"])
+
+
+@_q(
+    "events_json_struct",
+    """
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS INTEGER) AS prop_k,
+           CASE WHEN CAST(props->>'$.k' AS INTEGER) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit struct schema (typed extraction, not
+    per-path string getters) + derived banding."""
+    ev = load_events(spark, sf_dir)
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.col("p.k").alias("prop_k"),
+        F.when(F.col("p.k") >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
+
+
+@_q(
+    "top_words_explode",
+    """
+    SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    ) WHERE length(word) >= 3
+    GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+    """,
+    tags=("text", "explode", "topk"),
+)
+def top_words_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral unnest) + count + deterministic top-k: the
+    canonical word-count. Map-side partial aggregation keeps the
+    shuffle at distinct-word cardinality, not token count."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(D.normalize_text("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 3)
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    return R.topk(counts, [F.col("n").desc(), F.col("word").asc()], 20)
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_filter(a.toks, t -> list_contains(b.toks, t)))), 4) AS jaccard
+    FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over prefix-blocked candidate pairs —
+    the verification stage that follows MinHash candidate generation
+    (MinHash estimates, this confirms). Blocking keys the self-join on
+    a 32-char normalized prefix so the pair count stays near-linear."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(norm, " ")).alias("toks"),
+        F.substring(norm, 1, 32).alias("pfx"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        a.join(b, on="pfx")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / text analysis / similarity (§2.13)
 # ---------------------------------------------------------------------------
@@ -935,6 +1142,115 @@ def lsh_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check (approximation is seed-defined, not SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_cosine_topk(emb, query_id=0, dim=64, k=10, bits=8)
+
+
+@_q(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.40
+    """,
+    tags=("dedup", "similarity"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH-bucketed variant below is the 100 TB path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.40)
+
+
+@_q("embedding_neardup_lsh", None, tags=("dedup", "similarity", "lsh"), bench=True)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs restricted to random-hyperplane LSH buckets: the
+    cartesian product becomes an equi-join on bucket id — linear-ish
+    scaling at some recall cost; rows-only check (seed-defined)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.40, lsh_dim=64, lsh_bits=8)
+
+
+@_q(
+    "events_sessionization",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sess_seq
+        FROM o
+    )
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sess_seq
+    """,
+    tags=("events", "session", "window"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via session_window (30-minute gap).
+    The oracle re-derives sessions with lag + cumulative-sum — the
+    classic SQL formulation of the same operator."""
+    from reactionetl_etl_spark.streaming.windows import session_windows
+
+    ev = load_events(spark, sf_dir)
+    sess = session_windows(ev, gap="30 minutes")
+    return sess.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@_q(
+    "events_tumbling_windows",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS VARCHAR) AS window_end,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("events", "window", "streaming"),
+)
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows via window() — the exact plan the
+    streaming module runs under a watermark (streaming/windows.py);
+    epoch-aligned 1h windows equal date_trunc('hour') buckets."""
+    from reactionetl_etl_spark.streaming.windows import tumbling_event_stats
+
+    ev = load_events(spark, sf_dir)
+    return tumbling_event_stats(ev, "1 hour").select(
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@_q("multimodal_feature_extract", None, tags=("multimodal",))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents' text as opaque binary payloads
+    → magic-byte mime sniff → Arrow-batched feature extraction
+    (mapInPandas; codec stubbed, plumbing real). Rows-only check."""
+    from reactionetl_etl_spark.operators.multimodal import decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+    )
+    feats = decode_image_features(docs, dim=8)
+    return feats.select("media_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
 @_q("approx_distinct_users", None, tags=("agg", "approx"))

@@ -31,6 +31,9 @@ _DEFAULTS = {
     # dims (region/nation/date-like) are tiny even at 100 TB fact scale.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # keep partition values (e.g. day=2026-01-05) as strings — type
+    # inference would silently turn the ETL `day` column into a DATE
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),

@@ -1,0 +1,190 @@
+"""End-to-end ETL fixture tests (SURVEY.md §5.2-5.3, FIXTURES.md §A).
+
+Asserts the reference's intended semantics — conformed fact/dim
+contents, enrichment, audit pairs, incremental no-op re-runs,
+quarantine of malformed input — against the Spark pipeline.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.etl.audit import latest_status
+from reactionetl_etl_spark.etl.pipeline import ReactionLake
+
+from tests.fixtures_etl import (
+    sim_uuid,
+    write_metadata_json,
+    write_reaction_csv,
+)
+
+N_ROWS = 20
+T0 = datetime(2026, 1, 10, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def incoming(tmp_path_factory):
+    """3 valid sims across 2 days + every negative fixture class."""
+    root = tmp_path_factory.mktemp("incoming")
+    d1, d2 = str(root / "2026-01-05"), str(root / "2026-01-06")
+    paths = {
+        "ok1": write_reaction_csv(d1, 1, N_ROWS),
+        "ok2": write_reaction_csv(d1, 2, N_ROWS, with_artifact=True),
+        "ok3": write_reaction_csv(d2, 3, N_ROWS, extra_col=True),
+        "missing_col": write_reaction_csv(d2, 4, N_ROWS, drop_col="Tsensor (K)"),
+        "malformed": write_reaction_csv(d2, 5, N_ROWS, malformed_row_at=7),
+        "meta1": write_metadata_json(d1, 1, "2026-01-05"),
+        "meta2": write_metadata_json(d1, 2, "2026-01-05"),
+        "meta3": write_metadata_json(d2, 3, "2026-01-06"),
+        "meta_bad": write_metadata_json(d2, 6, "2026-01-06", bad_value=True),
+        "meta_missing": write_metadata_json(d2, 7, missing_field="reaction_name"),
+    }
+    # non-.csv file in a day dir must be ignored (file_manager.py:45)
+    (root / "2026-01-06" / "notes.txt").write_text("ignore me")
+    return root, paths
+
+
+@pytest.fixture(scope="module")
+def lake(spark, incoming, tmp_path_factory):
+    root, _ = incoming
+    lk = ReactionLake(str(tmp_path_factory.mktemp("lake")))
+    lk.result = lk.run_once(spark, str(root), now=T0)
+    return lk
+
+
+def test_fact_rowcounts(spark, lake):
+    """Valid files load fully; the malformed file loses exactly its bad
+    row; the missing-column file loads nothing."""
+    fact = lake.fact(spark)
+    per_sim = {
+        r["simulation_id"]: r["n"]
+        for r in fact.groupBy("simulation_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sim[sim_uuid(1)] == N_ROWS
+    assert per_sim[sim_uuid(2)] == N_ROWS  # artifact column dropped, not fatal
+    assert per_sim[sim_uuid(3)] == N_ROWS  # extra column tolerated
+    assert per_sim[sim_uuid(5)] == N_ROWS - 1  # malformed row quarantined
+    assert sim_uuid(4) not in per_sim  # missing required column → rejected
+    assert lake.result.fact_rows_loaded == 4 * N_ROWS - 1
+
+
+def test_fact_conformed_schema(spark, lake):
+    fact = lake.fact(spark)
+    cols = dict(fact.dtypes)
+    for c in ("ca", "cb", "cc", "cd", "temperature", "t_sensor", "rxn_time"):
+        assert cols[c] == "double"
+    assert cols["simulation_id"] == "string"
+    assert "Unnamed: 0" not in cols and "Notes" not in cols
+    # deterministic row ids are unique
+    assert fact.select("row_id").distinct().count() == fact.count()
+
+
+def test_dim_contents_and_sequence(spark, lake):
+    """Valid metadata loads; simulation_num is dense starting at 1 in
+    (date_run, simulation_id) order; invalid metadata never lands."""
+    dim = lake.dim(spark).orderBy("simulation_num").collect()
+    assert [r["simulation_num"] for r in dim] == [1, 2, 3]
+    assert [r["simulation_id"] for r in dim] == [sim_uuid(1), sim_uuid(2), sim_uuid(3)]
+    assert dim[0]["activation_energy"] == 52001.0
+    assert str(dim[0]["date_run"]) == "2026-01-05"
+    loaded_ids = {r["simulation_id"] for r in dim}
+    assert sim_uuid(6) not in loaded_ids and sim_uuid(7) not in loaded_ids
+
+
+def test_enrichment_view_and_materialization(spark, lake):
+    """EP3: every fact row with metadata gets its dim's simulation_num;
+    rows without metadata stay NULL; fact row count never changes."""
+    before = lake.fact(spark).count()
+    view = lake.fact_enriched(spark)
+    assert view.count() == before
+
+    n = lake.materialize_enrichment(spark)
+    assert n == 3 * N_ROWS  # sims 1-3 enriched; sim 5 has no metadata
+    fact = lake.fact(spark)
+    assert fact.count() == before  # J1 property: row count preserved
+    matched = fact.filter(F.col("simulation_num").isNotNull())
+    assert matched.count() == 3 * N_ROWS
+    pairs = {
+        (r["simulation_id"], r["simulation_num"])
+        for r in matched.select("simulation_id", "simulation_num").distinct().collect()
+    }
+    assert pairs == {(sim_uuid(1), 1), (sim_uuid(2), 2), (sim_uuid(3), 3)}
+    # idempotent: second materialization enriches nothing new
+    assert lake.materialize_enrichment(spark) == 0
+
+
+def test_quarantine_contents(spark, lake):
+    q = lake.quarantine(spark)
+    reasons = [r["reason"] for r in q.collect()]
+    assert any("malformed row" in r for r in reasons)
+    assert any("missing required columns" in r for r in reasons)
+    assert any("metadata validation failed" in r for r in reasons)
+    # the malformed row's payload is preserved for replay
+    bad = q.filter(F.col("reason").contains("malformed")).first()
+    assert "NOT_A_NUMBER" in bad["payload"]
+
+
+def test_audit_running_success_pairs(spark, lake):
+    """One running→terminal event pair per processed file (W4/W5)."""
+    audit = lake.audit(spark)
+    # 5 csvs + 5 jsons, 2 events each
+    assert audit.count() == 20
+    per_id = audit.groupBy("etl_id").agg(
+        F.count("*").alias("n"), F.min("status").alias("s1"), F.max("status").alias("s2")
+    )
+    assert per_id.filter(F.col("n") != 2).count() == 0
+    latest = latest_status(audit)
+    assert latest.count() == 10
+    by_status = {
+        r["status"]: r["n"]
+        for r in latest.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    # csvs: ok1 ok2 ok3 malformed(partial success) = 4 success, missing_col quarantined
+    # jsons: meta1-3 success, meta_bad + meta_missing quarantined
+    assert by_status == {"success": 7, "quarantined": 3}
+    assert latest.filter(F.col("status") == "running").count() == 0
+
+
+def test_incremental_rerun_is_noop(spark, lake, incoming):
+    """README.md:15 semantics: re-running with no new files is a no-op."""
+    root, _ = incoming
+    before_fact = lake.fact(spark).count()
+    before_dim = lake.dim(spark).count()
+    res = lake.run_once(spark, str(root), now=T0)
+    assert res.files_processed == 0
+    assert lake.fact(spark).count() == before_fact
+    assert lake.dim(spark).count() == before_dim
+
+
+def test_incremental_new_file_only(spark, lake, incoming):
+    """A newly arrived file is picked up; old files are not reloaded."""
+    root, _ = incoming
+    day3 = str(root / "2026-01-07")
+    write_reaction_csv(day3, 8, N_ROWS)
+    write_metadata_json(day3, 8, "2026-01-07")
+    res = lake.run_once(spark, str(root), now=T0)
+    assert res.files_processed == 2
+    assert res.fact_rows_loaded == N_ROWS
+    assert res.dim_rows_loaded == 1
+    # the new dim row extends the dense sequence, never reusing numbers
+    dim = lake.dim(spark)
+    assert dim.agg(F.max("simulation_num")).first()[0] == 4
+    assert dim.select("simulation_num").distinct().count() == 4
+    # enrichment picks up only the new day
+    assert lake.materialize_enrichment(spark) == N_ROWS
+
+
+def test_duplicate_metadata_skipped(spark, lake, incoming, tmp_path_factory):
+    """PK semantics: a metadata file for an already-loaded simulation_id
+    is processed but its row is skipped, keeping the dim unique."""
+    root, _ = incoming
+    day4 = str(root / "2026-01-08")
+    write_metadata_json(day4, 1, "2026-01-08")  # sim 1 already in dim
+    res = lake.run_once(spark, str(root), now=T0)
+    assert res.files_processed == 1
+    assert res.dim_rows_loaded == 0
+    dim = lake.dim(spark)
+    assert dim.filter(F.col("simulation_id") == sim_uuid(1)).count() == 1
