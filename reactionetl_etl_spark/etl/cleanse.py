@@ -53,11 +53,18 @@ class CleanseResult:
                    payload as JSON string + reason), same lineage cols
     rejected_files — files refused at the file level (header missing
                    required columns), with reasons; never scanned
+    cached       — persisted scans backing clean/quarantined; call
+                   ``release()`` once all downstream actions have run
     """
 
     clean: DataFrame
     quarantined: DataFrame
     rejected_files: list[tuple[RawFile, str]] = field(default_factory=list)
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def cleanse_incoming_csvs(spark: SparkSession, files: list[RawFile]) -> CleanseResult:
@@ -73,13 +80,15 @@ def cleanse_incoming_csvs(spark: SparkSession, files: list[RawFile]) -> CleanseR
 
     clean_parts: list[DataFrame] = []
     quarantine_parts: list[DataFrame] = []
+    cached: list[DataFrame] = []
     for header, members in valid.items():
         # Persist the parsed scan: Spark (correctly) refuses a plan that
         # prunes down to only `_corrupt_record` from a raw CSV source,
         # and the quarantine branch is exactly that. MEMORY_AND_DISK so
-        # a 100 TB backlog spills instead of OOMing; the persist is
-        # dropped when the batch's actions complete (session cleanup).
+        # a 100 TB backlog spills instead of OOMing; released by the
+        # caller via CleanseResult.release().
         df = read_csv_header_group(spark, header, members).persist()
+        cached.append(df)
         bad = df.filter(F.col("_corrupt_record").isNotNull())
         good = df.filter(F.col("_corrupt_record").isNull())
         clean_parts.append(good.select(*FACT_DATA_COLS, *LINEAGE_COLS))
@@ -93,7 +102,9 @@ def cleanse_incoming_csvs(spark: SparkSession, files: list[RawFile]) -> CleanseR
 
     clean = _union_or_empty(spark, clean_parts, _empty_clean_schema(spark))
     quarantined = _union_or_empty(spark, quarantine_parts, _empty_quarantine_schema(spark))
-    return CleanseResult(clean=clean, quarantined=quarantined, rejected_files=rejected_files)
+    return CleanseResult(
+        clean=clean, quarantined=quarantined, rejected_files=rejected_files, cached=cached
+    )
 
 
 def cleanse_metadata_jsons(spark: SparkSession, files: list[RawFile]) -> CleanseResult:

@@ -149,8 +149,9 @@ class ReactionLake:
         fact_loaded = dim_loaded = quarantined_files = 0
 
         # ---- reaction CSVs → fact_sim (EP2 + W2) ----
+        csv_result = None
         if csvs:
-            result = cleanse_incoming_csvs(spark, csvs)
+            result = csv_result = cleanse_incoming_csvs(spark, csvs)
             fact_new = result.clean.withColumns(
                 {
                     # deterministic row id: stable under at-least-once replay
@@ -247,12 +248,17 @@ class ReactionLake:
                 "stop_time_s",
                 "source_file",
                 "day",
-            )
-            dim_new.write.mode("append").parquet(self.dim_path)
+            ).persist()
+            # Collect the audit set BEFORE appending: dim_new's plan
+            # reads dim_path (the anti-join), and the append refreshes
+            # cached plans on that path — a post-write recompute would
+            # see its own output and anti-join the new rows away.
             loaded_files = {
                 _strip_scheme(r["source_file"])
                 for r in dim_new.select("source_file").distinct().collect()
             }
+            dim_new.write.mode("append").parquet(self.dim_path)
+            dim_new.unpersist()
             bad_files = {
                 _strip_scheme(r["source_file"])
                 for r in result.quarantined.select("source_file").distinct().collect()
@@ -288,6 +294,8 @@ class ReactionLake:
                 " ingested_at timestamp_ntz",
             ).write.mode("append").parquet(self.manifest_path)
 
+        if csv_result is not None:
+            csv_result.release()
         return RunResult(fact_loaded, dim_loaded, len(csvs) + len(jsons), quarantined_files)
 
     # -- enrichment (EP3) -------------------------------------------------
@@ -310,21 +318,25 @@ class ReactionLake:
         ]
         if not days:
             return 0
-        subset = fact.filter(F.col("day").isin(days))
-        already = subset.filter(F.col("simulation_num").isNotNull()).count()
+        subset = fact.filter(F.col("day").isin(days)).withColumn(
+            "__was_null", F.col("simulation_num").isNull()
+        )
         # Break lineage before overwriting the path we just read
         # (Spark refuses a cycle otherwise). localCheckpoint holds the
         # enriched partitions on executors; with Delta this whole method
         # is a single MERGE and the checkpoint disappears.
         enriched = enrich_fact(subset, dim).localCheckpoint(eager=True)
-        n_newly = enriched.filter(F.col("simulation_num").isNotNull()).count() - already
+        n_newly = enriched.filter(
+            F.col("__was_null") & F.col("simulation_num").isNotNull()
+        ).count()
         (
-            enriched.write.mode("overwrite")
+            enriched.drop("__was_null")
+            .write.mode("overwrite")
             .partitionBy("day")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.fact_path)
         )
-        return max(n_newly, 0)
+        return n_newly
 
 
 def _sim_id_from_name(path: str, prefix: str, suffix: str) -> str | None:

@@ -62,30 +62,43 @@ def list_raw_files(root: str, suffix: str) -> list[RawFile]:
     return out
 
 
+# backlogs at or below this size probe headers on the driver (one
+# first-line read per file is microseconds); larger backlogs fan the
+# probe out as a Spark job so a million-file queue never serializes
+DRIVER_PROBE_MAX_FILES = 4096
+
+
+def _read_header(path: str) -> tuple[str, ...]:
+    import csv as _csv
+
+    with open(path, newline="") as fh:
+        return tuple(next(_csv.reader(fh), []))
+
+
 def probe_csv_headers(spark: SparkSession, files: list[RawFile]) -> dict[tuple[str, ...], list[RawFile]]:
     """Group CSV files by exact header tuple.
 
-    Runs as a Spark job (one first-line read per file, distributed over
-    executors) — per-partition imperative I/O is justified here because
-    this is metadata discovery, not data processing.
+    Small backlogs read headers on the driver (this is metadata work —
+    spinning up the executor Python-worker pool costs more than the
+    reads). Large backlogs run the probe as a Spark job: per-partition
+    imperative I/O is justified because it is discovery, not data.
     """
     if not files:
         return {}
     paths = [f.path for f in files]
     by_path = {f.path: f for f in files}
 
-    def _first_line(path_iter):
-        import csv as _csv
+    if len(paths) <= DRIVER_PROBE_MAX_FILES:
+        probed = [(p, _read_header(p)) for p in paths]
+    else:
+        def _first_lines(path_iter):
+            for p in path_iter:
+                yield p, _read_header(p)
 
-        for p in path_iter:
-            with open(p, newline="") as fh:
-                header = next(_csv.reader(fh), [])
-            yield p, tuple(header)
-
-    n_slices = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
-    probed = spark.sparkContext.parallelize(paths, n_slices).mapPartitions(
-        lambda it: _first_line(it)
-    ).collect()
+        n_slices = max(1, min(len(paths) // 64, spark.sparkContext.defaultParallelism))
+        probed = spark.sparkContext.parallelize(paths, n_slices).mapPartitions(
+            _first_lines
+        ).collect()
 
     groups: dict[tuple[str, ...], list[RawFile]] = {}
     for path, header in probed:
