@@ -960,6 +960,110 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_zscore_grouped_pandas",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    tags=("udf", "grouped-map"),
+)
+def events_zscore_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (per-event-type z-score) — the
+    engine's imperative per-group surface, oracle-checked against the
+    window-function formulation (operators/grouped.py has both)."""
+    from reactionetl_etl_spark.operators.grouped import zscore_per_group_pandas
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    z = zscore_per_group_pandas(ev, ["event_type"], "value")
+    return z.select("event_id", F.round("zscore", 4).alias("zscore"))
+
+
+@_q(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 2) AS p25,
+           round(percentile_cont(0.50) WITHIN GROUP (ORDER BY l_quantity), 2) AS p50,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity), 2) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        # round at 2: interpolated values are exact multiples of 0.05
+        # (integer quantities, 0.05-step index fractions), so 1-decimal
+        # rounding would sit exactly on the .x5 boundary
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 2).alias("p95"),
+    )
+
+
+@_q(
+    "revenue_by_nation_sql",
+    """
+    SELECT n.n_name,
+           round(sum(o.o_totalprice), 2) AS total_revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("sql-api", "join", "agg"),
+)
+def revenue_by_nation_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() front door: identical text runs on the registered
+    temp views — proving the SQL API is a first-class entry point, not
+    just the DataFrame DSL (Catalyst plans both identically)."""
+    from reactionetl_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               round(sum(o.o_totalprice), 2) AS total_revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@_q(
+    "salted_join_orders_customer",
+    """
+    SELECT c.c_nationkey, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "skew"),
+)
+def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-way salted equi-join (operators/skew.py): the hot-key defense
+    when AQE can't split a single skewed key. Results are identical to
+    the plain join — the oracle proves it."""
+    from reactionetl_etl_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, cust, "o_custkey", n_salts=16)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / text analysis / similarity (§2.13)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the right rows come out; these prove the right
+PLAN produces them — the properties that matter at 100 TB. If a
+refactor silently turns a broadcast join into a shuffle join or stops
+filters reaching the parquet scan, these fail before any benchmark
+notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from reactionetl_etl_spark.plans.catalog import all_queries
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_scan_pushdown")
+    assert "PushedFilters: [" in plan
+    # quantity range must reach the scan
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+    # column pruning: the scan schema must not include unused columns
+    assert "l_tax" not in plan.split("ReadSchema")[1]
+
+
+def test_pricing_summary_partial_agg_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # date filter pushed to parquet
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # two-phase aggregate: map-side partial before the exchange
+    assert plan.index("partial_sum") > plan.index("Exchange") or "partial_sum" in plan
+
+
+def test_enrichment_join_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "enrich_orders_customer")
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT be exchanged for the join (only broadcast
+    # exchange of the dim side is allowed)
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_semi_join_used_for_exists(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "customers_with_orders")
+    assert "LeftSemi" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top10_orders_global")
+    assert "TakeOrderedAndProject" in plan
+    # no global sort operator
+    assert "Sort [o_totalprice" not in plan
+
+
+def test_multi_join_broadcasts_small_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # AQE shows codegen spans only in the FINAL plan — execute first
+    df = all_queries()["revenue_forecast"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen stages in the simple form
+    assert "*(1)" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_fingerprint_md5", "text_stats_by_lang", "doc_quality_scores"]
+)
+def test_text_ops_have_no_python_stage(spark, sf_dir, name):
+    """Text operators must stay JVM-side: no Python/Arrow eval nodes."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan

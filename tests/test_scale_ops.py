@@ -1,0 +1,108 @@
+"""Tests for scale-oriented operators: salted join, compaction,
+grouped-map transforms, and custom stateful streaming."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.etl.compact import compact_table
+from reactionetl_etl_spark.operators.grouped import (
+    zscore_per_group_pandas,
+    zscore_per_group_window,
+)
+from reactionetl_etl_spark.operators.skew import salted_join
+from reactionetl_etl_spark.sources.tables import load_events, load_table
+from reactionetl_etl_spark.streaming.stateful import running_totals_per_user
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting redistributes work but never changes results — including
+    under heavy synthetic skew (90% of rows share one key)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    skewed = orders.withColumn(
+        "o_custkey", F.when(F.rand(42) < 0.9, F.lit(1)).otherwise(F.col("o_custkey"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = skewed.join(cust, "o_custkey").groupBy("c_nationkey").count()
+    salted = salted_join(skewed, cust, "o_custkey", n_salts=8).groupBy("c_nationkey").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    """Many small appends → one compaction → few right-sized files,
+    identical contents."""
+    path = str(tmp_path / "t")
+    for i in range(8):
+        spark.range(i * 1000, (i + 1) * 1000).withColumn(
+            "day", F.lit(f"2026-0{i % 2 + 1}-01")
+        ).write.mode("append").partitionBy("day").parquet(path)
+    before_files = sum(
+        1 for root, _d, names in os.walk(path) for n in names if n.endswith(".parquet")
+    )
+    before = spark.read.parquet(path)
+    before_sum = before.agg(F.sum("id")).first()[0]
+    n_after = compact_table(spark, path, partition_col="day", target_file_mb=128)
+    assert n_after < before_files
+    after = spark.read.parquet(path)
+    assert after.count() == 8000
+    assert after.agg(F.sum("id")).first()[0] == before_sum
+
+
+def test_zscore_pandas_equals_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value").limit(3000)
+    a = {
+        r["event_id"]: round(r["zscore"], 4)
+        for r in zscore_per_group_pandas(ev, ["event_type"], "value").collect()
+        if r["zscore"] is not None
+    }
+    b = {
+        r["event_id"]: round(r["zscore"], 4)
+        for r in zscore_per_group_window(ev, ["event_type"], "value").collect()
+        if r["zscore"] is not None
+    }
+    assert a == b
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: feeding
+    the same users in two batches yields combined running totals."""
+    ev = load_events(spark, sf_dir).select("user_id", "value").limit(2000)
+    src = str(tmp_path / "src")
+    # two separate parquet files → two micro-batches with maxFilesPerTrigger=1
+    ev.limit(1000).coalesce(1).write.mode("append").parquet(src)
+    ev.subtract(ev.limit(1000)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_totals_per_user(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user = final running totals = batch totals
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM running_totals
+        ) WHERE rn = 1
+        """
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in expected.collect()}
+    assert got == want
