@@ -1064,6 +1064,46 @@ def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "asof_click_to_purchase",
+    """
+    SELECT c.event_id,
+           c.user_id,
+           round(p.value, 2) AS purchase_value,
+           CAST(p.ts AS VARCHAR) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "asof", "events"),
+    bench=True,
+)
+def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click is enriched with the
+    user's most recent prior-or-simultaneous purchase. Implemented as
+    union + carry-forward window — one shuffle, no range explosion —
+    and oracled against DuckDB's native ASOF JOIN."""
+    from reactionetl_etl_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_ntz")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ntz",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_ntz").cast("string").alias("purchase_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_ntz",
+        right_ts="ts_ntz",
+        payload_cols=["purchase_value", "purchase_ts"],
+    )
+    return joined.select("event_id", "user_id", "purchase_value", "purchase_ts")
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / text analysis / similarity (§2.13)
 # ---------------------------------------------------------------------------

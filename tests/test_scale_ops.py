@@ -17,6 +17,30 @@ from reactionetl_etl_spark.sources.tables import load_events, load_table
 from reactionetl_etl_spark.streaming.stateful import running_totals_per_user
 
 
+def test_asof_join_semantics(spark):
+    """Tie handling: non-strict matches a simultaneous right row,
+    strict does not; rows before any right row get NULL."""
+    from reactionetl_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d")],
+        "k int, ts int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0)], "k int, ts int, payload double"
+    )
+    loose = {
+        r["name"]: r["payload"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["payload"]).collect()
+    }
+    assert loose == {"a": None, "b": 100.0, "c": 150.0, "d": None}
+    strict = {
+        r["name"]: r["payload"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["payload"], strict=True).collect()
+    }
+    assert strict == {"a": None, "b": None, "c": 150.0, "d": None}
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     """Salting redistributes work but never changes results — including
     under heavy synthetic skew (90% of rows share one key)."""
