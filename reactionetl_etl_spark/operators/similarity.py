@@ -92,6 +92,74 @@ def with_lsh_bucket(
     return embeddings.withColumn(out_col, bucket)
 
 
+def _coarse_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish centroids (same xorshift
+    stream as the hyperplanes) standing in for trained k-means cells.
+    Production swaps in trained centroids; the plan shape is identical."""
+    x = 2463534242
+    cells = []
+    for _ in range(n_cells):
+        row = []
+        for _ in range(dim):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((x % 2_000_001) / 1_000_000.0) - 1.0)
+        cells.append(row)
+    return cells
+
+
+def with_ivf_cell(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF-style coarse quantization: assign each vector to its
+    nearest (max dot product) of ``n_cells`` fixed centroids.
+
+    At scale the celled table is the inverted index: write it
+    partitioned by cell and a query probes only its own cell's
+    partition (plus neighbors for recall) — the IVF analogue of the
+    LSH bucket path, with cell sizes that track the data distribution
+    once real k-means centroids are plugged in.
+    """
+    v = as_double_array(vec_col)
+    # argmax as array ops: a when-chain fold would nest each step's
+    # expression inside the next TWICE (value + otherwise) — 2^n blowup
+    scores = F.array(
+        *[dot(v, F.array(*[F.lit(w) for w in c])) for c in _coarse_centroids(dim, n_cells)]
+    )
+    cell = F.array_position(scores, F.array_max(scores)) - 1
+    return embeddings.withColumn(out_col, cell.cast("int"))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k restricted to the query vector's IVF cell."""
+    celled = with_ivf_cell(embeddings, dim, n_cells, vec_col)
+    q = celled.filter(F.col(id_col) == query_id).select(
+        as_double_array(vec_col).alias("__q"), F.col("ivf_cell").alias("__qc")
+    )
+    cand = celled.filter(F.col(id_col) != query_id).join(
+        F.broadcast(q), on=F.col("ivf_cell") == F.col("__qc"), how="inner"
+    )
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    return (
+        cand.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

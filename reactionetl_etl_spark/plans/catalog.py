@@ -1397,6 +1397,122 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+@_q(
+    "quantity_band_range_join",
+    """
+    SELECT b.band_name, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+                 ('large', 25.0, 45.0), ('huge', 45.0, 100.0))
+         AS b(band_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("join", "range"),
+)
+def quantity_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join against a small bands table. The
+    non-equi condition plans as BroadcastNestedLoopJoin — correct and
+    cheap exactly because the bands side is broadcast-tiny; a range
+    join against a LARGE interval table would instead bucket both
+    sides (bin the ranges) to recover an equi-join."""
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("large", 25.0, 45.0), ("huge", 45.0, 100.0)],
+        "band_name string, lo double, hi double",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    joined = li.join(
+        F.broadcast(bands),
+        (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+    )
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+
+
+@_q(
+    "orders_above_customer_avg",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("sql-api", "subquery"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through spark.sql — Catalyst
+    decorrelates it into an aggregate + join; the same SQL text is the
+    oracle."""
+    from reactionetl_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@_q(
+    "latest_order_per_nation",
+    """
+    SELECT c.c_nationkey,
+           arg_max(o.o_orderkey, o.o_orderdate + INTERVAL (o.o_orderkey % 86400) SECOND) AS latest_orderkey,
+           CAST(max(o.o_orderdate) AS VARCHAR) AS latest_orderdate
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("agg", "argmax"),
+)
+def latest_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max: the key of the row holding the group maximum.
+    The ordering value is de-tied with a deterministic orderkey offset
+    so both engines pick the same row."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    tiebroken = F.expr(
+        "o_orderdate + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 86400)"
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_nationkey").agg(
+        F.expr(
+            "max_by(o_orderkey, o_orderdate + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 86400))"
+        ).alias("latest_orderkey"),
+        F.max("o_orderdate").cast("string").alias("latest_orderdate"),
+    )
+
+
+@_q("ivf_cosine_topk", None, tags=("similarity", "ivf"))
+def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors into cells (stand-in
+    centroids; production trains k-means), search only the query's
+    cell. Rows-only check (cell assignment is seed-defined)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_cosine_topk(emb, query_id=0, dim=64, k=10, n_cells=16)
+
+
+@_q("catalog_columns", None, tags=("catalog", "reference-S6"))
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: catalog introspection (the reference's pg_indexes scan,
+    database_manager.py:242-255 — Spark has no secondary indexes, so
+    the analogue is the table/column catalog). Registers the star
+    schema as temp views and lists every column with its type.
+    Rows-only check: DuckDB's catalog differs structurally."""
+    from reactionetl_etl_spark.sources.tables import TABLE_NAMES, register_views
+
+    register_views(spark, sf_dir)
+    rows = []
+    for t in TABLE_NAMES:
+        for col in spark.catalog.listColumns(t):
+            rows.append((t, col.name, col.dataType))
+    return spark.createDataFrame(rows, "table_name string, column_name string, data_type string")
+
+
 @_q("approx_distinct_users", None, tags=("agg", "approx"))
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (sketch differs from DuckDB's
