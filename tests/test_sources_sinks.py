@@ -1,0 +1,67 @@
+"""binaryFile media source + bucketed-table co-located join tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.etl.bucketing import bucketed_join, write_bucketed
+from reactionetl_etl_spark.sources.media import read_media_dir
+from reactionetl_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "7.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    (d / "9.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x01" * 32)
+    (d / "clip_a.mp3").write_bytes(b"ID3\x04" + b"\x02" * 48)
+    (d / "notes.txt").write_bytes(b"not media")
+    return str(d)
+
+
+def test_read_media_dir_glob_and_ids(spark, media_dir):
+    df = read_media_dir(spark, media_dir, glob="*.{png,jpg,mp3}")
+    rows = {r["source_file"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"7.png", "9.jpg", "clip_a.mp3"}
+    # numeric stems become ids; others hash deterministically
+    assert rows["7.png"]["media_id"] == 7
+    assert rows["9.jpg"]["media_id"] == 9
+    assert isinstance(rows["clip_a.mp3"]["media_id"], int)
+    assert rows["7.png"]["n_bytes"] == 72
+    assert bytes(rows["7.png"]["content"])[:4] == b"\x89PNG"
+
+
+def test_media_pipeline_to_features(spark, media_dir):
+    """binaryFile source feeds the multimodal decode plumbing end-to-end."""
+    from reactionetl_etl_spark.operators.multimodal import decode_image_features
+
+    media = read_media_dir(spark, media_dir, glob="*.{png,jpg}")
+    feats = {r["media_id"]: r["mime"] for r in decode_image_features(media).collect()}
+    assert feats == {7: "image/png", 9: "image/jpeg"}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Identically-bucketed tables sort-merge join with zero shuffles."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4
+    )
+    try:
+        # force SMJ so the assertion is about bucketing, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and the result is right
+        expected = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
