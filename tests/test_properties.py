@@ -1,0 +1,140 @@
+"""Property-based checks (hypothesis) for operator invariants.
+
+Each property pins a semantic contract with randomized inputs:
+- asof_join agrees with pandas merge_asof (an independent oracle);
+- enrichment never changes fact row count and is idempotent;
+- MinHash Jaccard estimates are within banded-LSH tolerance of exact;
+- text normalization is idempotent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # ts
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left_rows=rows_strategy, right_rows=rows_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    from reactionetl_etl_spark.operators.asof import asof_join
+
+    left_pdf = (
+        pd.DataFrame(left_rows, columns=["k", "ts"])
+        .drop_duplicates()
+        .astype({"k": "int64", "ts": "int64"})
+    )
+    right_pdf = (
+        pd.DataFrame(right_rows, columns=["k", "ts"])
+        .drop_duplicates(subset=["k", "ts"])
+        .astype({"k": "int64", "ts": "int64"})
+        .assign(payload=lambda d: d["k"] * 1000 + d["ts"] * 1.0)
+        .astype({"payload": "float64"})
+    )
+    left = spark.createDataFrame(left_pdf, "k int, ts int") if len(left_pdf) else None
+    if left is None:
+        return
+    right = spark.createDataFrame(
+        right_pdf, "k int, ts int, payload double"
+    ) if len(right_pdf) else spark.createDataFrame([], "k int, ts int, payload double")
+
+    got = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload_cols=["payload"])
+        .toPandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left_pdf.sort_values("ts"),
+        right_pdf.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    got_pairs = {(r.k, r.ts): None if pd.isna(r.payload) else r.payload for r in got.itertuples()}
+    want_pairs = {
+        (r.k, r.ts): None if pd.isna(r.payload) else r.payload for r in expected.itertuples()
+    }
+    assert got_pairs == want_pairs
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_normalize_text_idempotent(spark, texts):
+    from reactionetl_etl_spark.operators.dedup import normalize_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(
+        normalize_text("text").alias("once"),
+    ).select(F.col("once"), normalize_text(F.col("once")).alias("twice"))
+    for r in out.collect():
+        assert r["once"] == r["twice"]
+
+
+def test_enrichment_preserves_rowcount_and_is_idempotent(spark, sf_dir):
+    from reactionetl_etl_spark.operators.relational import enrich_with_dim
+
+    orders = (
+        __import__("reactionetl_etl_spark.sources.tables", fromlist=["load_table"])
+        .load_table(spark, sf_dir, "orders")
+    )
+    cust = (
+        __import__("reactionetl_etl_spark.sources.tables", fromlist=["load_table"])
+        .load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    n = orders.count()
+    once = enrich_with_dim(orders, cust, "o_custkey", ["c_nationkey"])
+    assert once.count() == n
+    twice = enrich_with_dim(once, cust, "o_custkey", ["c_nationkey"])
+    assert twice.count() == n
+    assert sorted(once.select("o_orderkey", "c_nationkey").collect()) == sorted(
+        twice.select("o_orderkey", "c_nationkey").collect()
+    )
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    """Near-identical docs must surface as candidates with estimates
+    near their true Jaccard; unrelated docs must not pair."""
+    from reactionetl_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark shuffles and parquet files " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(df, "text", "doc_id", min_jaccard=0.3).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
