@@ -160,7 +160,15 @@ def minhash_lsh_candidates(
 
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        f" / cast({num_perm} as double)"
+    )
+    # Estimate + threshold BEFORE the pair-dedup: recomputing the
+    # 32-element zip for a pair that collides in several bands is
+    # cheaper than shuffling both 256-byte signatures through the
+    # dropDuplicates exchange — the dedup then moves only (id, id, est).
+    return (
         left.join(right, on=["band", "bhash"], how="inner")
         .filter(F.col("l.id") < F.col("r.id"))
         .select(
@@ -169,16 +177,10 @@ def minhash_lsh_candidates(
             F.col("l.signature").alias("sig_a"),
             F.col("r.signature").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.expr(
-        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-        f" / cast({num_perm} as double)"
-    )
-    return (
-        pairs.withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= min_jaccard)
-        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
