@@ -36,19 +36,35 @@ def compact_table(
     path: str,
     partition_col: str | None = None,
     target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite ``path`` into ~``target_file_mb`` files; returns the file
     count written. Uses on-disk size as the sizing signal (parquet-
-    compressed bytes, which is what scan cost tracks)."""
+    compressed bytes, which is what scan cost tracks).
+
+    ``sort_cols`` clusters rows within each output file (sortWithin-
+    Partitions) so parquet row-group min/max stats become selective on
+    those columns — the data-skipping analogue of the reference's
+    composite B-tree indexes (create_indexes.sql: (ca,cb,rxn_time,
+    temperature), (rxn_time,temperature)). A range predicate on the
+    leading sort column then prunes most row groups at scan time.
+    """
     n_bytes = _dir_bytes(path)
     n_files = max(1, round(n_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     # Break lineage (localCheckpoint) so we can overwrite the source;
-    # on Delta/Iceberg this whole function is OPTIMIZE.
+    # on Delta/Iceberg this whole function is OPTIMIZE (+ ZORDER).
     df = df.localCheckpoint(eager=True)
-    writer = df.repartition(n_files) if partition_col is None else df.repartition(
-        n_files, F.col(partition_col)
-    )
+    if sort_cols:
+        # RANGE-partition on the sort key so each output file covers a
+        # narrow value slice (plain repartition round-robins rows and
+        # every file would span the whole range), then sort inside.
+        writer = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        writer = writer.sortWithinPartitions(*sort_cols)
+    elif partition_col is None:
+        writer = df.repartition(n_files)
+    else:
+        writer = df.repartition(n_files, F.col(partition_col))
     w = writer.write.mode("overwrite")
     if partition_col is not None:
         w = w.partitionBy(partition_col).option("partitionOverwriteMode", "dynamic")
