@@ -1260,6 +1260,67 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "part_measures_unpivot",
+    """
+    SELECT p_partkey, measure, round(value, 2) AS value
+    FROM (
+        SELECT p_partkey, 'retail_price' AS measure, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'size_units' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    )
+    """,
+    tags=("unpivot",),
+)
+def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) via the unpivot/melt API; the oracle is
+    the equivalent UNION ALL the operator desugars to."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail_price"),
+        F.col("p_size").cast("double").alias("size_units"),
+    )
+    long = p.unpivot(
+        ids=["p_partkey"],
+        values=["retail_price", "size_units"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.select("p_partkey", "measure", F.round("value", 2).alias("value"))
+
+
+@_q(
+    "customer_balance_extremes",
+    """
+    SELECT DISTINCT c_nationkey,
+           first_value(c_custkey) OVER w AS poorest_custkey,
+           last_value(c_custkey)  OVER w AS richest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "firstlast"),
+)
+def customer_balance_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over an unbounded frame (per-nation
+    poorest/richest customer, deterministically tie-broken)."""
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.first("c_custkey").over(w).alias("poorest_custkey"),
+            F.last("c_custkey").over(w).alias("richest_custkey"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star extensions: dedup / text analysis / similarity (§2.13)
 # ---------------------------------------------------------------------------

@@ -50,6 +50,26 @@ def tumbling_event_stats(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_ntz",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first row per key set.
+
+    `dropDuplicates` on a stream keeps per-key state forever unless a
+    watermark bounds it — with one, keys older than the watermark are
+    evicted, so state size tracks the late-data horizon, not history.
+    In batch the same call is a plain distinct-by-key.
+    """
+    if events.isStreaming:
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        events = events.withWatermark(ts_col, watermark)
+        return events.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -81,6 +81,33 @@ def test_tumbling_window_streaming_parity(spark, sf_dir, tmp_path):
     assert got == ev.count()
 
 
+def test_streaming_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """A replayed (duplicated) event batch is deduplicated by key under
+    a watermark; only first occurrences survive."""
+    from reactionetl_etl_spark.streaming.windows import streaming_dedup
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value", "ts_ntz").limit(500)
+    src = str(tmp_path / "dup_src")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # replay = duplicates
+
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, value double, ts_ntz timestamp_ntz"
+    ).parquet(src)
+    q = (
+        streaming_dedup(stream, ["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_stream").first()
+    assert got["n"] == 500 and got["d"] == 500
+
+
 def test_session_windows_batch(spark, sf_dir):
     """Gap-based sessionization: every event lands in exactly one
     session of its user; sessions are disjoint per user."""
