@@ -69,7 +69,15 @@ def latest_status(audit: DataFrame) -> DataFrame:
     plus run duration (X2: finished - started, as the reference's
     `extract(epoch from now() - started_at)`,
     database_manager.py:184)."""
-    w = Window.partitionBy("etl_id").orderBy(F.col("event_time").desc())
+    # Tie-break: run_once stamps a file's 'running' and terminal events
+    # with the same clock read, so event_time alone is ambiguous — a
+    # terminal status must win the tie, and status text makes the pick
+    # fully deterministic.
+    w = Window.partitionBy("etl_id").orderBy(
+        F.col("event_time").desc(),
+        (F.col("status") == "running").cast("int").asc(),
+        F.col("status").asc(),
+    )
     agg_w = Window.partitionBy("etl_id")
     return (
         audit.withColumn("__rn", F.row_number().over(w))

@@ -7,15 +7,18 @@ explodes into a near-cartesian range join, and a per-key
 
 The scalable formulation is UNION + CARRY-FORWARD:
 
-    1. tag right rows 0, left rows 1; union on (key, ts, tag)
+    1. tag right rows 0, left rows 1; union on (key, ts, tag),
+       left rows carrying their payload, right rows carrying theirs
     2. one window over (partition key, order ts, tag): last non-null
        right-payload value seen so far = the as-of match
     3. keep left rows
 
 Cost: ONE shuffle of left+right on the join key and a per-partition
 sort — same complexity as a sort-merge join, no row multiplication,
-no Python. This is the standard time-series enrichment pattern
-(quotes→trades, sensor-state→events) for 100 TB event streams.
+no Python, and no nondeterministic row ids (everything is a pure
+function of the input rows, so task retries can't mismatch). This is
+the standard time-series enrichment pattern (quotes→trades,
+sensor-state→events) for 100 TB event streams.
 """
 
 from __future__ import annotations
@@ -41,24 +44,29 @@ def asof_join(
     Ties (right_ts == left_ts, strict=False): the right row sorts
     before the left row (tag 0 < 1), so an exactly-simultaneous right
     row IS matched, consistent with DuckDB's ASOF JOIN (>=).
+
+    Left columns ride along through the single key-shuffle (wider sort
+    rows, but no second shuffle and no join-back on a generated id —
+    `monotonically_increasing_id` is partitioning-dependent, so a
+    join-back can silently mismatch rows under task retries).
     """
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload_cols collide with left columns: {sorted(overlap)}")
     l_tag, r_tag = (0, 1) if strict else (1, 0)
+    left_cols = left.columns
     right_u = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(r_tag).alias("__tag"),
-        F.lit(None).cast("long").alias("__row"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
     )
-    # __row preserves left identity through the union (left columns are
-    # re-attached by joining back on it — cheaper than carrying a wide
-    # left payload through the window sort when left is much wider)
-    left_k = left.withColumn("__row", F.monotonically_increasing_id())
-    left_u = left_k.select(
+    left_u = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(l_tag).alias("__tag"),
-        F.col("__row"),
+        *left_cols,
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
     )
     # strict: left sorts BEFORE right at equal ts, so equal-ts right
@@ -69,16 +77,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = right_u.unionByName(left_u).select(
-        "__k",
-        "__ts",
         "__tag",
-        "__row",
+        *left_cols,
         *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
             for c in payload_cols
         ],
     )
-    matches = carried.filter(F.col("__row").isNotNull()).select(
-        "__row", *[F.col(f"__m_{c}").alias(c) for c in payload_cols]
-    )
-    return left_k.join(matches, on="__row", how="left").drop("__row")
+    return carried.filter(F.col("__tag") == l_tag).drop("__tag")

@@ -71,10 +71,11 @@ def shingle(col, k: int = 3) -> "F.Column":
     Pure SQL higher-order functions: split → sliding window via
     transform(sequence(...)) — JVM-side, no UDF.
     """
-    name = col if isinstance(col, str) else None
-    expr = f"split({name}, ' ')" if name else None
-    if expr is None:
+    if not isinstance(col, str):
         raise ValueError("shingle() takes a column name")
+    # Tokenize the NORMALIZED text (lowercase, collapsed whitespace) so
+    # whitespace/case-variant near-dups collide, matching fingerprint_dedup.
+    expr = f"split(trim(regexp_replace(lower({col}), '\\\\s+', ' ')), ' ')"
     return F.expr(
         f"transform(sequence(1, greatest(size({expr}) - {k - 1}, 1)),"
         f" i -> array_join(slice({expr}, i, {k}), ' '))"
@@ -129,6 +130,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     k_shingle: int = 3,
     min_jaccard: float = 0.5,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -139,9 +141,16 @@ def minhash_lsh_candidates(
 
     Scale: the join key is a 64-bit band hash; the shuffled payload is
     (id, signature) only. Skewed buckets (boilerplate text) are the
-    known hazard — AQE skew-join splitting handles moderate skew, and a
-    bucket-size cap can be layered on for pathological corpora.
+    known hazard: a bucket of m members yields m² join output, so one
+    bucket of 10⁶ identical-boilerplate docs is 10¹² pairs. Buckets
+    larger than ``max_bucket`` are dropped BEFORE the self-join
+    (deterministic: whole buckets, never sampled members). Pairs that
+    also collide in a normal-sized band are still found; a corpus-wide
+    boilerplate cluster is exactly what fingerprint_dedup already
+    collapses more cheaply. Set ``max_bucket=None`` to disable.
     """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows_per_band = num_perm // bands
     sig = minhash_signature(df, text_col, num_perm, k_shingle).select(
         F.col(id_col).alias("id"), "signature"
@@ -157,6 +166,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    if max_bucket is not None:
+        # Boilerplate defense: drop oversized buckets before the join.
+        # The count is a window over the join key itself, so the extra
+        # pass reuses the same hash-partitioning the join needs anyway.
+        bw = Window.partitionBy("band", "bhash")
+        banded = (
+            banded.withColumn("__bsize", F.count("*").over(bw))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -192,7 +212,7 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     functions — heavy constant factor (64 × tokens adds per row) but
     fully JVM-side and shuffle-free.
     """
-    toks = f"split({text_col}, ' ')"
+    toks = f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
     bit_sums = (
         f"transform(sequence(0, 63), j -> "
         f"aggregate({toks}, 0L, (acc, t) -> acc + if((shiftright(xxhash64(t, 42), j) & 1) = 1, 1, -1)))"
@@ -204,13 +224,24 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), F.expr(sig).alias("simhash"))
 
 
-def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
     """Near-dup candidates whose SimHashes differ in ≤ max_hamming bits.
 
     Blocking: split the 64-bit signature into 4 × 16-bit chunks; any
     pair within Hamming ≤ 3 shares at least one chunk (pigeonhole), so
     an equi-join per chunk has full recall. Returns
     (id_a, id_b, hamming).
+
+    Chunk keys are only 16 bits, so buckets grow ~n/65536 on a uniform
+    corpus and quadratically on boilerplate; buckets above
+    ``max_bucket`` are dropped before the self-join (same defense and
+    caveats as minhash_lsh_candidates). ``max_bucket=None`` disables.
     """
     sig = simhash_signature(df, text_col, id_col)
     chunked = sig.select(
@@ -223,6 +254,13 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str, max_hamming: i
             )
         ).alias("cc"),
     ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    if max_bucket is not None:
+        cw = Window.partitionBy("chunk", "ckey")
+        chunked = (
+            chunked.withColumn("__bsize", F.count("*").over(cw))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
     l, r = chunked.alias("l"), chunked.alias("r")
     hamming = F.expr("bit_count(l.simhash ^ r.simhash)")
     return (

@@ -1,0 +1,131 @@
+"""Distributed global ranking: rank / dense_rank / row_number / ntile
+over a TOTAL order without a single-partition window.
+
+`Window.orderBy(...)` with no partitionBy plans as
+`Exchange SinglePartition` + one-task sort — the whole table funnels
+through one core, the canonical scale-killer. The distributed
+formulation reduces the global sort to a prefix sum over DISTINCT rank
+keys:
+
+    1. per-key counts:  C = df.groupBy(rank keys).count()
+       — map-side-combinable shuffle; |C| = distinct keys ≪ rows.
+    2. prefix sums over C in key order (range-partition C, local
+       prefix + cross-partition offsets over ≤ num_partitions rows):
+       rows_before(k), key_index(k).
+    3. join rows back to C on the key (one shuffle of df on the key):
+       rank       = rows_before + 1
+       dense_rank = key_index + 1
+       row_number = rows_before + row_number() within the key group
+       ntile      = closed form over (row_number, total).
+
+Every stage is parallel; the only single-task window runs over one row
+per partition (≤ spark.sql.shuffle.partitions rows).
+
+C is persisted: its lineage contains a range exchange, and
+RangePartitioner's boundary sampling is NOT deterministic across
+evaluations (empirically, Spark 4 picks different boundaries per run),
+so forking an unpersisted range-partitioned plan can give two branches
+inconsistent partition ids. Persisting the (tiny) distinct-key table
+pins one evaluation; the final ranks are value-determined either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered(exprs: list[Column], descending: list[bool]) -> list[Column]:
+    return [e.desc() if d else e.asc() for e, d in zip(exprs, descending)]
+
+
+def global_order_ranks(
+    df: DataFrame,
+    rank_exprs: list[Column],
+    rank_desc: list[bool],
+    tie_exprs: list[Column] = (),
+    tie_desc: list[bool] = (),
+    ntile_n: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``global_rank``, ``global_dense_rank``,
+    ``global_row_number`` (and ``global_ntile`` when ``ntile_n``) to df.
+
+    rank/dense_rank tie on ``rank_exprs``; row_number/ntile follow the
+    refined total order (rank_exprs, then tie_exprs — pass tie columns
+    that make it unique, or row_number is an arbitrary tie order).
+    SQL-standard ntile: n%k leading buckets get one extra row.
+    Assumes non-null rank keys (null sort placement is not modeled).
+    """
+    spark = df.sparkSession
+    n_parts = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    kfields = [e.alias(f"__k{i}") for i, e in enumerate(rank_exprs)]
+    key_ord = _ordered(
+        [F.col(f"__kstruct.__k{i}") for i in range(len(rank_exprs))], list(rank_desc)
+    )
+
+    dfk = df.withColumn("__kstruct", F.struct(*kfields))
+    counts = dfk.groupBy("__kstruct").agg(F.count("*").alias("__cnt"))
+    counts = (
+        counts.repartitionByRange(n_parts, *key_ord)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+
+    w_loc = Window.partitionBy("__pid").orderBy(*key_ord)
+    local = counts.select(
+        "__kstruct",
+        "__pid",
+        F.coalesce(
+            F.sum("__cnt").over(w_loc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__lpre"),
+        (F.row_number().over(w_loc) - 1).alias("__lkidx"),
+    )
+    stats = counts.groupBy("__pid").agg(
+        F.sum("__cnt").alias("__pcnt"), F.count("*").alias("__pkeys")
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = stats.select(
+        "__pid",
+        F.coalesce(F.sum("__pcnt").over(w_prev), F.lit(0)).alias("__roff"),
+        F.coalesce(F.sum("__pkeys").over(w_prev), F.lit(0)).alias("__koff"),
+        F.sum("__pcnt").over(w_all).alias("__n"),
+    )
+    keyed = local.join(F.broadcast(offsets), on="__pid").select(
+        "__kstruct",
+        (F.col("__lpre") + F.col("__roff")).alias("__before"),
+        (F.col("__lkidx") + F.col("__koff") + F.lit(1)).alias("__dense"),
+        "__n",
+    )
+
+    # One shuffle of df on the key serves both the join and the
+    # within-key row_number window (same partitioning, no re-exchange).
+    tie_ord = _ordered(list(tie_exprs), list(tie_desc)) or [F.lit(1)]
+    w_tie = Window.partitionBy("__kstruct").orderBy(*tie_ord)
+    out = (
+        dfk.join(keyed, on="__kstruct")
+        .withColumn("global_rank", F.col("__before") + F.lit(1))
+        .withColumn("global_dense_rank", F.col("__dense"))
+        .withColumn("global_row_number", F.col("__before") + F.row_number().over(w_tie))
+    )
+    if ntile_n is not None:
+        k = int(ntile_n)
+        # SQL-standard ntile from the global row number: base = n div k,
+        # rem = n % k; buckets 1..rem hold base+1 rows. All-bigint, all
+        # positive, so `div` floors exactly; greatest() keeps the dead
+        # ELSE branch safe when n < k (base = 0).
+        out = out.withColumn(
+            "global_ntile",
+            F.expr(
+                f"CASE WHEN global_row_number <= (__n % {k}) * ((__n div {k}) + 1)"
+                f" THEN (global_row_number - 1) div ((__n div {k}) + 1) + 1"
+                f" ELSE (__n % {k})"
+                f"  + (global_row_number - (__n % {k}) * ((__n div {k}) + 1) - 1)"
+                f"    div greatest(__n div {k}, 1) + 1 END"
+            ),
+        )
+    return out.drop("__kstruct", "__before", "__dense", "__n")

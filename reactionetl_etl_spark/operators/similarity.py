@@ -94,8 +94,8 @@ def with_lsh_bucket(
 
 def _coarse_centroids(dim: int, n_cells: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish centroids (same xorshift
-    stream as the hyperplanes) standing in for trained k-means cells.
-    Production swaps in trained centroids; the plan shape is identical."""
+    stream as the hyperplanes): the untrained fallback when no sample
+    is available to fit k-means on. Prefer train_ivf_centroids."""
     x = 2463534242
     cells = []
     for _ in range(n_cells):
@@ -109,28 +109,70 @@ def _coarse_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return cells
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_sample: int = 100_000,
+) -> list[list[float]]:
+    """Fit k-means centroids for IVF coarse quantization
+    (pyspark.ml.clustering.KMeans, deterministic seed).
+
+    Vectors are L2-normalized before the fit, so euclidean k-means
+    approximates spherical k-means and the learned cells partition by
+    DIRECTION — the right geometry for cosine search. Returned
+    centroids are re-normalized; cell assignment stays max-dot-product
+    (argmax dot(v, c_norm) == argmax cosine when c's are unit).
+
+    Cost: one Spark ML job over at most ``max_sample`` vectors
+    (driver-bounded via limit — at 100 TB pass a pre-sampled frame).
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = embeddings.select(
+        array_to_vector(
+            F.expr(
+                f"transform({vec_col}, x -> cast(x as double) /"
+                f" sqrt(aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))))"
+            )
+        ).alias("features")
+    ).limit(max_sample)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(sample)
+    out = []
+    for center in model.clusterCenters():
+        vals = [float(v) for v in center]
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        out.append([v / norm for v in vals])
+    return out
+
+
 def with_ivf_cell(
     embeddings: DataFrame,
     dim: int,
     n_cells: int = 16,
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style coarse quantization: assign each vector to its
-    nearest (max dot product) of ``n_cells`` fixed centroids.
+    nearest (max dot product) centroid — trained k-means cells when
+    ``centroids`` is given (train_ivf_centroids), else the fixed
+    pseudo-random fallback.
 
     At scale the celled table is the inverted index: write it
     partitioned by cell and a query probes only its own cell's
     partition (plus neighbors for recall) — the IVF analogue of the
-    LSH bucket path, with cell sizes that track the data distribution
-    once real k-means centroids are plugged in.
+    LSH bucket path, with cell sizes that track the data distribution.
     """
+    cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
     v = as_double_array(vec_col)
     # argmax as array ops: a when-chain fold would nest each step's
     # expression inside the next TWICE (value + otherwise) — 2^n blowup
-    scores = F.array(
-        *[dot(v, F.array(*[F.lit(w) for w in c])) for c in _coarse_centroids(dim, n_cells)]
-    )
+    scores = F.array(*[dot(v, F.array(*[F.lit(w) for w in c])) for c in cents])
     cell = F.array_position(scores, F.array_max(scores)) - 1
     return embeddings.withColumn(out_col, cell.cast("int"))
 
@@ -141,16 +183,39 @@ def ivf_cosine_topk(
     dim: int,
     k: int = 10,
     n_cells: int = 16,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
 ) -> DataFrame:
-    """Approximate top-k restricted to the query vector's IVF cell."""
-    celled = with_ivf_cell(embeddings, dim, n_cells, vec_col)
-    q = celled.filter(F.col(id_col) == query_id).select(
-        as_double_array(vec_col).alias("__q"), F.col("ivf_cell").alias("__qc")
+    """Approximate top-k restricted to the query's ``n_probe`` nearest
+    IVF cells (multi-probe: single-cell recall suffers exactly when the
+    query sits near a cell boundary, which is the common case in high
+    dimensions — probing the next-nearest cells recovers it for
+    n_probe/n_cells of the scan cost).
+
+    Centroids: explicit ``centroids`` > trained k-means on the corpus
+    (``train=True``, deterministic seed) > fixed pseudo-random fallback.
+    """
+    if centroids is None and train:
+        centroids = train_ivf_centroids(embeddings, n_cells, vec_col)
+    celled = with_ivf_cell(embeddings, dim, n_cells, vec_col, centroids=centroids)
+    cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
+    qv = as_double_array(vec_col)
+    cell_scores = F.array(*[dot(qv, F.array(*[F.lit(w) for w in c])) for c in cents])
+    # top-n_probe cell ids for the query, as an array column
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(zip_with(c_scores, sequence(0, {len(cents) - 1}),"
+        f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
+    )
+    q = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(qv.alias("__q"), cell_scores.alias("c_scores"))
+        .select("__q", probe_cells.alias("__qcells"))
     )
     cand = celled.filter(F.col(id_col) != query_id).join(
-        F.broadcast(q), on=F.col("ivf_cell") == F.col("__qc"), how="inner"
+        F.broadcast(q), on=F.expr("array_contains(__qcells, ivf_cell)"), how="inner"
     )
     sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
     return (
@@ -167,23 +232,34 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     lsh_dim: int | None = None,
     lsh_bits: int = 8,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
     with id_a < id_b and cosine ≥ threshold.
 
     Default is the exact all-pairs baseline (self-join): O(n²) dot
     products, correct at any threshold — fine for dim-table-sized
-    corpora and the correctness oracle. Pass ``lsh_dim`` to switch to
-    the scale path: vectors are first bucketed by random-hyperplane LSH
-    and only same-bucket pairs are compared — the join becomes an
-    equi-join on the bucket id (shuffle keyed on 2^bits values instead
-    of a cartesian product), trading recall for ~2^bits less work.
+    corpora and the correctness oracle, and GUARDED: if the input
+    exceeds ``max_exact_rows`` (one count() action at build time) it
+    raises instead of scheduling a 10¹⁰-pair crossJoin. Pass
+    ``lsh_dim`` to switch to the scale path: vectors are first bucketed
+    by random-hyperplane LSH and only same-bucket pairs are compared —
+    the join becomes an equi-join on the bucket id (shuffle keyed on
+    2^bits values instead of a cartesian product), trading recall for
+    ~2^bits less work. The LSH path is unguarded (it scales).
     """
     base = embeddings
     join_keys: list[str] = []
     if lsh_dim is not None:
         base = with_lsh_bucket(base, lsh_dim, lsh_bits, vec_col)
         join_keys = ["lsh_bucket"]
+    elif max_exact_rows is not None:
+        n = embeddings.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact all-pairs cosine over {n} rows exceeds max_exact_rows="
+                f"{max_exact_rows}; use the LSH path (lsh_dim=...) at this scale"
+            )
     left = base.select(
         *join_keys, F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("__va")
     )

@@ -31,10 +31,20 @@ def salted_join(
     """Equi-join fact⋈dim on ``key`` with an ``n_salts``-way salt.
 
     Output columns = fact's ∪ dim's (minus the duplicate key), same as
-    a plain ``fact.join(dim, key, how)``. Deterministic: the salt is a
-    hash of the fact row's key + a uniform spreader, not a RNG.
+    a plain ``fact.join(dim, key, how)`` — for fact-preserving joins
+    only: each fact row carries exactly one salt, but each dim row is
+    replicated n_salts times, so right/full-outer would emit unmatched
+    dim rows n_salts times. Those modes raise.
+
+    Deterministic: the salt is xxhash64 of the whole fact row (all
+    columns), a pure function of row content — stable across runs,
+    task retries, and repartitioning. Fully duplicate rows share a
+    salt; that only re-concentrates skew if the hot key's rows are
+    byte-identical, in which case they collapse under dedup anyway.
     """
-    salt = (F.xxhash64(F.col(key), F.monotonically_increasing_id()) % n_salts + n_salts) % n_salts
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(f"salted_join supports fact-preserving joins only, not how={how!r}")
+    salt = (F.xxhash64(*[F.col(c) for c in fact.columns]) % n_salts + n_salts) % n_salts
     fact_s = fact.withColumn("__salt", salt.cast("int"))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -48,8 +48,14 @@ class RawFile:
 
 def list_raw_files(root: str, suffix: str) -> list[RawFile]:
     """Enumerate `<root>/<day>/*<suffix>` (S4+S5). Non-matching files
-    are ignored, mirroring file_manager.py:45."""
+    are ignored, mirroring file_manager.py:45.
+
+    Paths are absolutized so they compare equal to the scheme-stripped
+    `input_file_name()` values used for per-file audit counts — a
+    relative ``root`` would otherwise audit every file as 0 rows.
+    """
     out: list[RawFile] = []
+    root = os.path.abspath(root)
     if not os.path.isdir(root):
         return out
     for day in sorted(os.listdir(root)):

@@ -106,6 +106,44 @@ def test_minhash_signature_stable_across_partitioning(spark, docs):
     assert {r["doc_id"]: r["signature"] for r in a} == {r["doc_id"]: r["signature"] for r in b}
 
 
+def test_minhash_normalization_collides_case_variants(spark):
+    """shingle() tokenizes the NORMALIZED text, so whitespace/case
+    variants produce identical signatures (matches fingerprint_dedup)."""
+    df = spark.createDataFrame(
+        [(1, "The  Quick Brown FOX jumps high today"), (2, "the quick brown fox jumps high today")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_candidates(df, "text", "doc_id", min_jaccard=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_minhash_rejects_indivisible_bands(spark, docs):
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=7)
+
+
+def test_minhash_bucket_cap_defuses_boilerplate(spark):
+    """1000 identical docs would make a 499,500-pair quadratic bucket;
+    the cap drops oversized buckets before the self-join while leaving
+    normal-sized groups' candidates intact."""
+    rows = [(i, "identical boilerplate text repeated everywhere always") for i in range(1000)]
+    rows += [(2001, "a genuinely unique document about spark engines"),
+             (2002, "a genuinely unique document about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_candidates(
+        df, "text", "doc_id", min_jaccard=0.3, max_bucket=64
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every boilerplate bucket has 1000 members > cap → dropped whole;
+    # the normal-sized pair is untouched
+    assert got == {(2001, 2002)}
+    # uncapped on a small slice still works (sanity that the cap is the
+    # only thing suppressing the boilerplate pairs)
+    small = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    assert len(D.minhash_lsh_candidates(small, "text", "doc_id", min_jaccard=0.3).collect()) == 3
+
+
 def test_simhash_neardup_and_separation(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              D.simhash_candidates(docs, "text", "doc_id", max_hamming=10).collect()}
@@ -136,6 +174,21 @@ def test_cosine_topk_matches_numpy(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     got = [r["vec_id"] for r in S.cosine_topk(emb, query_id=0, k=10).collect()]
     assert got == expected
+
+
+def test_ivf_trained_recall_vs_bruteforce(spark):
+    """Trained-centroid multi-probe IVF must recover ≥ 8 of the exact
+    top-10 (deterministic seed → stable result). Pinned to sf0.01 (500
+    vectors): k-means cells need enough data to be meaningful."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    bf = [r["vec_id"] for r in S.cosine_topk(emb, 0, k=10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in S.ivf_cosine_topk(emb, 0, dim=64, k=10, n_cells=16, n_probe=6).collect()
+    ]
+    assert len(set(bf) & set(ivf)) >= 8
 
 
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):

@@ -77,3 +77,21 @@ def test_text_ops_have_no_python_stage(spark, sf_dir, name):
     """Text operators must stay JVM-side: no Python/Arrow eval nodes."""
     plan = plan_of(spark, sf_dir, name)
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_global_rank_is_distributed(spark, sf_dir):
+    """price_rank_ntile must use the two-pass distributed global rank.
+
+    A Window.orderBy with no partitionBy plans as Sort(table order key)
+    over Exchange SinglePartition — one task sorts the whole table. In
+    the distributed plan the only SinglePartition exchange carries the
+    per-partition stats rows (sorted by __pid), never the data."""
+    plan = plan_of(spark, sf_dir, "price_rank_ntile")
+    assert "Exchange rangepartitioning" in plan  # the distributed key pass
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            parent_sorts = [l for l in lines[max(0, i - 3) : i] if "Sort [" in l]
+            assert all("o_totalprice" not in s for s in parent_sorts), (
+                "full-table sort funnels through a single partition:\n" + "\n".join(parent_sorts)
+            )
