@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactionetl_etl_spark.etl.audit import AuditEvent, events_df, new_etl_id
+from reactionetl_etl_spark.logging_config import get_logger, setup_logging
 from reactionetl_etl_spark.etl.cleanse import (
     cleanse_incoming_csvs,
     cleanse_metadata_jsons,
@@ -59,6 +60,8 @@ from reactionetl_etl_spark.etl.enrich import (
 )
 from reactionetl_etl_spark.sources.raw import RawFile, list_raw_files
 
+log = get_logger("etl.pipeline")
+
 
 @dataclass
 class RunResult:
@@ -69,13 +72,17 @@ class RunResult:
 
 
 class ReactionLake:
-    def __init__(self, lake_root: str):
+    def __init__(self, lake_root: str, log_dir: str | None = None):
         self.root = lake_root.rstrip("/")
         self.fact_path = f"{self.root}/fact_sim"
         self.dim_path = f"{self.root}/dim_rxn"
         self.audit_path = f"{self.root}/audit"
         self.quarantine_path = f"{self.root}/quarantine"
         self.manifest_path = f"{self.root}/manifest"
+        # Operational (driver-side) logs, reference logging_config.py
+        # parity: rotating info.log + error.log under <lake>/logs unless
+        # pointed elsewhere. The audit table stays the queryable record.
+        setup_logging(log_dir or f"{self.root}/logs")
 
     # -- table readers ----------------------------------------------------
 
@@ -143,6 +150,10 @@ class ReactionLake:
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         csvs = self._new_files(spark, list_raw_files(incoming_root, ".csv"))
         jsons = self._new_files(spark, list_raw_files(incoming_root, ".json"))
+        log.info(
+            "run_once: %d new reaction CSVs, %d new metadata JSONs under %s",
+            len(csvs), len(jsons), incoming_root,
+        )
 
         audit_events: list[AuditEvent] = []
         manifest_rows: list[tuple[str, str, str, str, datetime]] = []
@@ -207,6 +218,10 @@ class ReactionLake:
                 else:
                     status, err = "success", None if not n_bad else f"{n_bad} rows quarantined"
                     fact_loaded += n_ok
+                if status == "quarantined":
+                    log.warning("quarantined %s: %s", f.path, err)
+                else:
+                    log.info("ingested %s: %d rows (%s)", f.path, n_ok, err or "clean")
                 audit_events.append(
                     AuditEvent(etl_id, now, sim_id, "reaction", n_ok, None, status, err, f.path, f.day)
                 )
@@ -279,6 +294,10 @@ class ReactionLake:
                     dim_loaded += 1
                 else:  # valid but duplicate simulation_id → skipped
                     status, err, n = "success", "duplicate simulation_id (skipped)", 0
+                if status == "quarantined":
+                    log.warning("quarantined metadata %s: %s", f.path, err)
+                else:
+                    log.info("metadata %s: %s", f.path, err or "loaded")
                 audit_events.append(
                     AuditEvent(etl_id, now, sim_id, "metadata", n, None, status, err, f.path, f.day)
                 )
@@ -296,6 +315,10 @@ class ReactionLake:
 
         if csv_result is not None:
             csv_result.release()
+        log.info(
+            "run_once done: %d fact rows, %d dim rows, %d files (%d quarantined)",
+            fact_loaded, dim_loaded, len(csvs) + len(jsons), quarantined_files,
+        )
         return RunResult(fact_loaded, dim_loaded, len(csvs) + len(jsons), quarantined_files)
 
     # -- enrichment (EP3) -------------------------------------------------

@@ -21,6 +21,7 @@ feature extraction is a narrow map — no shuffle at any scale.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,6 +46,8 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("mime", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
@@ -71,6 +74,42 @@ def with_media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame
     )
 
 
+def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
+    """REAL (not stubbed) container-header decode, pure Python/struct:
+    (width, height) for PNG (IHDR), GIF (logical screen), BMP
+    (BITMAPINFOHEADER), and JPEG (SOF marker scan); None for anything
+    unrecognized or truncated. This is the part of image decode that
+    needs no codec library — pixel decode stays stubbed."""
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h
+    if b[:4] in (b"GIF8",) and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h)  # negative height = top-down row order
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return w, h
+                return None
+            i += 2 + seglen
+    return None
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real image embedding: derived from a
     rolling byte hash so tests are stable. Replace the body with a real
@@ -88,20 +127,26 @@ def decode_image_features(
     """Arrow-batched feature extraction over binary payloads.
 
     mapInPandas: each task receives an iterator of pandas batches —
-    payload bytes never materialize as Python row objects. The decode
-    itself is a deterministic STUB (no image libs in this container);
-    production swaps `_fake_feature` for a real decoder, nothing else.
+    payload bytes never materialize as Python row objects. Header-level
+    decode (width/height via parse_image_dims) is REAL; the pixel-level
+    embedding is a deterministic STUB (no image libs in this
+    container) — production swaps `_fake_feature` for a real decoder,
+    nothing else changes.
     """
     mimed = with_media_metadata(df, binary_col)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = [bytes(c) for c in pdf[binary_col]]
+            dims = [parse_image_dims(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "mime": [m["mime"] for m in pdf["media_meta"]],
-                    "n_bytes": [len(c) for c in pdf[binary_col]],
-                    "feature": [_fake_feature(bytes(c), dim) for c in pdf[binary_col]],
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": pd.array([d[0] if d else None for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] if d else None for d in dims], dtype="Int32"),
+                    "feature": [_fake_feature(p, dim) for p in payloads],
                 }
             )
 

@@ -1175,6 +1175,7 @@ def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("join", "agg", "tpch-q7"),
+    bench=True,
 )
 def volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q7-style bilateral trade volume: 5-table join with a
@@ -1225,6 +1226,7 @@ def volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("join", "agg", "topk", "tpch-q10"),
+    bench=True,
 )
 def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-style returned-item reporting: who returned the most
@@ -1262,6 +1264,7 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate <  TIMESTAMP '1997-10-01'
     """,
     tags=("join", "agg", "tpch-q14"),
+    bench=True,
 )
 def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-style promotion share: conditional aggregate ratio
@@ -1290,6 +1293,7 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l.l_quantity BETWEEN 15 AND 35)
     """,
     tags=("join", "filter", "tpch-q19"),
+    bench=True,
 )
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-style disjunctive multi-attribute predicate spanning

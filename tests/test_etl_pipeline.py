@@ -55,6 +55,18 @@ def lake(spark, incoming, tmp_path_factory):
     return lk
 
 
+def test_operational_logs_written(spark, lake):
+    """Reference logging_config parity: run_once writes rotating
+    info.log (all events) and error.log (WARNING+: quarantines)."""
+    import os
+
+    log_dir = f"{lake.root}/logs"
+    info = open(os.path.join(log_dir, "info.log")).read()
+    err = open(os.path.join(log_dir, "error.log")).read()
+    assert "run_once done:" in info and "ingested" in info
+    assert "quarantined" in err and "INFO" not in err
+
+
 def test_fact_rowcounts(spark, lake):
     """Valid files load fully; the malformed file loses exactly its bad
     row; the missing-column file loads nothing."""

@@ -41,6 +41,68 @@ def test_media_pipeline_to_features(spark, media_dir):
     assert feats == {7: "image/png", 9: "image/jpeg"}
 
 
+class _RecordingWriter:
+    """Stands in for DataFrameWriter: records the configuration the
+    JDBC sink applies (no live database in this environment)."""
+
+    def __init__(self, df):
+        self.df = df
+        self.fmt = None
+        self.opts = {}
+        self.save_mode = None
+        self.saved = False
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def mode(self, m):
+        self.save_mode = m
+        return self
+
+    def save(self):
+        self.saved = True
+
+
+def test_jdbc_fact_sink_copy_parity(spark):
+    """write_fact_jdbc mirrors the reference's COPY: append mode, the
+    fact_sim column order, parallel batched writes."""
+    from reactionetl_etl_spark.io.jdbc import FACT_SIM_COLS, write_fact_jdbc
+
+    df = spark.createDataFrame(
+        [("s1", 1.0, 2.0, 3.0, 4.0, 300.0, 301.0, 0.5, "extra", "2026-01-05")],
+        "simulation_id string, ca double, cb double, cc double, cd double,"
+        " temperature double, t_sensor double, rxn_time double,"
+        " source_file string, day string",
+    )
+    rec = {}
+
+    def factory(d):
+        rec["w"] = _RecordingWriter(d)
+        return rec["w"]
+
+    write_fact_jdbc(df, "jdbc:postgresql://wh:5432/lake", writer_factory=factory)
+    w = rec["w"]
+    assert w.saved and w.fmt == "jdbc" and w.save_mode == "append"
+    assert w.opts["dbtable"] == "fact_sim"
+    assert w.opts["url"].startswith("jdbc:postgresql://")
+    assert w.opts["numPartitions"] == "32" and int(w.opts["batchsize"]) > 0
+    # lineage extras conformed away, COPY column order preserved
+    assert w.df.columns == FACT_SIM_COLS
+
+
+def test_jdbc_sink_rejects_missing_columns(spark):
+    from reactionetl_etl_spark.io.jdbc import write_dim_jdbc
+
+    df = spark.createDataFrame([("s1",)], "simulation_id string")
+    with pytest.raises(ValueError, match="sink columns"):
+        write_dim_jdbc(df, "jdbc:postgresql://wh:5432/lake")
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
     """Identically-bucketed tables sort-merge join with zero shuffles."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
