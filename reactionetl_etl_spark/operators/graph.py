@@ -1,0 +1,69 @@
+"""Connected components: duplicate-pair candidates → duplicate CLUSTERS.
+
+Pair-level dedup (MinHash/SimHash/Jaccard) emits edges; what a training
+-data pipeline actually needs is the transitive closure — "these 17
+docs are all one document" — so one keeper survives per CLUSTER, not
+per pair (pairwise keeper-selection double-drops when A~B and B~C but
+A!~C).
+
+Algorithm: iterative min-label propagation, all DataFrame ops:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until a fixed point. Each iteration is one shuffle (join on
+the edge key + a groupBy-min); iterations needed = graph diameter.
+Near-dup clusters are cliques/short chains (diameter ≤ ~3), so this
+converges in 2-4 rounds at any corpus size. For adversarial
+long-chain graphs, the large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce", SOCC'14 — public) halves the
+diameter per round; not needed for dedup-shaped graphs.
+
+Driver involvement is one convergence count per iteration (a scalar),
+and labels are persisted per round so each iteration's lineage is one
+join deep — no exponential plan growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``
+    (undirected); component = smallest node id reachable. Deterministic:
+    pure min-propagation, no RNG, no partition-id dependence.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.filter(F.col("a") != F.col("b")).distinct().persist()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).persist()
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges: node a hears b's label
+        msgs = sym.join(labels, on=sym.b == labels.node, how="inner").select(
+            F.col("a").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -47,6 +47,7 @@ def global_order_ranks(
     tie_desc: list[bool] = (),
     ntile_n: int | None = None,
     num_partitions: int | None = None,
+    keep_total: bool = False,
 ) -> DataFrame:
     """Append ``global_rank``, ``global_dense_rank``,
     ``global_row_number`` (and ``global_ntile`` when ``ntile_n``) to df.
@@ -56,6 +57,10 @@ def global_order_ranks(
     that make it unique, or row_number is an arbitrary tie order).
     SQL-standard ntile: n%k leading buckets get one extra row.
     Assumes non-null rank keys (null sort placement is not modeled).
+
+    ``keep_total=True`` additionally keeps ``global_total`` (the row
+    count) — with global_rank it yields percent_rank ((rank-1)/(n-1))
+    and cume_dist ((rank-1+ties)/n) without any further global pass.
     """
     spark = df.sparkSession
     n_parts = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -128,4 +133,6 @@ def global_order_ranks(
                 f"    div greatest(__n div {k}, 1) + 1 END"
             ),
         )
+    if keep_total:
+        out = out.withColumn("global_total", F.col("__n"))
     return out.drop("__kstruct", "__before", "__dense", "__n")

@@ -1798,3 +1798,341 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep analytics round 2: distribution / correlated / global-window shapes
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """,
+    tags=("join", "agg", "tpch-q13"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: order-count histogram over a filtered LEFT
+    join (customers with zero qualifying orders must appear as
+    n_orders=0 — the outer join is the point)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@_q(
+    "large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate_s,
+           o.o_totalprice, round(t.sum_qty, 2) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join", "agg", "tpch-q18"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: HAVING-filtered aggregate driving a join back
+    to its parents. The aggregate side shrinks to the rare heavy
+    orders before any join — at scale the join input is the HAVING
+    survivors, not the lineitem table."""
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        heavy.join(o, heavy.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate_s"),
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "global_sales_opportunity",
+    """
+    SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "subquery", "tpch-q22"),
+)
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: scalar-subquery threshold + anti-join (rich
+    customers with no urgent orders — the test data gives every
+    customer SOME order, so the anti-join keys on the urgent subset
+    to keep the result non-trivial). The scalar aggregate is a 1-row
+    broadcast; the NOT EXISTS is a left_anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    thresh = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@_q(
+    "top_parts_by_revenue_share",
+    """
+    WITH pr AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(rev, 2) AS revenue
+    FROM pr WHERE rev > (SELECT avg(rev) * 1.5 FROM pr)
+    """,
+    tags=("agg", "subquery", "tpch-q11"),
+)
+def top_parts_by_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: per-key aggregate filtered against a global
+    statistic of itself (scalar subquery → 1-row broadcast); 1.5× the
+    mean share keeps the survivors non-empty on near-uniform data
+    where Q11's sum-fraction cut selects nothing."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    pr = li.groupBy("l_partkey").agg(rev)
+    total = pr.agg((F.avg("rev") * 1.5).alias("__cut"))
+    return (
+        pr.join(F.broadcast(total))
+        .filter(F.col("rev") > F.col("__cut"))
+        .select("l_partkey", F.round("rev", 2).alias("revenue"))
+    )
+
+
+@_q(
+    "min_cost_supplier_per_part",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT ps.l_partkey, s.s_name, round(ps.unit_cost, 6) AS unit_cost
+    FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.unit_cost = (SELECT min(x.unit_cost) FROM ps x
+                          WHERE x.l_partkey = ps.l_partkey)
+    """,
+    tags=("join", "subquery", "tpch-q2"),
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: correlated min (cheapest supplier per part).
+    The oracle states it as a correlated subquery; the Spark plan uses
+    the window-min formulation — one shuffle on l_partkey, no
+    re-aggregation join (the standard decorrelation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        ps.withColumn("__min", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("__min"))
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .select("l_partkey", "s_name", F.round("unit_cost", 6).alias("unit_cost"))
+    )
+
+
+@_q(
+    "totalprice_percent_rank",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY o_totalprice), 6) AS cume
+    FROM orders
+    """,
+    tags=("window", "rank"),
+)
+def totalprice_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over a TOTAL order, via the two-pass
+    distributed global rank (operators/rank.py) — closed forms
+    pct = (rank-1)/(n-1), cume = (rank-1+ties)/n; the tie count is a
+    partitioned (per-price) window, so no single-partition stage."""
+    from reactionetl_etl_spark.operators.rank import global_order_ranks
+
+    ranked = global_order_ranks(
+        _t(spark, sf_dir, "orders"),
+        rank_exprs=[F.col("o_totalprice")],
+        rank_desc=[False],
+        keep_total=True,
+    )
+    ties = F.count("*").over(Window.partitionBy("o_totalprice"))
+    return ranked.select(
+        "o_orderkey",
+        F.round(
+            (F.col("global_rank") - 1) / (F.col("global_total") - 1), 6
+        ).alias("pct_rank"),
+        F.round(
+            (F.col("global_rank") - 1 + ties) / F.col("global_total"), 6
+        ).alias("cume"),
+    )
+
+
+@_q(
+    "orders_moving_avg_range_frame",
+    """
+    SELECT o_orderkey,
+           CAST(floor(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          OVER w / count(*) OVER w) AS BIGINT) AS avg_cents_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame"),
+)
+def orders_moving_avg_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (7-day moving average per customer) — the
+    frame is value-based (days), not row-based, so same-day orders
+    share a frame. Integer-cents arithmetic keeps Spark/DuckDB float
+    parity exact (avg of doubles rounds differently at .5 ulps)."""
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-7, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.sum(cents).over(w) / F.count("*").over(w)).alias("avg_cents_7d"),
+    )
+
+
+@_q(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
+    subset lattice). Same SQL text runs on both engines via the
+    spark.sql front door."""
+    from reactionetl_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@_q(
+    "duplicate_clusters",
+    """
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), t AS (
+        SELECT * FROM t0 QUALIFY count(*) OVER (PARTITION BY pfx) <= 64
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, tk -> list_contains(b.toks, tk))) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, tk -> list_contains(b.toks, tk)))) >= 0.5
+    ), sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT DISTINCT s AS node, s AS root FROM sym
+        UNION
+        SELECT sym.d, reach.root FROM reach JOIN sym ON sym.s = reach.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph"),
+)
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not pairs: connected components over the
+    Jaccard-candidate edge set (operators/graph.py min-label
+    propagation; the oracle walks the same graph with a recursive
+    CTE). Cluster-level keeper selection is what prevents the
+    pairwise double-drop when A~B, B~C, A!~C."""
+    from reactionetl_etl_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return comps.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@_q(
+    "embedding_l2_norm_pandas",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("udf", "pandas", "similarity"),
+)
+def embedding_l2_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar @pandas_udf (Arrow-vectorized, batch-at-a-time numpy) —
+    the engine's row-level Python surface, completing the UDF triple
+    (scalar pandas_udf / applyInPandas grouped-map / mapInPandas).
+    Built-ins beat this (functions/vectors.py does the same JVM-side);
+    it exists for transforms that genuinely need numpy/scipy."""
+    from reactionetl_etl_spark.functions.pandas_fns import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+
+
+@_q("stratified_sample_events", None, tags=("sampling",))
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-event-type) sampling with a fixed seed —
+    training-data pipelines downsample dominant classes this way.
+    Bernoulli per row, no shuffle. Rows-only check: the sampling
+    algorithm is engine-defined, so no cross-engine oracle exists."""
+    ev = load_events(spark, sf_dir)
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    fractions = {t: (0.5 if i % 2 == 0 else 0.1) for i, t in enumerate(sorted(types))}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "user_id"
+    )

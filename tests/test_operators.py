@@ -151,6 +151,23 @@ def test_simhash_neardup_and_separation(spark, docs):
     assert all(4 not in p for p in pairs)
 
 
+def test_connected_components_clusters(spark):
+    """Chain 1-2-3 plus pair (10,11) plus self-contained clique: every
+    node labels with its cluster's min id; transitivity crosses pairs
+    that were never directly compared (the A~B, B~C, A!~C case)."""
+    from reactionetl_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

@@ -49,6 +49,46 @@ def test_available_now_ingests_all_then_nothing(spark, stream_dirs):
     assert spark.read.parquet(fact_path).count() == 4 * N_ROWS
 
 
+def test_stream_to_jdbc_foreachbatch(spark, tmp_path):
+    """foreachBatch bridge: micro-batches flow through the COPY-parity
+    JDBC writer (recorded, no live warehouse), conformed to fact_sim's
+    column order, append mode."""
+    from reactionetl_etl_spark.io.jdbc import FACT_SIM_COLS
+    from reactionetl_etl_spark.streaming.sinks import jdbc_batch_writer, stream_to_jdbc
+    from tests.test_sources_sinks import _RecordingWriter
+
+    writers = []
+
+    def factory(d):
+        w = _RecordingWriter(d)
+        writers.append(w)
+        return w
+
+    fact = spark.createDataFrame(
+        [("s1", 1.0, 2.0, 3.0, 4.0, 300.0, 301.0, 0.5, "f", "2026-01-05")],
+        "simulation_id string, ca double, cb double, cc double, cd double,"
+        " temperature double, t_sensor double, rxn_time double,"
+        " source_file string, day string",
+    )
+    # callback unit: exactly the (df, batch_id) shape foreachBatch passes
+    jdbc_batch_writer("jdbc:postgresql://wh/lake", writer_factory=factory)(fact, 0)
+    assert writers[0].saved and writers[0].df.columns == FACT_SIM_COLS
+
+    # end-to-end: AvailableNow file stream drains through the sink
+    src = str(tmp_path / "jdbc_src")
+    fact.write.parquet(src)
+    stream = spark.readStream.schema(fact.schema).parquet(src)
+    handle = stream_to_jdbc(
+        stream,
+        "jdbc:postgresql://wh/lake",
+        "fact_sim",
+        str(tmp_path / "jdbc_ckpt"),
+        writer_factory=factory,
+    )
+    handle.awaitTermination(120)
+    assert len(writers) >= 2 and writers[-1].save_mode == "append"
+
+
 def test_tumbling_window_batch(spark, sf_dir):
     """Batch execution of the windowed plan matches a date_trunc agg."""
     ev = load_events(spark, sf_dir)
