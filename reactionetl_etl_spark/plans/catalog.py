@@ -2124,6 +2124,37 @@ def embedding_l2_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
 
 
+@_q(
+    "click_purchase_interval_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("join", "interval", "streaming"),
+)
+def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (purchase within 30 min after a click, same
+    user) — the batch face of streaming/joins.py::interval_join; the
+    streaming face runs the identical function with watermarks
+    (stream/batch parity pinned in test_streaming). Executes as an
+    equi-join on user_id with the time band as a post-filter — no
+    range explosion."""
+    from reactionetl_etl_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_join(clicks, purchases, on="user_id", upper="30 minutes")
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+    )
+
+
 @_q("stratified_sample_events", None, tags=("sampling",))
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-event-type) sampling with a fixed seed —

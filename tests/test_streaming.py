@@ -89,6 +89,44 @@ def test_stream_to_jdbc_foreachbatch(spark, tmp_path):
     assert len(writers) >= 2 and writers[-1].save_mode == "append"
 
 
+def test_interval_join_stream_batch_parity(spark, sf_dir, tmp_path):
+    """The same interval_join runs over two readStreams (watermarked,
+    bounded state) and over batch frames, producing identical pairs."""
+    from reactionetl_etl_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    batch = interval_join(clicks_b, purch_b, on="user_id", upper="30 minutes")
+    expected = {(r["event_id"], r["event_id_r"]) for r in batch.collect()}
+
+    src = str(tmp_path / "iv_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        on="user_id",
+        upper="30 minutes",
+        watermark="2 hours",
+    )
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("iv_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "iv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT * FROM iv_test").collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_tumbling_window_batch(spark, sf_dir):
     """Batch execution of the windowed plan matches a date_trunc agg."""
     ev = load_events(spark, sf_dir)
