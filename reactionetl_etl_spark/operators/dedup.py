@@ -70,6 +70,11 @@ def shingle(col, k: int = 3) -> "F.Column":
 
     Pure SQL higher-order functions: split → sliding window via
     transform(sequence(...)) — JVM-side, no UDF.
+
+    NOTE: as a standalone expression the tokenization is inlined into
+    the per-shingle lambda (O(tokens²) per row). Fine for tests and
+    small frames; the hot path (minhash_signature) materializes the
+    token array as a column first so split() runs once per row.
     """
     if not isinstance(col, str):
         raise ValueError("shingle() takes a column name")
@@ -80,6 +85,18 @@ def shingle(col, k: int = 3) -> "F.Column":
         f"transform(sequence(1, greatest(size({expr}) - {k - 1}, 1)),"
         f" i -> array_join(slice({expr}, i, {k}), ' '))"
     )
+
+
+def _fan_out_cpu_bound(df: DataFrame) -> DataFrame:
+    """Signature computation is CPU-bound: its parallelism must come
+    from task count, not byte count. A small corpus arrives as one
+    input split and would pin all the hash work on one core; fan it out
+    to defaultParallelism. At real scale the scan already has at least
+    that many splits, so this is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
@@ -104,22 +121,38 @@ def minhash_signature(df: DataFrame, text_col: str, num_perm: int = 32, k_shingl
 
     sig[i] = min over shingles s of (a_i * xxhash64(s) + b_i) mod p.
     Cost O(rows · shingles · num_perm), embarrassingly parallel,
-    no shuffle.
+    no shuffle (on an already-parallel scan).
+
+    The token array and shingle hashes are materialized as columns so
+    split/xxhash64 run ONCE per row, and all num_perm mins fold into a
+    single aggregate over the hash array (state = num_perm-long array,
+    one least() per shingle per permutation) — num_perm separate
+    array_min(transform(...)) expressions would re-walk the hash array
+    num_perm times and, worse, per-shingle tokenization would make the
+    signature O(tokens²) per row.
     """
-    shingles = shingle(text_col, k_shingle).alias("__shingles")
-    df = df.withColumn("__shingles", shingles)
+    k = k_shingle
+    df = _fan_out_cpu_bound(df)
+    df = df.withColumn(
+        "__toks",
+        F.expr(f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"),
+    )
     # Hash each shingle once (reduced to 31 bits), then apply the cheap
     # affine permutations — products stay < 2^62, no int64 overflow.
     df = df.withColumn(
-        "__h", F.expr(f"transform(__shingles, s -> pmod(xxhash64(s, 42), {_MERSENNE_P}L))")
-    )
-    sig_exprs = [
+        "__h",
         F.expr(
-            f"array_min(transform(__h, h -> (h * {a}L + {b}L) % {_MERSENNE_P}L))"
-        )
-        for (a, b) in _perm_params(num_perm)
-    ]
-    return df.withColumn("signature", F.array(*sig_exprs)).drop("__shingles", "__h")
+            f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+            f" i -> pmod(xxhash64(array_join(slice(__toks, i, {k}), ' '), 42), {_MERSENNE_P}L))"
+        ),
+    )
+    ab = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in _perm_params(num_perm))
+    sig = (
+        f"aggregate(__h, array_repeat({_MERSENNE_P}L, {num_perm}),"
+        f" (acc, h) -> zip_with(acc, array({ab}),"
+        f" (s, p) -> least(s, (h * p.a + p.b) % {_MERSENNE_P}L)))"
+    )
+    return df.withColumn("signature", F.expr(sig)).drop("__toks", "__h")
 
 
 def minhash_lsh_candidates(
@@ -211,11 +244,19 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bit j of xxhash64(token). Expressed as nested higher-order
     functions — heavy constant factor (64 × tokens adds per row) but
     fully JVM-side and shuffle-free.
+
+    Tokens are hashed once into an array column, then ONE aggregate
+    pass maintains all 64 bit-sums (state = 64-long array) — the
+    per-bit form (64 aggregates, each re-tokenizing) costs 64× the
+    split/hash work per row.
     """
+    df = _fan_out_cpu_bound(df)
     toks = f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
+    df = df.withColumn("__th", F.expr(f"transform({toks}, t -> xxhash64(t, 42))"))
     bit_sums = (
-        f"transform(sequence(0, 63), j -> "
-        f"aggregate({toks}, 0L, (acc, t) -> acc + if((shiftright(xxhash64(t, 42), j) & 1) = 1, 1, -1)))"
+        "aggregate(__th, array_repeat(0L, 64),"
+        " (acc, h) -> zip_with(acc, sequence(0, 63),"
+        " (s, j) -> s + if((shiftright(h, j) & 1) = 1, 1L, -1L)))"
     )
     sig = (
         f"aggregate(zip_with({bit_sums}, sequence(0, 63), (s, j) -> if(s > 0, shiftleft(1L, j), 0L)),"
