@@ -95,3 +95,35 @@ def test_global_rank_is_distributed(spark, sf_dir):
             assert all("o_totalprice" not in s for s in parent_sorts), (
                 "full-table sort funnels through a single partition:\n" + "\n".join(parent_sorts)
             )
+
+
+def test_sole_late_supplier_semi_anti_chain(spark, sf_dir):
+    """The Q21-shape EXISTS / NOT EXISTS chain must compile to one
+    semi-join and one anti-join — never a correlated per-row subquery
+    or a cartesian."""
+    plan = plan_of(spark, sf_dir, "sole_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_revenue_supplier_no_second_scan(spark, sf_dir):
+    """The Q15-shape scalar max must come from the aggregated revenue
+    view (1-row broadcast), not a rank/global sort; exactly one
+    lineitem scan in the plan."""
+    plan = plan_of(spark, sf_dir, "top_revenue_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") <= 2  # reused scan, never a third pass
+    assert "Window" not in plan
+
+
+def test_minhash_signature_fans_out_small_scan(spark, sf_dir):
+    """CPU-bound signature work over a single-split corpus must gain
+    task parallelism via repartition (no-op on already-parallel scans)."""
+    from reactionetl_etl_spark.operators.dedup import minhash_signature
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text")
+    target = spark.sparkContext.defaultParallelism
+    assert sig.rdd.getNumPartitions() >= min(target, 2)
