@@ -34,7 +34,7 @@ N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 
 
-def _gen_incoming(root: str) -> int:
+def _gen_incoming(root: str, n_files: int | None = None) -> int:
     """Synthesize an incoming/ batch (FIXTURES.md §A1/§A2 shapes);
     returns total CSV bytes. One body template reused per file keeps
     generation out of the measured window's noise floor."""
@@ -48,7 +48,7 @@ def _gen_incoming(root: str) -> int:
     ]
     template = header + "\n" + "\n".join(body_rows) + "\n"
     total = 0
-    for n in range(N_ETL_FILES):
+    for n in range(N_ETL_FILES if n_files is None else n_files):
         day = f"2026-03-{(n % 4) + 1:02d}"
         day_dir = os.path.join(root, day)
         os.makedirs(day_dir, exist_ok=True)
@@ -70,8 +70,27 @@ def _gen_incoming(root: str) -> int:
 
 
 def bench_etl_ingest(spark) -> tuple[float, float]:
-    """(seconds, MB/s) for a full incremental ETL run + enrichment."""
+    """(seconds, MB/s) for a full incremental ETL run + enrichment.
+
+    One small untimed warm-up run (2 files in a throwaway lake)
+    precedes the timed run: the session's FIRST run_once pays one-time
+    whole-stage-codegen compilation for every plan shape in the
+    pipeline (~15 s on local[32]) that never recurs in a long-lived
+    service. The reference's ~20 GB/day is steady-state daily
+    throughput, so steady-state is the apples-to-apples measurement;
+    the warm-up uses separate directories and leaves no state behind.
+    """
     from reactionetl_etl_spark.etl.pipeline import ReactionLake
+
+    warm = tempfile.mkdtemp(prefix="spark_etl_warmup_")
+    try:
+        incoming = os.path.join(warm, "incoming")
+        _gen_incoming(incoming, n_files=2)
+        lake = ReactionLake(os.path.join(warm, "lake"))
+        lake.run_once(spark, incoming)
+        lake.materialize_enrichment(spark)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
 
     work = tempfile.mkdtemp(prefix="spark_etl_bench_")
     try:
