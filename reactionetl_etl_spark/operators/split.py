@@ -1,0 +1,72 @@
+"""Deterministic dataset splitting (train/val/test) by key hash.
+
+A training-data pipeline must split corpora so that (a) the same
+document lands in the same split on every run, cluster, and engine —
+randomSplit() cannot promise that (it is seed+partitioning dependent);
+(b) membership is decidable per-row with no global state — a join
+against a membership table would shuffle 100 TB to split it.
+
+Hash-splitting gives both: bucket = md5(salt:key) taken as an integer
+mod 10_000, compared against cumulative weight thresholds. Pure
+per-row expressions — no shuffle, no RNG, pushes through any scan —
+and md5 is bit-identical across engines, so the assignment is
+ORACLE-CHECKABLE in ANSI SQL (DuckDB: `('0x' || substring(md5(..),
+1, 8))::BIGINT`; Spark: `conv(substring(md5(..), 1, 8), 16, 10)`).
+
+Changing ``salt`` re-deals every document; keeping it pins the split
+forever — new data lands in splits at the configured rates while old
+rows never migrate (the property that keeps eval sets uncontaminated
+across dataset versions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def split_bucket(key_col, salt: str = "s42") -> "F.Column":
+    """Deterministic bucket in [0, 10000) from md5(salt:key). Uses the
+    first 8 hex chars (32 bits) — far beyond the resolution needed for
+    basis-point split weights."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "s42",
+    out_col: str = "split",
+) -> DataFrame:
+    """Append ``out_col`` assigning each row to a named split.
+
+    ``weights`` maps split name → fraction; fractions must sum to 1.0
+    (±1e-9) and are applied in insertion order, so the same dict always
+    produces the same bucket ranges.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = split_bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, last)
+
+
+def split_frames(
+    df: DataFrame, key_col: str, weights: dict[str, float], salt: str = "s42"
+) -> dict[str, DataFrame]:
+    """One filtered DataFrame per split, all sharing a single scan
+    lineage (Catalyst pushes each split predicate to the source)."""
+    tagged = hash_split(df, key_col, weights, salt)
+    return {name: tagged.filter(F.col("split") == name).drop("split") for name in weights}

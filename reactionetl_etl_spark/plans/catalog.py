@@ -2316,3 +2316,32 @@ def returnflag_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@_q(
+    "train_val_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS b
+      FROM documents
+    )
+    """,
+    tags=("split", "ml"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket
+    (operators/split.py). Pure per-row expressions — no shuffle, no
+    RNG — and md5 is bit-identical across engines, so the per-document
+    assignment itself is oracle-checked (not just the split sizes)."""
+    from reactionetl_etl_spark.operators.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")

@@ -263,3 +263,45 @@ def test_rolling_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], "id long, text string")
     out = [r["fp"] for r in df.select(TX.rolling_fingerprint("text").alias("fp")).collect()]
     assert out[0] != out[1]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Same rows → same split regardless of partitioning; proportions
+    land near the weights; frames are disjoint and cover the input.
+    (md5 with a fixed salt is deterministic, so this never flakes.)"""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.split import hash_split, split_frames
+
+    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(7), "doc_id", w).collect()
+    }
+    assert a == b
+    n = len(a)
+    train_frac = sum(1 for s in a.values() if s == "train") / n
+    assert 0.75 < train_frac < 0.85
+    frames = split_frames(ids, "doc_id", w)
+    got = [set(r["doc_id"] for r in f.select("doc_id").collect()) for f in frames.values()]
+    assert sum(len(s) for s in got) == n
+    assert set.union(*got) == set(a)
+
+
+def test_hash_split_rejects_bad_weights(spark, docs):
+    from reactionetl_etl_spark.operators.split import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_hash_split_salt_redeals(spark, docs):
+    """A different salt reassigns documents; the same salt pins them."""
+    from reactionetl_etl_spark.operators.split import hash_split
+
+    w = {"train": 0.5, "other": 0.5}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", w, salt="s1").collect()}
+    c = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", w, salt="s2").collect()}
+    assert a != c
