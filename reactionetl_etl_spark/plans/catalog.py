@@ -969,9 +969,10 @@ def top_words_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM t0 QUALIFY count(*) OVER (PARTITION BY pfx) <= 64
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+           floor(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
                  / (len(a.toks) + len(b.toks)
-                    - len(list_filter(a.toks, t -> list_contains(b.toks, t)))), 4) AS jaccard
+                    - len(list_filter(a.toks, t -> list_contains(b.toks, t))))
+                 * 1e4 + 0.5) / 1e4 AS jaccard
     FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
     """,
     tags=("dedup", "text"),
@@ -1007,7 +1008,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            # floor(x*1e4+0.5)/1e4, not round(): jaccard is a ratio of
+            # small ints (k/32 etc. land exactly on .5 decimal
+            # boundaries where Spark and DuckDB round() diverge)
+            (F.floor(inter.cast("double") / union * 1e4 + 0.5) / 1e4).alias("jaccard"),
         )
     )
 
@@ -1942,7 +1946,8 @@ def top_parts_by_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
-    SELECT ps.l_partkey, s.s_name, round(ps.unit_cost, 6) AS unit_cost
+    SELECT ps.l_partkey, s.s_name,
+           floor(ps.unit_cost * 1e6 + 0.5) / 1e6 AS unit_cost
     FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
     WHERE ps.unit_cost = (SELECT min(x.unit_cost) FROM ps x
                           WHERE x.l_partkey = ps.l_partkey)
@@ -1953,7 +1958,11 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q2 shape: correlated min (cheapest supplier per part).
     The oracle states it as a correlated subquery; the Spark plan uses
     the window-min formulation — one shuffle on l_partkey, no
-    re-aggregation join (the standard decorrelation)."""
+    re-aggregation join (the standard decorrelation). Output rounding
+    is floor(x*1e6+0.5)/1e6, not round(): unit costs hit exact .5
+    decimal boundaries (price/32 etc.), where Spark's shortest-decimal
+    HALF_UP and DuckDB's binary-value rounding diverge — the floor
+    form is pure IEEE arithmetic, bit-identical across engines."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -1964,7 +1973,11 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.withColumn("__min", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("__min"))
         .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
-        .select("l_partkey", "s_name", F.round("unit_cost", 6).alias("unit_cost"))
+        .select(
+            "l_partkey",
+            "s_name",
+            (F.floor(F.col("unit_cost") * 1e6 + 0.5) / 1e6).alias("unit_cost"),
+        )
     )
 
 
