@@ -155,6 +155,55 @@ def minhash_signature(df: DataFrame, text_col: str, num_perm: int = 32, k_shingl
     return df.withColumn("signature", F.expr(sig)).drop("__toks", "__h")
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """(id, signature, band, bhash): one row per document per band.
+
+    The banded form is both the self-join input (minhash_lsh_candidates)
+    and the PERSISTED INDEX layout (write_minhash_index) — identical
+    parameters produce identical band hashes forever, so an index built
+    in January matches a probe in June.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(df, text_col, num_perm, k_shingle).select(
+        F.col(id_col).alias("id"), "signature"
+    )
+    return sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band', b,"
+                f" 'bhash', xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ','), 42)))"
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Boilerplate defense: drop oversized (band, bhash) buckets before
+    any join. The count is a window over the join key itself, so the
+    extra pass reuses the same hash-partitioning the join needs anyway.
+    Deterministic: whole buckets, never sampled members."""
+    if max_bucket is None:
+        return banded
+    bw = Window.partitionBy("band", "bhash")
+    return (
+        banded.withColumn("__bsize", F.count("*").over(bw))
+        .filter(F.col("__bsize") <= max_bucket)
+        .drop("__bsize")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -182,35 +231,8 @@ def minhash_lsh_candidates(
     boilerplate cluster is exactly what fingerprint_dedup already
     collapses more cheaply. Set ``max_bucket=None`` to disable.
     """
-    if num_perm % bands != 0:
-        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
-    rows_per_band = num_perm // bands
-    sig = minhash_signature(df, text_col, num_perm, k_shingle).select(
-        F.col(id_col).alias("id"), "signature"
-    )
-    banded = sig.select(
-        "id",
-        "signature",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> named_struct('band', b,"
-                f" 'bhash', xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ','), 42)))"
-            )
-        ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
-
-    if max_bucket is not None:
-        # Boilerplate defense: drop oversized buckets before the join.
-        # The count is a window over the join key itself, so the extra
-        # pass reuses the same hash-partitioning the join needs anyway.
-        bw = Window.partitionBy("band", "bhash")
-        banded = (
-            banded.withColumn("__bsize", F.count("*").over(bw))
-            .filter(F.col("__bsize") <= max_bucket)
-            .drop("__bsize")
-        )
-
+    banded = banded_signatures(df, text_col, id_col, num_perm, bands, k_shingle)
+    banded = _cap_buckets(banded, max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     est = F.expr(
@@ -310,4 +332,79 @@ def simhash_candidates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), hamming.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- incremental dedup against a persisted index ------------------------
+
+def write_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    mode: str = "append",
+) -> None:
+    """Persist the banded signature index for a corpus (or a new batch
+    of it — ``mode='append'`` grows the index incrementally).
+
+    At 100 TB you sign each document ONCE, when it arrives; dedup of a
+    new batch is then a probe against this table, never a recompute of
+    the whole corpus. Layout: parquet partitioned by ``band`` so a
+    probe prunes to the bands it hashes into; only (id, signature,
+    bhash) is stored — document bodies never enter the index.
+    """
+    banded_signatures(df, text_col, id_col, num_perm, bands, k_shingle).write.mode(
+        mode
+    ).partitionBy("band").parquet(path)
+
+
+def probe_minhash_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` against an existing corpus index
+    (a DataFrame — ``spark.read.parquet(index_path)`` or an in-plan
+    ``banded_signatures`` frame). Returns (new_id, index_id,
+    est_jaccard), est ≥ ``min_jaccard``, self-matches dropped (a
+    re-submitted document is already in the index under its own id).
+
+    Scale: only the NEW batch is signed (typically ≪ corpus); the join
+    is an equi-join on (band, bhash) — with a 10⁹-doc index and a
+    10⁶-doc batch, the shuffle moves the batch's bands plus matching
+    index buckets only. Parameters must equal the index's build
+    parameters; ``max_bucket`` caps both sides' buckets (same
+    boilerplate defense as minhash_lsh_candidates).
+    """
+    new_banded = _cap_buckets(
+        banded_signatures(new_docs, text_col, id_col, num_perm, bands, k_shingle),
+        max_bucket,
+    ).alias("n")
+    idx = _cap_buckets(index, max_bucket).alias("i")
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        f" / cast({num_perm} as double)"
+    )
+    return (
+        new_banded.join(idx, on=["band", "bhash"], how="inner")
+        .filter(F.col("n.id") != F.col("i.id"))
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("i.id").alias("index_id"),
+            F.col("n.signature").alias("sig_a"),
+            F.col("i.signature").alias("sig_b"),
+        )
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("new_id", "index_id", "est_jaccard")
+        .dropDuplicates(["new_id", "index_id"])
     )

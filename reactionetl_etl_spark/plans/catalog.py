@@ -2358,3 +2358,24 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(
         docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
     ).select("doc_id", "split")
+
+
+@_q("incremental_neardup_probe", None, tags=("dedup", "incremental"))
+def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the newest 20% of documents probed against a
+    banded MinHash index of the other 80% (operators/dedup.py::
+    probe_minhash_index). At 100 TB each document is signed ONCE on
+    arrival and new batches equi-join the persisted index on
+    (band, bhash) — the corpus is never re-signed. Rows-only check
+    (LSH banding is seed-defined, not ANSI SQL); probe-vs-self-join
+    parity is pinned by test_probe_matches_self_join_candidates."""
+    from reactionetl_etl_spark.operators.dedup import (
+        banded_signatures,
+        probe_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = banded_signatures(corpus, "text", "doc_id")
+    return probe_minhash_index(batch, idx, "text", "doc_id", min_jaccard=0.5)

@@ -305,3 +305,59 @@ def test_hash_split_salt_redeals(spark, docs):
     a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", w, salt="s1").collect()}
     c = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", w, salt="s2").collect()}
     assert a != c
+
+
+def test_minhash_index_probe_incremental(spark, tmp_path):
+    """Sign-once incremental dedup: index a corpus, probe a new batch
+    against it (finding cross-batch near-dups without re-signing the
+    corpus), append the batch, and probe again."""
+    from reactionetl_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, "text", "doc_id", idx_path)
+
+    near = base.replace("lazy", "sleepy")
+    batch = spark.createDataFrame(
+        [(10, near), (11, "unrelated fresh text about benchmarking")],
+        "doc_id long, text string",
+    )
+    idx = spark.read.parquet(idx_path)
+    hits = probe_minhash_index(batch, idx, "text", "doc_id").collect()
+    assert {(r["new_id"], r["index_id"]) for r in hits} == {(10, 1)}
+    assert all(r["est_jaccard"] >= 0.5 for r in hits)
+
+    # append the batch; a duplicate of doc 10 submitted later is caught
+    write_minhash_index(batch, "text", "doc_id", idx_path, mode="append")
+    later = spark.createDataFrame([(20, near)], "doc_id long, text string")
+    idx2 = spark.read.parquet(idx_path)
+    hits2 = {(r["new_id"], r["index_id"]) for r in probe_minhash_index(later, idx2, "text", "doc_id").collect()}
+    assert (20, 10) in hits2 and (20, 1) in hits2
+
+
+def test_probe_matches_self_join_candidates(spark, docs):
+    """Probing a corpus against its own index finds exactly the pairs
+    the batch self-join finds (both directions, self-matches dropped)."""
+    from reactionetl_etl_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_candidates,
+        probe_minhash_index,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    idx = banded_signatures(docs, "text", "doc_id")
+    probed = {
+        tuple(sorted((r["new_id"], r["index_id"])))
+        for r in probe_minhash_index(docs, idx, "text", "doc_id").collect()
+    }
+    assert probed == pairs
