@@ -49,3 +49,72 @@ def stream_to_jdbc(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_probe_batch_writer(
+    index_path: str,
+    hits_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+):
+    """foreachBatch callback for streaming incremental dedup: each
+    micro-batch (1) probes the persisted MinHash index for near-dups of
+    its documents against everything seen before and appends the hits
+    to ``hits_path``, then (2) signs itself into the index — sign once,
+    on arrival (operators/dedup.py::probe_minhash_index rationale).
+
+    Probe strictly precedes append so a batch never matches itself;
+    within-batch duplicates surface when either doc recurs, or via the
+    batch self-join (minhash_lsh_candidates) if same-batch detection
+    matters. On foreachBatch retry the hits append is at-least-once —
+    hits carry batch_id so downstream consumers can dedup replays.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(index_path):
+            hits = probe_minhash_index(
+                batch_df,
+                spark.read.parquet(index_path),
+                text_col,
+                id_col,
+                min_jaccard=min_jaccard,
+            )
+            hits.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                hits_path
+            )
+        write_minhash_index(batch_df, text_col, id_col, index_path, mode="append")
+
+    return write_batch
+
+
+def stream_dedup_against_index(
+    stream_df: DataFrame,
+    index_path: str,
+    hits_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+):
+    """Streaming incremental dedup: documents arrive as a stream, each
+    micro-batch probes + grows the persisted signature index.
+    AvailableNow trigger — drain the backlog and stop, the same
+    incremental cadence as the file-ingestion pipeline."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            dedup_probe_batch_writer(index_path, hits_path, text_col, id_col, min_jaccard)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -201,3 +201,47 @@ def test_session_windows_batch(spark, sf_dir):
         )
     )
     assert overlap.count() == 0
+
+
+def test_stream_dedup_against_index_incremental(spark, tmp_path):
+    """Documents stream in over two AvailableNow runs; the second run's
+    near-dup of a first-run document is caught by probing the persisted
+    index — no re-signing of earlier batches."""
+    import os
+
+    from reactionetl_etl_spark.streaming.sinks import stream_dedup_against_index
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    spark.createDataFrame(
+        [(1, base), (2, "completely different content about engines")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+
+    index_path = str(tmp_path / "mh_index")
+    hits_path = str(tmp_path / "dup_hits")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedup_against_index(stream, index_path, hits_path, ckpt)
+    q.awaitTermination(120)
+
+    # second arrival: a near-dup of doc 1 plus a fresh doc
+    spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")), (11, "fresh unrelated benchmark text")],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = stream_dedup_against_index(stream2, index_path, hits_path, ckpt)
+    q2.awaitTermination(120)
+
+    hits = {
+        (r["new_id"], r["index_id"])
+        for r in spark.read.parquet(hits_path).collect()
+    }
+    assert (10, 1) in hits
+    assert all(n != 11 for n, _ in hits)
+    # the index now holds all four docs' bands (8 bands each)
+    assert spark.read.parquet(index_path).count() == 4 * 8
