@@ -2379,3 +2379,59 @@ def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     idx = banded_signatures(corpus, "text", "doc_id")
     return probe_minhash_index(batch, idx, "text", "doc_id", min_jaccard=0.5)
+
+
+@_q(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE length(term) >= 3 GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           floor(tf.tf * n.n_docs / df.df * 1e4 + 0.5) / 1e4 AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf.tf * n.n_docs / df.df DESC, term ASC
+    ) <= 3
+    """,
+    tags=("text", "tfidf", "topk"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with the
+    RATIONAL idf variant (tf · N/df, no logarithm): log() comes from
+    each engine's libm and differs in final ulps, while integer
+    multiply + IEEE divide are bit-identical — so the per-row scores
+    and the rank order are exactly oracle-checkable. Plan: explode →
+    two hash aggregates (doc-term tf, term df) → broadcast of the
+    term-df side (vocabulary ≪ corpus) → per-doc top-k window. The
+    doc-term aggregate and the window partition share the doc_id-
+    prefixed key, so the heavy explode output shuffles once."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    score = F.col("tf") * F.lit(n_docs) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(df_t), on="term")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            (F.floor(score * 1e4 + 0.5) / 1e4).alias("score"),
+        )
+    )
