@@ -115,6 +115,91 @@ def lang_id(col) -> Column:
     return best["lang"]
 
 
+# PII patterns, restricted to syntax RE2 and Java regex interpret
+# identically (character classes + bounded quantifiers; no backrefs,
+# no lookaround) so Spark results stay oracle-checkable cross-engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+}
+
+
+def pii_count(col, kind: str) -> Column:
+    """Number of matches of one PII pattern in a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col) -> Column:
+    """Replace every PII match with a `<KIND>` placeholder.
+
+    Pure `regexp_replace` chain — stays inside whole-stage codegen, so
+    redaction streams through the scan with zero shuffle at any scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return c
+
+
+def token_ngrams(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """Explode a frame into one row per k-token shingle of the
+    NORMALIZED text (lowercase, collapsed whitespace), as column `gram`.
+
+    The token array is materialized as a real column before the
+    transform() so split() runs once per row — embedding the split
+    inside the per-shingle lambda recomputes it per element (O(tokens²)
+    per row; see the MinHash signature note in operators/dedup.py).
+    Docs shorter than k tokens emit one truncated shingle, matching
+    operators.dedup.shingle.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+        f" i -> array_join(slice(__toks, i, {k}), ' '))"
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("gram", F.explode(grams))
+        .drop("__toks")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination check: (train_id, eval_id, n_shared)
+    for every train/eval document pair sharing ≥1 distinct k-token
+    shingle.
+
+    Scale posture: the eval side is a benchmark suite — thousands of
+    documents, not billions — so its distinct gram set is broadcast and
+    the 100 TB train corpus is probed map-side; the train gram stream is
+    deliberately NOT pre-distinct'ed (that would shuffle every gram in
+    the corpus) — countDistinct after the broadcast join dedups
+    multiplicity instead, so the only shuffle carries MATCHED
+    (train_id, eval_id, gram) rows, which are rare by construction."""
+    tr = token_ngrams(train, text_col, k).select(
+        F.col(id_col).alias("train_id"), "gram"
+    )
+    ev = (
+        token_ngrams(eval_set, text_col, k)
+        .select(F.col(id_col).alias("eval_id"), "gram")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), on="gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+
+
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats frame: tokens, chars, diversity, quality."""
     return df.select(

@@ -2435,3 +2435,233 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(score * 1e4 + 0.5) / 1e4).alias("score"),
         )
     )
+
+
+@_q(
+    "pii_redaction_stats",
+    """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS ptext
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(ptext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(ptext, '\\+\\d{1,2}-\\d{3}-\\d{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(ptext,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+\\d{1,2}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+    tags=("text", "pii", "llm"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents. The fixture corpus is
+    synthetic word-soup with no real PII, so the query PLANTS one
+    deterministic email + phone per document (derived from doc_id),
+    then proves the redactor finds and strips them: per-doc match
+    counts plus the md5 of the redacted text (so the oracle verifies
+    the redacted BYTES, not just counts). Patterns are restricted to
+    the RE2∩Java regex subset (operators/text.py PII_PATTERNS) so both
+    engines interpret them identically. Pure regexp expression chain —
+    whole-stage codegen, zero shuffle, scales linearly with the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.withColumn("__p", planted)
+    return d.select(
+        "doc_id",
+        TX.pii_count(F.col("__p"), "email").alias("n_emails"),
+        TX.pii_count(F.col("__p"), "phone").alias("n_phones"),
+        F.md5(TX.redact_pii(F.col("__p"))).alias("redacted_md5"),
+    )
+
+
+@_q(
+    "contamination_check_4gram",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+        FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i) s
+        WHERE i <= greatest(len(toks) - 3, 1)
+    ), ev AS (
+        SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
+    ), tr AS (
+        SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 97 <> 0
+    )
+    SELECT train_id, eval_id, count(DISTINCT gram) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id
+    """,
+    tags=("text", "contamination", "llm"),
+)
+def contamination_check_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: training docs sharing any 4-token
+    shingle with the held-out eval slice (doc_id % 97 == 0 stands in
+    for a benchmark suite). The eval gram set is broadcast — the train
+    corpus is probed map-side and never pre-aggregated, so the only
+    shuffle carries matched (train, eval, gram) rows, rare by
+    construction (operators/text.py ngram_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return TX.ngram_contamination(tr, ev, "text", "doc_id", k=4)
+
+
+@_q(
+    "intra_doc_repetition",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                              i -> array_to_string(toks[i:i+2], ' ')) AS grams
+        FROM tok
+    )
+    SELECT doc_id,
+           len(grams) AS total_3grams,
+           len(list_distinct(grams)) AS distinct_3grams,
+           (10000 * (len(grams) - len(list_distinct(grams)))) // len(grams) AS rep_bp
+    FROM g
+    """,
+    tags=("text", "quality", "llm"),
+)
+def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter signal: fraction
+    of repeated 3-token shingles per doc, in basis points (integer
+    division keeps it bit-identical cross-engine; floats never appear).
+    Computed entirely INSIDE each row — token array and gram array are
+    materialized columns (split runs once; see the recompute-trap note
+    on token_ngrams) and distinctness is array_distinct, so the plan is
+    a pure map with ZERO shuffle at any corpus size — no explode, no
+    per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(__toks) - 2, 1)),"
+        " i -> array_join(slice(__toks, i, 3), ' '))"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__grams", grams)
+        .select(
+            "doc_id",
+            F.size("__grams").alias("total_3grams"),
+            F.size(F.array_distinct("__grams")).alias("distinct_3grams"),
+            F.expr(
+                "(10000 * (size(__grams) - size(array_distinct(__grams))))"
+                " div size(__grams)"
+            ).alias("rep_bp"),
+        )
+    )
+
+
+@_q(
+    "embedding_centroid_by_label",
+    """
+    SELECT label, i AS dim, count(*) AS n_vecs,
+           floor(sum(floor(embedding[i] * 1e6)::BIGINT) / count(*)) AS centroid_micro
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+    WHERE i <= len(embedding)
+    GROUP BY label, i
+    """,
+    tags=("embedding", "agg", "llm"),
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the seed operation for k-means /
+    IVF training and class-prototype dedup), one row per (label, dim).
+    Elements are quantized to integer micro-units BEFORE summing —
+    integer sums are order-independent, so the result is bit-identical
+    across engines and partitionings, unlike a float mean. posexplode +
+    hash aggregate: partial aggregation combines map-side, so the
+    shuffle carries labels × dims rows (640 here), not corpus rows —
+    constant at any SF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        e.groupBy(F.col("label"), (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.floor(
+                F.sum(F.floor(F.col("val") * F.lit(1e6)).cast("long")) / F.count("*")
+            ).alias("centroid_micro"),
+        )
+    )
+
+
+@_q(
+    "doc_length_band_filter",
+    """
+    WITH b AS (
+        SELECT ceil(quantile_cont(n_chars, 0.05))  AS lo,
+               floor(quantile_cont(n_chars, 0.95)) AS hi
+        FROM documents
+    )
+    SELECT doc_id, n_chars FROM documents, b WHERE n_chars BETWEEN lo AND hi
+    """,
+    tags=("text", "quality", "llm"),
+)
+def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filter (drop the shortest/longest 5% of
+    docs — a standard pretraining quality gate). Exact interpolated
+    percentiles, snapped to integers with ceil/floor so band membership
+    compares integer-to-integer (an off-by-one-ulp interpolation
+    difference can't flip a row in or out). The 1-row bounds frame is
+    broadcast; the corpus pass is a map-side filter. At 100 TB swap
+    percentile → approx_percentile and the plan shape is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.agg(
+        F.ceil(F.expr("percentile(n_chars, 0.05)")).alias("lo"),
+        F.floor(F.expr("percentile(n_chars, 0.95)")).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(b))
+        .where(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+@_q(
+    "lang_mixture_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_docs)::BIGINT AS n_total, count(*) AS n_langs FROM c)
+    SELECT lang, n_docs,
+           ((1000000 * n_total) // (n_langs * n_docs))::BIGINT AS weight_micro
+    FROM c, t
+    """,
+    tags=("text", "sampling", "llm"),
+)
+def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling weights that rebalance the corpus to a uniform
+    language mixture (the domain/language-mixing step of pretraining
+    data curation): weight ∝ (N/k)/n_lang, in exact integer
+    micro-units (integer division — identical truncation both engines,
+    no float mixture math). Two tiny aggregates over lang keys; the
+    totals row is broadcast back. The full-corpus pass is the single
+    groupBy(lang) with map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("n_total"), F.count("*").alias("n_langs"))
+    return c.join(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        F.expr("(1000000 * n_total) div (n_langs * n_docs)").alias("weight_micro"),
+    )

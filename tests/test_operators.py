@@ -361,3 +361,70 @@ def test_probe_matches_self_join_candidates(spark, docs):
         for r in probe_minhash_index(docs, idx, "text", "doc_id").collect()
     }
     assert probed == pairs
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / n-gram contamination / repetition
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_strips_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or call +1-555-0199 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.co and +44-123-4567"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            TX.pii_count("text", "email").alias("ne"),
+            TX.pii_count("text", "phone").alias("np"),
+            TX.redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1]["ne"], out[1]["np"]) == (1, 1)
+    assert out[1]["red"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert (out[2]["ne"], out[2]["np"]) == (0, 0)
+    assert out[2]["red"] == "no pii here at all"
+    assert (out[3]["ne"], out[3]["np"]) == (2, 1)
+    assert "@" not in out[3]["red"] and "+44" not in out[3]["red"]
+
+
+def test_token_ngrams_truncates_short_docs(spark):
+    """Docs shorter than k emit ONE truncated shingle (dedup.shingle
+    semantics), and normalization collapses case/whitespace."""
+    df = spark.createDataFrame(
+        [(1, "A  b\tC d"), (2, "one two")], "id long, text string"
+    )
+    grams = {
+        (r["id"], r["gram"]) for r in TX.token_ngrams(df, "text", 3).collect()
+    }
+    assert grams == {
+        (1, "a b c"),
+        (1, "b c d"),
+        (2, "one two"),
+    }
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),
+            (11, "zeta eta theta iota kappa"),
+            (12, "alpha beta gamma delta zeta zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(90, "x alpha beta gamma delta y")], "doc_id long, text string"
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in TX.ngram_contamination(train, ev, "text", "doc_id", k=4).collect()
+    }
+    # doc 10 and 12 share 'alpha beta gamma delta' with the eval doc; 11 shares nothing
+    assert got == {(10, 90): 1, (12, 90): 1}

@@ -127,3 +127,24 @@ def test_minhash_signature_fans_out_small_scan(spark, sf_dir):
     sig = minhash_signature(docs, "text")
     target = spark.sparkContext.defaultParallelism
     assert sig.rdd.getNumPartitions() >= min(target, 2)
+
+
+def test_intra_doc_repetition_zero_shuffle(spark, sf_dir):
+    """Repetition is computed inside each row — the plan must contain
+    no Exchange at all (pure map over the scan)."""
+    plan = plan_of(spark, sf_dir, "intra_doc_repetition")
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The benchmark (eval) gram set must be broadcast; the train gram
+    stream must not be shuffled before the join."""
+    plan = plan_of(spark, sf_dir, "contamination_check_4gram")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redaction_is_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pii_redaction_stats")
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
