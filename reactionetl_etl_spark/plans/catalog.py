@@ -2410,9 +2410,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply + IEEE divide are bit-identical — so the per-row scores
     and the rank order are exactly oracle-checkable. Plan: explode →
     two hash aggregates (doc-term tf, term df) → broadcast of the
-    term-df side (vocabulary ≪ corpus) → per-doc top-k window. The
-    doc-term aggregate and the window partition share the doc_id-
-    prefixed key, so the heavy explode output shuffles once."""
+    term-df side (vocabulary ≪ corpus) → per-doc top-k window.
+
+    df is derived FROM tf (tf has exactly one row per doc-term, so
+    count(*) per term == count distinct docs): the corpus is scanned
+    and exploded once, Catalyst reuses the (doc_id, term) exchange for
+    both consumers, and the df aggregate shuffles only deduped
+    doc-term pairs. WindowGroupLimit prunes to top-3 per doc BEFORE
+    the window exchange, so the final shuffle carries ≤3 rows/doc."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -2421,7 +2426,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     ).filter(F.length("term") >= 3)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # The tautological tf >= 1 keeps the count column referenced in this
+    # branch; otherwise column pruning rewrites its partial aggregate
+    # (keys-only) so the two exchange subtrees stop being canonically
+    # equal and ReuseExchange can't elide the second scan+explode.
+    df_t = tf.filter(F.col("tf") >= 1).groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()
     score = F.col("tf") * F.lit(n_docs) / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())

@@ -148,3 +148,12 @@ def test_pii_redaction_is_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pii_redaction_stats")
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """The df-per-term branch must reuse the tf exchange instead of
+    re-scanning and re-exploding the corpus (runtime AQE plan)."""
+    df = all_queries()["tfidf_top_terms"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
