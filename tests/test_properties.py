@@ -138,3 +138,56 @@ def test_minhash_estimates_track_exact_jaccard(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] > 0.5
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc@+-.19 \t"),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_redact_pii_idempotent_and_clean(spark, texts):
+    """Redaction is a fixpoint: redacting redacted text changes nothing,
+    and redacted text contains no remaining PII matches."""
+    from reactionetl_etl_spark.operators.text import pii_count, redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(redact_pii("text").alias("once")).select(
+        "once",
+        redact_pii(F.col("once")).alias("twice"),
+        pii_count(F.col("once"), "email").alias("ne"),
+        pii_count(F.col("once"), "phone").alias("np"),
+    )
+    for r in out.collect():
+        assert r["once"] == r["twice"]
+        assert r["ne"] == 0 and r["np"] == 0
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("ab cd "), min_size=1, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_contamination_self_probe_hits_every_doc(spark, docs):
+    """Probing a corpus against itself reports every doc as
+    contaminated with itself (n_shared >= 1) — grams always exist
+    because short docs emit one truncated shingle."""
+    from reactionetl_etl_spark.operators.text import ngram_contamination
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in ngram_contamination(df, df, "text", "doc_id", k=3).collect()
+    }
+    for i, _ in rows:
+        assert got.get((i, i), 0) >= 1
