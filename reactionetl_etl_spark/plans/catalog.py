@@ -2431,11 +2431,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (keys-only) so the two exchange subtrees stop being canonically
     # equal and ReuseExchange can't elide the second scan+explode.
     df_t = tf.filter(F.col("tf") >= 1).groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    score = F.col("tf") * F.lit(n_docs) / F.col("df")
+    # Corpus size joins in as a broadcast 1-row aggregate so the builder
+    # stays lazy — no eager count() job at plan-construction time.
+    n_total = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.col("n_docs") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term").asc())
     return (
         tf.join(F.broadcast(df_t), on="term")
+        .join(F.broadcast(n_total))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 3)
         .select(
