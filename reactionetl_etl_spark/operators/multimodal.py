@@ -60,6 +60,17 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     ]
 )
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
 
 def with_media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame:
     """Append a typed metadata struct (mime, n_bytes) sniffed from magic
@@ -179,3 +190,61 @@ def sample_video_frames(
             yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "frame": frames})
 
     return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+) -> DataFrame:
+    """Bounded-resize plumbing: cap the longer image side at
+    ``max_side``, preserving aspect ratio.
+
+    The TARGET-GEOMETRY computation is real (header-parsed source
+    dims → integer aspect-preserving fit, the part pipelines get wrong
+    most often); the pixel resample is a STUB that passes the payload
+    through unchanged (no image libs in this container) — production
+    swaps the one marked line for PIL's `Image.resize`, nothing else
+    changes. Images already within bounds keep their dims and bytes.
+
+    Narrow map via mapInPandas: payloads stream as Arrow batches,
+    never as Python row objects; no shuffle at any scale.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "src_width": [], "src_height": [],
+                "dst_width": [], "dst_height": [], "content": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                data = bytes(payload)
+                dims = parse_image_dims(data)
+                if dims is None:
+                    sw = sh = dw = dh = None
+                else:
+                    sw, sh = dims
+                    long_side = max(sw, sh)
+                    if long_side <= max_side:
+                        dw, dh = sw, sh
+                    else:
+                        # floor-scale the long side to max_side; round
+                        # the short side to nearest, min 1 — PIL's
+                        # thumbnail() geometry.
+                        dw = max(1, (sw * max_side + long_side // 2) // long_side)
+                        dh = max(1, (sh * max_side + long_side // 2) // long_side)
+                out["media_id"].append(mid)
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["dst_width"].append(dw)
+                out["dst_height"].append(dh)
+                out["content"].append(data)  # STUB: real codec resamples here
+            pdf_out = pd.DataFrame(out)
+            pdf_out["src_width"] = pdf_out["src_width"].astype("Int32")
+            pdf_out["src_height"] = pdf_out["src_height"].astype("Int32")
+            pdf_out["dst_width"] = pdf_out["dst_width"].astype("Int32")
+            pdf_out["dst_height"] = pdf_out["dst_height"].astype("Int32")
+            yield pdf_out
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)

@@ -113,3 +113,22 @@ def test_frame_sampling_row_expansion(spark, media):
     }
     first = frames.filter((F.col("media_id") == 1) & (F.col("frame_index") == 0)).first()
     assert bytes(first["frame"]) == PNG[:32]
+
+
+def test_resize_geometry_aspect_preserving(spark, media):
+    from reactionetl_etl_spark.operators.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, max_side=256).collect()}
+    # 640x480 → long side 640 capped at 256 → 256x192 exactly
+    assert (out[1]["src_width"], out[1]["src_height"]) == (640, 480)
+    assert (out[1]["dst_width"], out[1]["dst_height"]) == (256, 192)
+    # 320x200 → 256x160
+    assert (out[2]["dst_width"], out[2]["dst_height"]) == (256, 160)
+    # non-images pass through with NULL geometry, payload intact
+    assert out[3]["dst_width"] is None and bytes(out[3]["content"]) == MP3
+    # already-small images keep dims
+    small = spark.createDataFrame(
+        [(9, make_png(100, 50))], "media_id long, content binary"
+    )
+    r9 = resize_images(small, max_side=256).collect()[0]
+    assert (r9["dst_width"], r9["dst_height"]) == (100, 50)
