@@ -79,16 +79,27 @@ def quality_score(col) -> Column:
 _ROLL_P = 1_000_000_007  # modulus keeps acc*31 + h < 2^36: ANSI-safe
 
 
-def rolling_fingerprint(col) -> Column:
+def rolling_fingerprint(col, cross_engine: bool = False) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash
-    over token xxhashes, modulo a 30-bit prime (no int64 wrap-around —
+    over per-token hashes, modulo a 30-bit prime (no int64 wrap-around —
     Spark 4's ANSI mode treats overflow as an error). Stable across
-    partitionings; cheap incremental re-fingerprinting."""
+    partitionings; cheap incremental re-fingerprinting.
+
+    Token hash: xxhash64 by default (fastest, JVM-side, Spark-only);
+    ``cross_engine=True`` hashes via the first 8 md5 hex chars instead,
+    which any engine reproduces bit-for-bit (DuckDB:
+    ``('0x' || substring(md5(t), 1, 8))::BIGINT``) — same fold, same
+    prime, fully oracle-checkable. acc·31 + h stays < 2³⁵ + 2³² ≪ 2⁶³,
+    so the fold is ANSI-overflow-safe in both variants."""
     toks = tokens(col)
+    if cross_engine:
+        tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    else:
+        tok_hash = lambda t: F.pmod(F.xxhash64(t, F.lit(42)), F.lit(_ROLL_P).cast("long"))  # noqa: E731
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t, F.lit(42)), F.lit(_ROLL_P).cast("long")))
+        lambda acc, t: (acc * F.lit(31).cast("long") + tok_hash(t))
         % F.lit(_ROLL_P).cast("long"),
     )
 

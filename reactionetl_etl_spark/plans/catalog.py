@@ -1510,14 +1510,30 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "doc_fingerprint_rolling",
-    None,  # DuckDB lacks int64 wrap-around semantics for the rolling hash
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(toks, t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)),
+             (acc, h) -> (acc * 31 + h) % 1000000007
+           ) AS fingerprint64
+    FROM tok
+    """,
     tags=("text", "fingerprint"),
 )
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprints (rows-only
-    check: relies on Java long wrap-around arithmetic)."""
+    """Order-sensitive rolling-hash document fingerprints, in the
+    cross-engine variant (md5-derived token hashes fold identically in
+    any engine — see rolling_fingerprint), so the fingerprints
+    themselves are oracle-checked bit-for-bit. The library default
+    keeps the faster xxhash64 token hash; both share the fold and
+    modulus. Pure per-row expression — zero shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.rolling_fingerprint("text").alias("fingerprint64"))
+    return docs.select(
+        "doc_id",
+        TX.rolling_fingerprint("text", cross_engine=True).alias("fingerprint64"),
+    )
 
 
 @_q(
