@@ -25,3 +25,27 @@ def test_all_queries_run(spark, sf_dir):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_catalog_columns_matches_file_schemas(spark, sf_dir):
+    """S6 catalog introspection: the view layer must expose exactly the
+    parquet file columns — plus the documented events additions (`ts`
+    re-typed long, derived `ts_ntz`)."""
+    import pyarrow.parquet as pq
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import TABLE_NAMES
+
+    got: dict[str, dict[str, str]] = {}
+    for r in all_queries()["catalog_columns"].builder(spark, sf_dir).collect():
+        got.setdefault(r["table_name"], {})[r["column_name"]] = r["data_type"]
+
+    assert set(got) == set(TABLE_NAMES)
+    for t in TABLE_NAMES:
+        file_cols = set(pq.read_schema(f"{sf_dir}/{t}.parquet").names)
+        if t == "events":
+            assert set(got[t]) == file_cols | {"ts_ntz"}
+            assert got[t]["ts"] == "bigint"  # TIMESTAMP_NANOS workaround
+            assert got[t]["ts_ntz"] == "timestamp_ntz"
+        else:
+            assert set(got[t]) == file_cols, t
