@@ -2418,6 +2418,7 @@ def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) <= 3
     """,
     tags=("text", "tfidf", "topk"),
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF with the
@@ -2534,6 +2535,7 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY train_id, eval_id
     """,
     tags=("text", "contamination", "llm"),
+    bench=True,
 )
 def contamination_check_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination sweep: training docs sharing any 4-token
