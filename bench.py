@@ -9,8 +9,13 @@ enrichment), and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ..., "etl_ingest": sec},
+     "queries_cold_total_sec": N, "queries_cold": {...},
+     "query_spread_sec": {"<name>": [min, max], ...},
      "ingest_mb_per_s": N, "sf": <float>}
 
+Methodology: per query, one timed COLD execution then the MEDIAN of
+QUERY_BENCH_RUNS warm executions (spread reported alongside); `value`
+sums the warm medians, `queries_cold_total_sec` sums the cold runs.
 ingest_mb_per_s is directly comparable to the reference's published
 ~20 GB/day ≈ 0.23 MB/s single-node ingest (BASELINE.md).
 """
@@ -32,7 +37,7 @@ from reactionetl_etl_spark.session import get_spark
 
 N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
 ETL_BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "3"))
-QUERY_BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "2"))
+QUERY_BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3"))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 
 
@@ -71,21 +76,25 @@ def _gen_incoming(root: str, n_files: int | None = None) -> int:
     return total
 
 
-def bench_etl_ingest(spark) -> tuple[float, float]:
-    """(seconds, MB/s) for a full incremental ETL run + enrichment.
+def bench_etl_ingest(spark) -> tuple[float, float, float]:
+    """(cold seconds, warm median seconds, MB/s) for a full incremental
+    ETL run + enrichment.
 
-    Best of ETL_BENCH_RUNS identical runs (each a fresh incoming batch
-    + throwaway lake). The session's first run_once pays progressive
+    ETL_BENCH_RUNS identical runs (each a fresh incoming batch +
+    throwaway lake). The session's first run_once pays progressive
     JIT/codegen compilation of the CSV-parse and parquet-write hot
     loops (measured 22s -> 15s -> 4.4s -> 4.0s for identical batches
     on local[32]); the reference's ~20 GB/day is steady-state daily
-    throughput, so steady-state — the fastest run — is the
-    apples-to-apples number. Best-of-N also rides out this host's
-    external CPU contention (identical runs have measured 3-5x apart).
+    throughput, so the first run is reported separately as the cold
+    number and the MEDIAN of the remaining warm runs is the headline —
+    median (not min) so one lucky run can't flatter the result on a
+    host whose external CPU contention makes identical runs vary 3-5x.
     """
+    import statistics
+
     from reactionetl_etl_spark.etl.pipeline import ReactionLake
 
-    best = float("inf")
+    runs: list[float] = []
     n_bytes = 0
     for _ in range(ETL_BENCH_RUNS):
         work = tempfile.mkdtemp(prefix="spark_etl_bench_")
@@ -96,10 +105,12 @@ def bench_etl_ingest(spark) -> tuple[float, float]:
             t0 = time.perf_counter()
             lake.run_once(spark, incoming)
             lake.materialize_enrichment(spark)
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(work, ignore_errors=True)
-    return best, n_bytes / 1e6 / best
+    cold = runs[0]
+    warm = statistics.median(runs[1:]) if len(runs) > 1 else runs[0]
+    return cold, warm, n_bytes / 1e6 / warm
 
 
 def run_bench(sf_dir: str) -> dict:
@@ -110,26 +121,34 @@ def run_bench(sf_dir: str) -> dict:
     # for session bring-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # One untimed warm execution per query, then best of
-    # QUERY_BENCH_RUNS: the first execution of each distinct plan is
-    # charged for codegen compilation, Python/Arrow worker spin-up, and
-    # progressive JIT (measured 5-8x on the first run of a fresh JVM),
-    # and this host has external CPU contention (identical runs vary
-    # 3-5x) — the fastest warm run is the engine's steady-state
-    # latency, the same methodology the ingest bench documents.
+    # Per query: one TIMED cold execution (codegen compilation,
+    # Python/Arrow worker spin-up, progressive JIT — measured 5-8x on a
+    # fresh JVM), then the MEDIAN of QUERY_BENCH_RUNS warm executions.
+    # Median, not min: this host's external CPU contention makes
+    # identical runs vary 3-5x, and min would cherry-pick the luckiest
+    # run. Both the warm headline and the cold total are reported so the
+    # baseline bound is demonstrably met either way.
+    import statistics
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, spec in sorted(bench_queries().items()):
+        t0 = time.perf_counter()
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
+        cold[name] = round(time.perf_counter() - t0, 3)
+        runs = []
         for _ in range(QUERY_BENCH_RUNS):
             df = spec.builder(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
-    etl_sec, etl_mbps = bench_etl_ingest(spark)
-    timings["etl_ingest"] = round(etl_sec, 3)
+    etl_cold, etl_warm, etl_mbps = bench_etl_ingest(spark)
+    timings["etl_ingest"] = round(etl_warm, 3)
+    cold["etl_ingest"] = round(etl_cold, 3)
 
     spark.stop()
 
@@ -140,6 +159,9 @@ def run_bench(sf_dir: str) -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold_total_sec": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "query_spread_sec": spread,
         "ingest_mb_per_s": round(etl_mbps, 2),
         "sf": sf,
     }

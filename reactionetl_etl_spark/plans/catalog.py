@@ -58,32 +58,25 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
     return deco
 
 
-def _driver_checked_names() -> set[str]:
-    """Query names that already have a row in any driver CORRECTNESS_r*.json.
-
-    The driver's correctness gate checks at most ~50 queries per round, in
-    `queries()` iteration order. Emitting never-checked queries first makes
-    driver coverage accumulate across rounds instead of re-verifying the
-    same prefix forever.
-    """
-    import glob
-    import json
-    import os
-
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                seen.update(json.load(f))
-        except (OSError, ValueError):
-            continue
-    return seen
+# Queries listed first in `all_queries()` iteration order: recently fixed or
+# newly added entries whose results changed and should be exercised before the
+# long-stable tail. This is a committed, static list — ordering is
+# deterministic and reads nothing from the environment.
+_PRIORITY: tuple[str, ...] = (
+    # round-3 oracle-type fixes (were hash-mismatched on DuckDB HUGEINT/DOUBLE)
+    "regex_token_totals",
+    "returnflag_priority_matrix",
+    "embedding_centroid_by_label",
+    # round-3 behavior changes (rounding guard / oracle bound / plan rebase)
+    "totalprice_percent_rank",
+    "contamination_check_4gram",
+    "dense_sequence_customer",
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    seen = _driver_checked_names()
-    ordered = sorted(_REGISTRY, key=lambda n: n in seen)  # stable: unseen first
+    ordered = [n for n in _PRIORITY if n in _REGISTRY]
+    ordered += [n for n in _REGISTRY if n not in _PRIORITY]
     return {n: _REGISTRY[n] for n in ordered}
 
 
@@ -1444,7 +1437,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regex_token_totals",
     """
     SELECT source,
-           sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS total_tokens
+           sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT AS total_tokens
     FROM documents GROUP BY source
     """,
     tags=("text", "agg"),
@@ -2001,8 +1994,8 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "totalprice_percent_rank",
     """
     SELECT o_orderkey,
-           round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pct_rank,
-           round(cume_dist()    OVER (ORDER BY o_totalprice), 6) AS cume
+           floor(percent_rank() OVER (ORDER BY o_totalprice) * 1e6 + 0.5) / 1e6 AS pct_rank,
+           floor(cume_dist()    OVER (ORDER BY o_totalprice) * 1e6 + 0.5) / 1e6 AS cume
     FROM orders
     """,
     tags=("window", "rank"),
@@ -2021,14 +2014,18 @@ def totalprice_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_total=True,
     )
     ties = F.count("*").over(Window.partitionBy("o_totalprice"))
+
+    def _r6(col):  # floor-based half-up rounding: bit-identical to DuckDB
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    pct = F.when(
+        F.col("global_total") > 1,
+        (F.col("global_rank") - 1) / (F.col("global_total") - 1),
+    ).otherwise(F.lit(0.0))  # SQL percent_rank() is 0, not null, on 1 row
     return ranked.select(
         "o_orderkey",
-        F.round(
-            (F.col("global_rank") - 1) / (F.col("global_total") - 1), 6
-        ).alias("pct_rank"),
-        F.round(
-            (F.col("global_rank") - 1 + ties) / F.col("global_total"), 6
-        ).alias("cume"),
+        _r6(pct).alias("pct_rank"),
+        _r6((F.col("global_rank") - 1 + ties) / F.col("global_total")).alias("cume"),
     )
 
 
@@ -2314,9 +2311,9 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returnflag_priority_matrix",
     """
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
              AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2523,8 +2520,11 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), g AS (
         SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
-        FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 4096)) AS i) s
-        WHERE i <= greatest(len(toks) - 3, 1)
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
     ), ev AS (
         SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
     ), tr AS (
@@ -2607,7 +2607,7 @@ def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_centroid_by_label",
     """
     SELECT label, i AS dim, count(*) AS n_vecs,
-           floor(sum(floor(embedding[i] * 1e6)::BIGINT) / count(*)) AS centroid_micro
+           floor(sum(floor(embedding[i] * 1e6)::BIGINT) / count(*))::BIGINT AS centroid_micro
     FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
     WHERE i <= len(embedding)
     GROUP BY label, i
@@ -2626,7 +2626,7 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
     return (
-        e.groupBy(F.col("label"), (F.col("pos") + 1).alias("dim"))
+        e.groupBy(F.col("label"), (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(
             F.count("*").alias("n_vecs"),
             F.floor(

@@ -70,8 +70,7 @@ def dedup_probe_batch_writer(
     matters. On foreachBatch retry the hits append is at-least-once —
     hits carry batch_id so downstream consumers can dedup replays.
     """
-    import os
-
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from reactionetl_etl_spark.operators.dedup import (
@@ -81,10 +80,20 @@ def dedup_probe_batch_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(index_path):
+        # Existence of the index must be checked through Spark's filesystem
+        # layer, not os.path — index_path may be hdfs:///s3a:// where a
+        # driver-local stat is always False and the probe would silently
+        # never run. Attempting the read and catching AnalysisException
+        # (PATH_NOT_FOUND / unable to infer schema on an empty dir) covers
+        # every scheme the session's Hadoop conf can resolve.
+        try:
+            index_df = spark.read.parquet(index_path)
+        except AnalysisException:
+            index_df = None
+        if index_df is not None:
             hits = probe_minhash_index(
                 batch_df,
-                spark.read.parquet(index_path),
+                index_df,
                 text_col,
                 id_col,
                 min_jaccard=min_jaccard,

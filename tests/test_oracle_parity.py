@@ -11,7 +11,7 @@ import pytest
 
 from reactionetl_etl_spark.plans.catalog import all_queries
 from reactionetl_etl_spark.sources.tables import TABLE_NAMES
-from tools.oracle_check import normalize_rows
+from tools.oracle_check import dtype_mismatches, normalize_rows
 
 ORACLE_QUERIES = sorted(n for n, s in all_queries().items() if s.oracle is not None)
 
@@ -32,4 +32,8 @@ def test_matches_oracle(spark, sf_dir, duck, name):
     odf = duck.execute(spec.oracle).fetchdf()
     assert len(sdf) == len(odf), f"rowcount spark={len(sdf)} duckdb={len(odf)}"
     assert sorted(sdf.columns) == sorted(odf.columns)
+    assert not dtype_mismatches(sdf, odf), (
+        "driver value hash is type-sensitive; cast the oracle (sum()::BIGINT etc.) "
+        f"so DuckDB dtypes equal Spark's: {dtype_mismatches(sdf, odf)}"
+    )
     assert normalize_rows(sdf) == normalize_rows(odf)

@@ -22,6 +22,31 @@ from reactionetl_etl_spark.session import get_spark
 from reactionetl_etl_spark.sources.tables import TABLE_NAMES
 
 
+def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose Spark-vs-DuckDB pandas dtypes disagree.
+
+    The driver's value hash is type-serialization-sensitive: identical values
+    can hash-mismatch when DuckDB returns HUGEINT (uncast integer `sum()`) or
+    DOUBLE (`floor()`) where Spark emits BIGINT. Values pass `normalize_rows`
+    either way, so this check is the only local tripwire for that landmine.
+    Datetime unit differences (ns vs us) are ignored — timestamp outputs are
+    string-cast by catalog convention, and unit is a pandas artifact.
+    """
+
+    def norm(dt) -> str:
+        s = str(dt)
+        if s.startswith("datetime64"):
+            return "datetime64"
+        return s
+
+    out = []
+    for col in sorted(set(sdf.columns) & set(odf.columns)):
+        s, o = norm(sdf[col].dtype), norm(odf[col].dtype)
+        if s != o:
+            out.append(f"{col}: spark={s} duckdb={o}")
+    return out
+
+
 def normalize_rows(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
     rows = []
@@ -75,6 +100,11 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            continue
+        bad_types = dtype_mismatches(sdf, odf)
+        if bad_types:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype mismatch (driver hash is type-sensitive): {bad_types}")
             continue
         s_rows, o_rows = normalize_rows(sdf), normalize_rows(odf)
         if s_rows != o_rows:
