@@ -5,16 +5,23 @@ Runs every catalog query flagged `bench=True` at $SPARK_GRAFT_SF_DIR
 each plan to completion with a no-op sink (measures scan + compute +
 shuffle, excludes driver-side row transfer), plus one end-to-end ETL
 ingest run (synthetic incoming CSV batch → cleanse → fact parquet →
-enrichment), and prints ONE JSON line:
+enrichment), and prints ONE compact JSON line to stdout:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ..., "etl_ingest": sec},
-     "queries_cold_total_sec": N, "queries_cold": {...},
-     "query_spread_sec": {"<name>": [min, max], ...},
+     "queries_cold_total_sec": N, "ingest_cold_sec": N,
      "ingest_mb_per_s": N, "sf": <float>}
 
+The stdout line MUST stay small: the bench driver retains only the last
+~2000 characters of stdout, and a truncated line is unparseable (this
+bit round 3, whose per-query cold/spread maps grew the line past the
+window — BENCH_r03.json recorded `parsed: null`). Per-query cold times
+and min/max spreads therefore go to STDERR as a separate JSON blob
+(`bench detail: {...}`), and `tests/test_bench_contract.py` pins the
+stdout budget.
+
 Methodology: per query, one timed COLD execution then the MEDIAN of
-QUERY_BENCH_RUNS warm executions (spread reported alongside); `value`
+QUERY_BENCH_RUNS warm executions (spread reported on stderr); `value`
 sums the warm medians, `queries_cold_total_sec` sums the cold runs.
 ingest_mb_per_s is directly comparable to the reference's published
 ~20 GB/day ≈ 0.23 MB/s single-node ingest (BASELINE.md).
@@ -36,8 +43,10 @@ from reactionetl_etl_spark.plans.catalog import bench_queries
 from reactionetl_etl_spark.session import get_spark
 
 N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
-ETL_BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "3"))
-QUERY_BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3"))
+# Clamped to >=1: 0 would make the warm-median loop produce an empty
+# sample and statistics.median() raise (ADVICE r3).
+ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "3")))
+QUERY_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3")))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 
 
@@ -76,9 +85,9 @@ def _gen_incoming(root: str, n_files: int | None = None) -> int:
     return total
 
 
-def bench_etl_ingest(spark) -> tuple[float, float, float]:
-    """(cold seconds, warm median seconds, MB/s) for a full incremental
-    ETL run + enrichment.
+def bench_etl_ingest(spark) -> tuple[float, float, float, list[float]]:
+    """(cold seconds, warm median seconds, MB/s, all run times) for a
+    full incremental ETL run + enrichment.
 
     ETL_BENCH_RUNS identical runs (each a fresh incoming batch +
     throwaway lake). The session's first run_once pays progressive
@@ -110,11 +119,18 @@ def bench_etl_ingest(spark) -> tuple[float, float, float]:
             shutil.rmtree(work, ignore_errors=True)
     cold = runs[0]
     warm = statistics.median(runs[1:]) if len(runs) > 1 else runs[0]
-    return cold, warm, n_bytes / 1e6 / warm
+    return cold, warm, n_bytes / 1e6 / warm, runs
 
 
-def run_bench(sf_dir: str) -> dict:
-    spark = get_spark("reactionetl-etl-spark-bench")
+def run_bench(sf_dir: str) -> tuple[dict, dict]:
+    """Returns (compact stdout record, per-query detail for stderr)."""
+    # Console progress bars write \r-spam to stderr/stdout; keep the
+    # bench session's stdout clean so the final JSON line is the only
+    # content inside the driver's tail window.
+    spark = get_spark(
+        "reactionetl-etl-spark-bench",
+        **{"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths so the first timed query isn't charged
@@ -146,27 +162,31 @@ def run_bench(sf_dir: str) -> dict:
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
-    etl_cold, etl_warm, etl_mbps = bench_etl_ingest(spark)
+    etl_cold, etl_warm, etl_mbps, etl_runs = bench_etl_ingest(spark)
     timings["etl_ingest"] = round(etl_warm, 3)
     cold["etl_ingest"] = round(etl_cold, 3)
+    spread["etl_ingest"] = [round(min(etl_runs), 3), round(max(etl_runs), 3)]
 
     spark.stop()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    return {
+    compact = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "queries_cold_total_sec": round(sum(cold.values()), 3),
-        "queries_cold": cold,
-        "query_spread_sec": spread,
+        "ingest_cold_sec": round(etl_cold, 3),
         "ingest_mb_per_s": round(etl_mbps, 2),
         "sf": sf,
     }
+    detail = {"queries_cold": cold, "query_spread_sec": spread}
+    return compact, detail
 
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    print(json.dumps(run_bench(sf_dir)))
+    compact, detail = run_bench(sf_dir)
+    print("bench detail:", json.dumps(detail), file=sys.stderr)
+    print(json.dumps(compact))

@@ -52,12 +52,17 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
-# `events.ts` is a parquet TIMESTAMP(NANOS) column, which Spark's
-# parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Reading the
-# physical INT64 with an explicit LongType schema keeps the scan fully
-# distributed + pushdown-capable; `ts_ntz` reconstructs a microsecond
-# TIMESTAMP_NTZ timezone-independently (no session-tz dependency).
-EVENTS_SCHEMA = T.StructType(
+# `events.ts` has shipped in two physical encodings across testdata
+# generations: parquet TIMESTAMP(MICROS) (Spark reads it natively as
+# TIMESTAMP_NTZ) and TIMESTAMP(NANOS), which Spark's parquet reader
+# rejects outright ([PARQUET_TYPE_ILLEGAL]). For the nanos encoding,
+# reading the physical INT64 with an explicit LongType schema keeps the
+# scan fully distributed + pushdown-capable, and `ts_ntz` reconstructs
+# a microsecond TIMESTAMP_NTZ timezone-independently (no session-tz
+# dependency). The loader probes the native read first and falls back,
+# so the contract is stable either way: all file columns plus `ts_ntz`
+# (always TIMESTAMP_NTZ).
+EVENTS_NANOS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),  # epoch nanoseconds
@@ -70,8 +75,17 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with `ts` (epoch ns, long) and `ts_ntz` (timestamp_ntz)."""
-    df = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    """Events table with `ts_ntz` (timestamp_ntz) alongside the file's
+    native columns, independent of the file's timestamp unit."""
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+    except Exception:  # TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL AnalysisException
+        df, ts_type = None, None
+    if df is not None and isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        return df.withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))
+    df = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(path)
     return df.withColumn(
         "ts_ntz",
         F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),

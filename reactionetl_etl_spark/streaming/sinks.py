@@ -13,6 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from reactionetl_etl_spark.io.jdbc import write_fact_jdbc
+from reactionetl_etl_spark.logging_config import get_logger
+
+logger = get_logger("streaming.sinks")
+
+# AnalysisException classes that mean "the index has not been created
+# yet" (first batch): the path is absent, or present-but-empty so no
+# parquet schema can be inferred. Everything else is a real failure.
+_MISSING_INDEX_ERROR_CLASSES = frozenset(
+    {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+)
 
 
 def jdbc_batch_writer(url: str, table: str = "fact_sim", writer_factory=None):
@@ -83,12 +93,22 @@ def dedup_probe_batch_writer(
         # Existence of the index must be checked through Spark's filesystem
         # layer, not os.path — index_path may be hdfs:///s3a:// where a
         # driver-local stat is always False and the probe would silently
-        # never run. Attempting the read and catching AnalysisException
-        # (PATH_NOT_FOUND / unable to infer schema on an empty dir) covers
-        # every scheme the session's Hadoop conf can resolve.
+        # never run. Only the two "index not created yet" error classes
+        # may downgrade to a skipped probe; anything else (corrupt files,
+        # schema drift) must surface, or the miss would be permanent and
+        # invisible — the index append below still runs on every batch.
         try:
             index_df = spark.read.parquet(index_path)
-        except AnalysisException:
+        except AnalysisException as e:
+            condition = e.getCondition()  # Spark 4 name for error class
+            if condition not in _MISSING_INDEX_ERROR_CLASSES:
+                raise
+            logger.warning(
+                "minhash index %s not found (%s); skipping probe for batch %s",
+                index_path,
+                condition,
+                batch_id,
+            )
             index_df = None
         if index_df is not None:
             hits = probe_minhash_index(

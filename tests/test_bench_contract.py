@@ -1,0 +1,81 @@
+"""Bench-output contract: the stdout JSON line must fit the driver's
+tail window.
+
+The per-round bench driver captures only the last ~2000 characters of
+stdout and parses the final JSON line out of that window. Round 3's
+line grew past it (per-query cold + spread maps) and the round's metric
+was recorded as `parsed: null`. These tests pin the budget so the line
+can't silently outgrow the window again as bench queries are added.
+"""
+
+from __future__ import annotations
+
+import json
+
+DRIVER_TAIL_CHARS = 2000
+# Headroom for stray log lines that may share the tail window even with
+# console progress disabled.
+STDOUT_LINE_BUDGET = 1700
+
+
+def _worst_case_compact_line() -> str:
+    """Serialize the compact record with every real bench-query name and
+    worst-case numeric widths (xxx.xxx seconds)."""
+    from reactionetl_etl_spark.plans.catalog import bench_queries
+
+    names = sorted(bench_queries()) + ["etl_ingest"]
+    queries = {n: 999.999 for n in names}
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": queries,
+            "queries_cold_total_sec": 99999.999,
+            "ingest_cold_sec": 999.999,
+            "ingest_mb_per_s": 9999.99,
+            "sf": 0.1,
+        }
+    )
+
+
+def test_compact_line_fits_driver_tail():
+    line = _worst_case_compact_line()
+    assert len(line) <= STDOUT_LINE_BUDGET, (
+        f"bench stdout line would be {len(line)} chars; the driver keeps only "
+        f"the last {DRIVER_TAIL_CHARS} — move detail to stderr or trim the "
+        "bench set"
+    )
+
+
+def test_detail_maps_not_in_compact_record():
+    """The blow-the-budget fields live on stderr, never stdout."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.run_bench)
+    assert '"queries_cold": cold' in src  # detail exists...
+    compact_block = src.split("compact = {")[1].split("}")[0]
+    assert "queries_cold_total_sec" in compact_block
+    assert '"queries_cold"' not in compact_block  # ...but not on stdout
+    assert "query_spread_sec" not in compact_block
+
+
+def test_bench_runs_clamped_positive(monkeypatch):
+    """SPARK_GRAFT_BENCH_QUERY_RUNS=0 must not produce an empty warm
+    sample (statistics.median raises on it) — ADVICE r3."""
+    import importlib
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_QUERY_RUNS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ETL_RUNS", "0")
+    import bench
+
+    importlib.reload(bench)
+    try:
+        assert bench.QUERY_BENCH_RUNS >= 1
+        assert bench.ETL_BENCH_RUNS >= 1
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_QUERY_RUNS")
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_ETL_RUNS")
+        importlib.reload(bench)

@@ -29,9 +29,11 @@ def test_all_queries_run(spark, sf_dir):
 
 def test_catalog_columns_matches_file_schemas(spark, sf_dir):
     """S6 catalog introspection: the view layer must expose exactly the
-    parquet file columns — plus the documented events additions (`ts`
-    re-typed long, derived `ts_ntz`)."""
+    parquet file columns — plus the documented events addition (derived
+    `ts_ntz`; `ts` stays native for TIMESTAMP(MICROS) files and is
+    re-typed long for legacy TIMESTAMP(NANOS) files)."""
     import pyarrow.parquet as pq
+    import pyarrow.types as patypes
 
     from reactionetl_etl_spark.plans.catalog import all_queries
     from reactionetl_etl_spark.sources.tables import TABLE_NAMES
@@ -42,10 +44,14 @@ def test_catalog_columns_matches_file_schemas(spark, sf_dir):
 
     assert set(got) == set(TABLE_NAMES)
     for t in TABLE_NAMES:
-        file_cols = set(pq.read_schema(f"{sf_dir}/{t}.parquet").names)
+        file_schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        file_cols = set(file_schema.names)
         if t == "events":
             assert set(got[t]) == file_cols | {"ts_ntz"}
-            assert got[t]["ts"] == "bigint"  # TIMESTAMP_NANOS workaround
+            if patypes.is_timestamp(file_schema.field("ts").type):
+                assert got[t]["ts"] == "timestamp_ntz"
+            else:
+                assert got[t]["ts"] == "bigint"  # TIMESTAMP_NANOS workaround
             assert got[t]["ts_ntz"] == "timestamp_ntz"
         else:
             assert set(got[t]) == file_cols, t

@@ -245,3 +245,29 @@ def test_stream_dedup_against_index_incremental(spark, tmp_path):
     assert all(n != 11 for n, _ in hits)
     # the index now holds all four docs' bands (8 bands each)
     assert spark.read.parquet(index_path).count() == 4 * 8
+
+
+def test_dedup_probe_corrupt_index_raises(spark, tmp_path):
+    """ADVICE r3: only missing-index error classes may skip the probe.
+    A corrupt (non-parquet) index dir must raise, not silently drop
+    near-dup hits while the batch still signs itself into the index."""
+    import os
+
+    import pytest
+
+    from reactionetl_etl_spark.streaming.sinks import dedup_probe_batch_writer
+
+    index_path = str(tmp_path / "bad_index")
+    os.makedirs(index_path)
+    with open(os.path.join(index_path, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+
+    batch = spark.createDataFrame(
+        [(1, "some document text")], "doc_id long, text string"
+    )
+    writer = dedup_probe_batch_writer(index_path, str(tmp_path / "hits"))
+    with pytest.raises(Exception):
+        writer(batch, 0)
+    # and nothing was appended to the corrupt index
+    names = set(os.listdir(index_path))
+    assert names == {"part-00000.parquet"}

@@ -29,14 +29,28 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     can hash-mismatch when DuckDB returns HUGEINT (uncast integer `sum()`) or
     DOUBLE (`floor()`) where Spark emits BIGINT. Values pass `normalize_rows`
     either way, so this check is the only local tripwire for that landmine.
-    Datetime unit differences (ns vs us) are ignored — timestamp outputs are
-    string-cast by catalog convention, and unit is a pandas artifact.
+    Datetime UNIT differences (ns vs us) are ignored — unit is a pandas
+    artifact — but the tz qualifier stays significant: tz-aware
+    'datetime64[ns, UTC]' vs naive 'datetime64[us]' plausibly serializes
+    differently in the driver's hash, which is exactly what this tripwire
+    exists to catch (ADVICE r3).
     """
 
     def norm(dt) -> str:
         s = str(dt)
-        if s.startswith("datetime64"):
-            return "datetime64"
+        # Integer WIDTH is not hash-significant: the driver's value hash
+        # serializes int32 and int64 identically (r1-r3 driver rows for
+        # rank()/length() int32 columns vs DuckDB BIGINT are all green).
+        # The landmine this check exists for is DuckDB HUGEINT/DOUBLE vs
+        # Spark BIGINT, which pandas surfaces as object/float64 — those
+        # still mismatch against 'int'.
+        if s in {"int8", "int16", "int32", "int64"}:
+            return "int"
+        if s.startswith("datetime64["):
+            inner = s[len("datetime64[") : -1]  # e.g. 'ns' or 'ns, UTC'
+            parts = [p.strip() for p in inner.split(",")]
+            tz = parts[1] if len(parts) > 1 else None
+            return f"datetime64[tz={tz}]" if tz else "datetime64"
         return s
 
     out = []
