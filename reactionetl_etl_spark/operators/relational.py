@@ -60,13 +60,26 @@ def dense_sequence(
 ) -> DataFrame:
     """X4: dense, deterministic surrogate-key assignment.
 
-    ``row_number() OVER (ORDER BY <order_by>) + offset``. The empty
-    partitionBy forces a single-partition window — correct for small
-    dimension tables, wrong for facts (use zipWithIndex-style or
-    non-dense `monotonically_increasing_id` there; SURVEY.md §1.2).
+    Semantics of ``row_number() OVER (ORDER BY <order_by>) + offset``,
+    computed WITHOUT a single-partition window: the global row number
+    comes from :func:`reactionetl_etl_spark.operators.rank.global_order_ranks`
+    (per-key counts → prefix sums over distinct keys → keyed join), so
+    the operator is safe on fact-sized inputs too — no
+    `Exchange SinglePartition` at any scale. Deterministic iff
+    ``order_by`` is a total order; within ties the assignment is
+    arbitrary but dense either way.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(out_col, F.row_number().over(w) + F.lit(offset))
+    from reactionetl_etl_spark.operators.rank import global_order_ranks
+
+    cols = df.columns
+    ranked = global_order_ranks(
+        df,
+        rank_exprs=[F.col(c) for c in order_by],
+        rank_desc=[False] * len(order_by),
+    )
+    return ranked.select(
+        *cols, (F.col("global_row_number") + F.lit(offset)).alias(out_col)
+    )
 
 
 def topk(df: DataFrame, order_exprs: list, k: int) -> DataFrame:

@@ -234,7 +234,8 @@ def ingest_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dense_sequence_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4: dense surrogate-key assignment (the reference's PostgreSQL
     sequence, create_tables.sql:32-35) — row_number over a deterministic
-    order. Single-partition window: valid for dim-sized inputs only."""
+    order, computed distributed (rank.global_order_ranks prefix-sum, no
+    single-partition window) so the same operator holds on fact tables."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     return R.dense_sequence(cust, ["c_custkey"], out_col="seq_num")
 

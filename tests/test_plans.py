@@ -97,6 +97,21 @@ def test_global_rank_is_distributed(spark, sf_dir):
             )
 
 
+def test_dense_sequence_is_distributed(spark, sf_dir):
+    """dense_sequence must never plan a single-partition sort of the
+    data (it is reachable from fact-sized inputs via etl/enrich); the
+    distributed rebase keys the row-number window on the rank key."""
+    plan = plan_of(spark, sf_dir, "dense_sequence_customer")
+    assert "Exchange rangepartitioning" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            parent_sorts = [l for l in lines[max(0, i - 3) : i] if "Sort [" in l]
+            assert all("c_custkey" not in s for s in parent_sorts), (
+                "full-table sort funnels through a single partition:\n" + "\n".join(parent_sorts)
+            )
+
+
 def test_sole_late_supplier_semi_anti_chain(spark, sf_dir):
     """The Q21-shape EXISTS / NOT EXISTS chain must compile to one
     semi-join and one anti-join — never a correlated per-row subquery
