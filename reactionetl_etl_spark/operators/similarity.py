@@ -225,6 +225,184 @@ def ivf_cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    broadcast_queries: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbours for EVERY row of ``queries`` in one job.
+
+    The single-query entry points (`cosine_topk` etc.) re-scan the
+    corpus per call; a real similarity-search job scores a whole batch
+    of query vectors per pass. This is that pass: one corpus scan,
+    queries joined in (broadcast when they fit — the common case — so
+    the corpus side never shuffles for the join), then a per-query
+    top-k via `row_number()` over `Window.partitionBy(query_id)`.
+    Spark plans the rank filter as WindowGroupLimit: each map task
+    keeps only its local top-k per query BEFORE the exchange, so the
+    shuffle carries ≤ k·|queries| rows per task, not |corpus|·|queries|.
+
+    Output: (query_id, id_col, cosine_sim), k rows per query, ties
+    broken by ascending id. ``exclude_self`` drops corpus rows whose id
+    equals the query id (the single-query semantics).
+    """
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    pairs = corpus.crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def lsh_cosine_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    broadcast_queries: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate batch top-k: candidates restricted to each query's
+    LSH bucket, so the corpus×queries cross product becomes an
+    equi-join on the bucket id. With a non-broadcast query side this is
+    a shuffle keyed on 2^bits bucket values on BOTH sides — the shape
+    that survives millions of queries; with broadcast queries the
+    corpus never shuffles for the join at all. Per-query top-k as in
+    `cosine_topk_batch` (WindowGroupLimit partial before the exchange).
+    """
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    bq = with_lsh_bucket(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
+        dim,
+        bits,
+        "__qvec",
+        out_col="__qb",
+    ).select("__qid", as_double_array("__qvec").alias("__q"), "__qb")
+    if broadcast_queries:
+        bq = F.broadcast(bq)
+    bc = with_lsh_bucket(corpus, dim, bits, vec_col, out_col="__cb")
+    pairs = bc.join(bq, on=F.col("__cb") == F.col("__qb"), how="inner")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_cosine_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
+    broadcast_queries: bool = True,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate batch top-k over the IVF index: each query explodes
+    into its ``n_probe`` nearest cells, candidates come from an
+    equi-join of (query, probe_cell) against the celled corpus, and
+    the per-query top-k window ranks exact cosine within candidates.
+
+    At 100 TB the celled corpus is the persisted inverted index
+    (partitioned by cell); the exploded query side is |queries|·n_probe
+    rows — still tiny relative to the corpus — and the join is keyed
+    on n_cells values, never a cartesian. Queries near cell boundaries
+    are exactly why multi-probe exists; recall scales with n_probe at
+    n_probe/n_cells of the scan cost.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None and train:
+        centroids = train_ivf_centroids(corpus, n_cells, vec_col)
+    cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
+    celled = with_ivf_cell(corpus, dim, n_cells, vec_col, centroids=cents)
+
+    qv = query_vec_col or vec_col
+    qvec = as_double_array(qv)
+    cell_scores = F.array(*[dot(qvec, F.array(*[F.lit(w) for w in c])) for c in cents])
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(zip_with(__cscores, sequence(0, {len(cents) - 1}),"
+        f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            qvec.alias("__q"),
+            cell_scores.alias("__cscores"),
+        )
+        .select("__qid", "__q", F.explode(probe_cells).alias("__probe_cell"))
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    pairs = celled.join(q, on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

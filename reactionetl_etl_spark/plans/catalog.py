@@ -1787,6 +1787,67 @@ def ivf_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_cosine_topk(emb, query_id=0, dim=64, k=10, n_cells=16, n_probe=6)
 
 
+def _batch_queries(emb: DataFrame, n: int = 8) -> DataFrame:
+    """First n embedding rows as the ANN query batch (query_id, embedding)."""
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@_q(
+    "cosine_topk_batch_exact",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+                   AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim
+    FROM (SELECT scored.*,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "batch"),
+    bench=True,
+)
+def cosine_topk_batch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BATCH ANN: top-5 neighbours for each of 8 query vectors in
+    one pass — one corpus scan, broadcast query batch, per-query top-k
+    via WindowGroupLimit (map-side partial top-k before the exchange).
+    The single-query entry points re-scan the corpus per call; this is
+    the shape a 100 TB similarity-search job actually runs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_batch(_batch_queries(emb), emb, k=5)
+
+
+@_q("lsh_cosine_topk_batch", None, tags=("similarity", "lsh", "batch"))
+def lsh_cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the LSH index: the query batch and the corpus are
+    both bucketed; candidates come from the bucket equi-join (never a
+    cross product), exact cosine ranks within candidates. Rows-only
+    check (bucket membership is seed-defined, not SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_topk_batch(_batch_queries(emb), emb, dim=64, k=5, bits=8)
+
+
+@_q("ivf_cosine_topk_batch", None, tags=("similarity", "ivf", "batch"))
+def ivf_cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the IVF index: queries explode into their 6
+    nearest trained cells, candidates come from the (probe_cell ==
+    ivf_cell) equi-join, exact cosine ranks within candidates.
+    Rows-only check (model-defined, not SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_cosine_topk_batch(
+        _batch_queries(emb), emb, dim=64, k=5, n_cells=16, n_probe=6
+    )
+
+
 @_q("catalog_columns", None, tags=("catalog", "reference-S6"))
 def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: catalog introspection (the reference's pg_indexes scan,

@@ -208,6 +208,55 @@ def test_ivf_trained_recall_vs_bruteforce(spark):
     assert len(set(bf) & set(ivf)) >= 8
 
 
+def test_cosine_topk_batch_matches_per_query(spark, sf_dir):
+    """The batch pass must return exactly what N single-query calls
+    return — same neighbours, same order, same rounded sims."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {}
+    for r in S.cosine_topk_batch(qs, emb, k=5).collect():
+        batch.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine_sim"]))
+    for qid in range(4):
+        single = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in S.cosine_topk(emb, query_id=qid, k=5).collect()
+        ]
+        assert batch[qid] == single
+
+
+def test_batch_ann_recall_vs_exact(spark):
+    """LSH and IVF batch variants: per-query recall against the exact
+    batch top-10 (sf0.01, 500 vectors — enough for trained cells).
+    IVF multi-probe (10/16 cells — the embeddings are near-uniform,
+    IVF's hardest case) must average ≥0.8 recall; single-bucket LSH is the
+    low-recall baseline — only sanity-bound it (subset + nonempty for
+    most queries)."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in S.cosine_topk_batch(qs, emb, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ivf = {}
+    for r in S.ivf_cosine_topk_batch(qs, emb, dim=64, k=10, n_cells=16, n_probe=10).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & ivf.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    lsh = {}
+    for r in S.lsh_cosine_topk_batch(qs, emb, dim=64, k=10, bits=4).collect():
+        lsh.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert sum(1 for q in exact if lsh.get(q)) >= 6  # most queries find candidates
+    for q, ids in lsh.items():
+        assert q not in ids  # self excluded
+
+
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):
     from reactionetl_etl_spark.sources.tables import load_table
 

@@ -97,6 +97,17 @@ def test_global_rank_is_distributed(spark, sf_dir):
             )
 
 
+def test_batch_ann_windowgrouplimit_and_broadcast(spark, sf_dir):
+    """cosine_topk_batch must (a) broadcast the query batch so the
+    corpus never shuffles for the join, and (b) plan the per-query
+    rank filter as WindowGroupLimit so each map task emits only its
+    local top-k per query before the exchange."""
+    plan = plan_of(spark, sf_dir, "cosine_topk_batch_exact")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dense_sequence_is_distributed(spark, sf_dir):
     """dense_sequence must never plan a single-partition sort of the
     data (it is reachable from fact-sized inputs via etl/enrich); the
