@@ -184,30 +184,59 @@ def ngram_contamination(
     text_col: str,
     id_col: str,
     k: int = 4,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination check: (train_id, eval_id, n_shared)
     for every train/eval document pair sharing ≥1 distinct k-token
     shingle.
 
-    Scale posture: the eval side is a benchmark suite — thousands of
-    documents, not billions — so its distinct gram set is broadcast and
-    the 100 TB train corpus is probed map-side; the train gram stream is
-    deliberately NOT pre-distinct'ed (that would shuffle every gram in
-    the corpus) — countDistinct after the broadcast join dedups
-    multiplicity instead, so the only shuffle carries MATCHED
-    (train_id, eval_id, gram) rows, which are rare by construction."""
+    Scale posture, ``broadcast_eval=True`` (default): the eval side is
+    a benchmark suite — thousands of documents, not billions — so its
+    distinct gram set is broadcast and the 100 TB train corpus is
+    probed map-side; the train gram stream is deliberately NOT
+    pre-distinct'ed (that would shuffle every gram in the corpus) —
+    countDistinct after the broadcast join dedups multiplicity instead,
+    so the only shuffle carries MATCHED (train_id, eval_id, gram) rows,
+    which are rare by construction.
+
+    ``broadcast_eval=False`` is the fallback for eval suites that
+    exceed the broadcast threshold (a multi-benchmark union easily
+    does): both sides key on the 64-bit ``xxhash64(gram)`` and meet in
+    a hash-partitioned shuffle equi-join — the shuffle carries 8-byte
+    digests, never the gram strings, and no side needs to fit in
+    memory. ``n_shared`` then counts distinct gram HASHES; at 2⁻⁶⁴
+    per-pair collision odds the count is exact for any real corpus
+    (same trade as fingerprint dedup)."""
+    if broadcast_eval:
+        tr = token_ngrams(train, text_col, k).select(
+            F.col(id_col).alias("train_id"), "gram"
+        )
+        ev = (
+            token_ngrams(eval_set, text_col, k)
+            .select(F.col(id_col).alias("eval_id"), "gram")
+            .distinct()
+        )
+        return (
+            tr.join(F.broadcast(ev), on="gram")
+            .groupBy("train_id", "eval_id")
+            .agg(F.countDistinct("gram").alias("n_shared"))
+        )
     tr = token_ngrams(train, text_col, k).select(
-        F.col(id_col).alias("train_id"), "gram"
+        F.col(id_col).alias("train_id"), F.xxhash64("gram").alias("__gh")
     )
+    # shuffle_hash hint: Catalyst can't see explode cardinality, so it
+    # under-estimates the eval gram stream and would auto-broadcast it —
+    # the exact misestimate this path exists to avoid.
     ev = (
         token_ngrams(eval_set, text_col, k)
-        .select(F.col(id_col).alias("eval_id"), "gram")
+        .select(F.col(id_col).alias("eval_id"), F.xxhash64("gram").alias("__gh"))
         .distinct()
+        .hint("shuffle_hash")
     )
     return (
-        tr.join(F.broadcast(ev), on="gram")
+        tr.join(ev, on="__gh")
         .groupBy("train_id", "eval_id")
-        .agg(F.countDistinct("gram").alias("n_shared"))
+        .agg(F.countDistinct("__gh").alias("n_shared"))
     )
 
 

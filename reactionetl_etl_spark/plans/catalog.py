@@ -2613,6 +2613,44 @@ def contamination_check_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "contamination_check_shuffle",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
+    ), ev AS (
+        SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
+    ), tr AS (
+        SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 97 <> 0
+    )
+    SELECT train_id, eval_id, count(DISTINCT gram) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id
+    """,
+    tags=("text", "contamination", "llm"),
+)
+def contamination_check_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination sweep's NON-broadcast path: when the eval
+    suite exceeds the broadcast threshold, both sides key on
+    xxhash64(gram) and meet in a hash-partitioned shuffle equi-join —
+    8-byte digests shuffle, never gram strings. Oracled against the
+    same DuckDB SQL as the broadcast variant (distinct-hash counting is
+    exact absent 64-bit collisions, impossible at fixture scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return TX.ngram_contamination(tr, ev, "text", "doc_id", k=4, broadcast_eval=False)
+
+
+@_q(
     "intra_doc_repetition",
     """
     WITH tok AS (

@@ -477,3 +477,24 @@ def test_ngram_contamination_finds_planted_overlap(spark):
     }
     # doc 10 and 12 share 'alpha beta gamma delta' with the eval doc; 11 shares nothing
     assert got == {(10, 90): 1, (12, 90): 1}
+
+
+def test_ngram_contamination_shuffle_path_parity(spark, sf_dir):
+    """The non-broadcast (hash-shuffle) fallback must agree pair-for-
+    pair with the broadcast path over the fixture corpus."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    bc = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in TX.ngram_contamination(tr, ev, "text", "doc_id", k=4).collect()
+    }
+    sh = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in TX.ngram_contamination(
+            tr, ev, "text", "doc_id", k=4, broadcast_eval=False
+        ).collect()
+    }
+    assert bc == sh and bc

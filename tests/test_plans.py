@@ -170,6 +170,15 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_contamination_shuffle_path_joins_on_hash(spark, sf_dir):
+    """The fallback must shuffle 8-byte gram hashes, not gram strings:
+    a hash-partitioned equi-join keyed on __gh, no broadcast of either
+    side, no gram column in the exchange."""
+    plan = plan_of(spark, sf_dir, "contamination_check_shuffle")
+    assert "Exchange hashpartitioning(__gh" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_pii_redaction_is_pure_map(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pii_redaction_stats")
     assert "Exchange" not in plan
