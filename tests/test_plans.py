@@ -97,6 +97,19 @@ def test_global_rank_is_distributed(spark, sf_dir):
             )
 
 
+def test_promo_revenue_plan_pinned(spark, sf_dir):
+    """promo_revenue_pct's intended physical strategy, pinned after the
+    r4 bench drift investigation (PERF_NOTES.md): month filter pushed
+    to the parquet scan, part side broadcast (never a shuffle join),
+    map-side partial aggregation. Any real plan change fails here
+    before a benchmark has to notice."""
+    plan = plan_of(spark, sf_dir, "promo_revenue_pct")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+    assert "partial_sum" in plan
+
+
 def test_batch_ann_windowgrouplimit_and_broadcast(spark, sf_dir):
     """cosine_topk_batch must (a) broadcast the query batch so the
     corpus never shuffles for the join, and (b) plan the per-query
