@@ -36,6 +36,8 @@ _SIGNATURES: list[tuple[str, str]] = [
     ("89504E47", "image/png"),
     ("FFD8FF", "image/jpeg"),
     ("47494638", "image/gif"),
+    ("424D", "image/bmp"),
+    ("5036", "image/x-portable-pixmap"),  # binary PPM "P6"
     ("52494646", "audio/wav"),  # RIFF (also webp/avi; refined below)
     ("494433", "audio/mpeg"),
     ("1A45DFA3", "video/webm"),
@@ -118,7 +120,111 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
                     return w, h
                 return None
             i += 2 + seglen
+    if b[:2] == b"P6":
+        hdr = _ppm_header(b)
+        if hdr is not None:
+            return hdr[0], hdr[1]
     return None
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary-PPM ("P6") header: (width, height, maxval,
+    pixel_data_offset). Whitespace-separated tokens, '#' comments."""
+    if b[:2] != b"P6":
+        return None
+    vals: list[int] = []
+    i = 2
+    while i < len(b) and len(vals) < 3:
+        c = b[i]
+        if c == 0x23:  # '#' comment to end of line
+            while i < len(b) and b[i] not in (0x0A, 0x0D):
+                i += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            i += 1
+        elif 0x30 <= c <= 0x39:
+            j = i
+            while j < len(b) and 0x30 <= b[j] <= 0x39:
+                j += 1
+            vals.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= len(b):
+        return None
+    i += 1  # exactly one whitespace byte separates maxval from pixel data
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        return None
+    return w, h, maxval, i
+
+
+def decode_pixels(payload: bytes):
+    """REAL pixel decode for the two uncompressed containers a codec-
+    free environment can handle bit-exactly: 24-bit BI_RGB BMP and
+    binary PPM (P6, maxval ≤ 255). Returns an (h, w, 3) uint8 RGB numpy
+    array, or None for any other container (those stay stubbed —
+    PNG/JPEG/GIF need a compression codec).
+    """
+    import numpy as np
+
+    b = payload
+    if b[:2] == b"BM" and len(b) >= 54:
+        off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        topdown, h = h < 0, abs(h)
+        row_bytes = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        if off + row_bytes * h > len(b):
+            return None
+        arr = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=off)
+        arr = arr.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+        return arr if topdown else arr[::-1]  # stored bottom-up by default
+    if b[:2] == b"P6":
+        hdr = _ppm_header(b)
+        if hdr is None:
+            return None
+        w, h, maxval, off = hdr
+        if maxval > 255 or off + w * h * 3 > len(b):
+            return None
+        return np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
+    return None
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up, BGR,
+    4-byte row padding) — the inverse of decode_pixels' BMP branch."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip rows, RGB→BGR
+    data = padded.tobytes()
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return file_header + info_header + data
+
+
+def encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6) bytes."""
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resample_nearest(arr, dst_w: int, dst_h: int):
+    """Nearest-neighbour resample via numpy strided fancy-indexing:
+    sample source pixels at destination-pixel centres (the classic
+    (i + 0.5) · src/dst − ε mapping). Pure vectorized gather — no
+    Python per-pixel loop."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(dst_h) + 0.5) * h / dst_h, h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(dst_w) + 0.5) * w / dst_w, w - 1).astype(np.int64)
+    return np.ascontiguousarray(arr[rows][:, cols])
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -203,9 +309,13 @@ def resize_images(
 
     The TARGET-GEOMETRY computation is real (header-parsed source
     dims → integer aspect-preserving fit, the part pipelines get wrong
-    most often); the pixel resample is a STUB that passes the payload
-    through unchanged (no image libs in this container) — production
-    swaps the one marked line for PIL's `Image.resize`, nothing else
+    most often). The pixel resample is REAL for the uncompressed
+    containers — 24-bit BMP and binary PPM decode to numpy, get
+    nearest-neighbour-resampled at destination-pixel centres, and
+    re-encode to the same container (decode_pixels / resample_nearest /
+    encode_*). Compressed formats (PNG/JPEG/GIF) still pass bytes
+    through unchanged — they need a codec library this container lacks;
+    production swaps the decode_pixels call for PIL, nothing else
     changes. Images already within bounds keep their dims and bytes.
 
     Narrow map via mapInPandas: payloads stream as Arrow batches,
@@ -234,12 +344,20 @@ def resize_images(
                         # thumbnail() geometry.
                         dw = max(1, (sw * max_side + long_side // 2) // long_side)
                         dh = max(1, (sh * max_side + long_side // 2) // long_side)
+                if dims is not None and (dw, dh) != (sw, sh):
+                    px = decode_pixels(data)
+                    if px is not None:  # real resample: BMP / PPM
+                        resized = resample_nearest(px, dw, dh)
+                        data = (
+                            encode_bmp(resized) if data[:2] == b"BM" else encode_ppm(resized)
+                        )
+                    # compressed containers: bytes pass through (stub)
                 out["media_id"].append(mid)
                 out["src_width"].append(sw)
                 out["src_height"].append(sh)
                 out["dst_width"].append(dw)
                 out["dst_height"].append(dh)
-                out["content"].append(data)  # STUB: real codec resamples here
+                out["content"].append(data)
             pdf_out = pd.DataFrame(out)
             pdf_out["src_width"] = pdf_out["src_width"].astype("Int32")
             pdf_out["src_height"] = pdf_out["src_height"].astype("Int32")

@@ -1686,6 +1686,52 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
+@_q("multimodal_resize_pixels", None, tags=("multimodal",))
+def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode→resample→re-encode round-trip on the multimodal
+    path: each document's bytes are shaped into a 32×32 24-bit BMP
+    (executor-side, mapInPandas — nothing synthesizes on the driver),
+    resize_images nearest-neighbour-resamples it to 8×8 through the
+    numpy codec, and the output carries the re-encoded payload's md5 —
+    deterministic, so the rows-only check still pins content drift.
+    """
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("raw")
+    )
+
+    def to_bmp(batches):
+        import numpy as np
+
+        from reactionetl_etl_spark.operators.multimodal import encode_bmp
+
+        need = 32 * 32 * 3
+        for pdf in batches:
+            out_ids, out_blobs = [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                b = bytes(raw) or b"\x00"
+                b = (b * (need // len(b) + 1))[:need]
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3)
+                out_ids.append(mid)
+                out_blobs.append(encode_bmp(arr))
+            yield pd.DataFrame({"media_id": out_ids, "content": out_blobs})
+
+    bmp_schema = "media_id long, content binary"
+    bmps = docs.mapInPandas(to_bmp, bmp_schema)
+    resized = resize_images(bmps, max_side=8)
+    return resized.select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "dst_width",
+        "dst_height",
+        F.md5("content").alias("content_md5"),
+    )
+
+
 @_q(
     "quantity_band_range_join",
     """

@@ -132,3 +132,72 @@ def test_resize_geometry_aspect_preserving(spark, media):
     )
     r9 = resize_images(small, max_side=256).collect()[0]
     assert (r9["dst_width"], r9["dst_height"]) == (100, 50)
+
+
+def _quadrant_array(w: int, h: int):
+    """RGB image whose four quadrants are distinct solid colors."""
+    import numpy as np
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[: h // 2, : w // 2] = (255, 0, 0)
+    arr[: h // 2, w // 2 :] = (0, 255, 0)
+    arr[h // 2 :, : w // 2] = (0, 0, 255)
+    arr[h // 2 :, w // 2 :] = (255, 255, 0)
+    return arr
+
+
+def test_bmp_ppm_codec_roundtrip():
+    """decode(encode(arr)) is bit-exact for both uncompressed formats,
+    including BMP's 4-byte row padding (odd widths)."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp,
+        encode_ppm,
+        parse_image_dims,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(8, 6), (7, 5), (1, 1), (3, 9)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for enc in (encode_bmp, encode_ppm):
+            blob = enc(arr)
+            assert parse_image_dims(blob) == (w, h)
+            assert np.array_equal(decode_pixels(blob), arr), (enc.__name__, w, h)
+
+
+def test_resize_resamples_real_pixels(spark):
+    """The resize path must produce actual resampled pixel content for
+    BMP and PPM — not a byte passthrough: a 4-quadrant 64x64 image
+    downscaled to 16x16 yields the same quadrant colors at 16x16, and
+    the payload re-encodes at the new geometry."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp,
+        encode_ppm,
+        resize_images,
+    )
+
+    src = _quadrant_array(64, 64)
+    rows = [(1, encode_bmp(src)), (2, encode_ppm(src))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in resize_images(df, max_side=16).collect()}
+    expected = _quadrant_array(16, 16)
+    for mid, magic in [(1, b"BM"), (2, b"P6")]:
+        r = out[mid]
+        assert (r["dst_width"], r["dst_height"]) == (16, 16)
+        blob = bytes(r["content"])
+        assert blob[:2] == magic  # same container back
+        got = decode_pixels(blob)
+        assert got.shape == (16, 16, 3)
+        assert np.array_equal(got, expected), mid
+
+
+def test_ppm_mime_and_dims():
+    from reactionetl_etl_spark.operators.multimodal import parse_image_dims
+
+    ppm = b"P6\n# a comment\n12 34\n255\n" + b"\x00" * (12 * 34 * 3)
+    assert parse_image_dims(ppm) == (12, 34)
