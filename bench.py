@@ -49,6 +49,21 @@ ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "3")))
 QUERY_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3")))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 
+# The ONLY keys allowed on the compact stdout record. Everything else
+# (per-query cold times, spreads) is stderr detail — the driver retains
+# just the tail of stdout and a grown line becomes unparseable (r3).
+# tests/test_bench_contract.py asserts against this constant.
+COMPACT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "queries_cold_total_sec",
+    "ingest_cold_sec",
+    "ingest_mb_per_s",
+    "sf",
+)
+
 
 def _gen_incoming(root: str, n_files: int | None = None) -> int:
     """Synthesize an incoming/ batch (FIXTURES.md §A1/§A2 shapes);
@@ -181,6 +196,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         "ingest_mb_per_s": round(etl_mbps, 2),
         "sf": sf,
     }
+    assert tuple(compact) == COMPACT_KEYS, "compact stdout record drifted from COMPACT_KEYS"
     detail = {"queries_cold": cold, "query_spread_sec": spread}
     return compact, detail
 

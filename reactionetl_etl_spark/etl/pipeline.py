@@ -44,10 +44,9 @@ import os
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reactionetl_etl_spark.etl.audit import AuditEvent, events_df, new_etl_id
 from reactionetl_etl_spark.logging_config import get_logger, setup_logging
 from reactionetl_etl_spark.etl.cleanse import (
     cleanse_incoming_csvs,
@@ -148,6 +147,8 @@ class ReactionLake:
     ) -> RunResult:
         """Process every not-yet-processed file under incoming/<day>/."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+        run_token = now.isoformat()
+        now_col = F.lit(now.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
         csvs = self._new_files(spark, list_raw_files(incoming_root, ".csv"))
         jsons = self._new_files(spark, list_raw_files(incoming_root, ".json"))
         log.info(
@@ -155,8 +156,14 @@ class ReactionLake:
             len(csvs), len(jsons), incoming_root,
         )
 
-        audit_events: list[AuditEvent] = []
-        manifest_rows: list[tuple[str, str, str, str, datetime]] = []
+        # Per-file STATUS FRAMES (rows = files) replace the former
+        # driver-side AuditEvent list + per-file Python loop: row
+        # counts, statuses, and error messages are joined/derived as
+        # DataFrames, so a million-file backlog never serializes its
+        # audit trail through driver memory. The only driver-side
+        # remnants are the file listing itself (metadata) and one
+        # 1-row tally aggregate per branch for RunResult.
+        status_frames: list[DataFrame] = []
         fact_loaded = dim_loaded = quarantined_files = 0
 
         # ---- reaction CSVs → fact_sim (EP2 + W2) ----
@@ -185,49 +192,62 @@ class ReactionLake:
             )
             fact_new.write.mode("append").partitionBy("day").parquet(self.fact_path)
 
-            # per-file row counts: one small aggregate (rows = files)
-            counts = {
-                _strip_scheme(r["source_file"]): r["n"]
-                for r in fact_new.groupBy("source_file").agg(F.count("*").alias("n")).collect()
-            }
-            bad_rows = {
-                _strip_scheme(r["source_file"]): r["n"]
-                for r in result.quarantined.groupBy("source_file")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            if bad_rows:
+            files_df = spark.createDataFrame(
+                [(f.path, f.day) for f in csvs], "path string, day string"
+            )
+            ok_counts = fact_new.groupBy("source_file").agg(F.count("*").alias("n_ok")).select(
+                _strip_scheme_col(F.col("source_file")).alias("path"), "n_ok"
+            )
+            bad_counts = (
+                result.quarantined.groupBy("source_file")
+                .agg(F.count("*").alias("n_bad"))
+                .select(_strip_scheme_col(F.col("source_file")).alias("path"), "n_bad")
+            )
+            rejected_df = spark.createDataFrame(
+                [(rf.path, why) for rf, why in result.rejected_files],
+                "path string, reject_reason string",
+            )
+            n_bad_expr = F.col("n_bad") > 0
+            fully_bad = n_bad_expr & (F.col("n_ok") == 0)
+            st = (
+                files_df.join(ok_counts, "path", "left")
+                .join(bad_counts, "path", "left")
+                .join(rejected_df, "path", "left")
+                .withColumns(
+                    {"n_ok": F.coalesce("n_ok", F.lit(0)), "n_bad": F.coalesce("n_bad", F.lit(0))}
+                )
+                .withColumn(
+                    "status",
+                    F.when(F.col("reject_reason").isNotNull() | fully_bad, "quarantined").otherwise(
+                        "success"
+                    ),
+                )
+                .withColumn(
+                    "error_message",
+                    F.when(F.col("reject_reason").isNotNull(), F.col("reject_reason"))
+                    .when(fully_bad, F.concat(F.col("n_bad").cast("string"), F.lit(" malformed rows")))
+                    .when(n_bad_expr, F.concat(F.col("n_bad").cast("string"), F.lit(" rows quarantined"))),
+                )
+                .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
+                .withColumn("simulation_id", _filename_key(F.col("path"), r"^reaction(.+)\.csv$"))
+                .withColumn("etl_type", F.lit("reaction"))
+                .withColumn("records_inserted", F.col("n_ok").cast("int"))
+                # Eager lineage break (files-sized frame): the audit and
+                # manifest writes must not re-evaluate this plan after
+                # csv_result.release() drops the cleanse persists.
+                .localCheckpoint(eager=True)
+            )
+            status_frames.append(st)
+            tally = st.agg(
+                F.sum(F.when(F.col("status") == "success", F.col("n_ok")).otherwise(F.lit(0))).alias("ok"),
+                F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
+                F.sum("n_bad").alias("bad_rows"),
+            ).first()
+            fact_loaded += int(tally["ok"] or 0)
+            quarantined_files += int(tally["q"] or 0)
+            if tally["bad_rows"]:
                 result.quarantined.write.mode("append").parquet(self.quarantine_path)
-
-            rejected_paths = {f.path for f, _ in result.rejected_files}
-            for f in csvs:
-                etl_id = new_etl_id()
-                sim_id = _sim_id_from_name(f.path, "reaction", ".csv")
-                audit_events.append(
-                    AuditEvent(etl_id, now, sim_id, "reaction", None, None, "running", None, f.path, f.day)
-                )
-                n_ok = counts.get(f.path, 0)
-                n_bad = bad_rows.get(f.path, 0)
-                if f.path in rejected_paths:
-                    reason = dict((rf.path, why) for rf, why in result.rejected_files)[f.path]
-                    status, err = "quarantined", reason
-                    quarantined_files += 1
-                elif n_bad and not n_ok:
-                    status, err = "quarantined", f"{n_bad} malformed rows"
-                    quarantined_files += 1
-                else:
-                    status, err = "success", None if not n_bad else f"{n_bad} rows quarantined"
-                    fact_loaded += n_ok
-                if status == "quarantined":
-                    log.warning("quarantined %s: %s", f.path, err)
-                else:
-                    log.info("ingested %s: %d rows (%s)", f.path, n_ok, err or "clean")
-                audit_events.append(
-                    AuditEvent(etl_id, now, sim_id, "reaction", n_ok, None, status, err, f.path, f.day)
-                )
-                manifest_rows.append((f.path, f.day, "reaction", status, now))
-
-            if rejected_paths:
+            if result.rejected_files:
                 rej = spark.createDataFrame(
                     [
                         (None, why, rf.path, rf.day)
@@ -236,6 +256,12 @@ class ReactionLake:
                     "payload string, reason string, source_file string, day string",
                 )
                 rej.write.mode("append").parquet(self.quarantine_path)
+            log.info(
+                "ingested %d reaction files: %d rows loaded, %d files quarantined",
+                len(csvs), fact_loaded, int(tally["q"] or 0),
+            )
+            if tally["q"]:
+                log.warning("quarantined %d reaction files (see audit/quarantine tables)", int(tally["q"]))
 
         # ---- metadata JSONs → dim_rxn (V3 + W3 + X4) ----
         if jsons:
@@ -264,53 +290,75 @@ class ReactionLake:
                 "source_file",
                 "day",
             ).persist()
-            # Collect the audit set BEFORE appending: dim_new's plan
-            # reads dim_path (the anti-join), and the append refreshes
-            # cached plans on that path — a post-write recompute would
-            # see its own output and anti-join the new rows away.
-            loaded_files = {
-                _strip_scheme(r["source_file"])
-                for r in dim_new.select("source_file").distinct().collect()
-            }
+            files_df = spark.createDataFrame(
+                [(f.path, f.day) for f in jsons], "path string, day string"
+            )
+            loaded = (
+                dim_new.select(_strip_scheme_col(F.col("source_file")).alias("path"))
+                .distinct()
+                .withColumn("__loaded", F.lit(True))
+            )
+            bad = (
+                result.quarantined.select(_strip_scheme_col(F.col("source_file")).alias("path"))
+                .distinct()
+                .withColumn("__bad", F.lit(True))
+            )
+            st = (
+                files_df.join(loaded, "path", "left")
+                .join(bad, "path", "left")
+                .withColumn("status", F.when(F.col("__bad"), "quarantined").otherwise(F.lit("success")))
+                .withColumn(
+                    "error_message",
+                    F.when(F.col("__bad"), "metadata validation failed").when(
+                        F.col("__loaded").isNull() & F.col("__bad").isNull(),
+                        "duplicate simulation_id (skipped)",
+                    ),
+                )
+                .withColumn(
+                    "records_inserted",
+                    F.when(F.col("__bad").isNull() & F.col("__loaded").isNotNull(), 1)
+                    .otherwise(0)
+                    .cast("int"),
+                )
+                .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
+                .withColumn("simulation_id", _filename_key(F.col("path"), r"^metadata_(.+)\.json$"))
+                .withColumn("etl_type", F.lit("metadata"))
+                # Eager lineage break BEFORE the dim append: st's plan
+                # contains the anti-join against dim_path, so any later
+                # re-evaluation (and dim_new.unpersist() CASCADES the
+                # uncache into dependent cached plans, making one
+                # likely) would see the appended output and anti-join
+                # the new rows away. localCheckpoint decouples st from
+                # dim_path entirely; a plain persist() does not survive
+                # the cascade.
+                .localCheckpoint(eager=True)
+            )
+            status_frames.append(st)
             dim_new.write.mode("append").parquet(self.dim_path)
             dim_new.unpersist()
-            bad_files = {
-                _strip_scheme(r["source_file"])
-                for r in result.quarantined.select("source_file").distinct().collect()
-            }
-            if bad_files:
+            tally = st.agg(
+                F.sum("records_inserted").alias("loaded"),
+                F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
+            ).first()
+            dim_loaded += int(tally["loaded"] or 0)
+            quarantined_files += int(tally["q"] or 0)
+            if tally["q"]:
                 result.quarantined.write.mode("append").parquet(self.quarantine_path)
-            for f in jsons:
-                etl_id = new_etl_id()
-                sim_id = _sim_id_from_name(f.path, "metadata_", ".json")
-                audit_events.append(
-                    AuditEvent(etl_id, now, sim_id, "metadata", None, None, "running", None, f.path, f.day)
-                )
-                if f.path in bad_files:
-                    status, err, n = "quarantined", "metadata validation failed", 0
-                    quarantined_files += 1
-                elif f.path in loaded_files:
-                    status, err, n = "success", None, 1
-                    dim_loaded += 1
-                else:  # valid but duplicate simulation_id → skipped
-                    status, err, n = "success", "duplicate simulation_id (skipped)", 0
-                if status == "quarantined":
-                    log.warning("quarantined metadata %s: %s", f.path, err)
-                else:
-                    log.info("metadata %s: %s", f.path, err or "loaded")
-                audit_events.append(
-                    AuditEvent(etl_id, now, sim_id, "metadata", n, None, status, err, f.path, f.day)
-                )
-                manifest_rows.append((f.path, f.day, "metadata", status, now))
+                log.warning("quarantined %d metadata files (validation failed)", int(tally["q"]))
+            log.info("metadata: %d files, %d dim rows loaded", len(jsons), int(tally["loaded"] or 0))
 
-        # ---- audit + manifest appends ----
-        if audit_events:
-            events_df(spark, audit_events).write.mode("append").parquet(self.audit_path)
-        if manifest_rows:
-            spark.createDataFrame(
-                manifest_rows,
-                "source_file string, day string, etl_type string, status string,"
-                " ingested_at timestamp_ntz",
+        # ---- audit + manifest appends (DataFrame-native, W4/W5) ----
+        if status_frames:
+            st_all = status_frames[0]
+            for other in status_frames[1:]:
+                st_all = st_all.unionByName(other, allowMissingColumns=True)
+            _audit_events_frame(st_all, now_col).write.mode("append").parquet(self.audit_path)
+            st_all.select(
+                F.col("path").alias("source_file"),
+                "day",
+                "etl_type",
+                "status",
+                now_col.alias("ingested_at"),
             ).write.mode("append").parquet(self.manifest_path)
 
         if csv_result is not None:
@@ -362,19 +410,64 @@ class ReactionLake:
         return n_newly
 
 
-def _sim_id_from_name(path: str, prefix: str, suffix: str) -> str | None:
-    """Filename-derived simulation id (main.py:23,36 slicing, done safely)."""
-    name = os.path.basename(path)
-    if name.startswith(prefix) and name.endswith(suffix):
-        return name[len(prefix) : -len(suffix)] or None
-    return None
-
-
-def _strip_scheme(path: str) -> str:
+def _strip_scheme_col(c: Column) -> Column:
     """input_file_name() returns file: URIs for local paths; the file
-    listing produces plain paths. Normalize to plain for comparison."""
-    if "://" in path:
-        return "/" + path.split("://", 1)[1].lstrip("/")
-    if path.startswith("file:"):
-        return "/" + path[5:].lstrip("/")
-    return path
+    listing produces plain paths. Normalize to plain for joining —
+    executor-side, so path reconciliation never needs a driver dict."""
+    return F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//)?/*", "/")
+
+
+def _filename_key(path_col: Column, pattern: str) -> Column:
+    """Filename-derived simulation id (main.py:23,36 slicing, done as a
+    regexp over the basename; empty/no match → NULL)."""
+    name = F.element_at(F.split(path_col, "/"), -1)
+    key = F.regexp_extract(name, pattern, 1)
+    return F.when(key != "", key)
+
+
+def _derived_etl_id(path_col: Column, run_token: str) -> Column:
+    """Deterministic, UUID-shaped per-(run, file) id: md5 of the run
+    token + path, formatted 8-4-4-4-12. Replaces the driver-side uuid4
+    loop (X3): computed executor-side, identical for a file's
+    running/terminal event pair, and stable under plan re-evaluation
+    (a nondeterministic uuid() expression could disagree between the
+    audit write and the manifest write of the same status frame)."""
+    h = F.md5(F.concat_ws("|", F.lit(run_token), path_col))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def _audit_events_frame(st: DataFrame, now_col: Column) -> DataFrame:
+    """W4/W5 running→terminal event pair per file, as a DataFrame
+    transform of the per-file status frame (ETL_RUN_LOG_SCHEMA order)."""
+    running = st.select(
+        "etl_id",
+        now_col.alias("event_time"),
+        "simulation_id",
+        "etl_type",
+        F.lit(None).cast("int").alias("records_inserted"),
+        F.lit(None).cast("int").alias("records_updated"),
+        F.lit("running").alias("status"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.col("path").alias("source_file"),
+        "day",
+    )
+    terminal = st.select(
+        "etl_id",
+        now_col.alias("event_time"),
+        "simulation_id",
+        "etl_type",
+        F.col("records_inserted").cast("int").alias("records_inserted"),
+        F.lit(None).cast("int").alias("records_updated"),
+        "status",
+        "error_message",
+        F.col("path").alias("source_file"),
+        "day",
+    )
+    return running.unionByName(terminal)

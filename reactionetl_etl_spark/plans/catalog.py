@@ -2107,6 +2107,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     tags=("window", "rank"),
+    bench=True,
 )
 def totalprice_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist over a TOTAL order, via the two-pass
@@ -2222,6 +2223,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
     """,
     tags=("dedup", "graph"),
+    bench=True,
 )
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not pairs: connected components over the

@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 TABLE_NAMES = (
     "region",
@@ -80,8 +81,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/events.parquet"
     try:
         df = spark.read.parquet(path)
+        # KeyError here (no `ts` column) is real schema drift — let it
+        # propagate instead of silently reading an all-NULL frame
+        # through the nanos fallback (ADVICE r4).
         ts_type = df.schema["ts"].dataType
-    except Exception:  # TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL AnalysisException
+    except AnalysisException:  # TIMESTAMP(NANOS) → PARQUET_TYPE_ILLEGAL
         df, ts_type = None, None
     if df is not None and isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
         return df.withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))

@@ -41,6 +41,10 @@ def dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         # Integer WIDTH is not hash-significant: the driver's value hash
         # serializes int32 and int64 identically (r1-r3 driver rows for
         # rank()/length() int32 columns vs DuckDB BIGINT are all green).
+        # DRIVER-VERSION-COUPLED assumption (ADVICE r4): if a future
+        # driver serializes widths distinctly this collapse hides the
+        # drift — width-only differences are therefore LOGGED (stderr,
+        # non-failing) by main() so they stay visible while iterating.
         # The landmine this check exists for is DuckDB HUGEINT/DOUBLE vs
         # Spark BIGINT, which pandas surfaces as object/float64 — those
         # still mismatch against 'int'.
@@ -120,6 +124,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: dtype mismatch (driver hash is type-sensitive): {bad_types}")
             continue
+        width_only = [
+            f"{col}: spark={sdf[col].dtype} duckdb={odf[col].dtype}"
+            for col in sorted(set(sdf.columns) & set(odf.columns))
+            if str(sdf[col].dtype) != str(odf[col].dtype)
+            and str(sdf[col].dtype).startswith("int")
+            and str(odf[col].dtype).startswith("int")
+        ]
+        if width_only:
+            # Non-failing tripwire: the collapse in dtype_mismatches is
+            # coupled to the driver's width-insensitive hash (see note
+            # there) — keep the differences visible.
+            print(f"note  {name}: int-width-only dtype differences: {width_only}", file=sys.stderr)
         s_rows, o_rows = normalize_rows(sdf), normalize_rows(odf)
         if s_rows != o_rows:
             failures.append(name)
