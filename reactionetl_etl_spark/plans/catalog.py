@@ -63,14 +63,31 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # long-stable tail. This is a committed, static list — ordering is
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
-    # round-3 oracle-type fixes (were hash-mismatched on DuckDB HUGEINT/DOUBLE)
-    "regex_token_totals",
-    "returnflag_priority_matrix",
-    "embedding_centroid_by_label",
-    # round-3 behavior changes (rounding guard / oracle bound / plan rebase)
-    "totalprice_percent_rank",
-    "contamination_check_4gram",
+    # round-5 NEW queries (never driver-checked before this round)
+    "cosine_topk_batch_exact",
+    "lsh_cosine_topk_batch",
+    "ivf_cosine_topk_batch",
+    "contamination_check_shuffle",
+    "multimodal_resize_pixels",
+    "events_sliding_window",
+    "events_dedup_earliest",
+    "orders_approx_percentile_check",
+    "events_approx_distinct_check",
+    "doc_unicode_stats",
+    "events_hourly_gapfill",
+    "lineitem_regression_stats",
+    "part_bool_bit_aggs",
+    "orders_count_if_share",
+    "orders_lag_defaults",
+    "nation_acctbal_concat",
+    "revenue_grouping_sets",
+    "orders_date_arithmetic",
+    "priority_mode_by_month",
+    # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
+    "totalprice_percent_rank",
+    "duplicate_clusters",
+    "ingest_rowcount",
 )
 
 
@@ -2842,4 +2859,422 @@ def lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.expr("(1000000 * n_total) div (n_langs * n_docs)").alias("weight_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 completions: sliding windows, watermark dedup twin, sketch
+# accuracy checks, unicode/text stats, gap-filling, aggregate surface
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_sliding_window",
+    """
+    WITH ex AS (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                   - k.k * INTERVAL '15 minutes' AS ws,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM ex GROUP BY 1, 2
+    """,
+    tags=("events", "time", "window", "streaming"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1h window / 15m slide) event-time aggregation — the
+    batch form of streaming/windows.sliding_event_stats; every event
+    fans out to exactly 4 epoch-aligned windows. The oracle expands the
+    same 4 hops with a generate_series cross join."""
+    from reactionetl_etl_spark.streaming.windows import sliding_event_stats
+
+    ev = load_events(spark, sf_dir)
+    return sliding_event_stats(ev, "1 hour", "15 minutes").select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@_q(
+    "events_dedup_earliest",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM (
+        SELECT e.*, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts ASC, event_id ASC
+        ) AS rn
+        FROM events e
+    )
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup", "streaming"),
+)
+def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup per (user, event_type): the deterministic batch
+    twin of streaming dropDuplicatesWithinWatermark
+    (streaming/windows.dedup_earliest). WindowGroupLimit keeps only
+    each task's local first row per key before the shuffle."""
+    from reactionetl_etl_spark.streaming.windows import dedup_earliest
+
+    ev = load_events(spark, sf_dir)
+    return dedup_earliest(ev, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@_q(
+    "orders_approx_percentile_check",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+           TRUE AS approx_in_bracket
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def orders_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract: approx_percentile(accuracy=10000) must
+    land between the exact 45th and 55th percentile order statistics
+    (rank error ≤ n/accuracy < 1 rank at these group sizes). The exact
+    median is value-oracled; the bracket flag proves the sketch's bound
+    WITHOUT hashing the approximate value itself (which no other engine
+    reproduces)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("__apx"),
+        F.expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY o_totalprice)").alias("__lo"),
+        F.expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY o_totalprice)").alias("__hi"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "exact_median",
+        ((F.col("__apx") >= F.col("__lo")) & (F.col("__apx") <= F.col("__hi"))).alias(
+            "approx_in_bracket"
+        ),
+    )
+
+
+@_q(
+    "events_approx_distinct_check",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "agg", "sketch"),
+)
+def events_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy contract: approx_count_distinct(rsd=1%)
+    within ±5% of the exact distinct count (deterministic given the
+    data — HLL hashing has no RNG — so the flag is stable run to run).
+    The exact count is value-oracled; at 100 TB the sketch is the one
+    that survives (mergeable, constant memory) while exact distinct
+    shuffles every key."""
+    ev = load_events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__apx"),
+    )
+    return g.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__apx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@_q(
+    "doc_unicode_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_codepoints,
+           strlen(text) AS n_bytes,
+           (strlen(text) != length(text)) AS multibyte,
+           md5(lower(translate(text, 'áàâäéèêëíìîïóòôöúùûüñç',
+                                      'aaaaeeeeiiiioooouuuunc'))) AS folded_md5
+    FROM documents
+    """,
+    tags=("text", "unicode", "llm"),
+)
+def doc_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization text stats: codepoint vs byte length
+    (multibyte detection — the cheap CJK/emoji discriminator), and an
+    md5 of the case+accent-folded text (translate-table folding —
+    identical char-for-char semantics cross-engine). Pure per-row
+    expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    folded = F.translate(
+        F.lower("text"), "áàâäéèêëíìîïóòôöúùûüñç", "aaaaeeeeiiiioooouuuunc"
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_codepoints"),
+        F.octet_length("text").alias("n_bytes"),
+        (F.octet_length("text") != F.length("text")).alias("multibyte"),
+        F.md5(folded).alias("folded_md5"),
+    )
+
+
+@_q(
+    "events_hourly_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,
+                      date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS hi
+               FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+          FROM events GROUP BY 1)
+    SELECT CAST(spine.h AS VARCHAR) AS hour_start, coalesce(c.n, 0) AS n
+    FROM spine LEFT JOIN c ON spine.h = c.h
+    """,
+    tags=("events", "time", "gapfill"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time spine with zero-filled gaps — the
+    time-series-completion shape every monitoring/feature pipeline
+    needs. The spine generates from a 1-row bounds aggregate
+    (sequence + explode, broadcast to the counts join), so no driver
+    loop and no assumption that every hour has data."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts_ntz")).alias("lo"),
+        F.date_trunc("hour", F.max("ts_ntz")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", "ts_ntz").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    return spine.join(counts, on="h", how="left").select(
+        F.col("h").cast("string").alias("hour_start"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+@_q(
+    "lineitem_regression_stats",
+    """
+    SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    tags=("agg", "stats"),
+)
+def lineitem_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R²) — one
+    map-side-combinable pass; the moment sums are the whole shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@_q(
+    "part_bool_bit_aggs",
+    """
+    SELECT p_brand,
+           bool_and(p_size > 0) AS all_positive,
+           bool_or(p_size > 40) AS any_large,
+           bit_and(p_size) AS size_bit_and,
+           bit_or(p_size) AS size_bit_or,
+           bit_xor(p_size) AS size_bit_xor
+    FROM part GROUP BY p_brand
+    """,
+    tags=("agg",),
+)
+def part_bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregate surface (bool_and/bool_or,
+    bit_and/or/xor) — all associative+commutative, so map-side partial
+    aggregation applies untouched."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.bool_and(F.col("p_size") > 0).alias("all_positive"),
+        F.bool_or(F.col("p_size") > 40).alias("any_large"),
+        F.bit_and("p_size").alias("size_bit_and"),
+        F.bit_or("p_size").alias("size_bit_or"),
+        F.bit_xor("p_size").alias("size_bit_xor"),
+    )
+
+
+@_q(
+    "orders_count_if_share",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           count(*) FILTER (WHERE o_totalprice <= 100000) AS n_small,
+           round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS avg_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "filter"),
+)
+def orders_count_if_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (count_if / FILTER clause): conditional
+    counting without a pre-filter scan per condition — one pass, every
+    condition evaluated map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.count_if(F.col("o_totalprice") <= 100000).alias("n_small"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2
+        ).alias("avg_f"),
+    )
+
+
+@_q(
+    "orders_lag_defaults",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice, 2, -1.0) OVER w AS lag2_price,
+           lead(o_totalprice, 3, -1.0) OVER w AS lead3_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def orders_lag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset windows with explicit offsets and defaults (lag 2 / lead
+    3, -1 fill) — completes the §2.6 offset-window surface beyond the
+    adjacent-row case."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("lag2_price"),
+        F.lead("o_totalprice", 3, -1.0).over(w).alias("lead3_price"),
+    )
+
+
+@_q(
+    "nation_acctbal_concat",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))), '|')
+               AS bals
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("agg", "array"),
+)
+def nation_acctbal_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: collect_list → array_sort →
+    array_join, value-comparable cross-engine because elements are
+    decimal-formatted strings (double stringification differs between
+    engines; DECIMAL(12,2) renders identically). collect_list is the
+    one agg with per-group memory ∝ group size — fine for dim-sized
+    groups, never for fact-sized ones."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.col("c_acctbal").cast("decimal(12,2)").cast("string"))
+            ),
+            "|",
+        ).alias("bals")
+    )
+
+
+@_q(
+    "revenue_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS revenue,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "groupingsets"),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube) with
+    grouping() indicators — one Expand + one aggregate, not three
+    scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS revenue,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@_q(
+    "orders_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+           quarter(o_orderdate) AS qtr,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    tags=("scalar", "date"),
+)
+def orders_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: month-end, quarter, clamped
+    add-months, day difference — all JVM scalar expressions."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.add_months("o_orderdate", 3).cast("string").alias("plus3m"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@_q(
+    "priority_mode_by_month",
+    """
+    WITH c AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(m AS VARCHAR) AS month, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT c.*, row_number() OVER (
+            PARTITION BY m ORDER BY n DESC, o_orderpriority DESC
+        ) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+    """,
+    tags=("agg", "window", "mode"),
+)
+def priority_mode_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties broken by value
+    DESC) per month — counts then a top-1 window, never a raw mode()
+    whose tie-breaking is engine-defined."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("m").orderBy(F.col("n").desc(), F.col("o_orderpriority").desc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("m").cast("string").alias("month"),
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
     )

@@ -50,6 +50,62 @@ def tumbling_event_stats(
     )
 
 
+def sliding_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts_ntz",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows (4 for 1h/15m), all epoch-aligned.
+
+    State math at scale: state rows = #types × (watermark / slide) ×
+    (window / slide) — still constant in input volume; the fan-out
+    multiplies the SHUFFLE (each row keys window/slide times), which is
+    why production slides are coarse (≥ minutes) and partial
+    aggregation matters even more than for tumbling windows.
+    """
+    if watermark is not None and events.isStreaming:
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        events = events.withWatermark(ts_col, watermark)
+    return events.groupBy(
+        F.window(F.col(ts_col), window, slide).alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def dedup_earliest(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_ntz",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic first-wins dedup: keep each key's earliest row by
+    (event time, tie key). The batch-verifiable twin of
+    `streaming_dedup`/dropDuplicatesWithinWatermark — streaming keeps
+    the first row ENCOUNTERED (arrival order), which equals this
+    event-time pick whenever the source replays in event-time order.
+    One shuffle on the keys; the rank filter plans as WindowGroupLimit
+    (map-side partial top-1 before the exchange)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tie_col).asc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

@@ -159,6 +159,53 @@ def test_tumbling_window_streaming_parity(spark, sf_dir, tmp_path):
     assert got == ev.count()
 
 
+def test_sliding_window_batch_fanout(spark, sf_dir):
+    """Every event lands in exactly window/slide = 4 sliding windows:
+    the windowed row-count total is 4× the input."""
+    from reactionetl_etl_spark.streaming.windows import sliding_event_stats
+
+    ev = load_events(spark, sf_dir)
+    windowed = sliding_event_stats(ev, "1 hour", "15 minutes")
+    assert windowed.agg(F.sum("n")).first()[0] == 4 * ev.count()
+
+
+def test_sliding_window_streaming_parity(spark, sf_dir, tmp_path):
+    """The SAME sliding plan over readStream with a watermark yields
+    identical totals (AvailableNow over a parquet copy)."""
+    from reactionetl_etl_spark.streaming.windows import sliding_event_stats
+
+    ev = load_events(spark, sf_dir)
+    src = str(tmp_path / "events_slide_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    windowed = sliding_event_stats(stream, "1 hour", "15 minutes", watermark="2 hours")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) FROM slide_test").first()[0]
+    assert got == 4 * ev.count()
+
+
+def test_dedup_earliest_matches_streaming_first_wins(spark, sf_dir):
+    """dedup_earliest (the batch twin of dropDuplicatesWithinWatermark)
+    keeps exactly one row per key — the event-time-first one."""
+    from reactionetl_etl_spark.streaming.windows import dedup_earliest
+
+    ev = load_events(spark, sf_dir)
+    out = dedup_earliest(ev, ["user_id", "event_type"])
+    keys = ev.select("user_id", "event_type").distinct().count()
+    assert out.count() == keys
+    # each kept row carries its key's minimum timestamp
+    mins = ev.groupBy("user_id", "event_type").agg(F.min("ts_ntz").alias("mn"))
+    joined = out.join(mins, ["user_id", "event_type"])
+    assert joined.filter(F.col("ts_ntz") != F.col("mn")).count() == 0
+
+
 def test_streaming_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
     """A replayed (duplicated) event batch is deduplicated by key under
     a watermark; only first occurrences survive."""
