@@ -235,6 +235,12 @@ class ReactionLake:
                 # Eager lineage break (files-sized frame): the audit and
                 # manifest writes must not re-evaluate this plan after
                 # csv_result.release() drops the cleanse persists.
+                # repartition (NOT coalesce — coalesce would drag the
+                # whole upstream cleanse down to one task) keeps the
+                # checkpointed frame at one partition per ~100k files so
+                # the downstream jobs (audit, manifest, tally) don't
+                # each schedule near-empty tasks.
+                .repartition(max(1, len(csvs) // 100_000))
                 .localCheckpoint(eager=True)
             )
             status_frames.append(st)
@@ -331,6 +337,7 @@ class ReactionLake:
                 # the new rows away. localCheckpoint decouples st from
                 # dim_path entirely; a plain persist() does not survive
                 # the cascade.
+                .repartition(max(1, len(jsons) // 100_000))
                 .localCheckpoint(eager=True)
             )
             status_frames.append(st)
