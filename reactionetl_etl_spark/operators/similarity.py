@@ -403,6 +403,79 @@ def ivf_cosine_topk_batch(
     )
 
 
+def write_lsh_index(
+    embeddings: DataFrame,
+    dim: int,
+    path: str,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "append",
+) -> None:
+    """Persist the LSH-bucketed vector index: parquet PARTITIONED BY the
+    bucket id. Sign each vector once, when it arrives (``mode='append'``
+    grows the index incrementally — the hyperplanes are deterministic,
+    so old and new batches bucket consistently); ANN probes then read
+    only the partitions their queries hash into."""
+    with_lsh_bucket(embeddings, dim, bits, vec_col).select(
+        id_col, vec_col, "lsh_bucket"
+    ).write.mode(mode).partitionBy("lsh_bucket").parquet(path)
+
+
+def probe_lsh_index(
+    queries: DataFrame,
+    index: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN against a PERSISTED index (``spark.read.parquet`` of a
+    `write_lsh_index` layout): queries are bucketed with the same
+    deterministic hyperplanes and equi-joined to the index on the
+    bucket id. Because ``lsh_bucket`` is the index's PARTITION column
+    and the broadcast query side is selective, Spark's dynamic
+    partition pruning skips every index partition no query hashes into
+    — the probe reads ~|query buckets|/2^bits of the index, not all of
+    it. Per-query top-k as in `cosine_topk_batch`.
+
+    ``bits``/``dim`` must equal the index's build parameters.
+    """
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    bq = with_lsh_bucket(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
+        dim,
+        bits,
+        "__qvec",
+        out_col="__qb",
+    ).select("__qid", as_double_array("__qvec").alias("__q"), "__qb")
+    pairs = index.join(
+        F.broadcast(bq), on=F.col("lsh_bucket") == F.col("__qb"), how="inner"
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -2315,7 +2315,18 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bernoulli per row, no shuffle. Rows-only check: the sampling
     algorithm is engine-defined, so no cross-engine oracle exists."""
     ev = load_events(spark, sf_dir)
-    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    # sampleBy takes a driver-side fraction map, so the class list must
+    # be driver-sized by contract — bounded here so a high-cardinality
+    # column fails loudly instead of collecting millions of classes.
+    types = [
+        r["event_type"] for r in ev.select("event_type").distinct().limit(1001).collect()
+    ]
+    if len(types) > 1000:
+        raise ValueError(
+            "stratified sampling is for LOW-cardinality class columns; "
+            ">1000 distinct event_type values collected — use a hash-split "
+            "(operators/split.py) or per-class filters at this cardinality"
+        )
     fractions = {t: (0.5 if i % 2 == 0 else 0.1) for i, t in enumerate(sorted(types))}
     return ev.sampleBy("event_type", fractions, seed=42).select(
         "event_id", "event_type", "user_id"

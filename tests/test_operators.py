@@ -257,6 +257,53 @@ def test_batch_ann_recall_vs_exact(spark):
         assert q not in ids  # self excluded
 
 
+def test_lsh_index_probe_matches_inplan_batch(spark, sf_dir, tmp_path):
+    """Probing the PERSISTED bucket-partitioned index returns exactly
+    what the in-plan batch computes (deterministic hyperplanes bucket
+    both identically), and appending a second batch grows the index."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "lsh_index")
+    S.write_lsh_index(first, dim=64, path=path, bits=4)
+    S.write_lsh_index(second, dim=64, path=path, bits=4)  # incremental append
+
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = spark.read.parquet(path)
+    probe = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in S.probe_lsh_index(qs, idx, dim=64, k=5, bits=4).collect()
+    }
+    inplan = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in S.lsh_cosine_topk_batch(qs, emb, dim=64, k=5, bits=4).collect()
+    }
+    assert probe == inplan and probe
+
+
+def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe must touch only the bucket partitions the queries hash
+    into: with one query there is exactly one query bucket, and the
+    executed plan's dynamic-pruning/partition filters must reference
+    lsh_bucket rather than scanning all 2^bits partitions."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_index_prune")
+    S.write_lsh_index(emb, dim=64, path=path, bits=4, mode="overwrite")
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = S.probe_lsh_index(qs, spark.read.parquet(path), dim=64, k=5, bits=4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):
     from reactionetl_etl_spark.sources.tables import load_table
 

@@ -97,6 +97,14 @@ def test_global_rank_is_distributed(spark, sf_dir):
             )
 
 
+def test_dedup_earliest_windowgrouplimit(spark, sf_dir):
+    """The watermark-dedup batch twin must plan its rank-1 filter as
+    WindowGroupLimit: each map task emits only its local first row per
+    key before the shuffle."""
+    plan = plan_of(spark, sf_dir, "events_dedup_earliest")
+    assert "WindowGroupLimit" in plan
+
+
 def test_promo_revenue_plan_pinned(spark, sf_dir):
     """promo_revenue_pct's intended physical strategy, pinned after the
     r4 bench drift investigation (PERF_NOTES.md): month filter pushed
