@@ -82,6 +82,55 @@ def dense_sequence(
     )
 
 
+def binned_range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval) join that scales to LARGE interval tables.
+
+    A non-equi `lo <= v AND v < hi` join plans as
+    BroadcastNestedLoopJoin — O(|facts|·|ranges|) compares, fine only
+    while the ranges side is broadcast-tiny. This recovers an EQUI-join
+    by binning the value domain: each fact row keys on
+    floor(value/bin_width); each range row explodes to every bin its
+    [lo, hi) interval overlaps; the join is then hash-partitioned on
+    the bin id and the exact predicate re-filters within candidate
+    pairs. Work scales with |facts| + |ranges|·(avg interval width /
+    bin_width) + true matches — pick bin_width ≈ the typical interval
+    width so ranges explode to O(1) bins each.
+
+    Half-open [lo, hi) semantics, matching the broadcast-NLJ formulation
+    in `quantity_band_range_join`. ``how='inner'`` only (candidate
+    explosion breaks outer-join multiplicity).
+    """
+    if how != "inner":
+        raise ValueError("binned_range_join supports inner joins only")
+    w = float(bin_width)
+    f = facts.withColumn("__bin", F.floor(F.col(value_col) / F.lit(w)).cast("long"))
+    # hi is exclusive: a range touching a bin boundary exactly at hi
+    # does not overlap that bin, hence the epsilon-free floor on
+    # hi/w minus the boundary case handled by the exact re-filter.
+    r = ranges.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    return (
+        f.join(r, on="__bin", how="inner")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bin")
+    )
+
+
 def topk(df: DataFrame, order_exprs: list, k: int) -> DataFrame:
     """Global deterministic top-k. Spark plans this as TakeOrderedAndProject:
     per-partition heaps + a k-row merge on the driver — no global sort,

@@ -1784,6 +1784,38 @@ def quantity_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quantity_band_range_join_binned",
+    """
+    SELECT b.band_name, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+                 ('large', 25.0, 45.0), ('huge', 45.0, 100.0))
+         AS b(band_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("join", "range", "binned"),
+)
+def quantity_band_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME range join through the LARGE-interval-table path
+    (operators/relational.binned_range_join): intervals explode to the
+    10-unit bins they overlap, the join hash-partitions on the bin id
+    (never a nested-loop), and the exact predicate re-filters
+    candidates. Identical oracle to the broadcast-NLJ formulation —
+    the point is the plan, which a test pins as equi-join-only."""
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 25.0), ("large", 25.0, 45.0), ("huge", 45.0, 100.0)],
+        "band_name string, lo double, hi double",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    joined = R.binned_range_join(li, bands, "l_quantity", "lo", "hi", bin_width=10.0)
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+
+
+@_q(
     "orders_above_customer_avg",
     """
     SELECT o_orderkey FROM orders o

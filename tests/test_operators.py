@@ -173,6 +173,28 @@ def test_connected_components_clusters(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_binned_range_join_boundaries(spark):
+    """Half-open [lo, hi) semantics across bin boundaries: a value
+    exactly at hi never matches; exactly at lo always does; intervals
+    spanning many bins match everywhere inside."""
+    facts = spark.createDataFrame([(float(v),) for v in (0, 5, 10, 19.999, 20, 35)], "v double")
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("wide", 0.0, 35.0)],
+        "name string, lo double, hi double",
+    )
+    got = {
+        (r["v"], r["name"])
+        for r in R.binned_range_join(facts, ranges, "v", "lo", "hi", bin_width=7.0).collect()
+    }
+    expected = {
+        (v, n)
+        for v in (0.0, 5.0, 10.0, 19.999, 20.0, 35.0)
+        for (n, lo, hi) in (("a", 0, 10), ("b", 10, 20), ("wide", 0, 35))
+        if lo <= v < hi
+    }
+    assert got == expected
+
+
 def test_cosine_topk_matches_numpy(spark, sf_dir):
     import numpy as np
     import pyarrow.parquet as pq

@@ -97,6 +97,15 @@ def test_global_rank_is_distributed(spark, sf_dir):
             )
 
 
+def test_binned_range_join_is_equi(spark, sf_dir):
+    """The binned range join must never plan a nested loop: the bin-id
+    equi-join (hash or broadcast-hash) carries the candidates and the
+    exact range predicate re-filters them."""
+    plan = plan_of(spark, sf_dir, "quantity_band_range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # an actual equi-join happened
+
+
 def test_dedup_earliest_windowgrouplimit(spark, sf_dir):
     """The watermark-dedup batch twin must plan its rank-1 filter as
     WindowGroupLimit: each map task emits only its local first row per
