@@ -178,6 +178,46 @@ def token_ngrams(df: DataFrame, text_col: str, k: int) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the
+    context-window packing step of every pretraining/RAG pipeline.
+
+    Chunk starts are 1, 1+stride, 1+2·stride, … up to
+    max(n_tokens − overlap, 1) (overlap = chunk_tokens − stride), so
+    every token is covered and only the last chunk may run short.
+    Emits (…original columns…, chunk_idx, chunk_text, chunk_n_tokens).
+    One explode per row, zero shuffle — chunking streams through the
+    scan at any corpus size.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    overlap = chunk_tokens - stride
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    starts = F.expr(
+        f"sequence(1, greatest(size(__toks) - {overlap}, 1), {stride})"
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("__start", F.explode(starts))
+        .withColumn("chunk_idx", ((F.col("__start") - 1) / stride).cast("long"))
+        .withColumn(
+            "chunk_text",
+            F.array_join(F.expr(f"slice(__toks, __start, {chunk_tokens})"), " "),
+        )
+        .withColumn(
+            "chunk_n_tokens", F.expr(f"size(slice(__toks, __start, {chunk_tokens}))")
+        )
+        .drop("__toks", "__start")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_set: DataFrame,

@@ -83,6 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     "revenue_grouping_sets",
     "orders_date_arithmetic",
     "priority_mode_by_month",
+    "quantity_band_range_join_binned",
+    "doc_chunking_overlap",
+    "events_trailing_hour_sum",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3320,4 +3323,70 @@ def priority_mode_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("mode_priority"),
             "n",
         )
+    )
+
+
+@_q(
+    "doc_chunking_overlap",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+           md5(array_to_string(toks[s:s+63], ' ')) AS chunk_md5,
+           len(toks[s:s+63]) AS chunk_n_tokens
+    FROM c
+    """,
+    tags=("text", "chunking", "llm"),
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: 64-token chunks, stride 48 (16-token
+    overlap), every token covered, last chunk may run short
+    (operators/text.chunk_documents). Chunk text is md5'd for the
+    value oracle. One explode per doc, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, "text", chunk_tokens=64, stride=48).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+    )
+
+
+@_q(
+    "events_trailing_hour_sum",
+    """
+    SELECT event_id, user_id,
+           floor(sum(value) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                 ) * 100 + 0.5) / 100 AS trail_1h
+    FROM events
+    """,
+    tags=("events", "window", "range-frame"),
+)
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-range window frame: per-user trailing-1-hour value sum
+    (inclusive bounds, peers included — RANGE semantics). Spark orders
+    by epoch microseconds with rangeBetween(-3_600_000_000, 0), exactly
+    DuckDB's INTERVAL 1 HOUR frame at microsecond precision. One
+    shuffle on user_id."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts_ntz").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    trail = F.sum("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(trail * 100 + F.lit(0.5)) / 100).alias("trail_1h"),
     )

@@ -528,6 +528,31 @@ def test_token_ngrams_truncates_short_docs(spark):
     }
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in some chunk; consecutive chunks overlap by
+    chunk-stride tokens; short docs yield exactly one chunk."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"].split(" "))
+        for r in TX.chunk_documents(df, "text", chunk_tokens=64, stride=48).collect()
+    )
+    by_doc = {}
+    for d, i, toks in rows:
+        by_doc.setdefault(d, []).append((i, toks))
+    # doc 2: 3 tokens < chunk → one short chunk
+    assert by_doc[2] == [(0, ["a", "b", "c"])]
+    # doc 1: starts at 1 and 49 → chunks [t0..t63], [t48..t99]
+    assert [i for i, _ in by_doc[1]] == [0, 1]
+    c0, c1 = by_doc[1][0][1], by_doc[1][1][1]
+    assert c0 == [f"t{i}" for i in range(64)]
+    assert c1 == [f"t{i}" for i in range(48, 100)]
+    assert set(c0) | set(c1) == {f"t{i}" for i in range(100)}  # full coverage
+    assert set(c0) & set(c1) == {f"t{i}" for i in range(48, 64)}  # 16-token overlap
+
+
 def test_ngram_contamination_finds_planted_overlap(spark):
     train = spark.createDataFrame(
         [
