@@ -97,6 +97,14 @@ def test_global_rank_is_distributed(spark, sf_dir):
             )
 
 
+def test_doc_chunking_zero_shuffle(spark, sf_dir):
+    """Chunking is a pure map (split + explode + slice): no Exchange,
+    no Python stage — it must stream through the scan at any scale."""
+    plan = plan_of(spark, sf_dir, "doc_chunking_overlap")
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_binned_range_join_is_equi(spark, sf_dir):
     """The binned range join must never plan a nested loop: the bin-id
     equi-join (hash or broadcast-hash) carries the candidates and the
