@@ -191,3 +191,30 @@ def test_contamination_self_probe_hits_every_doc(spark, docs):
     }
     for i, _ in rows:
         assert got.get((i, i), 0) >= 1
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9999).map(lambda i: i / 100.0),
+        min_size=0,
+        max_size=20,
+    ),
+    bin_width=st.sampled_from([1.0, 3.0, 7.5, 50.0]),
+)
+@settings(**SETTINGS)
+def test_binned_range_join_matches_naive(spark, vals, bin_width):
+    """The bin-id equi-join formulation returns exactly the pairs of a
+    naive non-equi range join, for any bin width."""
+    from reactionetl_etl_spark.operators.relational import binned_range_join
+
+    ranges = [("a", 0.0, 10.0), ("b", 10.0, 25.0), ("c", 5.0, 60.0), ("d", 60.0, 100.0)]
+    facts = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rdf = spark.createDataFrame(ranges, "name string, lo double, hi double")
+    got = {
+        (r["v"], r["name"])
+        for r in binned_range_join(facts, rdf, "v", "lo", "hi", bin_width).collect()
+    }
+    expected = {
+        (float(v), n) for v in vals for (n, lo, hi) in ranges if lo <= float(v) < hi
+    }
+    assert got == expected
