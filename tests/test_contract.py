@@ -55,3 +55,13 @@ def test_catalog_columns_matches_file_schemas(spark, sf_dir):
             assert got[t]["ts_ntz"] == "timestamp_ntz"
         else:
             assert set(got[t]) == file_cols, t
+
+
+def test_priority_names_all_registered():
+    """A typo'd _PRIORITY entry silently loses its front-of-queue slot —
+    every name must exist in the registry, without duplicates."""
+    from reactionetl_etl_spark.plans.catalog import _PRIORITY, _REGISTRY
+
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    assert not missing, missing
+    assert len(set(_PRIORITY)) == len(_PRIORITY)
