@@ -476,6 +476,104 @@ def probe_lsh_index(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    dim: int,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    train: bool = True,
+    mode: str = "overwrite",
+) -> list[list[float]]:
+    """Persist the IVF inverted index: vectors as parquet PARTITIONED BY
+    their coarse cell, centroids alongside (``<path>/centroids``) so a
+    later probe assigns queries with the index's exact geometry.
+    Returns the centroids used. Unlike LSH, appending NEW batches must
+    reuse the stored centroids (pass them in) — retraining would
+    re-cell old data inconsistently."""
+    if centroids is None and train:
+        centroids = train_ivf_centroids(embeddings, n_cells, vec_col)
+    cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
+    spark = embeddings.sparkSession
+    with_ivf_cell(embeddings, dim, len(cents), vec_col, centroids=cents).select(
+        id_col, vec_col, "ivf_cell"
+    ).write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/vectors")
+    # centroids always overwrite: appends must pass the stored
+    # centroids, so the sidecar is identical — append mode would
+    # duplicate its rows.
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Centroids of a `write_ivf_index` layout, in cell order."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [list(r["centroid"]) for r in rows]
+
+
+def probe_ivf_index(
+    queries: DataFrame,
+    index_vectors: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN against a PERSISTED IVF index
+    (``spark.read.parquet(f"{path}/vectors")`` +
+    `read_ivf_centroids`): queries explode to their n_probe nearest
+    stored cells and equi-join the index on its PARTITION column, so
+    dynamic partition pruning reads only probed cells. Per-query top-k
+    as in `cosine_topk_batch`."""
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    qvec = as_double_array(qv)
+    cell_scores = F.array(
+        *[dot(qvec, F.array(*[F.lit(w) for w in c])) for c in centroids]
+    )
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(zip_with(__cscores, sequence(0, {len(centroids) - 1}),"
+        f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            qvec.alias("__q"),
+            cell_scores.alias("__cscores"),
+        )
+        .select("__qid", "__q", F.explode(probe_cells).alias("__probe_cell"))
+    )
+    pairs = index_vectors.join(
+        F.broadcast(q), on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner"
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -326,6 +326,40 @@ def test_lsh_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
 
 
+def test_ivf_index_probe_matches_inplan_batch(spark, tmp_path):
+    """Probing the persisted IVF index with its stored centroids
+    returns exactly what the in-plan batch computes with the same
+    centroids, and an appended second batch (re-celled with the STORED
+    centroids) lands consistently."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "ivf_index")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = S.write_ivf_index(first, dim=64, path=path, n_cells=8)
+    # append the second batch with the STORED centroids (never retrain)
+    S.write_ivf_index(second, dim=64, path=path, centroids=cents, mode="append")
+
+    stored = S.read_ivf_centroids(spark, path)
+    assert stored == [[float(x) for x in c] for c in cents]
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    probe = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in S.probe_ivf_index(qs, vectors, stored, k=5, n_probe=4).collect()
+    }
+    inplan = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in S.ivf_cosine_topk_batch(
+            qs, emb, dim=64, k=5, n_cells=8, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert probe == inplan and probe
+
+
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):
     from reactionetl_etl_spark.sources.tables import load_table
 
