@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "quantity_band_range_join_binned",
     "doc_chunking_overlap",
     "events_trailing_hour_sum",
+    "corpus_deterministic_shuffle",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3390,3 +3391,33 @@ def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.floor(trail * 100 + F.lit(0.5)) / 100).alias("trail_1h"),
     )
+
+
+@_q(
+    "corpus_deterministic_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS shuffle_pos
+    FROM documents
+    """,
+    tags=("sampling", "llm", "rank"),
+)
+def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RNG-free corpus shuffling for training-order randomization:
+    position = rank over a cryptographic hash of the id. Reproducible
+    across runs, engines, and cluster sizes (no seed state to lose),
+    resumable mid-epoch (position is a pure function of the id), and
+    computed with the DISTRIBUTED global rank — no single-partition
+    window over the corpus."""
+    from reactionetl_etl_spark.operators.rank import global_order_ranks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ranked = global_order_ranks(
+        docs,
+        rank_exprs=[F.md5(F.col("doc_id").cast("string"))],
+        rank_desc=[False],
+        tie_exprs=[F.col("doc_id")],
+        tie_desc=[False],
+    )
+    return ranked.select("doc_id", F.col("global_row_number").alias("shuffle_pos"))
