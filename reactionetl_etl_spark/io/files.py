@@ -63,6 +63,27 @@ def write_files(
     w.format(fmt).save(path)
 
 
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    max_records_per_file: int = 100_000,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Export as size-bounded shards: no output file exceeds
+    ``max_records_per_file`` rows (Spark's maxRecordsPerFile rolls
+    files within each task). The training-data export shape — loaders
+    want many same-sized shards, not one file per Spark partition of
+    whatever size the shuffle left behind. Parallelism is untouched:
+    every task writes its own rolling shard sequence."""
+    _check_format(fmt)
+    w = df.write.mode(mode).option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
 def read_files(
     spark: SparkSession,
     path: str,

@@ -169,3 +169,22 @@ def test_file_reader_requires_schema_for_text_formats(spark, tmp_path):
         read_files(spark, str(tmp_path), fmt="csv")
     with pytest.raises(ValueError, match="unsupported format"):
         read_files(spark, str(tmp_path), fmt="avro")
+
+
+def test_write_sharded_bounds_file_sizes(spark, sf_dir, tmp_path):
+    """No shard exceeds max_records_per_file; content round-trips."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from reactionetl_etl_spark.io.files import write_sharded
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "shards")
+    write_sharded(orders.repartition(2), out, max_records_per_file=500)
+    shards = glob.glob(f"{out}/*.parquet")
+    assert len(shards) >= orders.count() // 500  # actually rolled
+    for s in shards:
+        assert pq.ParquetFile(s).metadata.num_rows <= 500
+    assert spark.read.parquet(out).count() == orders.count()
