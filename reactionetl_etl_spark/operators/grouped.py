@@ -50,6 +50,38 @@ def zscore_per_group_pandas(
     return df.groupBy(*group_cols).applyInPandas(norm, schema=schema)
 
 
+def ewma_per_group_pandas(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per group, ordered by
+    ``order_cols`` — the canonical GENUINE applyInPandas case: an EWMA
+    is a sequential recurrence (y_t = α·x_t + (1−α)·y_{t−1}, y_0 = x_0;
+    pandas adjust=False), which no Catalyst window frame expresses
+    (frames aggregate, they don't recurse). Each group sorts in-task
+    and runs pandas' vectorized `ewm`; one shuffle on the group key,
+    Arrow both ways.
+
+    Determinism requires ``order_cols`` to totally order each group.
+    """
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} double"
+    order_list = list(order_cols)
+
+    def ew(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_list, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(ew, schema=schema)
+
+
 def zscore_per_group_window(
     df: DataFrame, group_cols: Sequence[str], value_col: str, out_col: str = "zscore"
 ) -> DataFrame:

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_chunking_overlap",
     "events_trailing_hour_sum",
     "corpus_deterministic_shuffle",
+    "events_ewma_final",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3421,3 +3422,33 @@ def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_desc=[False],
     )
     return ranked.select("doc_id", F.col("global_row_number").alias("shuffle_pos"))
+
+
+@_q(
+    "events_ewma_final",
+    """
+    SELECT user_id,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma_final
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "time", "udf", "recurrence"),
+)
+def events_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA end state (alpha=0.2) — a sequential RECURRENCE,
+    the one per-group shape Catalyst windows cannot express, run as an
+    Arrow-batched applyInPandas (operators/grouped.ewma_per_group_pandas)
+    and value-oracled against DuckDB's list_reduce fold of the same
+    recurrence in the same event order."""
+    from reactionetl_etl_spark.operators.grouped import ewma_per_group_pandas
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    ew = ewma_per_group_pandas(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.2, out_col="ewma"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ew.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.round("ewma", 6).alias("ewma_final"))
+    )

@@ -626,3 +626,27 @@ def test_ngram_contamination_shuffle_path_parity(spark, sf_dir):
         ).collect()
     }
     assert bc == sh and bc
+
+
+# ---------------------------------------------------------------------------
+# grouped (EWMA recurrence)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_manual_recurrence(spark):
+    from reactionetl_etl_spark.operators.grouped import ewma_per_group_pandas
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, t long, value double"
+    )
+    out = {
+        r["t"]: r["ewma"]
+        for r in ewma_per_group_pandas(df, ["k"], ["t"], "value", alpha=0.5).collect()
+    }
+    y = vals[0]
+    expect = {0: y}
+    for i, x in enumerate(vals[1:], start=1):
+        y = 0.5 * x + 0.5 * y
+        expect[i] = y
+    assert out == expect
