@@ -225,6 +225,39 @@ def ivf_cosine_topk(
     )
 
 
+def _score_and_topk(
+    pairs: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared tail of every batch/probe ANN path: score candidate
+    (corpus row × __qid/__q) pairs with exact cosine and keep each
+    query's top-k by rounded similarity, ties by ascending id. The
+    rank filter plans as WindowGroupLimit — each map task emits only
+    its local top-k per query before the exchange."""
+    from pyspark.sql import Window
+
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def cosine_topk_batch(
     queries: DataFrame,
     corpus: DataFrame,
@@ -252,8 +285,6 @@ def cosine_topk_batch(
     broken by ascending id. ``exclude_self`` drops corpus rows whose id
     equals the query id (the single-query semantics).
     """
-    from pyspark.sql import Window
-
     qv = query_vec_col or vec_col
     q = queries.select(
         F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
@@ -261,22 +292,7 @@ def cosine_topk_batch(
     if broadcast_queries:
         q = F.broadcast(q)
     pairs = corpus.crossJoin(q)
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
-    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
 
 
 def lsh_cosine_topk_batch(
@@ -300,8 +316,6 @@ def lsh_cosine_topk_batch(
     corpus never shuffles for the join at all. Per-query top-k as in
     `cosine_topk_batch` (WindowGroupLimit partial before the exchange).
     """
-    from pyspark.sql import Window
-
     qv = query_vec_col or vec_col
     bq = with_lsh_bucket(
         queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
@@ -314,22 +328,7 @@ def lsh_cosine_topk_batch(
         bq = F.broadcast(bq)
     bc = with_lsh_bucket(corpus, dim, bits, vec_col, out_col="__cb")
     pairs = bc.join(bq, on=F.col("__cb") == F.col("__qb"), how="inner")
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
-    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
 
 
 def ivf_cosine_topk_batch(
@@ -360,8 +359,6 @@ def ivf_cosine_topk_batch(
     are exactly why multi-probe exists; recall scales with n_probe at
     n_probe/n_cells of the scan cost.
     """
-    from pyspark.sql import Window
-
     if centroids is None and train:
         centroids = train_ivf_centroids(corpus, n_cells, vec_col)
     cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
@@ -385,22 +382,7 @@ def ivf_cosine_topk_batch(
     if broadcast_queries:
         q = F.broadcast(q)
     pairs = celled.join(q, on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner")
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
-    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
 
 
 def write_lsh_index(
@@ -445,8 +427,6 @@ def probe_lsh_index(
 
     ``bits``/``dim`` must equal the index's build parameters.
     """
-    from pyspark.sql import Window
-
     qv = query_vec_col or vec_col
     bq = with_lsh_bucket(
         queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
@@ -458,22 +438,7 @@ def probe_lsh_index(
     pairs = index.join(
         F.broadcast(bq), on=F.col("lsh_bucket") == F.col("__qb"), how="inner"
     )
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
-    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
 
 
 def write_ivf_index(
@@ -534,8 +499,6 @@ def probe_ivf_index(
     stored cells and equi-join the index on its PARTITION column, so
     dynamic partition pruning reads only probed cells. Per-query top-k
     as in `cosine_topk_batch`."""
-    from pyspark.sql import Window
-
     qv = query_vec_col or vec_col
     qvec = as_double_array(qv)
     cell_scores = F.array(
@@ -556,22 +519,7 @@ def probe_ivf_index(
     pairs = index_vectors.join(
         F.broadcast(q), on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner"
     )
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
-    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        pairs.select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
 
 
 def cosine_neardup_pairs(
