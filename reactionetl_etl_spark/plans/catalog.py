@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_trailing_hour_sum",
     "corpus_deterministic_shuffle",
     "events_ewma_final",
+    "events_value_histogram",
+    "user_retention_cohorts",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3452,3 +3454,64 @@ def events_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", F.round("ewma", 6).alias("ewma_final"))
     )
+
+
+@_q(
+    "events_value_histogram",
+    """
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "agg", "histogram"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (width 5) over the value column — one
+    map-side-combinable aggregate keyed on the bucket id; the shape
+    behind every distribution dashboard at any scale."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.floor(F.col("value") / 5.0).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@_q(
+    "user_retention_cohorts",
+    """
+    WITH f AS (
+        SELECT user_id, date_trunc('day', CAST(min(ts) AS TIMESTAMP)) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+           date_diff('day', f.cohort,
+                     date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS day_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "cohort"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-seen day, counted
+    distinct on each later active day offset — the two-aggregate +
+    self-join product-analytics staple. The first-seen table is
+    user-sized (≪ events) and joins back on user_id; both aggregates
+    combine map-side."""
+    ev = load_events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts_ntz")).alias("cohort")
+    )
+    joined = ev.join(first, on="user_id")
+    return joined.groupBy(
+        # DuckDB date_trunc('day') yields DATE; cast before stringifying
+        F.col("cohort").cast("date").cast("string").alias("cohort_day"),
+        F.datediff(F.date_trunc("day", "ts_ntz").cast("date"), F.col("cohort").cast("date")).alias(
+            "day_offset"
+        ),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
