@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_ewma_final",
     "events_value_histogram",
     "user_retention_cohorts",
+    "events_funnel_3step",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3515,3 +3516,42 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_offset"
         ),
     ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
+@_q(
+    "events_funnel_3step",
+    """
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_click_after_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click) AS n_full_funnel
+    FROM s
+    """,
+    tags=("events", "agg", "funnel"),
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: per-user first-occurrence times
+    via conditional min (ONE pass over events, no per-step self-joins —
+    the naive N-way join formulation shuffles the fact table once per
+    step), then ordered-step counting over the user-sized summary."""
+    ev = load_events(spark, sf_dir)
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return s.agg(
+        F.count_if(viewed).alias("n_view"),
+        F.count_if(clicked).alias("n_click_after_view"),
+        F.count_if(purchased).alias("n_full_funnel"),
+    )
