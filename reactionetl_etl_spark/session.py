@@ -41,6 +41,38 @@ _DEFAULTS = {
 }
 
 
+def cluster_conf(
+    total_cores: int,
+    executor_mem_gb: int = 32,
+) -> dict[str, str]:
+    """Recommended overrides for a REAL cluster run at ~100 TB — the
+    documented delta from the local `_DEFAULTS` (pass to `get_spark`
+    as overrides, or mirror into spark-submit --conf):
+
+    - shuffle.partitions ≈ 2-3× total cores: enough granularity for
+      AQE to coalesce DOWN (it never splits up non-skewed partitions),
+      sized so a ~200 MB-per-partition shuffle of a multi-TB stage
+      fits executor memory with headroom.
+    - maxPartitionBytes stays 128 MB (scan-task sizing is about
+      per-task decode cost, not cluster size).
+    - advisoryPartitionSizeInBytes 128 MB guides AQE's coalescing and
+      skew-split target.
+    - autoBroadcastJoinThreshold stays 64 MB: dims are the same size
+      regardless of fact scale; raising it further risks driver OOM
+      collecting a mis-estimated side.
+    - RocksDB state store for streaming: state beyond executor-heap
+      scale (sessionization over millions of users) spills to local
+      disk instead of OOMing.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(max(2 * total_cores, 200)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    }
+
+
 def get_spark(app_name: str = "reactionetl-etl-spark", **overrides: str) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
