@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_value_histogram",
     "user_retention_cohorts",
     "events_funnel_3step",
+    "orders_column_profile",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3555,3 +3556,56 @@ def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(clicked).alias("n_click_after_view"),
         F.count_if(purchased).alias("n_full_funnel"),
     )
+
+
+@_q(
+    "orders_column_profile",
+    """
+    SELECT 'o_custkey' AS column_name, count(*) AS n,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_v,
+           CAST(max(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR),
+           CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("profile", "quality"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality sweep every ETL onboarding
+    runs): per-column row/null/distinct counts and min/max, computed in
+    ONE table pass — all columns' aggregates ride the same scan and the
+    long format comes from exploding a struct array, not from N
+    per-column scans (the UNION in the oracle is DuckDB-side only)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax: Callable[[F.Column], F.Column]):
+        return F.struct(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            minmax(F.min(col)).cast("string").alias("min_v"),
+            minmax(F.max(col)).cast("string").alias("max_v"),
+        )
+
+    ident = lambda c: c  # noqa: E731
+    money = lambda c: F.round(c, 2)  # noqa: E731
+    profiled = o.agg(
+        F.array(
+            prof("o_custkey", ident),
+            prof("o_totalprice", money),
+            prof("o_orderstatus", ident),
+        ).alias("__profiles")
+    )
+    return profiled.select(F.explode("__profiles").alias("p")).select("p.*")
