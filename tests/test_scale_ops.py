@@ -165,3 +165,39 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in expected.collect()}
     assert got == want
+
+
+def test_upsert_partitioned_updates_and_inserts(spark, tmp_path):
+    """Upsert rewrites only touched partitions: matched keys get the
+    new payload, new keys insert, untouched partitions' files stay."""
+    import glob
+
+    import pytest
+
+    from reactionetl_etl_spark.etl.upsert import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d3")],
+        "k long, v string, day string",
+    )
+    base.write.partitionBy("day").parquet(path)
+    untouched_before = sorted(glob.glob(f"{path}/day=d3/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [(2, "B2", "d1"), (5, "e", "d2")], "k long, v string, day string"
+    )
+    n = upsert_partitioned(spark, path, updates, ["k"], "day")
+    assert n == 2
+    got = {r["k"]: (r["v"], r["day"]) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", "d1"), 2: ("B2", "d1"), 3: ("c", "d2"), 5: ("e", "d2"), 4: ("d", "d3"),
+    }
+    # dynamic overwrite must not rewrite the untouched partition
+    assert sorted(glob.glob(f"{path}/day=d3/*.parquet")) == untouched_before
+
+    dup = spark.createDataFrame(
+        [(7, "x", "d1"), (7, "y", "d1")], "k long, v string, day string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        upsert_partitioned(spark, path, dup, ["k"], "day")
