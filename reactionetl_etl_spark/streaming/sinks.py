@@ -147,3 +147,47 @@ def stream_dedup_against_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_batch_writer(table_path: str, key_cols: list[str], partition_col: str):
+    """foreachBatch callback: micro-batch → keyed upsert into a
+    partitioned parquet table (etl/upsert.py). Replays are idempotent
+    BY CONSTRUCTION — re-applying the same batch anti-joins its own
+    keys out and rewrites the same partitions to the same content — so
+    the at-least-once delivery foreachBatch gives on retry needs no
+    batch_id bookkeeping. Within one batch, keys must be unique
+    (dedupe upstream with dedup_earliest; the upsert raises otherwise).
+    """
+    from reactionetl_etl_spark.etl.upsert import upsert_partitioned
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if not os.path.exists(table_path):
+            batch_df.write.partitionBy(partition_col).parquet(table_path)
+            logger.info("upsert sink: created %s from batch %d", table_path, batch_id)
+            return
+        n = upsert_partitioned(spark, table_path, batch_df, key_cols, partition_col)
+        logger.info("upsert sink: batch %d applied %d rows", batch_id, n)
+
+    return write_batch
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """Run a stream into the keyed-upsert sink (AvailableNow-friendly);
+    returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            upsert_batch_writer(table_path, key_cols, partition_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

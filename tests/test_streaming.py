@@ -318,3 +318,31 @@ def test_dedup_probe_corrupt_index_raises(spark, tmp_path):
     # and nothing was appended to the corrupt index
     names = set(os.listdir(index_path))
     assert names == {"part-00000.parquet"}
+
+
+def test_stream_upsert_sink_idempotent_replay(spark, tmp_path):
+    """Streaming micro-batches upsert into a partitioned table; keys
+    replayed in a later batch overwrite instead of duplicating."""
+    from reactionetl_etl_spark.streaming.sinks import stream_upsert
+
+    src = str(tmp_path / "upsert_src")
+    # batch 1: initial rows
+    spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "k long, v string, day string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    table = str(tmp_path / "upsert_table")
+    ckpt = str(tmp_path / "upsert_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("k long, v string, day string").parquet(src)
+        q = stream_upsert(stream, table, ["k"], "day", ckpt)
+        q.awaitTermination(120)
+
+    run()
+    # batch 2: one replayed key with new payload + one new key
+    spark.createDataFrame(
+        [(2, "B2", "d2"), (3, "c", "d1")], "k long, v string, day string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {r["k"]: (r["v"], r["day"]) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", "d1"), 2: ("B2", "d2"), 3: ("c", "d1")}
