@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "events_funnel_3step",
     "orders_column_profile",
+    "ngram_containment_pairs",
     # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
     "dense_sequence_customer",
     "totalprice_percent_rank",
@@ -3609,3 +3610,63 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__profiles")
     )
     return profiled.select(F.explode("__profiles").alias("p")).select("p.*")
+
+
+@_q(
+    "ngram_containment_pairs",
+    """
+    WITH t0 AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), t AS (
+        SELECT * FROM t0 QUALIFY count(*) OVER (PARTITION BY pfx) <= 64
+    )
+    SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               floor(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+                     / len(a.toks) * 1e4 + 0.5) / 1e4 AS cont_a_in_b,
+               floor(CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+                     / len(b.toks) * 1e4 + 0.5) / 1e4 AS cont_b_in_a
+        FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    )
+    WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+    """,
+    tags=("dedup", "text", "containment"),
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment (|A∩B|/|A| and /|B|) over blocked
+    candidate pairs — the quote/subset detector symmetric Jaccard
+    misses: a short doc fully contained in a long one scores low
+    Jaccard but 1.0 containment. Same prefix blocking + bucket cap as
+    ngram_jaccard_pairs (in production, candidates come from the
+    MinHash index; this is the verification stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(norm, " ")).alias("toks"),
+        F.substring(norm, 1, 32).alias("pfx"),
+    )
+    bw = Window.partitionBy("pfx")
+    t = (
+        t.withColumn("__bsize", F.count("*").over(bw))
+        .filter(F.col("__bsize") <= 64)
+        .drop("__bsize")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    c_ab = F.floor(inter / F.size(F.col("a.toks")) * 1e4 + F.lit(0.5)) / 1e4
+    c_ba = F.floor(inter / F.size(F.col("b.toks")) * 1e4 + F.lit(0.5)) / 1e4
+    return (
+        a.join(b, on="pfx")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .filter((F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8))
+    )
