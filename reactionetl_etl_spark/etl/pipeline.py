@@ -41,6 +41,7 @@ touches only unenriched partitions.
 from __future__ import annotations
 
 import os
+import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -147,7 +148,11 @@ class ReactionLake:
     ) -> RunResult:
         """Process every not-yet-processed file under incoming/<day>/."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
-        run_token = now.isoformat()
+        # one nonce per run_once call: etl_ids stay deterministic WITHIN
+        # a run (audit + manifest writes of the same status frame agree)
+        # but two runs given the same explicit `now` (tests, replays) no
+        # longer collide in the append-only audit log
+        run_token = f"{now.isoformat()}|{uuid.uuid4().hex}"
         now_col = F.lit(now.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
         csvs = self._new_files(spark, list_raw_files(incoming_root, ".csv"))
         jsons = self._new_files(spark, list_raw_files(incoming_root, ".json"))

@@ -16,6 +16,19 @@ partitions only. Last-writer-wins inside a batch is made deterministic
 by dropDuplicates on the key after ordering is the CALLER's concern —
 this function requires key-unique updates and raises otherwise (a
 silent arbitrary pick is how upserts corrupt tables).
+
+Partition-immutability contract: by default a key's ``partition_col``
+value is assumed IMMUTABLE (the common case — the partition is a
+derived attribute of the key, e.g. the event day of an event id).
+Under that contract, touched partitions are exactly the updates'
+partitions and no other partition can hold an update's key. When keys
+CAN migrate between partitions (e.g. a status-partitioned table),
+pass ``keys_move_partitions=True``: one extra key semi-join pass over
+the NON-touched partitions finds each moving key's old home so its
+stale row is rewritten away too. That pass scans the rest of the
+table's key column (column-pruned, but not partition-pruned — the
+unavoidable price of not knowing where keys live), which is why it is
+opt-in rather than the default.
 """
 
 from __future__ import annotations
@@ -30,13 +43,23 @@ def upsert_partitioned(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    keys_move_partitions: bool = False,
 ) -> int:
     """Upsert ``updates`` into the parquet table at ``table_path``.
 
     Returns the number of update rows applied. Updates must carry the
     full table schema (including ``partition_col``) and be unique on
-    ``key_cols``.
+    ``key_cols``. With the default ``keys_move_partitions=False`` the
+    caller asserts ``partition_col`` is immutable per key; if a key in
+    fact moved, its old row would survive in its untouched partition
+    and the table would carry a duplicate key — pass
+    ``keys_move_partitions=True`` for tables where that can happen.
     """
+    if partition_col in key_cols and keys_move_partitions:
+        raise ValueError(
+            f"partition_col {partition_col!r} is part of key_cols — keys "
+            "cannot move partitions by construction"
+        )
     dup = updates.groupBy(*key_cols).count().filter(F.col("count") > 1)
     if dup.limit(1).count() > 0:
         raise ValueError(
@@ -49,6 +72,18 @@ def upsert_partitioned(
         return 0
     table = spark.read.parquet(table_path)
     days = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if keys_move_partitions:
+        # find the OLD home of any key that migrated: key semi-join over
+        # the partitions not already being rewritten (key column only —
+        # column pruning keeps the scan narrow; metadata-sized collect)
+        old_homes = (
+            table.filter(~F.col(partition_col).isin(days))
+            .join(updates.select(*key_cols).distinct(), on=key_cols, how="left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        )
+        days = days + [r[0] for r in old_homes]
     touched = table.filter(F.col(partition_col).isin(days))
     # no broadcast hint: update batches can be any size — AQE broadcasts
     # the key projection when it fits, shuffles both sides when not
@@ -60,4 +95,20 @@ def upsert_partitioned(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(table_path)
     )
+    if keys_move_partitions:
+        # dynamic overwrite only rewrites partitions PRESENT in the
+        # written data — a migration that empties its old partition
+        # leaves that partition untouched (stale row intact). Drop the
+        # emptied partitions explicitly via the Hadoop FS.
+        present = {r[0] for r in merged.select(partition_col).distinct().collect()}
+        emptied = [d for d in days if d not in present]
+        if emptied:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for d in emptied:
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{table_path}/{partition_col}={d}"
+                )
+                fs = jpath.getFileSystem(hconf)
+                fs.delete(jpath, True)
     return n_updates

@@ -151,7 +151,12 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
             return None
     if len(vals) < 3 or i >= len(b):
         return None
-    i += 1  # exactly one whitespace byte separates maxval from pixel data
+    # exactly ONE whitespace byte separates maxval from pixel data (the
+    # P6 spec) — verify it rather than assume: a comment or extra
+    # whitespace here would shift the pixel offset and decode garbage
+    if b[i] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+        return None
+    i += 1
     w, h, maxval = vals
     if w <= 0 or h <= 0 or not (0 < maxval < 65536):
         return None

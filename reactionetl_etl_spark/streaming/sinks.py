@@ -161,11 +161,21 @@ def upsert_batch_writer(table_path: str, key_cols: list[str], partition_col: str
     from reactionetl_etl_spark.etl.upsert import upsert_partitioned
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
-        if not os.path.exists(table_path):
-            batch_df.write.partitionBy(partition_col).parquet(table_path)
+        # existence via the Hadoop FileSystem API, not os.path — the
+        # table can live on hdfs:// or s3a:// where a driver-local stat
+        # always says "missing" and the bootstrap branch would misfire
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            # explicit overwrite: a crashed first attempt can leave a
+            # partial directory behind; errorifexists would then wedge
+            # the stream forever, while overwrite of the partial
+            # bootstrap converges (later retries take the upsert path)
+            batch_df.write.mode("overwrite").partitionBy(partition_col).parquet(
+                table_path
+            )
             logger.info("upsert sink: created %s from batch %d", table_path, batch_id)
             return
         n = upsert_partitioned(spark, table_path, batch_df, key_cols, partition_col)

@@ -201,3 +201,30 @@ def test_upsert_partitioned_updates_and_inserts(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not unique"):
         upsert_partitioned(spark, path, dup, ["k"], "day")
+
+
+def test_upsert_partitioned_key_moves_partition(spark, tmp_path):
+    """keys_move_partitions=True evicts a migrating key's stale row
+    from its OLD partition; the default (immutability contract) leaves
+    it, which is the documented duplicate-key hazard."""
+    from reactionetl_etl_spark.etl.upsert import upsert_partitioned
+
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d3")],
+        "k long, v string, day string",
+    )
+    move = spark.createDataFrame([(2, "B", "d9")], "k long, v string, day string")
+
+    # default contract: old row survives → duplicate key (the hazard)
+    p_default = str(tmp_path / "t_default")
+    base.write.partitionBy("day").parquet(p_default)
+    upsert_partitioned(spark, p_default, move, ["k"], "day")
+    assert spark.read.parquet(p_default).filter("k = 2").count() == 2
+
+    # opt-in migration handling: old home rewritten without the key
+    p_move = str(tmp_path / "t_move")
+    base.write.partitionBy("day").parquet(p_move)
+    n = upsert_partitioned(spark, p_move, move, ["k"], "day", keys_move_partitions=True)
+    assert n == 1
+    got = {r["k"]: (r["v"], r["day"]) for r in spark.read.parquet(p_move).collect()}
+    assert got == {1: ("a", "d1"), 2: ("B", "d9"), 3: ("c", "d3")}
