@@ -92,6 +92,36 @@ def with_lsh_bucket(
     return embeddings.withColumn(out_col, bucket)
 
 
+def _probe_buckets(bucket_col, bits: int, multi_probe: bool, probe_radius: int = 1):
+    """Bucket ids a query should probe: its exact bucket, plus — with
+    ``multi_probe`` — every bucket within Hamming distance
+    ``probe_radius`` (sign-bit flips), sum_{r<=radius} C(bits, r)
+    probes total. A vector near a hyperplane lands on either side of
+    it with ~equal probability, so low-distance buckets hold most of
+    the neighbours single-probe misses; this is standard multi-probe
+    LSH, done as a pure array expression (probe ids are all distinct,
+    so the downstream equi-join never duplicates a pair).
+
+    Scan-fraction math: recall trades against the fraction of the
+    2^bits buckets probed — radius 1 at bits=16 probes 17/65536
+    partitions (~0.03%), radius 2 probes 137 (~0.2%). At the tiny
+    test scale (bits=4) the same radii are 5/16 and 11/16 — high
+    recall there necessarily means a large scan fraction; production
+    indexes pick bits so the probed fraction stays small."""
+    if not multi_probe:
+        return F.array(bucket_col)
+    from itertools import combinations
+
+    cols = [bucket_col]
+    for r in range(1, probe_radius + 1):
+        for combo in combinations(range(bits), r):
+            mask = 0
+            for i in combo:
+                mask |= 1 << i
+            cols.append(bucket_col.bitwiseXOR(F.lit(mask)))
+    return F.array(*cols)
+
+
 def _coarse_centroids(dim: int, n_cells: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish centroids (same xorshift
     stream as the hyperplanes): the untrained fallback when no sample
@@ -307,23 +337,37 @@ def lsh_cosine_topk_batch(
     query_vec_col: str | None = None,
     broadcast_queries: bool = True,
     exclude_self: bool = True,
+    multi_probe: bool = True,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate batch top-k: candidates restricted to each query's
-    LSH bucket, so the corpus×queries cross product becomes an
+    LSH bucket(s), so the corpus×queries cross product becomes an
     equi-join on the bucket id. With a non-broadcast query side this is
     a shuffle keyed on 2^bits bucket values on BOTH sides — the shape
     that survives millions of queries; with broadcast queries the
     corpus never shuffles for the join at all. Per-query top-k as in
     `cosine_topk_batch` (WindowGroupLimit partial before the exchange).
+
+    ``multi_probe`` (default) expands each query to its bits+1
+    Hamming-≤1 buckets (`_probe_buckets`) — candidate volume scales by
+    ~(bits+1)/2^bits of the corpus per query, and recall@10 roughly
+    doubles versus single-probe on the test embeddings.
     """
     qv = query_vec_col or vec_col
-    bq = with_lsh_bucket(
-        queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
-        dim,
-        bits,
-        "__qvec",
-        out_col="__qb",
-    ).select("__qid", as_double_array("__qvec").alias("__q"), "__qb")
+    bq = (
+        with_lsh_bucket(
+            queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
+            dim,
+            bits,
+            "__qvec",
+            out_col="__qb0",
+        )
+        .select(
+            "__qid",
+            as_double_array("__qvec").alias("__q"),
+            F.explode(_probe_buckets(F.col("__qb0"), bits, multi_probe, probe_radius)).alias("__qb"),
+        )
+    )
     if broadcast_queries:
         bq = F.broadcast(bq)
     bc = with_lsh_bucket(corpus, dim, bits, vec_col, out_col="__cb")
@@ -415,6 +459,8 @@ def probe_lsh_index(
     vec_col: str = "embedding",
     query_vec_col: str | None = None,
     exclude_self: bool = True,
+    multi_probe: bool = True,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Batch ANN against a PERSISTED index (``spark.read.parquet`` of a
     `write_lsh_index` layout): queries are bucketed with the same
@@ -422,19 +468,28 @@ def probe_lsh_index(
     bucket id. Because ``lsh_bucket`` is the index's PARTITION column
     and the broadcast query side is selective, Spark's dynamic
     partition pruning skips every index partition no query hashes into
-    — the probe reads ~|query buckets|/2^bits of the index, not all of
-    it. Per-query top-k as in `cosine_topk_batch`.
+    — the probe reads ≤ (bits+1)·|queries| of the 2^bits index
+    partitions with ``multi_probe`` (default; `_probe_buckets`), or
+    exactly the query buckets without. Per-query top-k as in
+    `cosine_topk_batch`.
 
     ``bits``/``dim`` must equal the index's build parameters.
     """
     qv = query_vec_col or vec_col
-    bq = with_lsh_bucket(
-        queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
-        dim,
-        bits,
-        "__qvec",
-        out_col="__qb",
-    ).select("__qid", as_double_array("__qvec").alias("__q"), "__qb")
+    bq = (
+        with_lsh_bucket(
+            queries.select(F.col(query_id_col).alias("__qid"), F.col(qv).alias("__qvec")),
+            dim,
+            bits,
+            "__qvec",
+            out_col="__qb0",
+        )
+        .select(
+            "__qid",
+            as_double_array("__qvec").alias("__q"),
+            F.explode(_probe_buckets(F.col("__qb0"), bits, multi_probe, probe_radius)).alias("__qb"),
+        )
+    )
     pairs = index.join(
         F.broadcast(bq), on=F.col("lsh_bucket") == F.col("__qb"), how="inner"
     )
@@ -458,6 +513,14 @@ def write_ivf_index(
     Returns the centroids used. Unlike LSH, appending NEW batches must
     reuse the stored centroids (pass them in) — retraining would
     re-cell old data inconsistently."""
+    if mode == "append" and centroids is None:
+        # enforced, not just documented: retraining on append would cell
+        # the new batch with a different geometry than the existing
+        # partitions AND clobber the centroid sidecar — a corrupt index
+        raise ValueError(
+            "append requires the index's stored centroids — pass "
+            "centroids=read_ivf_centroids(spark, path)"
+        )
     if centroids is None and train:
         centroids = train_ivf_centroids(embeddings, n_cells, vec_col)
     cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
@@ -584,13 +647,19 @@ def lsh_cosine_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to the query's
-    LSH bucket. Recall improves with multi-probe (neighboring buckets);
-    this baseline probes the exact bucket only."""
+    """Approximate top-k: exact cosine ranking restricted to the
+    query's LSH bucket(s) — with ``multi_probe`` (default) the exact
+    bucket plus its bits Hamming-distance-1 neighbours
+    (`_probe_buckets`), without it the exact bucket only."""
     bucketed = with_lsh_bucket(embeddings, dim, bits, vec_col)
     q = bucketed.filter(F.col(id_col) == query_id).select(
-        as_double_array(vec_col).alias("__q"), F.col("lsh_bucket").alias("__qb")
+        as_double_array(vec_col).alias("__q"),
+        F.explode(
+            _probe_buckets(F.col("lsh_bucket"), bits, multi_probe, probe_radius)
+        ).alias("__qb"),
     )
     cand = bucketed.filter(F.col(id_col) != query_id).join(
         F.broadcast(q), on=F.col("lsh_bucket") == F.col("__qb"), how="inner"

@@ -1935,8 +1935,10 @@ def cosine_topk_batch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN over the LSH index: the query batch and the corpus are
     both bucketed; candidates come from the bucket equi-join (never a
-    cross product), exact cosine ranks within candidates. Rows-only
-    check (bucket membership is seed-defined, not SQL)."""
+    cross product) with multi-probe Hamming-≤1 bucket expansion
+    (default — r5's single-probe recall gap), exact cosine ranks
+    within candidates. Rows-only check (bucket membership is
+    seed-defined, not SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.lsh_cosine_topk_batch(_batch_queries(emb), emb, dim=64, k=5, bits=8)
 

@@ -254,9 +254,13 @@ def test_batch_ann_recall_vs_exact(spark):
     """LSH and IVF batch variants: per-query recall against the exact
     batch top-10 (sf0.01, 500 vectors — enough for trained cells).
     IVF multi-probe (10/16 cells — the embeddings are near-uniform,
-    IVF's hardest case) must average ≥0.8 recall; single-bucket LSH is the
-    low-recall baseline — only sanity-bound it (subset + nonempty for
-    most queries)."""
+    IVF's hardest case) must average ≥0.8 recall; multi-probe LSH
+    recall must climb with probe radius. On UNIFORM random vectors LSH
+    recall ≈ scan fraction (no cluster structure to exploit — the
+    worst case; real embedding corpora cluster), so the radii map to
+    measured recalls ~0.18 (single, 1/16 buckets) → ~0.51 (r1, 5/16)
+    → ~0.78 (r2, 11/16) → ~0.99 (r3, 15/16): r1 strictly beats
+    single-probe, r2 ≥ 0.7, r3 ≥ 0.8 (VERDICT r5's recall bar)."""
     from reactionetl_etl_spark.sources.tables import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
@@ -271,12 +275,24 @@ def test_batch_ann_recall_vs_exact(spark):
         ivf.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(exact[q] & ivf.get(q, set())) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
-    lsh = {}
-    for r in S.lsh_cosine_topk_batch(qs, emb, dim=64, k=10, bits=4).collect():
-        lsh.setdefault(r["query_id"], set()).add(r["vec_id"])
-    assert sum(1 for q in exact if lsh.get(q)) >= 6  # most queries find candidates
-    for q, ids in lsh.items():
-        assert q not in ids  # self excluded
+
+    def lsh_recall(multi_probe, probe_radius=1):
+        got = {}
+        rows = S.lsh_cosine_topk_batch(
+            qs, emb, dim=64, k=10, bits=4,
+            multi_probe=multi_probe, probe_radius=probe_radius,
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            assert r["query_id"] != r["vec_id"]  # self excluded
+        rs = [len(exact[q] & got.get(q, set())) / 10 for q in exact]
+        return sum(rs) / len(rs)
+
+    single = lsh_recall(False)
+    r1, r2, r3 = lsh_recall(True, 1), lsh_recall(True, 2), lsh_recall(True, 3)
+    assert r1 > single, (single, r1)
+    assert r2 >= 0.7, (single, r1, r2)
+    assert r3 >= 0.8, (single, r1, r2, r3)
 
 
 def test_lsh_index_probe_matches_inplan_batch(spark, sf_dir, tmp_path):
@@ -358,6 +374,11 @@ def test_ivf_index_probe_matches_inplan_batch(spark, tmp_path):
         ).collect()
     }
     assert probe == inplan and probe
+    # append without the stored centroids must refuse, not retrain
+    import pytest
+
+    with pytest.raises(ValueError, match="stored centroids"):
+        S.write_ivf_index(second, dim=64, path=path, mode="append")
 
 
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):
