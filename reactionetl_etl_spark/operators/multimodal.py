@@ -3,9 +3,11 @@
 North-star extension (BASELINE.json): treat image/audio/video as
 `binary` columns with a typed metadata struct, processed by
 Arrow-batched pandas functions over `mapInPandas` — the Spark-side
-plumbing (schema, batch shape, partition sizing) is real and tested;
-the codec itself is STUBBED because no image/audio libraries exist in
-this container.
+plumbing (schema, batch shape, partition sizing) is real and tested.
+Pixel codecs are REAL for BMP, PPM (uncompressed) and non-interlaced
+8-bit PNG (stdlib zlib + numpy scanline unfilter); JPEG/GIF/video
+decode stays STUBBED because no codec libraries exist in this
+container.
 
     spark.read.format("binaryFile").load(dir)          → ingest
     with_media_metadata(df)                            → sniff container
@@ -163,16 +165,155 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
     return w, h, maxval, i
 
 
+def _png_unfilter(raw, h: int, w: int, channels: int):
+    """Reverse PNG scanline filtering (spec §9): each stored row is a
+    filter-type byte + filtered bytes. None/Up are whole-row vector
+    ops; Sub is a per-channel cumulative sum (mod 256) down the row;
+    Average/Paeth carry a true per-pixel recurrence, so those rows fall
+    back to a bpp-wide stepping loop. Returns (h, w, channels) uint8 or
+    None on malformed input."""
+    import numpy as np
+
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        return None
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int32)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f = ftypes[y]
+        line = lines[y]
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: recon = cumsum of deltas per channel
+            rec = (line.reshape(w, bpp).cumsum(axis=0) & 0xFF).reshape(stride)
+        elif f == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                s = slice(x0, x0 + bpp)
+                left = (line[s] + ((left + prior[s]) >> 1)) & 0xFF
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                s = slice(x0, x0 + bpp)
+                up = prior[s]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (line[s] + pred) & 0xFF
+                rec[s] = left
+                upleft = up
+        else:
+            return None
+        out[y] = rec
+        prior = out[y].astype(np.int32)
+    return out.reshape(h, w, channels)
+
+
+def _png_decode(b: bytes):
+    """Pure-stdlib PNG pixel decode: zlib-inflate the IDAT stream and
+    numpy-unfilter the scanlines. Handles non-interlaced 8-bit
+    grayscale (0), RGB (2), gray+alpha (4) and RGBA (6) — the common
+    cases; 16-bit, palette, and Adam7 return None. Output is (h, w, 3)
+    uint8 RGB: gray replicates, alpha is DROPPED (this codec feeds
+    feature extraction / resize, not compositing)."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(b):
+        (length,), ctype = struct.unpack(">I", b[i : i + 4]), b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if (
+        channels is None or depth != 8 or comp != 0 or filt != 0
+        or interlace != 0 or w <= 0 or h <= 0
+    ):
+        return None
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error:
+        return None
+    px = _png_unfilter(raw, h, w, channels)
+    if px is None:
+        return None
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return np.ascontiguousarray(px[..., :3])  # RGBA → RGB
+
+
+def encode_png(arr) -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit RGB PNG bytes
+    (filter 0 on every scanline, one zlib IDAT) — the inverse of
+    `_png_decode` for color type 2, stdlib-only like the decoder."""
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    scan = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(payload: bytes):
-    """REAL pixel decode for the two uncompressed containers a codec-
-    free environment can handle bit-exactly: 24-bit BI_RGB BMP and
-    binary PPM (P6, maxval ≤ 255). Returns an (h, w, 3) uint8 RGB numpy
-    array, or None for any other container (those stay stubbed —
-    PNG/JPEG/GIF need a compression codec).
+    """REAL pixel decode for the containers a codec-free environment
+    can handle: 24-bit BI_RGB BMP and binary PPM (P6, maxval ≤ 255)
+    bit-exactly, and non-interlaced 8-bit PNG via stdlib zlib +
+    numpy scanline unfiltering (`_png_decode`). Returns an (h, w, 3)
+    uint8 RGB numpy array, or None for anything else (JPEG/GIF stay
+    stubbed — their codecs aren't DEFLATE).
     """
     import numpy as np
 
     b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(b)
     if b[:2] == b"BM" and len(b) >= 54:
         off = struct.unpack("<I", b[10:14])[0]
         w, h = struct.unpack("<ii", b[18:26])
@@ -314,14 +455,15 @@ def resize_images(
 
     The TARGET-GEOMETRY computation is real (header-parsed source
     dims → integer aspect-preserving fit, the part pipelines get wrong
-    most often). The pixel resample is REAL for the uncompressed
-    containers — 24-bit BMP and binary PPM decode to numpy, get
+    most often). The pixel resample is REAL for BMP, PPM, and
+    non-interlaced 8-bit PNG — payloads decode to numpy
+    (decode_pixels; PNG via stdlib zlib + scanline unfilter), get
     nearest-neighbour-resampled at destination-pixel centres, and
-    re-encode to the same container (decode_pixels / resample_nearest /
-    encode_*). Compressed formats (PNG/JPEG/GIF) still pass bytes
-    through unchanged — they need a codec library this container lacks;
-    production swaps the decode_pixels call for PIL, nothing else
-    changes. Images already within bounds keep their dims and bytes.
+    re-encode to the same container (PNG stays PNG as 8-bit RGB).
+    JPEG/GIF still pass bytes through unchanged — their codecs aren't
+    DEFLATE and no codec library exists in this container; production
+    swaps the decode_pixels call for PIL, nothing else changes. Images
+    already within bounds keep their dims and bytes.
 
     Narrow map via mapInPandas: payloads stream as Arrow batches,
     never as Python row objects; no shuffle at any scale.
@@ -351,12 +493,15 @@ def resize_images(
                         dh = max(1, (sh * max_side + long_side // 2) // long_side)
                 if dims is not None and (dw, dh) != (sw, sh):
                     px = decode_pixels(data)
-                    if px is not None:  # real resample: BMP / PPM
+                    if px is not None:  # real resample: BMP / PPM / PNG
                         resized = resample_nearest(px, dw, dh)
-                        data = (
-                            encode_bmp(resized) if data[:2] == b"BM" else encode_ppm(resized)
-                        )
-                    # compressed containers: bytes pass through (stub)
+                        if data[:2] == b"BM":
+                            data = encode_bmp(resized)
+                        elif data[:2] == b"P6":
+                            data = encode_ppm(resized)
+                        else:
+                            data = encode_png(resized)
+                    # JPEG/GIF: bytes pass through (stub)
                 out["media_id"].append(mid)
                 out["src_width"].append(sw)
                 out["src_height"].append(sh)

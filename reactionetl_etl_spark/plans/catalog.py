@@ -1716,10 +1716,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("multimodal_resize_pixels", None, tags=("multimodal",))
 def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode→resample→re-encode round-trip on the multimodal
-    path: each document's bytes are shaped into a 32×32 24-bit BMP
-    (executor-side, mapInPandas — nothing synthesizes on the driver),
-    resize_images nearest-neighbour-resamples it to 8×8 through the
-    numpy codec, and the output carries the re-encoded payload's md5 —
+    path: each document's bytes are shaped into a 32×32 image
+    (executor-side, mapInPandas — nothing synthesizes on the driver)
+    in a container cycling BMP / PNG / PPM by doc_id, so every real
+    codec — including the stdlib-zlib PNG decoder — is exercised.
+    resize_images nearest-neighbour-resamples to 8×8 through the numpy
+    codec and the output carries the re-encoded payload's md5 —
     deterministic, so the rows-only check still pins content drift.
     """
     import pandas as pd
@@ -1730,11 +1732,16 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("raw")
     )
 
-    def to_bmp(batches):
+    def to_image(batches):
         import numpy as np
 
-        from reactionetl_etl_spark.operators.multimodal import encode_bmp
+        from reactionetl_etl_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
 
+        encoders = [encode_bmp, encode_png, encode_ppm]
         need = 32 * 32 * 3
         for pdf in batches:
             out_ids, out_blobs = [], []
@@ -1743,12 +1750,12 @@ def multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = (b * (need // len(b) + 1))[:need]
                 arr = np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3)
                 out_ids.append(mid)
-                out_blobs.append(encode_bmp(arr))
+                out_blobs.append(encoders[int(mid) % 3](arr))
             yield pd.DataFrame({"media_id": out_ids, "content": out_blobs})
 
-    bmp_schema = "media_id long, content binary"
-    bmps = docs.mapInPandas(to_bmp, bmp_schema)
-    resized = resize_images(bmps, max_side=8)
+    img_schema = "media_id long, content binary"
+    imgs = docs.mapInPandas(to_image, img_schema)
+    resized = resize_images(imgs, max_side=8)
     return resized.select(
         "media_id",
         "src_width",

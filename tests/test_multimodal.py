@@ -201,3 +201,154 @@ def test_ppm_mime_and_dims():
 
     ppm = b"P6\n# a comment\n12 34\n255\n" + b"\x00" * (12 * 34 * 3)
     assert parse_image_dims(ppm) == (12, 34)
+
+
+def test_png_codec_roundtrip():
+    """decode(encode(arr)) is bit-exact for 8-bit RGB PNG (stdlib zlib
+    codec), across geometries including 1-pixel edges."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+        parse_image_dims,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(8, 6), (7, 5), (1, 1), (3, 9), (64, 2)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_png(arr)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        assert parse_image_dims(blob) == (w, h)
+        assert np.array_equal(decode_pixels(blob), arr), (w, h)
+
+
+def test_png_decode_all_filter_types():
+    """The scanline unfilter must invert every PNG filter type (0–4).
+    Build a PNG by FILTERING a known image with a chosen filter per
+    row (the reference forward transforms from the spec), then assert
+    the decoder reconstructs the original exactly."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.default_rng(23)
+    w, h, bpp = 9, 5, 3
+    arr = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    flat = arr.reshape(h, w * bpp).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    scan = b""
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = flat[y]
+        prior = flat[y - 1] if y > 0 else np.zeros(w * bpp, dtype=np.int32)
+        filt = np.empty(w * bpp, dtype=np.int32)
+        for x in range(w * bpp):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            upleft = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = paeth(left, up, upleft)
+            filt[x] = (row[x] - pred) & 0xFF
+        scan += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_pixels(blob), arr)
+
+
+def test_png_decode_gray_and_alpha_channels():
+    """Grayscale replicates to RGB; RGBA/gray+alpha drop alpha —
+    documented codec contract for non-RGB color types."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    def build(color_type, channels, px):
+        h, w = px.shape[:2]
+        scan = b"".join(
+            b"\x00" + px[y].tobytes() for y in range(h)
+        )
+
+        def chunk(ctype, data):
+            return (
+                st.pack(">I", len(data)) + ctype + data
+                + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = decode_pixels(build(0, 1, gray))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    got = decode_pixels(build(6, 4, rgba))
+    assert np.array_equal(got, rgba[..., :3])
+
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    got = decode_pixels(build(4, 2, ga))
+    assert np.array_equal(got, np.repeat(ga[..., :1], 3, axis=2))
+
+    # 16-bit depth and interlaced stay unsupported → None (stub path)
+    deep = build(2, 3, rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8))
+    deep = deep.replace(
+        st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0),
+        st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
+    )
+    assert decode_pixels(deep) is None
+
+
+def test_resize_resamples_png_pixels(spark):
+    """PNG goes through the REAL pixel path now: a 4-quadrant 64x64 PNG
+    downscaled to 16x16 re-encodes as a PNG whose pixels equal the
+    quadrant pattern at 16x16 (not a byte passthrough)."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    src = _quadrant_array(64, 64)
+    df = spark.createDataFrame([(1, encode_png(src))], "media_id long, content binary")
+    r = resize_images(df, max_side=16).collect()[0]
+    assert (r["dst_width"], r["dst_height"]) == (16, 16)
+    blob = bytes(r["content"])
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"  # same container back
+    assert np.array_equal(decode_pixels(blob), _quadrant_array(16, 16))
