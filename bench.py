@@ -100,6 +100,62 @@ def _gen_incoming(root: str, n_files: int | None = None) -> int:
     return total
 
 
+def _time_plan(mk_df, runs: int = None) -> tuple[float, float, list[float]]:
+    """(cold sec, warm-median sec, warm runs) for a plan builder,
+    executed to completion with the no-op sink (same methodology as the
+    catalog queries: one timed cold run — codegen compilation, worker
+    spin-up — then the median of QUERY_BENCH_RUNS warm runs)."""
+    import statistics
+
+    t0 = time.perf_counter()
+    mk_df().write.format("noop").mode("overwrite").save()
+    cold = time.perf_counter() - t0
+    warm_runs = []
+    for _ in range(QUERY_BENCH_RUNS if runs is None else runs):
+        df = mk_df()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        warm_runs.append(time.perf_counter() - t0)
+    return cold, statistics.median(warm_runs), warm_runs
+
+
+def bench_index_probes(spark, sf_dir: str) -> dict[str, tuple[float, float, list[float]]]:
+    """Persisted-index ANN probes — the 100 TB serving path. The index
+    build (sign/cell every corpus vector, write bucket-partitioned
+    parquet) happens ONCE outside the timer, exactly as in production
+    where the index is built by ingest and amortized over every query;
+    the timed part is the probe: bucket the query batch, equi-join
+    against the index with dynamic partition pruning, per-query top-k."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators import similarity as S
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out: dict[str, tuple[float, float, list[float]]] = {}
+    work = tempfile.mkdtemp(prefix="spark_bench_idx_")
+    try:
+        lsh_path = os.path.join(work, "lsh")
+        ivf_path = os.path.join(work, "ivf")
+        S.write_lsh_index(emb, dim=64, path=lsh_path, bits=8, mode="overwrite")
+        cents = S.write_ivf_index(emb, dim=64, path=ivf_path, n_cells=16)
+        out["probe_lsh_index"] = _time_plan(
+            lambda: S.probe_lsh_index(
+                qs, spark.read.parquet(lsh_path), dim=64, k=10, bits=8
+            )
+        )
+        out["probe_ivf_index"] = _time_plan(
+            lambda: S.probe_ivf_index(
+                qs, spark.read.parquet(f"{ivf_path}/vectors"), cents, k=10
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def bench_etl_ingest(spark) -> tuple[float, float, float, list[float]]:
     """(cold seconds, warm median seconds, MB/s, all run times) for a
     full incremental ETL run + enrichment.
@@ -159,22 +215,18 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
     # identical runs vary 3-5x, and min would cherry-pick the luckiest
     # run. Both the warm headline and the cold total are reported so the
     # baseline bound is demonstrably met either way.
-    import statistics
-
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, spec in sorted(bench_queries().items()):
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        runs = []
-        for _ in range(QUERY_BENCH_RUNS):
-            df = spec.builder(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        c, w, runs = _time_plan(lambda: spec.builder(spark, sf_dir))
+        cold[name] = round(c, 3)
+        timings[name] = round(w, 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
+    for name, (c, w, runs) in bench_index_probes(spark, sf_dir).items():
+        cold[name] = round(c, 3)
+        timings[name] = round(w, 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     etl_cold, etl_warm, etl_mbps, etl_runs = bench_etl_ingest(spark)

@@ -48,6 +48,10 @@ from datetime import datetime, timezone
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reactionetl_etl_spark.etl.commit import (
+    recover_staged_commits,
+    staged_overwrite_partitions,
+)
 from reactionetl_etl_spark.logging_config import get_logger, setup_logging
 from reactionetl_etl_spark.etl.cleanse import (
     cleanse_incoming_csvs,
@@ -387,11 +391,14 @@ class ReactionLake:
         """J1 as one broadcast join, persisted.
 
         Rewrites ONLY day-partitions that still contain NULL
-        simulation_num rows (dynamic partition overwrite); enriched
+        simulation_num rows (atomic staged partition swap); enriched
         days are never touched. Returns rows newly enriched.
         With Delta this is `MERGE WHEN MATCHED UPDATE`; on plain
         parquet, partition-scoped rewrite is the idiomatic equivalent.
         """
+        # finish/discard any staged rewrite a previous crash left behind
+        # (one FS listing — metadata-cost only)
+        recover_staged_commits(spark, self.fact_path)
         fact, dim = self.fact(spark), self.dim(spark)
         if fact is None or dim is None:
             return 0
@@ -412,13 +419,10 @@ class ReactionLake:
         n_newly = enriched.filter(
             F.col("__was_null") & F.col("simulation_num").isNotNull()
         ).count()
-        (
-            enriched.drop("__was_null")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.fact_path)
-        )
+        # atomic staged swap (etl/commit.py): a crash mid-rewrite leaves
+        # either the old partitions or the new ones, never a mix — the
+        # recover call above completes an interrupted commit next run
+        staged_overwrite_partitions(spark, self.fact_path, enriched.drop("__was_null"), "day")
         return n_newly
 
 

@@ -5,8 +5,9 @@ facts (/root/reference/database_manager.py:200-240);
 `materialize_enrichment` covers that exact shape. This module is the
 GENERAL form — upsert an updates batch into a keyed table — for plain
 parquet, which has no MERGE: rewrite ONLY the partitions the updates
-touch as (existing rows anti-joined on the key) ∪ (updates), with a
-dynamic partition overwrite. On Delta/Iceberg the whole function is
+touch as (existing rows anti-joined on the key) ∪ (updates), committed
+via an atomic staged partition swap (etl/commit.py — a crash never
+leaves a half-rewritten table). On Delta/Iceberg the whole function is
 `MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`; call sites do not
 change shape.
 
@@ -35,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.etl.commit import staged_overwrite_partitions
 
 
 def upsert_partitioned(
@@ -89,26 +92,15 @@ def upsert_partitioned(
     # the key projection when it fits, shuffles both sides when not
     kept = touched.join(updates.select(*key_cols), on=key_cols, how="left_anti")
     merged = kept.unionByName(updates.select(*kept.columns)).localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(table_path)
-    )
+    emptied: list[str] = []
     if keys_move_partitions:
-        # dynamic overwrite only rewrites partitions PRESENT in the
-        # written data — a migration that empties its old partition
-        # leaves that partition untouched (stale row intact). Drop the
-        # emptied partitions explicitly via the Hadoop FS.
+        # a migration can empty its old partition — the merged output
+        # then lacks that partition entirely, so it must be DELETED
+        # (dynamic overwrite would leave the stale row intact); the
+        # staged commit folds the delete into the same atomic intent
         present = {r[0] for r in merged.select(partition_col).distinct().collect()}
         emptied = [d for d in days if d not in present]
-        if emptied:
-            jvm = spark._jvm
-            hconf = spark._jsc.hadoopConfiguration()
-            for d in emptied:
-                jpath = jvm.org.apache.hadoop.fs.Path(
-                    f"{table_path}/{partition_col}={d}"
-                )
-                fs = jpath.getFileSystem(hconf)
-                fs.delete(jpath, True)
+    # all-or-nothing: staged write + persisted commit intent, never a
+    # half-rewritten table after a crash (etl/commit.py)
+    staged_overwrite_partitions(spark, table_path, merged, partition_col, emptied)
     return n_updates

@@ -3679,3 +3679,87 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("cont_a_in_b") >= 0.8) | (F.col("cont_b_in_a") >= 0.8))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: MERGE-emulation parity + extensions
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "upsert_keyed_parity",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 997 = 0
+    ), merged AS (
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT o_orderpriority,
+           count(*)                      AS n_rows,
+           count(DISTINCT o_orderkey)    AS n_keys,
+           round(sum(o_totalprice), 2)   AS sum_price,
+           CAST(sum(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    tags=("etl", "upsert", "merge"),
+)
+def upsert_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 generalized: MERGE-emulating keyed upsert (etl/upsert.py)
+    value-checked against a plain-SQL reconstruction (anti-join ∪
+    updates). Writes orders as a priority-partitioned parquet table,
+    upserts a derived batch (updates: keys %97 get +10%% price;
+    inserts: keys %997 cloned to a new key range with status 'N'),
+    reads the table back and aggregates per partition — so the hash
+    check covers the anti-join, the union, the atomic staged partition
+    swap, AND that untouched rows survive byte-identical. The upsert
+    itself runs eagerly inside the builder against a throwaway temp
+    table; the returned frame is checkpointed so the temp dir can be
+    deleted before the driver collects."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.upsert import upsert_partitioned
+
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="upsert_parity_")
+    try:
+        path = _os.path.join(work, "orders_tbl")
+        orders.write.partitionBy("o_orderpriority").parquet(path)
+        upd = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        ins = orders.filter(F.col("o_orderkey") % 997 == 0).withColumns(
+            {
+                "o_orderkey": F.col("o_orderkey") + 100_000_000,
+                "o_orderstatus": F.lit("N"),
+                "o_totalprice": F.round(F.col("o_totalprice"), 2),
+            }
+        )
+        updates = upd.unionByName(ins).select(*orders.columns)
+        upsert_partitioned(spark, path, updates, ["o_orderkey"], "o_orderpriority")
+        return (
+            spark.read.parquet(path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                F.sum((F.col("o_orderstatus") == "N").cast("bigint")).alias("n_inserted"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -23,7 +23,7 @@ def _worst_case_compact_line() -> str:
     worst-case numeric widths (xxx.xxx seconds)."""
     from reactionetl_etl_spark.plans.catalog import bench_queries
 
-    names = sorted(bench_queries()) + ["etl_ingest"]
+    names = sorted(bench_queries()) + ["etl_ingest", "probe_lsh_index", "probe_ivf_index"]
     queries = {n: 999.999 for n in names}
     return json.dumps(
         {
