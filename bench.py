@@ -45,7 +45,12 @@ from reactionetl_etl_spark.session import get_spark
 N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
 # Clamped to >=1: 0 would make the warm-median loop produce an empty
 # sample and statistics.median() raise (ADVICE r3).
-ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "3")))
+# Default 5 (1 cold + 4 warm), raised from 3 in r6: with only 2 warm
+# runs the "median" is their mean, so a single host-contention spike
+# inflates the headline by half its size — exactly how r5 recorded
+# 9.47 s for an ingest whose quiet-host steady state measures ~5.3 s
+# (PERF_NOTES r6). A 4-run median absorbs one spike outright.
+ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "5")))
 QUERY_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3")))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 

@@ -27,15 +27,25 @@ from pyspark.sql import functions as F
 from reactionetl_etl_spark.operators.relational import dense_sequence, enrich_with_dim
 
 
-def assign_simulation_nums(new_dim_rows: DataFrame, current_max: int | None) -> DataFrame:
+def assign_simulation_nums(
+    new_dim_rows: DataFrame, current_max: int | None, approx_rows: int | None = None
+) -> DataFrame:
     """X4: extend the dense sequence over newly loaded dim rows.
 
     `current_max` is the max simulation_num already persisted (None/0 on
     first load — the reference's NULL-start fragility, SURVEY.md §3 EP3,
-    handled here with coalesce semantics).
+    handled here with coalesce semantics). ``approx_rows``: pass the
+    batch's file count (dim rows ≤ files) so small batches take the
+    one-task window instead of the distributed rank's 4 extra stages.
     """
     offset = int(current_max or 0)
-    seq = dense_sequence(new_dim_rows, ["date_run", "simulation_id"], "simulation_num", offset)
+    seq = dense_sequence(
+        new_dim_rows,
+        ["date_run", "simulation_id"],
+        "simulation_num",
+        offset,
+        approx_rows=approx_rows,
+    )
     return seq.withColumn("simulation_num", F.col("simulation_num").cast("int"))
 
 

@@ -291,7 +291,10 @@ class ReactionLake:
                 )
             new_meta = new_meta.dropDuplicates(["simulation_id"])
             offset = current_max_simulation_num(existing_dim) if existing_dim is not None else 0
-            dim_new = assign_simulation_nums(new_meta, offset).select(
+            # approx_rows = file count (≤1 dim row per file): small
+            # batches take dense_sequence's one-task window, skipping
+            # the distributed rank's constant-overhead stages
+            dim_new = assign_simulation_nums(new_meta, offset, approx_rows=len(jsons)).select(
                 "simulation_id",
                 "simulation_num",
                 "reaction_name",
