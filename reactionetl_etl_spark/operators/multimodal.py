@@ -224,17 +224,18 @@ def _png_unfilter(raw, h: int, w: int, channels: int):
 def _png_decode(b: bytes):
     """Pure-stdlib PNG pixel decode: zlib-inflate the IDAT stream and
     numpy-unfilter the scanlines. Handles non-interlaced 8-bit
-    grayscale (0), RGB (2), gray+alpha (4) and RGBA (6) — the common
-    cases; 16-bit, palette, and Adam7 return None. Output is (h, w, 3)
-    uint8 RGB: gray replicates, alpha is DROPPED (this codec feeds
-    feature extraction / resize, not compositing)."""
+    grayscale (0), RGB (2), palette (3, via PLTE lookup), gray+alpha
+    (4) and RGBA (6); 16-bit, sub-byte palette depths, and Adam7
+    return None. Output is (h, w, 3) uint8 RGB: gray replicates,
+    alpha is DROPPED (this codec feeds feature extraction / resize,
+    not compositing)."""
     import zlib
 
     import numpy as np
 
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    i, ihdr, idat = 8, None, []
+    i, ihdr, idat, plte = 8, None, [], None
     while i + 8 <= len(b):
         (length,), ctype = struct.unpack(">I", b[i : i + 4]), b[i + 4 : i + 8]
         data = b[i + 8 : i + 8 + length]
@@ -242,6 +243,8 @@ def _png_decode(b: bytes):
             return None
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -252,11 +255,13 @@ def _png_decode(b: bytes):
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if (
         channels is None or depth != 8 or comp != 0 or filt != 0
         or interlace != 0 or w <= 0 or h <= 0
     ):
+        return None
+    if color_type == 3 and (plte is None or len(plte) % 3 != 0 or len(plte) == 0):
         return None
     try:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
@@ -269,6 +274,12 @@ def _png_decode(b: bytes):
         return np.repeat(px, 3, axis=2)
     if color_type == 2:
         return px
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None  # index past palette end: corrupt file
+        return pal[idx]  # vectorized LUT: (h, w) indices → (h, w, 3) RGB
     if color_type == 4:
         return np.repeat(px[..., :1], 3, axis=2)
     return np.ascontiguousarray(px[..., :3])  # RGBA → RGB

@@ -136,3 +136,78 @@ def global_order_ranks(
     if keep_total:
         out = out.withColumn("global_total", F.col("__n"))
     return out.drop("__kstruct", "__before", "__dense", "__n")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    order_desc: list[bool],
+    value_col: str,
+    out_col: str = "global_running_sum",
+    exclusive: bool = False,
+    bucket_expr: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum of ``value_col`` over a TOTAL order —
+    `sum(v) OVER (ORDER BY ...)` without the single-partition window
+    that expression plans as. Same two-level scheme as the ranks above:
+    local cumsum within an order-aligned partition + broadcast prefix
+    offsets over the per-partition totals (≤ num_partitions rows).
+
+    ``exclusive=True`` yields the sum of strictly-preceding rows (the
+    shard-assignment form: a row's own weight doesn't push it into the
+    next shard).
+
+    ``bucket_expr``: a deterministic, order-monotone coarse bucket of
+    the order key (e.g. ``doc_id div 2000`` for dense ids, or a date
+    column for time-ordered data). When given, it REPLACES
+    repartitionByRange as the partitioning — and because it is a pure
+    function of the row (not sampled boundaries), the two consumers of
+    the partitioned frame stay consistent with NO persist of the full
+    input. Prefer it whenever the order key has a known monotone
+    binning — which at 100 TB it almost always does (time, dense id).
+    Without it, the range-partitioned input is persisted
+    (MEMORY_AND_DISK) for the duration of the query, because
+    RangePartitioner boundary sampling is nondeterministic across
+    evaluations and the local-cumsum and partition-total branches must
+    see the same partitioning (same pin as the ranks' counts persist).
+    """
+    ord_cols = _ordered(list(order_exprs), list(order_desc))
+    if bucket_expr is not None:
+        part = df.withColumn("__pid", bucket_expr)
+        persisted = False
+    else:
+        spark = df.sparkSession
+        n_parts = int(
+            num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        part = (
+            df.repartitionByRange(n_parts, *ord_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+        persisted = True
+    w_loc = Window.partitionBy("__pid").orderBy(*ord_cols)
+    upper = -1 if exclusive else 0
+    local = part.withColumn(
+        "__lsum",
+        F.coalesce(
+            F.sum(value_col).over(w_loc.rowsBetween(Window.unboundedPreceding, upper)),
+            F.lit(0),
+        ),
+    )
+    stats = part.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__pid", F.coalesce(F.sum("__psum").over(w_prev), F.lit(0)).alias("__off")
+    )
+    out = (
+        local.join(F.broadcast(offsets), on="__pid")
+        .withColumn(out_col, F.col("__lsum") + F.col("__off"))
+        .drop("__pid", "__lsum")
+    )
+    # NOTE: when persisted, the cache stays pinned while the returned
+    # plan is alive (same accepted trade as global_order_ranks' counts
+    # persist); callers with a monotone binning should pass bucket_expr.
+    _ = persisted
+    return out

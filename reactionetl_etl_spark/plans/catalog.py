@@ -3763,3 +3763,129 @@ def upsert_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "token_budget_packing",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tok,
+               coalesce(sum(tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t
+    )
+    SELECT CAST(floor(cum / 2048.0) AS BIGINT) AS shard_id,
+           count(*)                            AS n_docs,
+           CAST(sum(tok) AS BIGINT)            AS sum_tokens,
+           min(doc_id)                         AS first_doc,
+           max(doc_id)                         AS last_doc
+    FROM c
+    GROUP BY 1
+    """,
+    tags=("packing", "training-export", "prefix-sum"),
+    bench=True,
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assembly: cut the corpus (doc_id order) into
+    ~2048-token shards via the DISTRIBUTED prefix sum
+    (`rank.global_running_sum` — no single-partition window; the
+    monotone `doc_id div 2000` bucket makes the partitioning a pure
+    row function, so no persist and no range-boundary sampling
+    either). Oracle = the equivalent single-window SQL, which DuckDB
+    can afford at sf0.01; per-shard stats keep the hash check focused
+    on the assignment, not row order."""
+    from reactionetl_etl_spark.operators.packing import pack_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select("doc_id", F.size(F.split(norm, " ")).alias("tok"))
+    packed = pack_by_token_budget(
+        t,
+        order_col="doc_id",
+        token_col="tok",
+        budget=2048,
+        bucket_expr=F.expr("doc_id div 2000"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@_q(
+    "weighted_sample_hash",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0
+          < least(1.0, n_chars / 400.0) * 0.5
+    """,
+    tags=("sampling", "deterministic"),
+)
+def weighted_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling — keep each document with
+    probability ∝ a quality weight (here length-capped), decided by a
+    content hash instead of an RNG: u = first-8-hex-digits of
+    md5(doc_id) as a uniform [0,1) variate. No seed state, identical
+    selection on every run / retry / backfill (what `F.rand` cannot
+    promise across task retries), trivially distributable (pure
+    row-local expression, zero shuffle), and exactly reproducible by
+    any other engine — which is what the DuckDB oracle does."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0)) * F.lit(0.5)
+    return docs.filter(u < p).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "token_pair_stats",
+    """
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2
+        FROM t, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u(p)
+        WHERE len(toks) >= 2
+    )
+    SELECT w1, w2, count(*) AS n
+    FROM pairs
+    GROUP BY w1, w2
+    ORDER BY n DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+    tags=("text", "vocab", "bpe"),
+)
+def token_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies — the counting core of one BPE
+    merge round (and of any bigram LM / collocation stats). Pairs are
+    built ROW-LOCALLY with array expressions (transform over the
+    token array: zero extra shuffle, no self-join on position); only
+    (w1, w2, partial count) reaches the map-side-combined shuffle.
+    Top-20 with full tie-break so the selected SET is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select(F.split(norm, " ").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )

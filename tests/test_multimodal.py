@@ -352,3 +352,49 @@ def test_resize_resamples_png_pixels(spark):
     blob = bytes(r["content"])
     assert blob[:8] == b"\x89PNG\r\n\x1a\n"  # same container back
     assert np.array_equal(decode_pixels(blob), _quadrant_array(16, 16))
+
+
+def test_png_palette_decode():
+    """Palette (color type 3) PNGs decode via PLTE lookup: build one by
+    hand (8-bit indices, filter 0) and assert pixel-exact RGB."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.default_rng(7)
+    w, h, n_colors = 11, 6, 5
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    scan = np.zeros((h, w + 1), dtype=np.uint8)
+    scan[:, 1:] = idx
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            st.pack(">I", len(data)) + ctype + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_pixels(blob)
+    assert got is not None and np.array_equal(got, pal[idx])
+
+    # index beyond the palette → corrupt, refuse rather than garble
+    bad_scan = scan.copy()
+    bad_scan[0, 1] = n_colors + 3
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bad_scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_pixels(bad) is None
