@@ -35,6 +35,8 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload_cols`` from the latest right
     row of the same ``on`` key with right_ts <= left_ts (or < when
@@ -45,6 +47,18 @@ def asof_join(
     before the left row (tag 0 < 1), so an exactly-simultaneous right
     row IS matched, consistent with DuckDB's ASOF JOIN (>=).
 
+    ``direction='forward'`` matches the EARLIEST right row with
+    right_ts >= left_ts instead (next-event enrichment); implemented
+    by descending the sort, so it is the same single-shuffle plan.
+
+    ``tolerance``: an INTERVAL string (e.g. ``'1 hour'``) for
+    timestamp columns, or a number for numeric timestamp columns
+    (same unit as the ts columns); matches farther than the tolerance
+    from the left row's timestamp are nulled out (pandas
+    ``merge_asof(tolerance=...)`` semantics). The matched right
+    timestamp is carried through the same window, so the bound costs
+    no extra shuffle.
+
     Left columns ride along through the single key-shuffle (wider sort
     rows, but no second shuffle and no join-back on a generated id —
     `monotonically_increasing_id` is partitioning-dependent, so a
@@ -53,6 +67,8 @@ def asof_join(
     overlap = set(payload_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"payload_cols collide with left columns: {sorted(overlap)}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     l_tag, r_tag = (0, 1) if strict else (1, 0)
     left_cols = left.columns
     right_u = right.select(
@@ -70,18 +86,41 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
     )
     # strict: left sorts BEFORE right at equal ts, so equal-ts right
-    # rows are not visible; non-strict: right first → visible
+    # rows are not visible; non-strict: right first → visible.
+    # forward: descending ts ⇒ "last right seen so far" = earliest
+    # right row at-or-after the left row. Tag stays ASCENDING in both
+    # directions: at equal ts the matchable row (tag 0) must precede
+    # the left row in traversal order, whichever way ts runs.
+    ts_ord = F.col("__ts").desc() if direction == "forward" else F.col("__ts").asc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
+        .orderBy(ts_ord, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = right_u.unionByName(left_u).select(
+    carry = {c: F.last(f"__p_{c}", ignorenulls=True).over(w) for c in payload_cols}
+    if tolerance is not None:
+        # right rows carry their own ts through the same window; a
+        # match farther than the tolerance nulls every payload col
+        right_u = right_u.withColumn("__pts", F.col("__ts"))
+        left_u = left_u.withColumn("__pts", F.lit(None).cast(right.schema[right_ts].dataType))
+        matched_ts = F.last("__pts", ignorenulls=True).over(w)
+        delta = (
+            (matched_ts - F.col("__ts"))
+            if direction == "forward"
+            else (F.col("__ts") - matched_ts)
+        )
+        bound = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)  # numeric ts columns: same-unit bound
+        )
+        in_bound = delta <= bound
+        carry = {
+            c: F.when(in_bound, expr).otherwise(F.lit(None)) for c, expr in carry.items()
+        }
+    carried = right_u.unionByName(left_u, allowMissingColumns=True).select(
         "__tag",
         *left_cols,
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ],
+        *[expr.alias(c) for c, expr in carry.items()],
     )
     return carried.filter(F.col("__tag") == l_tag).drop("__tag")

@@ -670,3 +670,54 @@ def lsh_cosine_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: 4× smaller embeddings
+    for the candidate-generation side of ANN at 100 TB (the full-
+    precision vectors stay on disk for the re-rank pass only).
+
+        scale = max(|x_i|) / 127        (one scalar per vector)
+        q_i   = floor(x_i / scale + 0.5) ∈ [-127, 127]
+
+    floor(x+0.5), not round(): round's half-even/half-up behavior
+    differs across engines, floor is exact everywhere — the same
+    convention the catalog's oracled queries use. Zero vectors get
+    scale 0 and all-zero codes. Pure array expressions: zero shuffle,
+    whole-stage codegen, no Python."""
+    x = F.col(vec_col)
+    amax = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        amax == 0.0,
+        F.transform(x, lambda v: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            x,
+            lambda v: F.floor(v.cast("double") / (amax / F.lit(127.0)) + F.lit(0.5)).cast(
+                "tinyint"
+            ),
+        )
+    )
+    return df.withColumns({scale_col: scale, qvec_col: q.alias(qvec_col)})
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of `quantize_embeddings_int8`: x̂_i = q_i · scale.
+    Reconstruction error is bounded by scale/2 per component."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)),
+    )

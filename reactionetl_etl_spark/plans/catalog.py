@@ -63,41 +63,69 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # long-stable tail. This is a committed, static list — ordering is
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
-    # round-5 NEW queries (never driver-checked before this round)
-    "cosine_topk_batch_exact",
+    # round-6 NEW queries (never driver-checked)
+    "upsert_keyed_parity",
+    "token_budget_packing",
+    "weighted_sample_hash",
+    "token_pair_stats",
+    "frequent_tokens_exact",
+    "embedding_quantize_error",
+    "quality_filter_verdicts",
+    # round-6 behavior changes: LSH multi-probe (recall fix), PNG
+    # decode (pixel path), staged atomic commit + adaptive dense
+    # sequence (ETL), as-of direction/tolerance params
     "lsh_cosine_topk_batch",
-    "ivf_cosine_topk_batch",
-    "contamination_check_shuffle",
+    "lsh_cosine_topk",
     "multimodal_resize_pixels",
-    "events_sliding_window",
-    "events_dedup_earliest",
-    "orders_approx_percentile_check",
-    "events_approx_distinct_check",
-    "doc_unicode_stats",
-    "events_hourly_gapfill",
-    "lineitem_regression_stats",
-    "part_bool_bit_aggs",
-    "orders_count_if_share",
-    "orders_lag_defaults",
-    "nation_acctbal_concat",
-    "revenue_grouping_sets",
-    "orders_date_arithmetic",
-    "priority_mode_by_month",
-    "quantity_band_range_join_binned",
-    "doc_chunking_overlap",
-    "events_trailing_hour_sum",
-    "corpus_deterministic_shuffle",
-    "events_ewma_final",
-    "events_value_histogram",
-    "user_retention_cohorts",
-    "events_funnel_3step",
-    "orders_column_profile",
-    "ngram_containment_pairs",
-    # round-5 behavior changes (plan rebase / pipeline rewrite touchpoints)
-    "dense_sequence_customer",
-    "totalprice_percent_rank",
-    "duplicate_clusters",
     "ingest_rowcount",
+    "dense_sequence_customer",
+    "asof_click_to_purchase",
+    "embedding_neardup_lsh",
+    "incremental_neardup_probe",
+    # stalest tail: last driver-checked in round 1…
+    "customer_balance_extremes",
+    "dedup_exact_documents",
+    "dedup_fingerprint_md5",
+    "disjunctive_brand_revenue",
+    "part_measures_unpivot",
+    # …then round 2 (the driver's ~50/round window reaches through
+    # here; remaining r2 names queue behind and r4/r5-checked entries
+    # come last via registry order)
+    "approx_distinct_users",
+    "catalog_columns",
+    "click_purchase_interval_join",
+    "cosine_topk_bruteforce",
+    "customer_order_distribution",
+    "doc_fingerprint_rolling",
+    "doc_length_band_filter",
+    "doc_quality_scores",
+    "embedding_l2_norm_pandas",
+    "embedding_neardup_pairs",
+    "events_sessionization",
+    "events_tumbling_windows",
+    "global_sales_opportunity",
+    "grouping_sets_revenue",
+    "intra_doc_repetition",
+    "ivf_cosine_topk",
+    "lang_id_heuristic",
+    "lang_mixture_weights",
+    "large_volume_customers",
+    "latest_order_per_nation",
+    "min_cost_supplier_per_part",
+    "minhash_neardup_pairs",
+    "multimodal_feature_extract",
+    "orders_above_customer_avg",
+    "orders_moving_avg_range_frame",
+    "pii_redaction_stats",
+    "quantity_band_range_join",
+    "simhash_neardup_pairs",
+    "sole_late_supplier",
+    "stratified_sample_events",
+    "text_stats_by_lang",
+    "tfidf_top_terms",
+    "top_parts_by_revenue_share",
+    "top_revenue_supplier",
+    "train_val_test_split",
 )
 
 
@@ -3888,4 +3916,169 @@ def token_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
+    )
+
+
+@_q(
+    "frequent_tokens_exact",
+    """
+    WITH tok AS (
+        SELECT u.t AS token
+        FROM documents,
+             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS u(t)
+    ), tot AS (SELECT count(*) AS n FROM tok)
+    SELECT token,
+           count(*) AS n,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+    FROM tok
+    GROUP BY token
+    HAVING count(*) >= (SELECT n FROM tot) * 0.002
+    """,
+    tags=("text", "heavy-hitters", "sketch"),
+)
+def frequent_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (share ≥ 0.2%) via the distributed
+    Misra-Gries two-pass (`operators/frequency.py`): per-partition
+    k-counter summaries emit a guaranteed candidate superset in ONE
+    pass (which also carries the grand total), then an exact count
+    restricted to candidates — the shuffle holds candidate tokens
+    only, never the vocabulary. The DuckDB oracle is the naive exact
+    GROUP BY: approximate machinery inside, exact answer out."""
+    from reactionetl_etl_spark.operators.frequency import frequent_items
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    tok = docs.select(F.explode(F.split(norm, " ")).alias("token"))
+    out = frequent_items(tok, "token", min_share=0.002)
+    return out.select("token", "n", F.round("share", 6).alias("share"))
+
+
+@_q(
+    "embedding_quantize_error",
+    """
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS orig,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ), d AS (
+        SELECT label, orig,
+               CASE WHEN scale = 0 THEN list_transform(orig, x -> 0.0)
+                    ELSE list_transform(orig, x -> floor(x / scale + 0.5) * scale)
+               END AS dq
+        FROM q
+    ), e AS (
+        SELECT label,
+               list_max(list_transform(list_zip(orig, dq), p -> abs(p[1] - p[2]))) AS max_err,
+               list_sum(list_transform(list_zip(orig, dq), p -> (p[1] - p[2]) * (p[1] - p[2])))
+                   / len(orig) AS mse
+        FROM d
+    )
+    SELECT label,
+           count(*)                 AS n,
+           round(avg(max_err), 6)   AS avg_max_err,
+           round(avg(mse), 8)       AS avg_mse
+    FROM e
+    GROUP BY label
+    """,
+    tags=("similarity", "quantization", "storage"),
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization quality audit: quantize → dequantize
+    → per-label reconstruction error stats. The quantize/dequantize
+    pair (`operators/similarity.py`) is pure array expressions (zero
+    shuffle, codegen); the oracle replays the same floor-based
+    convention with DuckDB list functions, so the value hash pins the
+    exact code assignment, not just the error magnitude. 4× storage
+    cut on the ANN candidate-generation path; error bound scale/2 per
+    component."""
+    from reactionetl_etl_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb, "embedding")
+    d = dequantize_embeddings_int8(q)
+    orig = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.zip_with(orig, F.col("embedding_dq"), lambda a, b: F.abs(a - b))
+    sq = F.zip_with(orig, F.col("embedding_dq"), lambda a, b: (a - b) * (a - b))
+    per_vec = d.select(
+        "label",
+        F.array_max(err).alias("max_err"),
+        (
+            F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v) / F.size(orig)
+        ).alias("mse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+        F.round(F.avg("mse"), 8).alias("avg_mse"),
+    )
+
+
+@_q(
+    "quality_filter_verdicts",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS uniq_ratio,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mean_tok_len
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           concat_ws(',',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN uniq_ratio < 0.3 THEN 'low_diversity' END,
+               CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 10.0
+                    THEN 'word_len_out_of_range' END
+           ) AS failed_rules,
+           (n_tokens >= 20 AND uniq_ratio >= 0.3
+            AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS keep
+    FROM s
+    """,
+    tags=("text", "quality", "filter-pipeline"),
+)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named-rule document filter: each document gets a
+    keep/drop verdict PLUS the list of rules it failed — the auditable
+    form a production corpus filter needs (you keep the drop reasons,
+    not just the survivors). All rules are single-pass column
+    expressions over the token array; concat_ws skips the NULL arms in
+    both engines, so the rule list is value-oracled exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    toks = F.split(norm, " ")
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(n_tokens, F.lit(1))
+    s = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+    )
+    too_short = F.col("n_tokens") < 20
+    low_div = F.col("uniq_ratio") < 0.3
+    bad_len = (F.col("mean_tok_len") < 3.0) | (F.col("mean_tok_len") > 10.0)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            ",",
+            F.when(too_short, "too_short"),
+            F.when(low_div, "low_diversity"),
+            F.when(bad_len, "word_len_out_of_range"),
+        ).alias("failed_rules"),
+        (~too_short & ~low_div & ~bad_len).alias("keep"),
     )

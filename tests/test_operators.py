@@ -671,3 +671,73 @@ def test_ewma_matches_manual_recurrence(spark):
         y = 0.5 * x + 0.5 * y
         expect[i] = y
     assert out == expect
+
+
+def test_frequent_items_exact_parity_and_guarantee(spark):
+    """Misra-Gries two-pass returns EXACTLY the items a brute-force
+    groupBy finds above the threshold — including under heavy skew and
+    many partitions (candidate superset guarantee exercised with the
+    minimum legal k)."""
+    import random
+
+    from reactionetl_etl_spark.operators.frequency import frequent_items
+
+    rng = random.Random(5)
+    # zipf-ish: item i appears ~ 4000/i times
+    rows = [(f"w{i}",) for i in range(1, 60) for _ in range(4000 // i)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "token string").repartition(16)
+    for min_share, k in [(0.02, None), (0.02, 50), (0.05, 20)]:
+        got = {
+            (r["token"], r["n"])
+            for r in frequent_items(df, "token", min_share, k=k).collect()
+        }
+        total = len(rows)
+        brute = {
+            (r["token"], r["n"])
+            for r in df.groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= total * min_share)
+            .collect()
+        }
+        assert got == brute, (min_share, k)
+
+
+def test_frequent_items_edge_cases(spark):
+    from reactionetl_etl_spark.operators.frequency import frequent_items
+
+    empty = spark.createDataFrame([], "token string")
+    assert frequent_items(empty, "token", 0.1).collect() == []
+    nulls = spark.createDataFrame([(None,), ("a",), ("a",)], "token string")
+    [row] = frequent_items(nulls, "token", 0.5).collect()
+    assert (row["token"], row["n"], row["share"]) == ("a", 2, 1.0)
+    try:
+        frequent_items(nulls, "token", 0.1, k=3)  # k < 1/min_share
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_int8_quantization_error_bound_and_zero_vector(spark):
+    """Reconstruction error ≤ scale/2 per component; codes stay in
+    [-127, 127]; zero vectors round-trip to zeros with scale 0."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(50)]
+    rows.append((999, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dequantize_embeddings_int8(quantize_embeddings_int8(df)).collect()
+    for r in out:
+        orig, dq, scale, qv = r["embedding"], r["embedding_dq"], r["qscale"], r["qvec"]
+        assert all(-127 <= q <= 127 for q in qv)
+        if r["vec_id"] == 999:
+            assert scale == 0.0 and all(v == 0.0 for v in dq)
+            continue
+        for a, b in zip(orig, dq):
+            assert abs(a - b) <= scale / 2 + 1e-12

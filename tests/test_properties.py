@@ -218,3 +218,66 @@ def test_binned_range_join_matches_naive(spark, vals, bin_width):
         (float(v), n) for v in vals for (n, lo, hi) in ranges if lo <= float(v) < hi
     }
     assert got == expected
+
+
+@given(
+    left_rows=rows_strategy,
+    right_rows=rows_strategy,
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0, 3, 10]),
+)
+@settings(**SETTINGS)
+def test_asof_join_direction_tolerance_matches_pandas(
+    spark, left_rows, right_rows, direction, tolerance
+):
+    """direction='forward' and tolerance agree with pandas merge_asof,
+    the independent oracle, across random key/ts layouts."""
+    from reactionetl_etl_spark.operators.asof import asof_join
+
+    left_pdf = (
+        pd.DataFrame(left_rows, columns=["k", "ts"])
+        .drop_duplicates()
+        .astype({"k": "int64", "ts": "int64"})
+    )
+    right_pdf = (
+        pd.DataFrame(right_rows, columns=["k", "ts"])
+        .drop_duplicates(subset=["k", "ts"])
+        .astype({"k": "int64", "ts": "int64"})
+        .assign(payload=lambda d: d["k"] * 1000 + d["ts"] * 1.0)
+        .astype({"payload": "float64"})
+    )
+    left = spark.createDataFrame(
+        left_pdf if len(left_pdf) else pd.DataFrame({"k": [], "ts": []}).astype("int64"),
+        "k long, ts long",
+    )
+    right = spark.createDataFrame(
+        right_pdf
+        if len(right_pdf)
+        else pd.DataFrame({"k": [], "ts": [], "payload": []}).astype(
+            {"k": "int64", "ts": "int64", "payload": "float64"}
+        ),
+        "k long, ts long, payload double",
+    )
+    got = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["payload"],
+        direction=direction,
+        tolerance=tolerance,
+    ).toPandas()
+    expected = pd.merge_asof(
+        left_pdf.sort_values("ts"),
+        right_pdf.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=tolerance,
+    )
+    got_pairs = {(r.k, r.ts): None if pd.isna(r.payload) else r.payload for r in got.itertuples()}
+    want_pairs = {
+        (r.k, r.ts): None if pd.isna(r.payload) else r.payload for r in expected.itertuples()
+    }
+    assert got_pairs == want_pairs
