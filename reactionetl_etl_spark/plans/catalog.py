@@ -4082,3 +4082,68 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("failed_rules"),
         (~too_short & ~low_div & ~bad_len).alias("keep"),
     )
+
+
+@_q(
+    "canonical_doc_per_cluster",
+    """
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), t AS (
+        SELECT * FROM t0 QUALIFY count(*) OVER (PARTITION BY pfx) <= 64
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, tk -> list_contains(b.toks, tk))) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, tk -> list_contains(b.toks, tk)))) >= 0.5
+    ), sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT DISTINCT s AS node, s AS root FROM sym
+        UNION
+        SELECT sym.d, reach.root FROM reach JOIN sym ON sym.s = reach.node
+    ), clusters AS (
+        SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+    ), scored AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, cluster_size, keep_doc, keep_n_chars FROM (
+        SELECT cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id AS keep_doc,
+               max(n_chars) OVER (PARTITION BY cluster_id) AS keep_n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("dedup", "graph", "canonical"),
+)
+def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: detect (Jaccard candidates) →
+    cluster (connected components) → SELECT one canonical document per
+    cluster — longest text wins, doc_id breaks ties — so the drop list
+    is cluster-consistent (never drops both of A~B~C or keeps two).
+    Selection is a max_by over a struct sort key: one aggregation on
+    the (tiny) cluster assignments joined back to doc metadata, no
+    window over the corpus."""
+    from reactionetl_etl_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = comps.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = clusters.join(docs, "doc_id")
+    return scored.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b"))
+        ).alias("keep_doc"),
+        F.max("n_chars").alias("keep_n_chars"),
+    )
