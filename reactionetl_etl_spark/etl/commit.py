@@ -36,6 +36,12 @@ Used by ``etl.upsert.upsert_partitioned`` and
 ``ReactionLake.materialize_enrichment``; call
 ``recover_staged_commits(spark, table_path)`` at process start (the
 pipeline does) to finish or discard any interrupted commit.
+
+Single-writer protocol, like every rename-based parquet layout:
+concurrent upserts of the SAME table can interleave their swaps (each
+individually atomic, last writer wins per partition). Arbitrating
+concurrent writers is the transaction log's job — on Delta/Iceberg
+this whole module disappears into the table format's commit protocol.
 """
 
 from __future__ import annotations

@@ -4,10 +4,11 @@ North-star extension (BASELINE.json): treat image/audio/video as
 `binary` columns with a typed metadata struct, processed by
 Arrow-batched pandas functions over `mapInPandas` — the Spark-side
 plumbing (schema, batch shape, partition sizing) is real and tested.
-Pixel codecs are REAL for BMP, PPM (uncompressed) and non-interlaced
-8-bit PNG (stdlib zlib + numpy scanline unfilter); JPEG/GIF/video
+Pixel codecs are REAL for BMP, PPM (uncompressed), non-interlaced
+8-bit PNG (stdlib zlib + numpy scanline unfilter, all color types
+incl. palette) and GIF first frames (pure-Python LZW); JPEG/video
 decode stays STUBBED because no codec libraries exist in this
-container.
+container and a DCT/H.26x codec is out of scope.
 
     spark.read.format("binaryFile").load(dir)          → ingest
     with_media_metadata(df)                            → sniff container
@@ -312,19 +313,162 @@ def encode_png(arr) -> bytes:
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int, expected: int):
+    """GIF-variant LZW (LSB-first variable-width codes, 12-bit cap,
+    CLEAR/END codes). Returns `expected` index bytes or None on a
+    corrupt stream. Table entries are stored as (prefix_code,
+    last_byte) pairs and materialized lazily — no quadratic string
+    concatenation on long runs."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    if clear > 4096:
+        return None
+    prefix = [0] * 4096
+    suffix = [0] * 4096
+    for i in range(clear):
+        suffix[i] = i
+
+    def reset():
+        return end + 1, min_code_size + 1
+
+    def expand(code: int) -> bytearray:
+        chunk = bytearray()
+        while code >= clear:
+            chunk.append(suffix[code])
+            code = prefix[code]
+        chunk.append(suffix[code])
+        chunk.reverse()
+        return chunk
+
+    next_code, code_size = reset()
+    out = bytearray()
+    prev = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i, bit_o = bitpos >> 3, bitpos & 7
+        word = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (word >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            next_code, code_size = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None
+            entry = bytearray([code])
+        elif code < next_code:
+            entry = expand(code)
+        elif code == next_code:
+            entry = expand(prev)
+            entry.append(entry[0])
+        else:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = entry[0]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_decode(b: bytes):
+    """Pure-stdlib GIF pixel decode: first image frame, LZW-inflated
+    (`_lzw_decode`) and mapped through the active (local-over-global)
+    color table; Adam-style 4-pass interlace rows are reordered.
+    Returns (h, w, 3) uint8 RGB at the LOGICAL SCREEN size with the
+    frame composed at its offset over the background color —
+    animation, transparency, and later frames are out of scope (frame
+    SAMPLING is `sample_video_frames`' job). None on anything
+    malformed."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed, bg_idx = b[10], b[11]
+    if sw <= 0 or sh <= 0:
+        return None
+    i = 13
+    global_ct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            return None
+        left, top, fw, fh = struct.unpack("<HHHH", b[i + 1 : i + 9])
+        fpacked = b[i + 9]
+        i += 10
+        ct = global_ct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+            i += n * 3
+        if ct is None or fw <= 0 or fh <= 0 or left + fw > sw or top + fh > sh:
+            return None
+        min_code_size = b[i]
+        i += 1
+        sub = bytearray()
+        while i < len(b) and b[i] != 0:
+            ln = b[i]
+            sub += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = _lzw_decode(bytes(sub), min_code_size, fw * fh)
+        if idx is None:
+            return None
+        frame = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            order = [
+                r for start, step in _GIF_INTERLACE_PASSES for r in range(start, fh, step)
+            ]
+            deinterlaced = np.empty_like(frame)
+            deinterlaced[order] = frame
+            frame = deinterlaced
+        if int(frame.max(initial=0)) >= ct.shape[0]:
+            return None
+        bg = ct[bg_idx] if (global_ct is not None and bg_idx < ct.shape[0]) else 0
+        screen = np.full((sh, sw, 3), bg, dtype=np.uint8)
+        screen[top : top + fh, left : left + fw] = ct[frame]
+        return screen
+    return None
+
+
 def decode_pixels(payload: bytes):
     """REAL pixel decode for the containers a codec-free environment
     can handle: 24-bit BI_RGB BMP and binary PPM (P6, maxval ≤ 255)
-    bit-exactly, and non-interlaced 8-bit PNG via stdlib zlib +
-    numpy scanline unfiltering (`_png_decode`). Returns an (h, w, 3)
-    uint8 RGB numpy array, or None for anything else (JPEG/GIF stay
-    stubbed — their codecs aren't DEFLATE).
+    bit-exactly, non-interlaced 8-bit PNG via stdlib zlib + numpy
+    scanline unfiltering (`_png_decode`), and GIF first frames via the
+    pure-Python LZW inflater (`_gif_decode`, interlace included).
+    Returns an (h, w, 3) uint8 RGB numpy array, or None for anything
+    else (JPEG stays stubbed — a DCT codec is out of scope without a
+    codec library).
     """
     import numpy as np
 
     b = payload
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(b)
     if b[:2] == b"BM" and len(b) >= 54:
         off = struct.unpack("<I", b[10:14])[0]
         w, h = struct.unpack("<ii", b[18:26])
@@ -466,15 +610,16 @@ def resize_images(
 
     The TARGET-GEOMETRY computation is real (header-parsed source
     dims → integer aspect-preserving fit, the part pipelines get wrong
-    most often). The pixel resample is REAL for BMP, PPM, and
-    non-interlaced 8-bit PNG — payloads decode to numpy
-    (decode_pixels; PNG via stdlib zlib + scanline unfilter), get
-    nearest-neighbour-resampled at destination-pixel centres, and
-    re-encode to the same container (PNG stays PNG as 8-bit RGB).
-    JPEG/GIF still pass bytes through unchanged — their codecs aren't
-    DEFLATE and no codec library exists in this container; production
-    swaps the decode_pixels call for PIL, nothing else changes. Images
-    already within bounds keep their dims and bytes.
+    most often). The pixel resample is REAL for BMP, PPM,
+    non-interlaced 8-bit PNG and GIF first frames — payloads decode to
+    numpy (decode_pixels), get nearest-neighbour-resampled at
+    destination-pixel centres, and re-encode: BMP→BMP, PPM→PPM,
+    PNG→PNG, GIF→PNG (pixels preserved losslessly; writing an LZW
+    ENCODER buys nothing over PNG for a resized frame). JPEG still
+    passes bytes through unchanged — a DCT codec is out of scope
+    without a codec library; production swaps the decode_pixels call
+    for PIL, nothing else changes. Images already within bounds keep
+    their dims and bytes.
 
     Narrow map via mapInPandas: payloads stream as Arrow batches,
     never as Python row objects; no shuffle at any scale.
@@ -512,7 +657,7 @@ def resize_images(
                             data = encode_ppm(resized)
                         else:
                             data = encode_png(resized)
-                    # JPEG/GIF: bytes pass through (stub)
+                    # JPEG: bytes pass through (stub)
                 out["media_id"].append(mid)
                 out["src_width"].append(sw)
                 out["src_height"].append(sh)

@@ -3935,6 +3935,7 @@ def token_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) >= (SELECT n FROM tot) * 0.002
     """,
     tags=("text", "heavy-hitters", "sketch"),
+    bench=True,
 )
 def frequent_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus heavy hitters (share ≥ 0.2%) via the distributed
@@ -4124,6 +4125,7 @@ def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn = 1
     """,
     tags=("dedup", "graph", "canonical"),
+    bench=True,
 )
 def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END of the dedup pipeline: detect (Jaccard candidates) →

@@ -398,3 +398,145 @@ def test_png_palette_decode():
         + chunk(b"IEND", b"")
     )
     assert decode_pixels(bad) is None
+
+
+def _gif_bytes(w, h, palette, idx, interlace=False, left=0, top=0, sw=None, sh=None):
+    """Minimal GIF89a writer for tests: encodes indices with the
+    'uncompressed GIF' trick (a CLEAR code before every literal keeps
+    the LZW table empty, so codes stay at min_code_size+1 bits)."""
+    import math as m
+    import struct as st
+
+    import numpy as np
+
+    sw, sh = sw or w, sh or h
+    nbits = max(2, m.ceil(m.log2(len(palette))))
+    ct = np.zeros((1 << nbits, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HH", sw, sh)
+    out += bytes([0x80 | (nbits - 1), 0, 0])  # global CT, bg idx 0
+    out += ct.tobytes()
+    out += b"\x2c" + st.pack("<HHHH", left, top, w, h)
+    out += bytes([0x40 if interlace else 0])
+    min_code = nbits
+    clear, codebits = 1 << min_code, min_code + 1
+    rows = idx
+    if interlace:
+        order = [r for s_, p_ in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s_, h, p_)]
+        rows = idx[order]
+    bits = bytearray()
+    acc = n_acc = 0
+    for v in rows.flatten():
+        for code in (clear, int(v)):
+            acc |= code << n_acc
+            n_acc += codebits
+            while n_acc >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                n_acc -= 8
+    acc |= (clear + 1) << n_acc  # END code
+    n_acc += codebits
+    while n_acc > 0:
+        bits.append(acc & 0xFF)
+        acc >>= 8
+        n_acc -= 8
+    out += bytes([min_code])
+    for off in range(0, len(bits), 255):
+        chunk = bits[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_first_frame_and_interlace():
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 9), dtype=np.uint8)
+    assert np.array_equal(decode_pixels(_gif_bytes(9, 6, palette, idx)), palette[idx])
+    assert np.array_equal(
+        decode_pixels(_gif_bytes(9, 6, palette, idx, interlace=True)), palette[idx]
+    )
+    # frame smaller than the logical screen composes over background
+    got = decode_pixels(_gif_bytes(9, 6, palette, idx, left=2, top=1, sw=12, sh=8))
+    assert got.shape == (8, 12, 3)
+    assert np.array_equal(got[1:7, 2:11], palette[idx])
+    assert np.array_equal(got[0, 0], palette[0])  # bg color idx 0
+    # truncated stream refuses
+    assert decode_pixels(_gif_bytes(9, 6, palette, idx)[:-20]) is None
+
+
+def test_gif_decode_real_lzw_stream():
+    """Exercise genuine LZW table growth (not the clear-per-symbol
+    trick): encode a run-heavy image with a real LZW encoder and
+    assert exact pixels back."""
+    import math as m
+    import struct as st
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.tile(np.array([0, 0, 1, 1, 2, 2, 3, 3], np.uint8), (5, 2))  # 5x16 runs
+    h, w = idx.shape
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # textbook LZW encoder (emit CLEAR once, grow the table in sync)
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, codebits_seq = end + 1, []
+    codebits = min_code + 1
+    s = b""
+    for v in idx.flatten().tobytes():
+        s2 = s + bytes([v])
+        if s2 in table:
+            s = s2
+        else:
+            codes.append(table[s])
+            codebits_seq.append(codebits)
+            if next_code < 4096:
+                table[s2] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << codebits) - 1 and codebits < 12:
+                    # decoder grows when ITS next_code hits 2^bits; the
+                    # encoder's table is one ahead after the add
+                    pass
+            if next_code == (1 << codebits) + 1 and codebits < 12:
+                codebits += 1
+            s = bytes([v])
+    codes.append(table[s])
+    codebits_seq.append(codebits)
+    codes.append(end)
+    codebits_seq.append(codebits)
+
+    acc = n_acc = 0
+    bits = bytearray()
+    # first CLEAR goes at min_code+1 bits
+    stream = [(clear, min_code + 1)] + list(zip(codes[1:], codebits_seq))
+    for code, nb in stream:
+        acc |= code << n_acc
+        n_acc += nb
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a") + st.pack("<HH", w, h) + bytes([0x81, 0, 0])
+    ct = np.zeros((4, 3), np.uint8)
+    ct[:] = palette
+    out += ct.tobytes()
+    out += b"\x2c" + st.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes([min_code])
+    for off in range(0, len(bits), 255):
+        chunk = bits[off : off + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    got = decode_pixels(bytes(out))
+    assert got is not None and np.array_equal(got, palette[idx])
