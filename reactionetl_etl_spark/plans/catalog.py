@@ -4149,3 +4149,133 @@ def canonical_doc_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_doc"),
         F.max("n_chars").alias("keep_n_chars"),
     )
+
+
+@_q(
+    "nation_market_share",
+    """
+    WITH all_lines AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+        JOIN region r    ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+        JOIN part p      ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share,
+           round(sum(volume), 2) AS total_volume
+    FROM all_lines
+    GROUP BY o_year
+    """,
+    tags=("agg", "join", "tpch-q8"),
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier-side revenue share per
+    year within a region+type market. Six joins, all dimension sides
+    broadcast (region→nation prunes customers map-side; part filter
+    prunes lineitem); the fact table is scanned once and never
+    shuffles until the (year) group — conditional aggregation replaces
+    the classic CASE-inside-sum self-join formulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    cust_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    lines = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return lines.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+@_q(
+    "product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity / 10.0), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INT)
+    """,
+    tags=("agg", "join", "tpch-q9"),
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted to this schema (no partsupp table in the
+    testdata, so unit cost is proxied by p_retailprice/10): profit per
+    supplier nation per year over a part-name filter. The name filter
+    broadcasts a pruned part side; lineitem joins orders on orderkey
+    (the one big-big join, AQE-planned) and shuffles only on the final
+    (nation, year) group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / F.lit(10.0)
+    )
+    lines = (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+            ),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .select("nation", F.year("o_orderdate").cast("int").alias("o_year"), profit.alias("p"))
+    )
+    return lines.groupBy("nation", "o_year").agg(F.round(F.sum("p"), 2).alias("profit"))

@@ -540,3 +540,62 @@ def test_gif_decode_real_lzw_stream():
     out += b"\x00\x3b"
     got = decode_pixels(bytes(out))
     assert got is not None and np.array_equal(got, palette[idx])
+
+
+def _wav_bytes(samples, rate, bits=16, fmt=1, extra_chunk=True):
+    """Minimal RIFF/WAVE writer: samples is (n_frames, n_ch) float in
+    [-1,1]; optional junk LIST chunk before data exercises the walker."""
+    import struct as st
+
+    import numpy as np
+
+    n_frames, n_ch = samples.shape
+    if fmt == 1 and bits == 16:
+        data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    elif fmt == 1 and bits == 8:
+        data = ((np.clip(samples, -1, 1) * 127) + 128).astype("u1").tobytes()
+    elif fmt == 3 and bits == 32:
+        data = samples.astype("<f4").tobytes()
+    else:
+        raise ValueError
+    block = n_ch * bits // 8
+    fmt_body = st.pack("<HHIIHH", fmt, n_ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + st.pack("<I", len(fmt_body)) + fmt_body
+    if extra_chunk:
+        info = b"INFOjunk1"  # odd length: exercises even-byte padding
+        chunks += b"LIST" + st.pack("<I", len(info)) + info + b"\x00"
+    chunks += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_formats_and_features(spark):
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_pcm,
+    )
+
+    t = np.arange(8000) / 8000.0
+    mono = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t), 0.5 * np.cos(2 * np.pi * 220 * t)], 1)
+
+    dec, rate = decode_wav_pcm(_wav_bytes(mono, 8000))
+    assert rate == 8000 and dec.shape == (8000, 1)
+    assert np.abs(dec - mono).max() < 1e-3  # 16-bit quantization
+    dec32, _ = decode_wav_pcm(_wav_bytes(stereo, 16000, bits=32, fmt=3))
+    assert dec32.shape == (8000, 2) and np.abs(dec32 - stereo).max() < 1e-6
+    assert decode_wav_pcm(b"RIFF\x00\x00\x00\x00AVI ") is None
+
+    rows = [
+        (1, _wav_bytes(mono, 8000)),
+        (2, _wav_bytes(stereo, 16000, bits=32, fmt=3)),
+        (3, b"\xff\xd8\xff not audio"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_samples"] == 8000
+    assert abs(got[1]["duration_s"] - 1.0) < 1e-9
+    assert abs(got[1]["rms"] - (1 / 2**0.5)) < 1e-2  # sine RMS = 1/sqrt(2)
+    assert got[2]["n_channels"] == 2 and got[2]["bits_per_sample"] == 32
+    assert got[3]["sample_rate"] is None  # non-audio keeps its row
