@@ -346,3 +346,45 @@ def test_stream_upsert_sink_idempotent_replay(spark, tmp_path):
     run()
     got = {r["k"]: (r["v"], r["day"]) for r in spark.read.parquet(table).collect()}
     assert got == {1: ("a", "d1"), 2: ("B2", "d2"), 3: ("c", "d1")}
+
+
+def test_stream_packing_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """Driving the packing sink batch-by-batch produces EXACTLY the
+    layout the batch operator computes over the concatenated input;
+    replaying a batch (foreachBatch at-least-once) changes nothing."""
+    from reactionetl_etl_spark.operators.packing import pack_by_token_budget
+    from reactionetl_etl_spark.streaming.packing import packing_batch_writer
+
+    out = str(tmp_path / "packed")
+    writer = packing_batch_writer(out, order_col="doc_id", token_col="tok", budget=100)
+
+    batches = [
+        [(i, (i * 13) % 40 + 5) for i in range(0, 30)],
+        [(i, (i * 13) % 40 + 5) for i in range(30, 55)],
+        [(i, (i * 13) % 40 + 5) for i in range(55, 80)],
+    ]
+    for bid, rows in enumerate(batches):
+        writer(spark.createDataFrame(rows, "doc_id int, tok int"), bid)
+
+    def snap():
+        return {
+            (r["doc_id"], r["tokens_before"], r["shard_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = snap()
+    all_rows = [r for b in batches for r in b]
+    expected = {
+        (r["doc_id"], r["tokens_before"], r["shard_id"])
+        for r in pack_by_token_budget(
+            spark.createDataFrame(all_rows, "doc_id int, tok int"),
+            "doc_id",
+            "tok",
+            budget=100,
+        ).collect()
+    }
+    assert got == expected  # stream ≡ batch over concatenated input
+
+    # replay batch 1 (at-least-once delivery): byte-identical layout
+    writer(spark.createDataFrame(batches[1], "doc_id int, tok int"), 1)
+    assert snap() == expected
