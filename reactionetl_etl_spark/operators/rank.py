@@ -166,16 +166,21 @@ def global_running_sum(
     the partitioned frame stay consistent with NO persist of the full
     input. Prefer it whenever the order key has a known monotone
     binning — which at 100 TB it almost always does (time, dense id).
-    Without it, the range-partitioned input is persisted
-    (MEMORY_AND_DISK) for the duration of the query, because
+    Without it, the range-partitioned input is pinned (eager
+    localCheckpoint) for the duration of the query, because
     RangePartitioner boundary sampling is nondeterministic across
     evaluations and the local-cumsum and partition-total branches must
-    see the same partitioning (same pin as the ranks' counts persist).
+    see the same partitioning. An EAGER localCheckpoint (not persist)
+    is the pin: partition ids freeze at one evaluation, and the
+    checkpointed blocks free themselves when the plan is garbage
+    collected — a plain persist() registers in the CacheManager and
+    leaks until an explicit unpersist, which a long-running caller
+    (the streaming packing sink packs every micro-batch) would never
+    issue.
     """
     ord_cols = _ordered(list(order_exprs), list(order_desc))
     if bucket_expr is not None:
         part = df.withColumn("__pid", bucket_expr)
-        persisted = False
     else:
         spark = df.sparkSession
         n_parts = int(
@@ -184,9 +189,8 @@ def global_running_sum(
         part = (
             df.repartitionByRange(n_parts, *ord_cols)
             .withColumn("__pid", F.spark_partition_id())
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        persisted = True
     w_loc = Window.partitionBy("__pid").orderBy(*ord_cols)
     upper = -1 if exclusive else 0
     local = part.withColumn(
@@ -206,8 +210,4 @@ def global_running_sum(
         .withColumn(out_col, F.col("__lsum") + F.col("__off"))
         .drop("__pid", "__lsum")
     )
-    # NOTE: when persisted, the cache stays pinned while the returned
-    # plan is alive (same accepted trade as global_order_ranks' counts
-    # persist); callers with a monotone binning should pass bucket_expr.
-    _ = persisted
     return out

@@ -25,18 +25,26 @@ operator would see the concatenated input.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactionetl_etl_spark.operators.packing import pack_by_token_budget
 
+# "the sidecar does not exist yet" (first batch) — anything else is a
+# real failure and must propagate. Same classes streaming/sinks.py
+# treats as missing-index; a driver-local os.path.exists would be
+# wrong for hdfs:// and s3a:// URIs.
+_MISSING_ERROR_CLASSES = frozenset({"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"})
+
 
 def _read_offsets(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path):
-        return None
-    return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if e.getErrorClass() in _MISSING_ERROR_CLASSES:
+            return None
+        raise
 
 
 def packing_batch_writer(
