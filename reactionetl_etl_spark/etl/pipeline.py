@@ -12,8 +12,8 @@ Engine flow (one run = one call to `run_once`):
       → append audit events (per-file running→terminal pairs)
       → append manifest     (processed-file registry)
     enrichment (`materialize_enrichment`): rewrite only day-partitions
-    that still hold NULL simulation_num rows — dynamic partition
-    overwrite, broadcast dim join, everything else untouched.
+    that still hold NULL simulation_num rows — atomic staged partition
+    swap (etl/commit.py), broadcast dim join, everything else untouched.
 
 Lake layout (all plain parquet — swap for Delta/Iceberg in production
 to get ACID appends + MERGE; layout and plans are unchanged):
@@ -40,11 +40,11 @@ touches only unenriched partitions.
 
 from __future__ import annotations
 
-import os
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,9 +91,14 @@ class ReactionLake:
     # -- table readers ----------------------------------------------------
 
     def _read_or_none(self, spark: SparkSession, path: str) -> DataFrame | None:
-        if not os.path.exists(path):
-            return None
-        return spark.read.parquet(path)
+        # AnalysisException probe, not os.path.exists: the lake root can
+        # be hdfs:// or s3a://, where a driver-local stat is always False
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
 
     def fact(self, spark: SparkSession) -> DataFrame | None:
         return self._read_or_none(spark, self.fact_path)

@@ -42,7 +42,7 @@ def _read_offsets(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if e.getErrorClass() in _MISSING_ERROR_CLASSES:
+        if e.getCondition() in _MISSING_ERROR_CLASSES:
             return None
         raise
 

@@ -10,6 +10,7 @@ column or dedup key, same as any foreachBatch sink).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 
 from reactionetl_etl_spark.io.jdbc import write_fact_jdbc
@@ -80,7 +81,6 @@ def dedup_probe_batch_writer(
     matters. On foreachBatch retry the hits append is at-least-once —
     hits carry batch_id so downstream consumers can dedup replays.
     """
-    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from reactionetl_etl_spark.operators.dedup import (
@@ -201,3 +201,48 @@ def stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_append_batch_writer(
+    index_path: str,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch callback maintaining a persisted IVF ANN index as
+    embeddings stream in: the FIRST batch trains the centroids, every
+    later batch cells itself with the STORED centroids and appends —
+    the sign-once/probe-forever lifecycle (SCALING.md), streaming
+    edition. Retraining per batch would re-cell history inconsistently;
+    `write_ivf_index` raises on exactly that misuse, and this writer is
+    the pattern that avoids it. At-least-once caveat: a replayed batch
+    re-appends its vectors (duplicate entries in the affected cells —
+    harmless for top-k probes beyond duplicate neighbors; dedup on
+    id_col at probe time if exactness matters)."""
+    from reactionetl_etl_spark.operators.similarity import (
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            cents = read_ivf_centroids(spark, index_path)
+        except AnalysisException as e:
+            if e.getCondition() not in _MISSING_INDEX_ERROR_CLASSES:
+                raise
+            cents = None
+        if cents is None:
+            write_ivf_index(
+                batch_df, dim=dim, path=index_path, n_cells=n_cells,
+                id_col=id_col, vec_col=vec_col, mode="overwrite",
+            )
+            logger.info("ivf sink: trained index at %s from batch %d", index_path, batch_id)
+        else:
+            write_ivf_index(
+                batch_df, dim=dim, path=index_path, n_cells=len(cents),
+                id_col=id_col, vec_col=vec_col, centroids=cents, mode="append",
+            )
+
+    return write_batch

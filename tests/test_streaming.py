@@ -388,3 +388,35 @@ def test_stream_packing_matches_batch_and_replays_idempotently(spark, tmp_path):
     # replay batch 1 (at-least-once delivery): byte-identical layout
     writer(spark.createDataFrame(batches[1], "doc_id int, tok int"), 1)
     assert snap() == expected
+
+
+def test_stream_ivf_append_trains_once_then_reuses_centroids(spark, tmp_path):
+    """First batch trains the IVF index; later batches append with the
+    STORED centroids — the full stream equals a one-shot index built
+    with those same centroids (probe parity)."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.similarity import (
+        probe_ivf_index,
+        read_ivf_centroids,
+    )
+    from reactionetl_etl_spark.streaming.sinks import ivf_append_batch_writer
+
+    idx = str(tmp_path / "ivf")
+    rng = np.random.default_rng(21)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(120)
+    ]
+    writer = ivf_append_batch_writer(idx, dim=16, n_cells=4)
+    writer(spark.createDataFrame(rows[:60], "vec_id long, embedding array<float>"), 0)
+    cents_after_first = read_ivf_centroids(spark, idx)
+    writer(spark.createDataFrame(rows[60:], "vec_id long, embedding array<float>"), 1)
+    assert read_ivf_centroids(spark, idx) == cents_after_first  # never retrained
+
+    vectors = spark.read.parquet(f"{idx}/vectors")
+    assert vectors.count() == 120
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:4]], "query_id long, embedding array<float>"
+    )
+    got = probe_ivf_index(qs, vectors, cents_after_first, k=3, n_probe=4).collect()
+    assert len(got) == 12  # 4 queries x top-3, drawn from BOTH batches
