@@ -4279,3 +4279,48 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", F.year("o_orderdate").cast("int").alias("o_year"), profit.alias("p"))
     )
     return lines.groupBy("nation", "o_year").agg(F.round(F.sum("p"), 2).alias("profit"))
+
+
+@_q(
+    "training_corpus_build",
+    None,  # composition of minhash signatures (xxhash64) — not ANSI-SQL-expressible
+    tags=("pipeline", "training-export", "end-to-end"),
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline in one call
+    (`pipelines/training.py`): quality filter → near-dup canonical
+    keep-list → benchmark decontamination → deterministic shuffle →
+    token-budget packing → sharded export with a per-document drop
+    ledger. Rows-only here (the MinHash stage hashes with xxhash64,
+    outside ANSI SQL) — but every COMPONENT is individually oracled
+    (`quality_filter_verdicts`, `canonical_doc_per_cluster`,
+    `contamination_check_4gram`, `corpus_deterministic_shuffle`,
+    `token_budget_packing`) and the composition is pinned by
+    conservation + determinism tests. Returns per-shard stats plus the
+    drop tallies, checkpointed so the temp export can be deleted."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.pipelines import build_training_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    work = _tempfile.mkdtemp(prefix="corpus_build_")
+    try:
+        stats = build_training_corpus(
+            spark, docs, work, token_budget=2048, eval_set=eval_set
+        )
+        shard_stats = spark.read.parquet(f"{work}/shard_stats").orderBy("shard_id")
+        out = shard_stats.withColumns(
+            {
+                "n_input": F.lit(stats.n_input),
+                "n_quality_dropped": F.lit(stats.n_quality_dropped),
+                "n_dup_dropped": F.lit(stats.n_dup_dropped),
+                "n_contaminated_dropped": F.lit(stats.n_contaminated_dropped),
+            }
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -1,0 +1,69 @@
+"""End-to-end training-corpus build (pipelines/training.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.pipelines import build_training_corpus
+
+
+def _docs(spark, sf_dir):
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    stats = build_training_corpus(
+        spark, docs, out, token_budget=512, eval_set=eval_set
+    )
+
+    # conservation: every input doc is exported or in the ledger, once
+    assert stats.n_input == (
+        stats.n_exported
+        + stats.n_quality_dropped
+        + stats.n_dup_dropped
+        + stats.n_contaminated_dropped
+    )
+    assert stats.n_exported > 0 and stats.n_shards > 0
+    # eval docs are verbatim copies of corpus docs → contamination must fire
+    assert stats.n_contaminated_dropped > 0
+
+    shards = spark.read.parquet(f"{out}/shards")
+    ledger = spark.read.parquet(f"{out}/ledger")
+    assert shards.count() == stats.n_exported
+    assert ledger.count() == stats.n_input - stats.n_exported
+    # no doc appears on both sides, none twice
+    assert shards.join(ledger, "doc_id").count() == 0
+    assert ledger.select("doc_id").distinct().count() == ledger.count()
+    # every ledger row carries a machine-readable reason
+    assert ledger.filter(F.col("reason").isNull() | (F.col("reason") == "")).count() == 0
+
+    # shard assignment is the greedy layout over the shuffle order
+    rows = sorted(
+        shards.select("shuffle_pos", "n_tokens", "tokens_before", "shard_id").collect(),
+        key=lambda r: r["shuffle_pos"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["tokens_before"] == cum
+        # int(): partition-dir read-back may type shard_id as string
+        assert int(r["shard_id"]) == cum // 512
+        cum += r["n_tokens"]
+
+    stats2 = build_training_corpus(
+        spark, docs, str(tmp_path / "corpus2"), token_budget=512, eval_set=eval_set
+    )
+    assert stats2 == stats  # deterministic end-to-end
+
+
+def test_build_training_corpus_no_eval_set(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    stats = build_training_corpus(spark, _docs(spark, sf_dir), out, token_budget=1024)
+    assert stats.n_contaminated_dropped == 0
+    assert stats.n_exported + stats.n_quality_dropped + stats.n_dup_dropped == stats.n_input
