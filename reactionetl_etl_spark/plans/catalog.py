@@ -71,6 +71,10 @@ _PRIORITY: tuple[str, ...] = (
     "frequent_tokens_exact",
     "embedding_quantize_error",
     "quality_filter_verdicts",
+    "canonical_doc_per_cluster",
+    "nation_market_share",
+    "product_type_profit",
+    "training_corpus_build",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params

@@ -230,3 +230,28 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_frequent_tokens_exact_pass_shape(spark, sf_dir):
+    """The heavy-hitter EXACT pass must semi-join the broadcast
+    candidate set BEFORE the count aggregation — the shuffle carries
+    candidate tokens only, never the vocabulary. (The candidate pass
+    itself is pre-checkpointed at build time and absent from this
+    plan.)"""
+    plan = plan_of(spark, sf_dir, "frequent_tokens_exact")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 1  # one data pass in the exact stage
+
+
+def test_token_budget_packing_no_range_exchange(spark, sf_dir):
+    """Monotone-bucket prefix sum: no sampled range partitioning, and
+    the only single-partition exchange feeds the per-bucket TOTALS
+    aggregate (≤ n_buckets rows), never raw data."""
+    plan = plan_of(spark, sf_dir, "token_budget_packing")
+    assert "Exchange rangepartitioning" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, below
