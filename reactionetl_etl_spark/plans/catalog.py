@@ -75,6 +75,10 @@ _PRIORITY: tuple[str, ...] = (
     "nation_market_share",
     "product_type_profit",
     "training_corpus_build",
+    "sentence_stats",
+    "top_docs_per_lang",
+    "vocab_coverage_topk",
+    "revenue_yoy_growth",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4328,3 +4332,159 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "sentence_stats",
+    """
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[.!?]'),
+                           x -> len(trim(x)) > 0) AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           len(sents) AS n_sentences,
+           CAST(round(CASE WHEN len(sents) = 0 THEN 0.0
+                ELSE list_sum(list_transform(sents, x -> CAST(len(trim(x)) AS DOUBLE)))
+                     / len(sents) END, 4) AS DOUBLE) AS avg_sentence_chars
+    FROM s
+    """,
+    tags=("text", "segmentation"),
+)
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (terminator-split heuristic): count
+    and mean length per document — the unit most quality heuristics
+    (Gopher's 'mean words per sentence') are defined over. Row-local
+    array expressions, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n = F.size(sents)
+    avg_chars = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(sents, F.lit(0.0), lambda acc, x: acc + F.length(F.trim(x))) / n
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_sentences"),
+        F.round(avg_chars, 4).alias("avg_sentence_chars"),
+    )
+
+
+@_q(
+    "top_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_chars
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY n_chars DESC, doc_id ASC) <= 3
+    """,
+    tags=("window", "topk", "text"),
+)
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (3 longest docs per language): the ranked-window
+    filter Spark rewrites to WindowGroupLimit — per-partition top-k
+    heaps BEFORE the exchange, so the shuffle carries ≤ k rows per
+    group per partition, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+
+
+@_q(
+    "vocab_coverage_topk",
+    """
+    WITH tok AS (
+        SELECT u.t AS token
+        FROM documents,
+             UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS u(t)
+    ), counts AS (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk,
+               sum(n) OVER () AS total
+        FROM counts
+    )
+    SELECT CAST(k AS INT) AS k,
+           round(sum(CASE WHEN rk <= k THEN n ELSE 0 END) / any_value(total), 6)
+               AS coverage
+    FROM ranked, UNNEST([10, 50, 100, 500, 1000]) AS ks(k)
+    GROUP BY k
+    """,
+    tags=("text", "vocab", "coverage"),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: fraction of all corpus tokens covered
+    by the top-k most frequent types, at several k — the number that
+    sizes a tokenizer's vocab. One token-count aggregation; the curve
+    itself is computed over the (vocabulary-sized, already aggregated)
+    counts table, cross-joined with the tiny k list."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    counts = (
+        docs.select(F.explode(F.split(norm, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = counts.select(
+        "n", F.row_number().over(w_rank).alias("rk"), F.sum("n").over(w_all).alias("total")
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (50,), (100,), (500,), (1000,)], "k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("n")).otherwise(0))
+                / F.any_value(F.col("total")),
+                6,
+            ).alias("coverage")
+        )
+    )
+
+
+@_q(
+    "revenue_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY o_orderpriority, CAST(year(o_orderdate) AS INT)
+    )
+    SELECT o_orderpriority, o_year, revenue,
+           round(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                      ELSE (revenue - prev) / prev END, 6) AS yoy_growth
+    FROM (
+        SELECT yearly.*,
+               lag(revenue) OVER (PARTITION BY o_orderpriority ORDER BY o_year) AS prev
+        FROM yearly)
+    """,
+    tags=("window", "agg", "timeseries"),
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per priority: window-over-aggregate — the
+    lag runs on the GROUPED (priority, year) table (dozens of rows),
+    never on raw orders, so the expensive pass is the one map-side-
+    combined aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("o_orderpriority").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    growth = F.when(prev.isNull() | (prev == 0), F.lit(None)).otherwise(
+        (F.col("revenue") - prev) / prev
+    )
+    return yearly.withColumn("yoy_growth", F.round(growth, 6))
