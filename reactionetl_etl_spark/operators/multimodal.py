@@ -6,14 +6,17 @@ Arrow-batched pandas functions over `mapInPandas` — the Spark-side
 plumbing (schema, batch shape, partition sizing) is real and tested.
 Pixel codecs are REAL for BMP, PPM (uncompressed), non-interlaced
 8-bit PNG (stdlib zlib + numpy scanline unfilter, all color types
-incl. palette) and GIF first frames (pure-Python LZW); JPEG/video
-decode stays STUBBED because no codec libraries exist in this
-container and a DCT/H.26x codec is out of scope.
+incl. palette) and GIF — full animations: per-frame LZW decode,
+transparency + disposal composition, real every-Nth-frame sampling
+(`sample_gif_frames`). JPEG/video decode stays STUBBED because no
+codec libraries exist in this container and a DCT/H.26x codec is out
+of scope.
 
     spark.read.format("binaryFile").load(dir)          → ingest
     with_media_metadata(df)                            → sniff container
-    decode_image_features(df)                          → mapInPandas stub
-    sample_video_frames(df, every_n)                   → mapInPandas stub
+    decode_image_features(df)                          → mapInPandas
+    sample_gif_frames(df, every_n)                     → REAL composed frames
+    sample_video_frames(df, every_n)                   → byte-stride stub
 
 Scale posture: binary payloads never pass through Python row-by-row —
 mapInPandas streams Arrow record batches; `maxRecordsPerBatch` bounds
@@ -380,41 +383,56 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _gif_decode(b: bytes):
-    """Pure-stdlib GIF pixel decode: first image frame, LZW-inflated
-    (`_lzw_decode`) and mapped through the active (local-over-global)
-    color table; Adam-style 4-pass interlace rows are reordered.
-    Returns (h, w, 3) uint8 RGB at the LOGICAL SCREEN size with the
-    frame composed at its offset over the background color —
-    animation, transparency, and later frames are out of scope (frame
-    SAMPLING is `sample_video_frames`' job). None on anything
-    malformed."""
+def _gif_frames(b: bytes, max_frames: int | None = None):
+    """Pure-stdlib GIF frame iterator: yields each animation frame as
+    a fully-composed (sh, sw, 3) uint8 RGB screen, in order. Handles
+    LZW (`_lzw_decode`), local-over-global color tables, 4-pass
+    interlace, GCE transparency (transparent pixels leave the
+    previous composition visible) and disposal method 2
+    (restore-to-background after rendering); disposal 3
+    (restore-to-previous, vanishingly rare) is approximated as
+    leave-in-place. Returns an empty list on malformed input —
+    truncated mid-frame yields the frames decoded so far."""
     import numpy as np
 
+    frames: list = []
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
-        return None
+        return frames
     sw, sh = struct.unpack("<HH", b[6:10])
     packed, bg_idx = b[10], b[11]
     if sw <= 0 or sh <= 0:
-        return None
+        return frames
     i = 13
     global_ct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         global_ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
         i += n * 3
+    bg = (
+        global_ct[bg_idx]
+        if (global_ct is not None and bg_idx < global_ct.shape[0])
+        else np.zeros(3, np.uint8)
+    )
+    screen = np.full((sh, sw, 3), bg, dtype=np.uint8)
+    transparent_idx: int | None = None
+    disposal = 0
     while i < len(b):
         block = b[i]
-        if block == 0x3B:  # trailer before any image
-            return None
-        if block == 0x21:  # extension: skip sub-blocks
-            i += 2
-            while i < len(b) and b[i] != 0:
-                i += 1 + b[i]
-            i += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[i + 1] if i + 1 < len(b) else 0
+            j = i + 2
+            if label == 0xF9 and j < len(b) and b[j] >= 4:
+                gce = b[j + 1 : j + 5]
+                disposal = (gce[0] >> 2) & 0x07
+                transparent_idx = gce[3] if gce[0] & 0x01 else None
+            while j < len(b) and b[j] != 0:
+                j += 1 + b[j]
+            i = j + 1
             continue
         if block != 0x2C:
-            return None
+            break
         left, top, fw, fh = struct.unpack("<HHHH", b[i + 1 : i + 9])
         fpacked = b[i + 9]
         i += 10
@@ -424,7 +442,7 @@ def _gif_decode(b: bytes):
             ct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
             i += n * 3
         if ct is None or fw <= 0 or fh <= 0 or left + fw > sw or top + fh > sh:
-            return None
+            break
         min_code_size = b[i]
         i += 1
         sub = bytearray()
@@ -432,9 +450,10 @@ def _gif_decode(b: bytes):
             ln = b[i]
             sub += b[i + 1 : i + 1 + ln]
             i += 1 + ln
+        i += 1  # sub-block terminator
         idx = _lzw_decode(bytes(sub), min_code_size, fw * fh)
         if idx is None:
-            return None
+            break
         frame = np.frombuffer(idx, np.uint8).reshape(fh, fw)
         if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
             order = [
@@ -444,12 +463,27 @@ def _gif_decode(b: bytes):
             deinterlaced[order] = frame
             frame = deinterlaced
         if int(frame.max(initial=0)) >= ct.shape[0]:
-            return None
-        bg = ct[bg_idx] if (global_ct is not None and bg_idx < ct.shape[0]) else 0
-        screen = np.full((sh, sw, 3), bg, dtype=np.uint8)
-        screen[top : top + fh, left : left + fw] = ct[frame]
-        return screen
-    return None
+            break
+        region = screen[top : top + fh, left : left + fw]
+        if transparent_idx is not None:
+            opaque = frame != transparent_idx
+            region[opaque] = ct[frame[opaque]]
+        else:
+            region[:] = ct[frame]
+        frames.append(screen.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if disposal == 2:  # restore the frame's rect to background
+            screen[top : top + fh, left : left + fw] = bg
+        transparent_idx, disposal = None, 0
+    return frames
+
+
+def _gif_decode(b: bytes):
+    """First GIF frame as (sh, sw, 3) uint8 RGB (see `_gif_frames`);
+    None on malformed input."""
+    frames = _gif_frames(b, max_frames=1)
+    return frames[0] if frames else None
 
 
 def decode_pixels(payload: bytes):
@@ -787,3 +821,58 @@ def audio_features(
             yield pdf_out
 
     return df.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+) -> DataFrame:
+    """REAL animated-frame sampling for GIF payloads: every ``every_n``-th
+    fully-COMPOSED animation frame (transparency and disposal applied —
+    not raw sub-rects), re-encoded as lossless PNG. This is the shape
+    video frame-sampling takes once a codec exists: the byte-stride
+    `sample_video_frames` stays the plumbing stub for containers this
+    environment can't decode; GIF graduates to real frames here.
+    Non-GIF/malformed payloads contribute zero rows (filter upstream
+    on `with_media_metadata().media_meta.mime` to audit them).
+    ``max_frames`` bounds decode work per payload — an adversarial
+    million-frame GIF otherwise owns the task. One narrow mapInPandas,
+    Arrow-batched, no shuffle."""
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in GIF_FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                # decode bound: frames actually needed, not the whole file
+                cap = None if max_frames is None else max_frames * every_n
+                frames = _gif_frames(bytes(payload), max_frames=cap)
+                for k, screen in enumerate(frames[::every_n]):
+                    if max_frames is not None and k >= max_frames:
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(k * every_n)
+                    out["height"].append(screen.shape[0])
+                    out["width"].append(screen.shape[1])
+                    out["frame_png"].append(encode_png(screen))
+            pdf_out = pd.DataFrame(out)
+            for c in ("frame_index", "width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return df.mapInPandas(sample, GIF_FRAME_SCHEMA)

@@ -599,3 +599,86 @@ def test_wav_decode_formats_and_features(spark):
     assert abs(got[1]["rms"] - (1 / 2**0.5)) < 1e-2  # sine RMS = 1/sqrt(2)
     assert got[2]["n_channels"] == 2 and got[2]["bits_per_sample"] == 32
     assert got[3]["sample_rate"] is None  # non-audio keeps its row
+
+
+def _animated_gif(palette, frames_spec, sw, sh):
+    """GIF89a with multiple frames: frames_spec = [(idx_array, left,
+    top, transparent_idx_or_None, disposal)]; clear-per-symbol LZW."""
+    import math as m
+    import struct as st
+
+    import numpy as np
+
+    nbits = max(2, m.ceil(m.log2(len(palette))))
+    ct = np.zeros((1 << nbits, 3), dtype=np.uint8)
+    ct[: len(palette)] = palette
+    out = bytearray(b"GIF89a") + st.pack("<HH", sw, sh)
+    out += bytes([0x80 | (nbits - 1), 0, 0]) + ct.tobytes()
+    min_code = nbits
+    clear, codebits = 1 << min_code, min_code + 1
+    for idx, left, top, trans, disposal in frames_spec:
+        gce_packed = (disposal << 2) | (1 if trans is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_packed, 0, 0, trans or 0, 0])
+        h, w = idx.shape
+        out += b"\x2c" + st.pack("<HHHH", left, top, w, h) + b"\x00"
+        bits = bytearray()
+        acc = n_acc = 0
+        for v in idx.flatten():
+            for code in (clear, int(v)):
+                acc |= code << n_acc
+                n_acc += codebits
+                while n_acc >= 8:
+                    bits.append(acc & 0xFF)
+                    acc >>= 8
+                    n_acc -= 8
+        acc |= (clear + 1) << n_acc
+        n_acc += codebits
+        while n_acc > 0:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+        out += bytes([min_code])
+        for off in range(0, len(bits), 255):
+            chunk = bits[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_frames_transparency_and_sampling(spark):
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        _gif_frames,
+        decode_pixels,
+        sample_gif_frames,
+    )
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8)
+    base = np.full((4, 6), 1, np.uint8)  # frame 0: all red
+    # frame 1: 2x2 green patch at (1,2); index 0 is TRANSPARENT
+    patch = np.array([[2, 2], [2, 0]], np.uint8)
+    gif = _animated_gif(pal, [(base, 0, 0, None, 0), (patch, 2, 1, 0, 0)], 6, 4)
+
+    frames = _gif_frames(gif)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], pal[base])
+    expected1 = pal[base].copy()
+    expected1[1, 2:4] = pal[2]
+    expected1[2, 2] = pal[2]  # [1,0] row: transparent 0 keeps red below
+    assert np.array_equal(frames[1], expected1)
+    # decode_pixels = first frame
+    assert np.array_equal(decode_pixels(gif), frames[0])
+
+    df = spark.createDataFrame([(7, gif)], "media_id long, content binary")
+    rows = sorted(
+        sample_gif_frames(df, every_n=1).collect(), key=lambda r: r["frame_index"]
+    )
+    assert [r["frame_index"] for r in rows] == [0, 1]
+    assert rows[0]["width"] == 6 and rows[0]["height"] == 4
+    # PNG round-trip of the composed frame
+    assert np.array_equal(decode_pixels(bytes(rows[1]["frame_png"])), expected1)
+    # every_n=2 keeps only frame 0; max_frames bounds output
+    assert [r["frame_index"] for r in sample_gif_frames(df, every_n=2).collect()] == [0]
+    assert len(sample_gif_frames(df, every_n=1, max_frames=1).collect()) == 1
