@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "top_docs_per_lang",
     "vocab_coverage_topk",
     "revenue_yoy_growth",
+    "fuzzy_name_pairs",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4488,3 +4489,46 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev) / prev
     )
     return yearly.withColumn("yoy_growth", F.round(growth, 6))
+
+
+@_q(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (
+        SELECT p_name AS name, min(p_partkey) AS id
+        FROM part GROUP BY p_name
+    ), chunks AS (
+        SELECT id, name, len(name) AS l, c.i AS chunk_id,
+               substr(name, CAST(floor(len(name) * c.i / 3) AS INT) + 1,
+                      CAST(floor(len(name) * (c.i + 1) / 3)
+                           - floor(len(name) * c.i / 3) AS INT)) AS chunk
+        FROM names, UNNEST([0, 1, 2]) AS c(i)
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                        a.name AS name_a, b.name AS name_b
+        FROM chunks a JOIN chunks b
+          ON a.l = b.l AND a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           levenshtein(name_a, name_b) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    """,
+    tags=("fuzzy", "entity-resolution", "join"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution (`operators/fuzzy.py`): distinct
+    part names within 2 SUBSTITUTIONS of each other, candidates
+    generated by the pigeonhole chunk equi-join (never a cross join —
+    the shuffle key is (length, chunk_id, chunk)), verification by
+    levenshtein on candidates only. The oracle replays the identical
+    blocking, so the hash pins the recall contract, not just the
+    survivors."""
+    from reactionetl_etl_spark.operators.fuzzy import substitution_fuzzy_pairs
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    return substitution_fuzzy_pairs(names, "name", "id", max_dist=2)

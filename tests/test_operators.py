@@ -741,3 +741,43 @@ def test_int8_quantization_error_bound_and_zero_vector(spark):
             continue
         for a, b in zip(orig, dq):
             assert abs(a - b) <= scale / 2 + 1e-12
+
+
+def test_fuzzy_pairs_pigeonhole_guarantee(spark):
+    """Pigeonhole blocking finds EVERY same-length pair within
+    max_dist substitutions (brute-force parity) and never emits a pair
+    over the distance bound."""
+    import itertools
+    import random
+
+    from reactionetl_etl_spark.operators.fuzzy import substitution_fuzzy_pairs
+
+    rng = random.Random(11)
+    base = ["gradient", "boosting", "sampler", "token", "corpus"]
+    names = set(base)
+    for w in base:  # substitution-mutated variants, same length
+        for _ in range(3):
+            pos = rng.randrange(len(w))
+            names.add(w[:pos] + rng.choice("abcxyz") + w[pos + 1 :])
+    rows = [(i, n) for i, n in enumerate(sorted(names))]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in substitution_fuzzy_pairs(df, "name", "id", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    brute = {
+        (ia, ib, lev(na, nb))
+        for (ia, na), (ib, nb) in itertools.combinations(rows, 2)
+        if len(na) == len(nb) and lev(na, nb) <= 2
+    }
+    assert got == brute
+    assert all(d <= 2 for _, _, d in got)
