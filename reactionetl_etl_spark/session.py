@@ -35,6 +35,10 @@ _DEFAULTS = {
     # inference would silently turn the ETL `day` column into a DATE
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # runtime bloom-filter join pruning: a selective dim filter injects
+    # a might_contain() semi-filter on the fact side pre-shuffle
+    # (pinned by test_runtime_bloom_filter_prunes_fact_side)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -255,3 +255,42 @@ def test_token_budget_packing_no_range_exchange(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             below = "\n".join(lines[i + 1 : i + 3])
             assert "HashAggregate" in below, below
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    injects a `might_contain` semi-filter on the FACT side before the
+    shuffle — rows that cannot join are dropped at the scan, which at
+    100 TB is the difference between shuffling the fact table and
+    shuffling the matches. Thresholds are scaled down to fixture size;
+    the feature itself ships enabled at defaults on real clusters."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400_000
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+            F.count("*").alias("n")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
