@@ -8,9 +8,11 @@ Pixel codecs are REAL for BMP, PPM (uncompressed), non-interlaced
 8-bit PNG (stdlib zlib + numpy scanline unfilter, all color types
 incl. palette) and GIF — full animations: per-frame LZW decode,
 transparency + disposal composition, real every-Nth-frame sampling
-(`sample_gif_frames`). JPEG/video decode stays STUBBED because no
-codec libraries exist in this container and a DCT/H.26x codec is out
-of scope.
+(`sample_gif_frames`), and baseline JPEG — a full pure-numpy DCT
+pipeline: marker parse, canonical Huffman, dequant, 8×8 IDCT, chroma
+upsample, YCbCr→RGB (`_jpeg_decode`; progressive/arithmetic refuse).
+Only VIDEO decode stays stubbed: an H.26x codec is out of scope
+without a codec library.
 
     spark.read.format("binaryFile").load(dir)          → ingest
     with_media_metadata(df)                            → sniff container
@@ -97,8 +99,8 @@ def parse_image_dims(payload: bytes) -> tuple[int, int] | None:
     """REAL (not stubbed) container-header decode, pure Python/struct:
     (width, height) for PNG (IHDR), GIF (logical screen), BMP
     (BITMAPINFOHEADER), and JPEG (SOF marker scan); None for anything
-    unrecognized or truncated. This is the part of image decode that
-    needs no codec library — pixel decode stays stubbed."""
+    unrecognized or truncated. Header-only fast path — full pixel
+    decode lives in `decode_pixels`."""
     b = payload
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
         w, h = struct.unpack(">II", b[16:24])
@@ -491,10 +493,11 @@ def decode_pixels(payload: bytes):
     can handle: 24-bit BI_RGB BMP and binary PPM (P6, maxval ≤ 255)
     bit-exactly, non-interlaced 8-bit PNG via stdlib zlib + numpy
     scanline unfiltering (`_png_decode`), and GIF first frames via the
-    pure-Python LZW inflater (`_gif_decode`, interlace included).
+    pure-Python LZW inflater (`_gif_decode`, interlace included), and
+    baseline-sequential JPEG via the pure-numpy DCT pipeline
+    (`_jpeg_decode`).
     Returns an (h, w, 3) uint8 RGB numpy array, or None for anything
-    else (JPEG stays stubbed — a DCT codec is out of scope without a
-    codec library).
+    else (progressive/arithmetic JPEG and video refuse — return None).
     """
     import numpy as np
 
@@ -503,6 +506,8 @@ def decode_pixels(payload: bytes):
         return _png_decode(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode(b)
+    if b[:2] == b"\xff\xd8":
+        return _jpeg_decode(b)
     if b[:2] == b"BM" and len(b) >= 54:
         off = struct.unpack("<I", b[10:14])[0]
         w, h = struct.unpack("<ii", b[18:26])
@@ -644,16 +649,14 @@ def resize_images(
 
     The TARGET-GEOMETRY computation is real (header-parsed source
     dims → integer aspect-preserving fit, the part pipelines get wrong
-    most often). The pixel resample is REAL for BMP, PPM,
-    non-interlaced 8-bit PNG and GIF first frames — payloads decode to
+    most often). The pixel resample is REAL for BMP, PPM, PNG, GIF
+    first frames and baseline JPEG — payloads decode to
     numpy (decode_pixels), get nearest-neighbour-resampled at
     destination-pixel centres, and re-encode: BMP→BMP, PPM→PPM,
-    PNG→PNG, GIF→PNG (pixels preserved losslessly; writing an LZW
-    ENCODER buys nothing over PNG for a resized frame). JPEG still
-    passes bytes through unchanged — a DCT codec is out of scope
-    without a codec library; production swaps the decode_pixels call
-    for PIL, nothing else changes. Images already within bounds keep
-    their dims and bytes.
+    PNG→PNG, GIF→PNG and JPEG→PNG (decoded pixels re-encode losslessly;
+    writing a lossy DCT ENCODER would degrade them twice). Images
+    already within bounds keep their dims and bytes; undecodable
+    payloads pass through.
 
     Narrow map via mapInPandas: payloads stream as Arrow batches,
     never as Python row objects; no shuffle at any scale.
@@ -691,7 +694,6 @@ def resize_images(
                             data = encode_ppm(resized)
                         else:
                             data = encode_png(resized)
-                    # JPEG: bytes pass through (stub)
                 out["media_id"].append(mid)
                 out["src_width"].append(sw)
                 out["src_height"].append(sh)
@@ -876,3 +878,271 @@ def sample_gif_frames(
             yield pdf_out
 
     return df.mapInPandas(sample, GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: baseline sequential DCT decode, pure Python/numpy. Progressive
+# and arithmetic-coded JPEGs return None (rare in training corpora;
+# the metadata path still covers them).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    import numpy as np
+
+    k = np.arange(8)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    D[0] *= 1 / np.sqrt(2)
+    return D
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (length, code) → symbol, decoded
+    with a per-length first-code/index table (JPEG F.2.2.3)."""
+
+    def __init__(self, counts, symbols):
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += counts[ln - 1]
+            k += counts[ln - 1]
+            self.maxcode[ln] = code - 1
+            code <<= 1
+        self.symbols = symbols
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise EOFError
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            if table.maxcode[ln] >= code >= table.mincode[ln]:
+                return table.symbols[table.valptr[ln] + code - table.mincode[ln]]
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1: t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_decode(b: bytes):
+    """Baseline (SOF0) JPEG pixel decode: markers → huffman-coded MCUs
+    → dequantize → 8×8 IDCT → chroma upsample → YCbCr→RGB. Returns
+    (h, w, 3) uint8 RGB, or None for progressive/arithmetic/12-bit/
+    malformed streams. Pure Python/numpy — slow-path by design; at
+    scale the decode parallelizes per payload across executors."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before scan
+                return None
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            seg = b[i + 4 : i + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                    j += 1
+                    if prec == 0:
+                        tbl = np.frombuffer(seg, np.uint8, 64, j).astype(np.int32)
+                        j += 64
+                    else:
+                        tbl = np.frombuffer(seg, ">u2", 64, j).astype(np.int32)
+                        j += 128
+                    dq = np.zeros(64, np.int32)
+                    dq[_ZIGZAG] = tbl
+                    qt[tid] = dq.reshape(8, 8)
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                    counts = list(seg[j + 1 : j + 17])
+                    n = sum(counts)
+                    symbols = list(seg[j + 17 : j + 17 + n])
+                    huff[(cls, tid)] = _HuffTable(counts, symbols)
+                    j += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                sof = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                return None  # non-baseline encodings
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan_tables = {}
+                for c in range(ns):
+                    cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan_tables[cid] = (tids >> 4, tids & 0x0F)
+                data_start = i + 2 + seglen
+                return _jpeg_scan(
+                    b, data_start, sof, qt, huff, scan_tables, restart_interval
+                )
+            i += 2 + seglen
+    except (ValueError, EOFError, struct.error, IndexError):
+        return None
+    return None
+
+
+def _jpeg_scan(b, start, sof, qt, huff, scan_tables, restart_interval):
+    import numpy as np
+
+    if sof is None:
+        return None
+    h, w, comps = sof
+    if h <= 0 or w <= 0:
+        return None
+    # unstuff: FF00 → FF; cut at any non-RST marker; note RST positions
+    data = bytearray()
+    rst_breaks = []  # unstuffed offsets where a restart occurred
+    i = start
+    while i < len(b):
+        c = b[i]
+        if c == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                rst_breaks.append(len(data))
+                i += 2
+                continue
+            break  # EOI or next segment
+        data.append(c)
+        i += 1
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    D = _dct_matrix()
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+
+    reader = _BitReader(bytes(data))
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    rst_iter = iter(rst_breaks)
+    next_rst = next(rst_iter, None)
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    # align to the recorded restart boundary
+                    reader.byte_align()
+                    if next_rst is not None:
+                        reader.pos, reader.bit = next_rst, 0
+                        next_rst = next(rst_iter, None)
+                    dc_pred = {cid: 0 for cid, *_ in comps}
+                for cid, ch, cv, tq in comps:
+                    dct_t, act_t = scan_tables[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef = np.zeros(64, np.int32)
+                            t = reader.decode_symbol(huff[(0, dct_t)])
+                            diff = _extend(reader.read_bits(t), t) if t else 0
+                            dc_pred[cid] += diff
+                            coef[0] = dc_pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode_symbol(huff[(1, act_t)])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC overflow")
+                                coef[k] = _extend(reader.read_bits(s), s)
+                                k += 1
+                            block = np.zeros(64, np.float64)
+                            block[_ZIGZAG] = coef
+                            block = block.reshape(8, 8) * qt[tq]
+                            px = D.T @ block @ D + 128.0
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+                mcu_count += 1
+    except (EOFError, ValueError, KeyError, IndexError):
+        return None
+
+    # upsample each component to full MCU-padded resolution, then crop
+    full_h, full_w = mcuy * vmax * 8, mcux * hmax * 8
+    out_planes = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).round().astype(np.uint8)

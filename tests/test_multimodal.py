@@ -682,3 +682,278 @@ def test_gif_animation_frames_transparency_and_sampling(spark):
     # every_n=2 keeps only frame 0; max_frames bounds output
     assert [r["frame_index"] for r in sample_gif_frames(df, every_n=2).collect()] == [0]
     assert len(sample_gif_frames(df, every_n=1, max_frames=1).collect()) == 1
+
+
+def _jpeg_bytes(arr, gray=False):
+    """Minimal baseline JPEG encoder for tests: quant tables of 1s,
+    4:4:4 (or single-component gray), custom same-length canonical
+    Huffman tables built from the symbols actually emitted."""
+    import struct as st
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import _ZIGZAG, _dct_matrix
+
+    D = _dct_matrix()
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        q = np.zeros((ph, pw))
+        q[:h, :w] = p
+        q[h:, :w] = p[-1:, :]
+        q[:, w:] = q[:, w - 1 : w]
+        padded.append(q)
+
+    # forward DCT + zigzag + DC-diff; collect (dc_syms, ac_syms) per class
+    def enc_plane(p):
+        blocks = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                blk = p[by : by + 8, bx : bx + 8] - 128.0
+                coef = D @ blk @ D.T
+                # zz[k] = coefficient at natural position _ZIGZAG[k]
+                # (decoder does block[_ZIGZAG] = coef — same convention)
+                zz = np.round(coef.reshape(64)[_ZIGZAG]).astype(int)
+                blocks.append(zz)
+        return blocks
+
+    def cat(v):
+        return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    all_blocks = [enc_plane(p) for p in padded]
+    # MCU-INTERLEAVED emission order (required for multi-component
+    # scans): block i of comp 0, then comp 1, then comp 2, ...
+    n_blocks = len(all_blocks[0])
+    emit_order = [
+        (ci, bi) for bi in range(n_blocks) for ci in range(len(all_blocks))
+    ]
+    sym_dc: set[int] = set()
+    sym_ac: set[int] = set()
+    prev_by_comp = [0] * len(all_blocks)
+    for ci, bi in emit_order:
+        zz = all_blocks[ci][bi]
+        diff = zz[0] - prev_by_comp[ci]
+        prev_by_comp[ci] = zz[0]
+        sym_dc.add(cat(diff))
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                sym_ac.add(0x00)
+                break
+            while run > 15:
+                sym_ac.add(0xF0)
+                run -= 16
+            sym_ac.add((run << 4) | cat(zz[k]))
+            k += 1
+
+    def build_table(symbols):
+        symbols = sorted(symbols)
+        ln = max(2, (len(symbols)).bit_length())  # 2^ln > nsym → no all-1s code
+        while (1 << ln) <= len(symbols):
+            ln += 1
+        counts = [0] * 16
+        counts[ln - 1] = len(symbols)
+        codes = {s: (i, ln) for i, s in enumerate(symbols)}
+        return counts, symbols, codes
+
+    dc_counts, dc_syms, dc_codes = build_table(sym_dc)
+    ac_counts, ac_syms, ac_codes = build_table(sym_ac)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body)
+
+    qtbl = bytes([0]) + bytes([1] * 64)
+    seg(0xDB, qtbl)
+    nc = 1 if gray else 3
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00] + dc_counts) + bytes(dc_syms))
+    seg(0xC4, bytes([0x10] + ac_counts) + bytes(ac_syms))
+    sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    bits = []
+
+    def put(code, ln):
+        for i in range(ln - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    prev_by_comp = [0] * len(all_blocks)
+    for ci, bi in emit_order:
+        zz = all_blocks[ci][bi]
+        diff = zz[0] - prev_by_comp[ci]
+        prev_by_comp[ci] = zz[0]
+        t = cat(diff)
+        put(*dc_codes[t])
+        if t:
+            v = diff if diff > 0 else diff + (1 << t) - 1
+            put(v, t)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                put(*ac_codes[0x00])
+                break
+            while run > 15:
+                put(*ac_codes[0xF0])
+                run -= 16
+            s = cat(zz[k])
+            put(*ac_codes[(run << 4) | s])
+            v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+            put(v, s)
+            k += 1
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for off in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[off : off + 8]:
+            byte = (byte << 1) | bt
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)
+    out.extend(payload)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_decode_baseline_roundtrip():
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.default_rng(31)
+    # smooth gradient + mild noise (JPEG is lossy; quant tables of 1s
+    # keep the loss to DCT rounding only)
+    yy, xx = np.mgrid[0:24, 0:40]
+    base = (yy * 3 + xx * 2) % 256
+    arr = np.stack(
+        [base, (base + 80) % 256, (255 - base)], axis=2
+    ).astype(np.uint8)
+    got = decode_pixels(_jpeg_bytes(arr))
+    assert got is not None and got.shape == arr.shape
+    err = np.abs(got.astype(int) - arr.astype(int)).max()
+    assert err <= 4, err  # two float DCT trips + YCbCr rounding
+
+    gray = ((yy * 7 + xx * 5) % 256).astype(np.uint8)
+    got_g = decode_pixels(_jpeg_bytes(gray, gray=True))
+    assert got_g is not None and got_g.shape == (24, 40, 3)
+    assert np.abs(got_g[..., 0].astype(int) - gray.astype(int)).max() <= 2
+    # channels replicate for grayscale
+    assert np.array_equal(got_g[..., 0], got_g[..., 1])
+
+    # truncated / progressive-marker streams refuse, not garble
+    assert decode_pixels(_jpeg_bytes(arr)[:40]) is None
+    prog = bytearray(_jpeg_bytes(arr))
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # pretend progressive
+    assert decode_pixels(bytes(prog)) is None
+
+
+def test_jpeg_420_subsampling_constant_color():
+    """4:2:0 chroma subsampling geometry: a constant-color image is
+    DC-only per block, so a hand-rolled interleaved MCU stream (4 luma
+    + Cb + Cr) exercises the sampling-factor bookkeeping and chroma
+    upsample exactly."""
+    import struct as st
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    h, w = 24, 20  # 2x2 MCU grid of 16x16 (cropped)
+    rgb = (37, 180, 90)
+    r, g, b = (float(x) for x in rgb)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # DC coefficient for a constant plane v: DCT(v-128) = 8*(v-128)
+    dcs = {"y": round(8 * (y - 128)), "cb": round(8 * (cb - 128)), "cr": round(8 * (cr - 128))}
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    syms = {cat(v) for v in dcs.values()} | {cat(0)}
+    symbols = sorted(syms)
+    ln = max(2, len(symbols).bit_length())
+    while (1 << ln) <= len(symbols):
+        ln += 1
+    counts = [0] * 16
+    counts[ln - 1] = len(symbols)
+    dc_codes = {s: (i, ln) for i, s in enumerate(symbols)}
+    ac_codes = {0x00: (0, 2)}  # single AC symbol: EOB at code '00'
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([1] * 64))
+    # Y has sampling 2x2, Cb/Cr 1x1
+    seg(0xC0, bytes([8]) + st.pack(">HH", h, w) + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    seg(0xC4, bytes([0x00] + counts) + bytes(symbols))
+    ac_counts = [0] * 16
+    ac_counts[1] = 1
+    seg(0xC4, bytes([0x10] + ac_counts) + bytes([0x00]))
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+
+    bits = []
+
+    def put(code, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_dc(diff):
+        t = cat(diff)
+        put(*dc_codes[t])
+        if t:
+            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    for _mcu in range(4):  # 2x2 MCUs
+        for _ in range(4):  # 4 luma blocks
+            put_dc(dcs["y"] - pred["y"])
+            pred["y"] = dcs["y"]
+            put(*ac_codes[0x00])
+        for c in ("cb", "cr"):
+            put_dc(dcs[c] - pred[c])
+            pred[c] = dcs[c]
+            put(*ac_codes[0x00])
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for off in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[off : off + 8]:
+            byte = (byte << 1) | bt
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)
+    out.extend(payload + b"\xff\xd9")
+
+    got = decode_pixels(bytes(out))
+    assert got is not None and got.shape == (h, w, 3)
+    err = np.abs(got.astype(int) - np.array(rgb)).max()
+    assert err <= 2, (err, got[0, 0])
