@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_coverage_topk",
     "revenue_yoy_growth",
     "fuzzy_name_pairs",
+    "word_window_udtf",
+    "events_variant_stats",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4532,3 +4534,75 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_partkey").alias("id")
     )
     return substitution_fuzzy_pairs(names, "name", "id", max_dist=2)
+
+
+@_q(
+    "word_window_udtf",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id, CAST(u.p AS INT) AS pos,
+           array_to_string(toks[u.p * 20 + 1 : (u.p + 1) * 20], ' ') AS chunk
+    FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(p)
+    """,
+    tags=("udtf", "text", "chunking"),
+)
+def word_window_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function — the fourth
+    UDF surface after scalar pandas_udf / applyInPandas / mapInPandas):
+    one input row → N output rows, here a 20-word window chunker driven
+    through SQL `LATERAL`. The oracle reproduces the same windows with
+    DuckDB list slicing, so the UDTF's row expansion is value-checked,
+    not just counted. (For THIS job the pure-expression form in
+    `doc_chunking_overlap` is the fast path — the UDTF surface exists
+    for expansions that genuinely need imperative Python per row.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, chunk string")
+    class WordWindows:
+        def eval(self, text: str):
+            import re
+
+            toks = [t for t in re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ") if t]
+            for i in range(0, len(toks), 20):
+                yield i // 20, " ".join(toks[i : i + 20])
+
+    spark.udtf.register("word_windows_udtf", WordWindows)
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.chunk "
+        "FROM __docs_for_udtf d, LATERAL word_windows_udtf(d.text) s"
+    )
+
+
+@_q(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant", "semi-structured"),
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type for semi-structured data: `parse_json` once
+    into the binary variant encoding, then typed `try_variant_get`
+    path extraction — the open-schema answer to schema-on-read JSON
+    (faster repeated extraction than per-access string parsing, no
+    schema declaration up front). Value-oracled against DuckDB's JSON
+    path extraction over the same column."""
+    ev = load_events(spark, sf_dir)
+    v = ev.withColumn("__v", F.parse_json("props"))
+    k = F.try_variant_get("__v", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
