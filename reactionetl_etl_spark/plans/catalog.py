@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_name_pairs",
     "word_window_udtf",
     "events_variant_stats",
+    "recursive_month_spine",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4605,4 +4606,52 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
+    )
+
+
+@_q(
+    "recursive_month_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '2001-07-01'
+    )
+    SELECT CAST(m AS VARCHAR) AS month,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ) o ON o.om = months.m
+    """,
+    tags=("sql", "recursive-cte", "spine"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (UNION ALL recursion — the engine rejects
+    UNION-dedup recursion, so cyclic reachability stays on the
+    iterative `graph.connected_components`): an acyclic month-spine
+    generated by recursion, left-joined to per-month order counts so
+    empty months appear as zeros. Both engines run structurally the
+    same recursive SQL; months render as strings for the cross-engine
+    hash."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '2001-07-01'
+        )
+        SELECT CAST(m AS STRING) AS month,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM months
+        LEFT JOIN (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+                   count(*) AS n
+            FROM __orders_rcte GROUP BY 1
+        ) o ON o.om = months.m
+        """
     )
