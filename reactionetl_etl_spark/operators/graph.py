@@ -18,9 +18,14 @@ long-chain graphs, the large-star/small-star variant (Kiveris et al.,
 "Connected Components in MapReduce", SOCC'14 — public) halves the
 diameter per round; not needed for dedup-shaped graphs.
 
-Driver involvement is one convergence count per iteration (a scalar),
-and labels are persisted per round so each iteration's lineage is one
-join deep — no exponential plan growth.
+Driver involvement is one convergence count per iteration (a scalar).
+Labels are EAGERLY localCheckpoint'ed per round: a persist() would
+cache the data but leave the logical plan as the fully-unrolled
+iteration tree (measured: 210 source scans / 728 exchanges in the
+returned plan after convergence on the dedup fixture — re-evaluated
+wholesale if the cache ever dropped). The checkpoint truncates lineage
+to a leaf each round, so every iteration's plan is exactly one join
+deep and the RETURNED frame is a self-contained in-memory table.
 """
 
 from __future__ import annotations
@@ -42,10 +47,12 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.filter(F.col("a") != F.col("b")).distinct().persist()
+    # one checkpoint for the edge set too: the candidate-generation
+    # plan (LSH/blocking joins) is evaluated once, not once per round
+    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # neighbor labels flow along edges: node a hears b's label
@@ -54,16 +61,14 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select(F.col("node"), F.col("comp").alias("component"))
