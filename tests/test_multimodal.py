@@ -957,3 +957,75 @@ def test_jpeg_420_subsampling_constant_color():
     assert got is not None and got.shape == (h, w, 3)
     err = np.abs(got.astype(int) - np.array(rgb)).max()
     assert err <= 2, (err, got[0, 0])
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn handling: restart interval 1 resets DC predictors and
+    byte-aligns between every MCU — a constant-color stream with RST
+    markers must decode to the constant."""
+    import struct as st
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import decode_pixels
+
+    h, w = 8, 24  # 3 MCUs of 8x8, gray
+    val = 150
+    dc = round(8 * (val - 128))
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    symbols = sorted({cat(dc), 0})
+    ln = max(2, len(symbols).bit_length())
+    while (1 << ln) <= len(symbols):
+        ln += 1
+    counts = [0] * 16
+    counts[ln - 1] = len(symbols)
+    dc_codes = {s: (i, ln) for i, s in enumerate(symbols)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([1] * 64))
+    seg(0xC0, bytes([8]) + st.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00] + counts) + bytes(symbols))
+    ac_counts = [0] * 16
+    ac_counts[1] = 1
+    seg(0xC4, bytes([0x10] + ac_counts) + bytes([0x00]))
+    seg(0xDD, st.pack(">H", 1))  # restart every MCU
+    seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+
+    def mcu_bytes():
+        # with restart, every MCU starts from predictor 0 → full DC
+        bits = []
+        t = cat(dc)
+        for i in range(ln - 1, -1, -1):
+            bits.append((dc_codes[t][0] >> i) & 1)
+        v = dc if dc > 0 else dc + (1 << t) - 1
+        for i in range(t - 1, -1, -1):
+            bits.append((v >> i) & 1)
+        bits.extend([0, 0])  # AC EOB (code '00')
+        while len(bits) % 8:
+            bits.append(1)
+        payload = bytearray()
+        for off in range(0, len(bits), 8):
+            byte = 0
+            for bt in bits[off : off + 8]:
+                byte = (byte << 1) | bt
+            payload.append(byte)
+            if byte == 0xFF:
+                payload.append(0x00)
+        return bytes(payload)
+
+    for m in range(3):
+        out.extend(mcu_bytes())
+        if m < 2:
+            out.extend(bytes([0xFF, 0xD0 + m]))  # RST0, RST1
+    out.extend(b"\xff\xd9")
+
+    got = decode_pixels(bytes(out))
+    assert got is not None and got.shape == (8, 24, 3)
+    assert np.abs(got.astype(int) - val).max() <= 1
