@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "word_window_udtf",
     "events_variant_stats",
     "recursive_month_spine",
+    "bigram_logprob_scores",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4611,6 +4612,7 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "recursive_month_spine",
+    "bigram_logprob_scores",
     """
     WITH RECURSIVE months(m) AS (
         SELECT DATE '1995-01-01'
@@ -4654,4 +4656,75 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM __orders_rcte GROUP BY 1
         ) o ON o.om = months.m
         """
+    )
+
+
+@_q(
+    "bigram_logprob_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, p[1] AS w1, p[2] AS w2
+        FROM toks, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+        WHERE len(t) >= 2
+    ), counts AS (
+        SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+    ), uni AS (
+        SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1
+    ), model AS (
+        SELECT counts.w1, counts.w2,
+               ln((c12 + 0.5) / (c1 + 0.5 * 64)) AS lp
+        FROM counts JOIN uni ON counts.w1 = uni.w1
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(lp), 6) AS mean_logprob
+    FROM bg JOIN model ON bg.w1 = model.w1 AND bg.w2 = model.w2
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "lm", "quality"),
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style perplexity-proxy quality signal: train an add-k
+    smoothed bigram LM on the corpus itself (one pair-count
+    aggregation), then score every document's mean bigram log
+    probability — the filter that catches fluent-vs-gibberish text
+    where length/stopword heuristics can't. Two shuffles total: pair
+    counts (map-side combined), and the score join keyed on the pair;
+    the model table is vocabulary²-bounded, NOT corpus-bounded, and
+    the 64-type smoothing denominator matches the fixture vocabulary
+    (a production run plugs in |V|). Self-scoring means every doc
+    bigram EXISTS in the model, so the inner join loses nothing —
+    held-out scoring would left-join with a backoff constant."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    toks = docs.select("doc_id", F.split(norm, " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = counts.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * 64)).alias("lp"),
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
     )
