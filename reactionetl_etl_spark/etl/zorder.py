@@ -39,7 +39,9 @@ def _quantize(col: Column, lo: float, hi: float, n_bits: int) -> Column:
     NULLs to bucket 0 (they sort together, which is what pruning
     wants)."""
     n_buckets = (1 << n_bits) - 1
-    if hi <= lo:
+    # lo/hi are None when the column is entirely NULL — degenerate
+    # dimension, everything lands in bucket 0 (same as hi == lo)
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     return F.coalesce(

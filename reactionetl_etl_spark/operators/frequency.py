@@ -88,6 +88,15 @@ def frequent_items(
         )
     src = df.select(col).filter(F.col(col).isNotNull())
     field = src.schema[col]
+    from pyspark.sql import types as T
+
+    if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+        # the per-partition counters key on Python values; list/dict
+        # values are unhashable and would crash mid-job — fail fast
+        raise TypeError(
+            f"frequent_items needs an atomic column, got {field.dataType.simpleString()}"
+            " — project a hashable key (e.g. to_json / hash) first"
+        )
     summary = src.mapInPandas(
         _mg_partition(k, col),
         schema=f"{field.name} {field.dataType.simpleString()}, __n_part bigint",
