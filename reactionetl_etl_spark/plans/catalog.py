@@ -4612,7 +4612,6 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "recursive_month_spine",
-    "bigram_logprob_scores",
     """
     WITH RECURSIVE months(m) AS (
         SELECT DATE '1995-01-01'
