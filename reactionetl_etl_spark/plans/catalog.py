@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_variant_stats",
     "recursive_month_spine",
     "bigram_logprob_scores",
+    "bpe_learned_merges",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4726,4 +4727,29 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("lp"), 6).alias("mean_logprob"),
         )
+    )
+
+
+@_q(
+    "bpe_learned_merges",
+    None,  # iterative trainer (argmax + re-tokenize per round) — not one SQL
+    tags=("text", "tokenizer", "bpe", "iterative"),
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (`operators/bpe.py`): 8 merge
+    rounds over a deterministic quarter-sample of the corpus, each
+    round = one map-side-combined pair count + a 1-row argmax + one
+    Arrow-batched greedy merge pass. Rows-only by design (the loop is
+    not one SQL statement) but fully deterministic — count-desc,
+    pair-asc tie-break — and the trainer is pinned against an
+    independent straight-line Python BPE in `test_bpe.py`, including
+    the overlapping-occurrence ('aaa' under a+a) greedy semantics.
+    Returns the learned merge table in rank order."""
+    from reactionetl_etl_spark.operators.bpe import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    merges = train_bpe_merges(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, n bigint",
     )

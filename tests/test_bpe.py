@@ -1,0 +1,105 @@
+"""BPE trainer/encoder vs an independent reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.operators.bpe import (
+    apply_bpe_merges,
+    train_bpe_merges,
+)
+
+
+def _ref_bpe(corpus: list[str], n_merges: int, min_count: int = 2):
+    """Straight-line reference BPE (same tie-break: count desc, then
+    (a, b) asc) over whitespace-pretokenized lowercase text."""
+    seqs = []
+    for doc in corpus:
+        for w in " ".join(doc.lower().split()).split(" "):
+            if w:
+                seqs.append(list(w))
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_count:
+            break
+        merges.append((a, b, n))
+        new_seqs = []
+        for s in seqs:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_seqs.append(out)
+        seqs = new_seqs
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider wider new new",
+    "aaa aaab aaaa",  # overlap case: leftmost-greedy matters
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = train_bpe_merges(df, "text", n_merges=12)
+    want = _ref_bpe(CORPUS, 12)
+    assert got == want
+    assert len(got) > 4  # learned something real
+
+
+def test_apply_bpe_encodes_like_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    )
+    merges = train_bpe_merges(df, "text", n_merges=8)
+    enc = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in apply_bpe_merges(df, merges).collect()
+    }
+
+    mlist = [(a, b) for a, b, _ in merges]
+
+    def ref_encode(text):
+        toks = []
+        for w in " ".join(text.lower().split()).split(" "):
+            s = list(w)
+            for a, b in mlist:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            toks.extend(s)
+        return toks
+
+    for i, t in enumerate(CORPUS):
+        assert enc[i] == ref_encode(t), i
+    # 'low' must have become a single token with this corpus
+    assert "low" in enc[0]
+
+
+def test_train_bpe_min_count_stops_early(spark):
+    df = spark.createDataFrame([("ab cd",)], "text string")  # every pair unique
+    assert train_bpe_merges(df, "text", n_merges=5, min_count=2) == []
