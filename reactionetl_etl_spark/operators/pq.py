@@ -1,0 +1,212 @@
+"""Product quantization (PQ) for embedding compression + ANN.
+
+Int8 quantization (`similarity.quantize_embeddings_int8`) buys 4×;
+PQ (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — public) buys 32× here: split each vector into
+``m`` subvectors, k-means each subspace to ``k`` centroids, store only
+the per-subspace centroid INDEX — m bytes per vector for k ≤ 256.
+Search uses asymmetric distance computation (ADC): per query, a tiny
+m×k lookup table of subspace distances is precomputed once, and a
+candidate's distance is m table lookups summed — no float vector is
+ever touched at scan time.
+
+Spark shape:
+  - TRAINING is driver-side numpy Lloyd's on a bounded sample
+    (deterministic seed/init) — codebooks are m×k×(dim/m) floats, KBs;
+  - ENCODING is one Arrow-batched pass (vectorized argmin per
+    subspace), output array<int> codes;
+  - SEARCH broadcasts the query batch's lookup tables inside the
+    mapInPandas closure (|queries| × m × k floats — batch ANN keeps
+    query batches bounded, same contract as `cosine_topk_batch`), scans
+    the CODES column only, and top-k reduces per query. Optional exact
+    RE-RANK joins the shortlist back to full vectors — the standard
+    two-stage: PQ recalls a candidate set cheaply, floats re-order it.
+
+Cosine geometry: vectors are L2-normalized before train/encode, so
+ADC's squared-euclidean ranking equals cosine ranking on the sphere
+(cos = 1 - d²/2 for unit vectors).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalize(x):
+    import numpy as np
+
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_sample: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+) -> list:
+    """m × k × (dim/m) codebook, numpy Lloyd's per subspace on a
+    bounded deterministic sample (`limit` — pre-sample upstream at
+    100 TB). Empty clusters re-seed from the farthest points."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = df.select(vec_col).limit(max_sample).collect()
+    x = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cents = xs[rng.permutation(len(xs))[:k]].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+                else:  # empty cluster: grab the worst-served point
+                    cents[c] = xs[d.min(axis=1).argmax()]
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col`` (array<int>, length m): per-subspace nearest
+    centroid indices. One vectorized Arrow pass, no shuffle."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    sub = books[0].shape[1]
+    cols = df.columns
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[code_col] = [list(map(int, row)) for row in codes]
+            yield pdf
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    schema = ", ".join(out_fields + [f"{code_col} array<int>"])
+    return df.mapInPandas(encode, schema=schema)
+
+
+def pq_cosine_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: list,
+    k: int = 10,
+    refine: int | None = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN over PQ codes via ADC. With ``refine`` (default 4),
+    the per-query shortlist of k×refine ADC candidates is re-ranked by
+    EXACT cosine against the full vectors (one keyed join against the
+    shortlist only) — the two-stage layout; ``refine=None`` returns raw
+    ADC ranking with ``approx_cosine`` = 1 - d²/2.
+    Output: (query_id, vec_id, cosine_sim|approx_cosine, rank ≤ k)."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    sub = books[0].shape[1]
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qx = _normalize(np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64))
+    q_ids = [r[query_id_col] for r in q_rows]
+    # per-query ADC tables: (n_q, m, k) squared distances
+    tables = np.stack(
+        [
+            ((qx[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    shortlist_n = k * (refine or 1)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codes_arr = np.array(list(pdf[code_col]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # dist[q, i] = sum over s of tables[q, s, codes[i, s]]
+            d = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                d += tables[:, s, :][:, codes_arr[:, s]]
+            out_q, out_v, out_d = [], [], []
+            top = min(shortlist_n, len(ids))
+            for qi, qid in enumerate(q_ids):
+                row = d[qi]
+                idx = np.argpartition(row, top - 1)[:top]
+                out_q.extend([qid] * len(idx))
+                out_v.extend(ids[idx])
+                out_d.extend(row[idx])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "adc_d2": out_d})
+
+    partials = codes.mapInPandas(
+        scan, schema="query_id long, vec_id long, adc_d2 double"
+    )
+    if exclude_self:
+        partials = partials.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    shortlist = (
+        partials.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist_n)
+        .drop("__r")
+    )
+    if refine is None:
+        return (
+            shortlist.withColumn("approx_cosine", 1 - F.col("adc_d2") / 2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("adc_d2")
+        )
+    # exact re-rank: join the SHORTLIST (k×refine rows/query) to vectors
+    from reactionetl_etl_spark.functions.vectors import cosine_similarity
+
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = codes.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .withColumn("cosine_sim", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
+        .drop("__qv", "__cv", "adc_d2")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

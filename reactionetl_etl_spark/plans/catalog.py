@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "recursive_month_spine",
     "bigram_logprob_scores",
     "bpe_learned_merges",
+    "pq_cosine_topk_batch",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4753,3 +4754,30 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank int, left string, right string, n bigint",
     )
+
+
+@_q(
+    "pq_cosine_topk_batch",
+    None,  # k-means codebooks — not ANSI-SQL-expressible
+    tags=("similarity", "pq", "batch", "compression"),
+)
+def pq_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized batch ANN (`operators/pq.py`): 64-dim float
+    embeddings compressed to 8 one-byte codes (32×), searched via ADC
+    lookup tables, exact-cosine re-rank over the k×refine shortlist
+    only. Rows-only (codebooks are k-means fits) but recall@k vs exact
+    is pinned in `test_pq.py`, and the re-rank stage reuses the same
+    oracled cosine expression as `cosine_topk_batch_exact`."""
+    from reactionetl_etl_spark.operators.pq import (
+        pq_cosine_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    book = train_pq_codebook(emb, dim=64, m=8, k=16)
+    coded = pq_encode(emb, book).localCheckpoint(eager=True)
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_cosine_topk(qs, coded, book, k=5, refine=8)
