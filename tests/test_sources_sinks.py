@@ -188,3 +188,41 @@ def test_write_sharded_bounds_file_sizes(spark, sf_dir, tmp_path):
     for s in shards:
         assert pq.ParquetFile(s).metadata.num_rows <= 500
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_python_data_source_matches_native_reader(spark, tmp_path):
+    """Spark 4 Python Data Source API: the registered
+    `incoming_reactions` source plans one input partition per day dir
+    and yields the same clean rows the native CSV path produces."""
+    import os
+
+    from tests.fixtures_etl import write_reaction_csv
+
+    from reactionetl_etl_spark.sources.pyds import IncomingReactionsDataSource
+
+    incoming = str(tmp_path / "incoming")
+    d1, d2 = os.path.join(incoming, "2026-01-05"), os.path.join(incoming, "2026-01-06")
+    write_reaction_csv(d1, 1, 15)
+    write_reaction_csv(d1, 2, 10)
+    write_reaction_csv(d2, 3, 5, malformed_row_at=2)
+
+    spark.dataSource.register(IncomingReactionsDataSource)
+    df = spark.read.format("incoming_reactions").option("path", incoming).load()
+    assert df.columns[:2] == ["simulation_id", "ca"]
+    rows = df.collect()
+    # 15 + 10 + (5 - 1 malformed) rows; day column from the PLANNER
+    assert len(rows) == 29
+    by_day = {r["day"] for r in rows}
+    assert by_day == {"2026-01-05", "2026-01-06"}
+    # numeric typing survived
+    assert all(isinstance(r["temperature"], float) for r in rows)
+    # one partition per day directory
+    assert df.rdd.getNumPartitions() == 2
+
+    # empty root → empty relation, not an error
+    empty = (
+        spark.read.format("incoming_reactions")
+        .option("path", str(tmp_path / "absent"))
+        .load()
+    )
+    assert empty.count() == 0
