@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "bigram_logprob_scores",
     "bpe_learned_merges",
     "pq_cosine_topk_batch",
+    "events_mad_anomalies",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -4781,3 +4782,52 @@ def pq_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_cosine_topk(qs, coded, book, k=5, refine=8)
+
+
+@_q(
+    "events_mad_anomalies",
+    """
+    WITH med AS (
+        SELECT user_id, median(value) AS med
+        FROM events GROUP BY user_id
+    ), dev AS (
+        SELECT e.user_id, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.user_id = m.user_id
+    ), mad AS (
+        SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT dev.user_id,
+           round(any_value(dev.med), 6) AS med,
+           round(any_value(mad.mad), 6) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN dev.adev > 5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies
+    FROM dev JOIN mad ON dev.user_id = mad.user_id
+    GROUP BY dev.user_id
+    HAVING count(*) >= 20
+    """,
+    tags=("stats", "robust", "anomaly"),
+)
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median absolute deviation per user —
+    the outlier flag that doesn't move when the outliers themselves
+    do (unlike z-scores, whose mean/σ the anomaly contaminates). Two
+    median aggregations + one broadcastable per-user stats join; both
+    engines interpolate the even-count median identically."""
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count("*").alias("n"),
+            F.sum((F.col("adev") > 5 * F.col("mad")).cast("bigint")).alias("n_anomalies"),
+        )
+        .filter(F.col("n") >= 20)
+    )
