@@ -26,7 +26,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _SCHEMA_DDL = (
@@ -109,3 +114,86 @@ class IncomingReactionsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return IncomingReactionsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: the same relation as an incremental micro-batch
+# source (SimpleDataSourceStreamReader — driver-side reads, the simple
+# variant of the streaming API; right for low-volume control-plane
+# feeds, while high-volume streams use the partitioned DataSourceStreamReader
+# or the engine's checkpointed file source in streaming/incremental.py).
+# ---------------------------------------------------------------------------
+
+
+class IncomingReactionsStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"seen": <sorted file list>}: each micro-batch reads
+    exactly the files that appeared since the last offset (new files
+    in EXISTING days included — arrival order need not be
+    lexicographic). File lists are metadata; a million-file history
+    would move the offset to per-day high-water marks, at the price of
+    requiring within-day append-only naming."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("incoming_reactions requires .option('path', ...)")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _list(self) -> list[str]:
+        import os
+
+        out = []
+        if os.path.isdir(self.root):
+            for day in sorted(os.listdir(self.root)):
+                day_dir = os.path.join(self.root, day)
+                if os.path.isdir(day_dir):
+                    out.extend(
+                        os.path.join(day_dir, f)
+                        for f in os.listdir(day_dir)
+                        if f.startswith("reaction") and f.endswith(".csv")
+                    )
+        return sorted(out)
+
+    def read(self, start: dict):
+        import os
+
+        import csv as _csv
+
+        seen = set(start.get("seen", []))
+        now = self._list()
+        fresh = [f for f in now if f not in seen]
+
+        # a LIST, not a generator: the simple-stream API pickles the
+        # batch's rows between planning and execution
+        rows: list[tuple] = []
+        for path in fresh:
+            day = os.path.basename(os.path.dirname(path))
+            with open(path, newline="") as fh:
+                for raw in _csv.DictReader(fh):
+                    row = {conf: raw.get(src) for src, conf in _COLMAP.items()}
+                    try:
+                        vals = [row["simulation_id"]] + [
+                            float(row[c]) if row[c] not in (None, "") else None
+                            for c in _NUMERIC
+                        ]
+                    except (TypeError, ValueError):
+                        continue
+                    rows.append(tuple(vals) + (day, path))
+        return iter(rows), {"seen": now}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing external
+
+
+class IncomingReactionsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "incoming_reactions_stream"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType):
+        return IncomingReactionsStreamReader(self.options)

@@ -226,3 +226,56 @@ def test_python_data_source_matches_native_reader(spark, tmp_path):
         .load()
     )
     assert empty.count() == 0
+
+
+def test_python_stream_data_source_incremental(spark, tmp_path):
+    """Streaming twin of the Python data source: first AvailableNow
+    drain reads the backlog; files added later are picked up by the
+    next run from the CHECKPOINTED offset, exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures_etl import write_reaction_csv
+
+    from reactionetl_etl_spark.sources.pyds import IncomingReactionsStreamDataSource
+
+    incoming = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = os.path.join(incoming, "2026-01-05")
+    write_reaction_csv(d1, 1, 12)
+    write_reaction_csv(d1, 2, 8)
+
+    spark.dataSource.register(IncomingReactionsStreamDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("incoming_reactions_stream")
+            .option("path", incoming)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 20
+
+    # new file in the SAME day dir + a new day
+    write_reaction_csv(d1, 3, 5)
+    write_reaction_csv(os.path.join(incoming, "2026-01-06"), 4, 7)
+    drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 32  # no reprocessing of the first 20
+    assert df.select("source_file").distinct().count() == 4
+    assert {r["day"] for r in df.select("day").distinct().collect()} == {
+        "2026-01-05",
+        "2026-01-06",
+    }
+    # nothing new → a third drain appends nothing
+    drain()
+    assert spark.read.parquet(out).count() == 32
