@@ -64,6 +64,8 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "totalprice_winsorized_by_segment",
+    "orders_time_split_embargo",
     "upsert_keyed_parity",
     "token_budget_packing",
     "weighted_sample_hash",
@@ -4830,4 +4832,137 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("adev") > 5 * F.col("mad")).cast("bigint")).alias("n_anomalies"),
         )
         .filter(F.col("n") >= 20)
+    )
+
+
+@_q(
+    "totalprice_winsorized_by_segment",
+    """
+    WITH j AS (
+        SELECT c_mktsegment AS segment, o_totalprice AS p
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), b AS (
+        SELECT segment,
+               round(quantile_cont(p, 0.05), 4) AS lo,
+               round(quantile_cont(p, 0.95), 4) AS hi
+        FROM j GROUP BY segment
+    )
+    SELECT j.segment,
+           count(*) AS n,
+           round(any_value(b.lo), 4)                                AS lo,
+           round(any_value(b.hi), 4)                                AS hi,
+           round(avg(least(greatest(j.p, b.lo), b.hi)), 2)          AS mean_winsorized,
+           CAST(sum(CASE WHEN j.p < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN j.p > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM j JOIN b ON j.segment = b.segment
+    GROUP BY j.segment
+    """,
+    tags=("stats", "preprocess", "training-data"),
+)
+def totalprice_winsorized_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) price statistics per market segment
+    — the outlier-clamping step a feature-preprocessing pipeline runs
+    before normalizing a heavy-tailed numeric column. Two passes over
+    the same fact⋈dim join: an exact interpolated percentile per
+    segment (both engines linear-interpolate identically; bounds
+    rounded to 4dp on BOTH sides so clip comparisons agree), then a
+    broadcast of the tiny bounds table back onto the rows. The second
+    pass's shuffle carries only segment groups; at 100 TB the bounds
+    frame is O(#segments) and the percentile itself is the only
+    sort-heavy step (Spark computes it with a partial TDigest-free
+    exact agg over the group — acceptable because segments are few;
+    for millions of groups switch to approx_percentile)."""
+    j = (
+        _t(spark, sf_dir, "orders")
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("p"))
+    )
+    bounds = j.groupBy("segment").agg(
+        F.round(F.percentile("p", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("p", F.lit(0.95)), 4).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+    return (
+        j.join(F.broadcast(bounds), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("lo"), 4).alias("lo"),
+            F.round(F.any_value("hi"), 4).alias("hi"),
+            F.round(F.avg(clipped), 2).alias("mean_winsorized"),
+            F.sum((F.col("p") < F.col("lo")).cast("bigint")).alias("n_clipped_low"),
+            F.sum((F.col("p") > F.col("hi")).cast("bigint")).alias("n_clipped_high"),
+        )
+    )
+
+
+@_q(
+    "orders_time_split_embargo",
+    """
+    WITH r AS (
+        SELECT CAST(floor(0.8 * (count(*) - 1)) AS BIGINT) + 1 AS r FROM orders
+    ), days AS (
+        SELECT o_orderdate AS d, count(*) AS c FROM orders GROUP BY o_orderdate
+    ), cum AS (
+        SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM days
+    ), cutoff AS (
+        SELECT min(d) AS train_end FROM cum, r WHERE cum >= r.r
+    )
+    SELECT CASE WHEN o_orderdate <= train_end THEN 'train'
+                WHEN o_orderdate <= train_end + INTERVAL 30 DAY THEN 'embargo'
+                ELSE 'valid' END AS split,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(min(o_orderdate) AS VARCHAR) AS first_date,
+           CAST(max(o_orderdate) AS VARCHAR) AS last_date
+    FROM orders, cutoff
+    GROUP BY 1
+    """,
+    tags=("window", "preprocess", "training-data"),
+)
+def orders_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered train/validation split with a 30-day embargo gap —
+    the leakage guard for forecasting-style training data (rows inside
+    the embargo are excluded so near-boundary label windows can't
+    straddle the split). The 80th-percentile cutoff date is found
+    WITHOUT a global sort of the fact: per-day counts (distinct days
+    are bounded — thousands even at 100 TB) get a running sum over a
+    day-level window, and the first day whose cumulative count reaches
+    rank r = floor(0.8·(n−1))+1 is the cutoff; both engines compute
+    the identical discrete quantile by construction. The single-
+    partition window runs over day-level AGGREGATES only, never rows
+    (same shape as the pinned prefix-sum operators), and the 1-row
+    cutoff broadcasts back onto the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    r = orders.agg(
+        (F.floor(0.8 * (F.count("*") - F.lit(1))).cast("bigint") + F.lit(1)).alias("r")
+    )
+    days = orders.groupBy(F.col("o_orderdate").alias("d")).agg(F.count("*").alias("c"))
+    cum = days.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cutoff = (
+        cum.join(F.broadcast(r), F.col("cum") >= F.col("r"))
+        .agg(F.min("d").alias("train_end"))
+    )
+    split = (
+        F.when(F.col("o_orderdate") <= F.col("train_end"), F.lit("train"))
+        .when(
+            F.col("o_orderdate") <= F.col("train_end") + F.expr("INTERVAL 30 DAYS"),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("valid"))
+    )
+    return (
+        orders.join(F.broadcast(cutoff), F.lit(True))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.min("o_orderdate").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("string").alias("last_date"),
+        )
     )
