@@ -70,3 +70,36 @@ def split_frames(
     lineage (Catalyst pushes each split predicate to the source)."""
     tagged = hash_split(df, key_col, weights, salt)
     return {name: tagged.filter(F.col("split") == name).drop("split") for name in weights}
+
+
+def split_by_cluster(
+    df: DataFrame,
+    key_col: str,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    cluster_key: str = "node",
+    cluster_col: str = "component",
+    salt: str = "s42",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: every member of a duplicate cluster lands in
+    the SAME split, so a near-duplicate of a training document can never
+    surface in the eval set (per-row hash splitting CANNOT promise this
+    — two near-dup docs have different keys and split independently).
+
+    ``clusters`` maps member key → cluster id, e.g. the output of
+    ``graph.connected_components`` over near-dup pairs. Rows absent from
+    the map hash on their own key, so the map carries only the
+    (typically small) duplicated fraction of the corpus — broadcast it
+    when it fits; otherwise the join shuffles on the row KEY, never on
+    the corpus payload. The hash key is the cluster id for clustered
+    rows, giving co-assignment by construction.
+    """
+    cmap = clusters.select(
+        F.col(cluster_key).cast("string").alias("__member"),
+        F.col(cluster_col).cast("string").alias("__cluster"),
+    )
+    joined = df.join(cmap, F.col(key_col).cast("string") == F.col("__member"), "left")
+    eff = F.coalesce(F.col("__cluster"), F.col(key_col).cast("string"))
+    tagged = joined.withColumn("__effkey", eff).drop("__member", "__cluster")
+    return hash_split(tagged, "__effkey", weights, salt, out_col).drop("__effkey")

@@ -64,6 +64,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "leakage_safe_split",
     "totalprice_winsorized_by_segment",
     "orders_time_split_embargo",
     "upsert_keyed_parity",
@@ -4966,3 +4967,73 @@ def orders_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").cast("string").alias("last_date"),
         )
     )
+
+
+@_q(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), t AS (
+        SELECT * FROM t0 QUALIFY count(*) OVER (PARTITION BY pfx) <= 64
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.toks, tk -> list_contains(b.toks, tk))) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_filter(a.toks, tk -> list_contains(b.toks, tk)))) >= 0.5
+    ), sym AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+        SELECT DISTINCT s AS node, s AS root FROM sym
+        UNION
+        SELECT sym.d, reach.root FROM reach JOIN sym ON sym.s = reach.node
+    ), clust AS (
+        SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           is_clustered
+    FROM (
+      SELECT d.doc_id,
+             c.cluster_id IS NOT NULL AS is_clustered,
+             CAST(('0x' || substring(md5('s42:' ||
+                      CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS b
+      FROM documents d LEFT JOIN clust c ON d.doc_id = c.doc_id
+    )
+    """,
+    tags=("split", "dedup", "ml", "training-data"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-co-assigned train/val/test split — the leakage guard
+    per-row hash splitting cannot give: near-duplicate documents hash
+    on their CLUSTER id (connected components over the Jaccard
+    candidate graph, same edge set as `duplicate_clusters`), so a
+    near-dup of a training doc can never land in val/test. Unclustered
+    docs hash on their own key; the cluster map carries only the
+    duplicated fraction of the corpus, so at 100 TB the join shuffles
+    keys, never text. Per-DOCUMENT assignment is value-oracled (DuckDB
+    walks the same graph with a recursive CTE and applies the same md5
+    bucket formula)."""
+    from reactionetl_etl_spark.operators.split import split_by_cluster
+
+    clusters = duplicate_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tagged = split_by_cluster(
+        docs.join(clusters, "doc_id", "left")
+        .withColumn("is_clustered", F.col("cluster_id").isNotNull())
+        .drop("cluster_id"),
+        "doc_id",
+        clusters,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        cluster_key="doc_id",
+        cluster_col="cluster_id",
+    )
+    return tagged.select("doc_id", "split", "is_clustered")

@@ -480,6 +480,33 @@ def test_hash_split_salt_redeals(spark, docs):
     assert a != c
 
 
+def test_split_by_cluster_coassigns_members(spark):
+    """Every member of a cluster lands in the SAME split; unclustered
+    rows match plain hash_split on their own key (so adding a cluster
+    map never re-deals the rest of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.split import hash_split, split_by_cluster
+
+    ids = spark.range(500).select(F.col("id").alias("doc_id"))
+    # clusters: {0..9}→0, {100..104}→100 (ids as members, min-label roots)
+    members = [(i, 0) for i in range(10)] + [(i, 100) for i in range(100, 105)]
+    clusters = spark.createDataFrame(members, "node long, component long")
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = {
+        r["doc_id"]: r["split"]
+        for r in split_by_cluster(ids, "doc_id", clusters, w).collect()
+    }
+    assert len(out) == 500
+    assert len({out[i] for i in range(10)}) == 1
+    assert len({out[i] for i in range(100, 105)}) == 1
+    plain = {r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id", w).collect()}
+    clustered = set(range(10)) | set(range(100, 105))
+    for i in out:
+        if i not in clustered:
+            assert out[i] == plain[i]
+
+
 def test_minhash_index_probe_incremental(spark, tmp_path):
     """Sign-once incremental dedup: index a corpus, probe a new batch
     against it (finding cross-batch near-dups without re-signing the
