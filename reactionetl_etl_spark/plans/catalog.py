@@ -64,6 +64,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "mixture_resample_uniform",
     "leakage_safe_split",
     "totalprice_winsorized_by_segment",
     "orders_time_split_embargo",
@@ -5037,3 +5038,53 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_col="cluster_id",
     )
     return tagged.select("doc_id", "split", "is_clustered")
+
+
+@_q(
+    "mixture_resample_uniform",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         t AS (SELECT sum(n_docs)::BIGINT AS n_total, count(*) AS n_langs FROM c),
+         r AS (SELECT lang, least(1.0, n_total / (n_langs * n_docs * 1.0)) AS rate
+               FROM c, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < r.rate
+    """,
+    tags=("text", "sampling", "llm", "training-data"),
+)
+def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — the data-mixing step of pretraining
+    curation: downsample over-represented languages to a uniform target
+    mixture by accepting each doc with rate min(1, (N/k)/n_lang),
+    decided by a salted md5 variate of the doc id. Fully deterministic
+    (no RNG: same corpus → same sample on every run, cluster, and
+    engine — which is what makes the per-DOCUMENT selection
+    value-oracle-checkable), resumable, and zero-shuffle on the corpus:
+    the rate table is one groupBy(lang) over keys, broadcast back onto
+    the scan, and the accept predicate is a pure per-row expression.
+    Both engines compute the rate with the same IEEE double division of
+    exact integers, so the comparison never straddles an ulp."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    t = c.agg(F.sum("n_docs").alias("n_total"), F.count("*").alias("n_langs"))
+    rates = c.join(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), F.col("n_total") / (F.col("n_langs") * F.col("n_docs"))
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(u < F.col("rate"))
+        .select("doc_id", "lang")
+    )
