@@ -64,6 +64,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "cross_doc_dup_rate",
     "mixture_resample_uniform",
     "leakage_safe_split",
     "totalprice_winsorized_by_segment",
@@ -5087,4 +5088,65 @@ def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .where(u < F.col("rate"))
         .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "cross_doc_dup_rate",
+    """
+    WITH t0 AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), t AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 1)),
+                                     i -> md5(array_to_string(toks[i:i+7], ' ')))) AS g
+        FROM t0
+    ), gc AS (
+        SELECT g, count(*) AS ndocs FROM t GROUP BY g
+    )
+    SELECT t.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gc.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN gc.ndocs >= 2 THEN 1 ELSE 0 END) / count(*), 6) AS dup_rate
+    FROM t JOIN gc ON t.g = gc.g
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "dedup", "llm", "training-data"),
+)
+def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-content rate: per doc, the fraction of
+    its distinct 8-token shingles that also occur in at least one OTHER
+    document — the boilerplate/syndication signal quality filters
+    threshold on (complementing `intra_doc_repetition`, which measures
+    WITHIN-doc repetition). Shingles shuffle as 16-byte md5 digests
+    (cross-engine identical), never as text, so the wide exchange
+    carries (doc_id, digest) pairs only; the gram-frequency side is a
+    map-side-combined groupBy over digests. ndocs≥2 counts distinct
+    docs because the per-doc gram set is deduplicated BEFORE the join
+    — a doc repeating its own gram doesn't inflate the cross-doc
+    count."""
+    from reactionetl_etl_spark.operators.text import token_ngrams
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = (
+        token_ngrams(docs, "text", 8)
+        .select("doc_id", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    gc = t.groupBy("g").agg(F.count("*").alias("ndocs"))
+    return (
+        t.join(gc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("ndocs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("dup_rate"),
+        )
     )
