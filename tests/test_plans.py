@@ -294,3 +294,25 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_mixture_resample_zero_corpus_shuffle(spark, sf_dir):
+    """The corpus side of mixture resampling must never shuffle: the
+    per-lang rate table joins back by broadcast, and the accept
+    predicate is a per-row expression over the scan."""
+    plan = plan_of(spark, sf_dir, "mixture_resample_uniform")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no hash exchange keyed on the corpus rows (lang-key aggregates
+    # over the tiny rate side are the only exchanges allowed)
+    assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_cross_doc_dup_rate_shuffles_digests_not_text(spark, sf_dir):
+    """The wide exchange of the cross-doc dup-rate query must carry
+    md5 digests, never the document text: `text` may appear only at
+    the scan, not in any exchange's output schema."""
+    plan = plan_of(spark, sf_dir, "cross_doc_dup_rate")
+    for frag in plan.split("Exchange ")[1:]:
+        header = frag.split("\n", 1)[0]
+        assert "text" not in header, header
