@@ -64,6 +64,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "corpus_profile",
     "cross_doc_dup_rate",
     "mixture_resample_uniform",
     "leakage_safe_split",
@@ -5150,3 +5151,58 @@ def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("dup_rate"),
         )
     )
+
+
+@_q(
+    "corpus_profile",
+    """
+    WITH tok AS (
+        SELECT lang,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+        FROM documents
+    ), base AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               round(avg(n_tok), 4) AS avg_tokens
+        FROM tok
+    ), l AS (
+        SELECT lang, count(*) AS n FROM tok GROUP BY lang
+    ), t AS (
+        SELECT sum(n) AS tot, count(*) AS n_langs FROM l
+    ), ent AS (
+        SELECT any_value(n_langs) AS n_langs,
+               round(-sum((n / tot) * log2(n / tot)), 6) AS lang_entropy_bits
+        FROM l, t
+    )
+    SELECT n_docs, n_tokens, avg_tokens, n_langs, lang_entropy_bits
+    FROM base, ent
+    """,
+    tags=("text", "profile", "llm"),
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus snapshot — the summary a curation pipeline logs
+    per dataset version: document/token counts plus the language-
+    mixture entropy (bits; the balance metric mixture resampling
+    pushes toward log2(k)). One full pass computes the token counts
+    with map-side partial aggregation; the entropy runs over the
+    per-lang count table (O(#langs) rows) with the 1-row total
+    broadcast back. Sum order over langs differs between engines only
+    below the 6-decimal rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    )
+    tok = docs.select("lang", n_tok.alias("n_tok"))
+    base = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+    )
+    l = tok.groupBy("lang").agg(F.count("*").alias("n"))
+    t = l.agg(F.sum("n").alias("tot"), F.count("*").alias("n_langs"))
+    p = F.col("n") / F.col("tot")
+    ent = l.join(F.broadcast(t)).agg(
+        F.any_value("n_langs").alias("n_langs"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy_bits"),
+    )
+    return base.join(ent)
