@@ -5115,6 +5115,7 @@ def mixture_resample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.doc_id
     """,
     tags=("text", "dedup", "llm", "training-data"),
+    bench=True,
 )
 def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-content rate: per doc, the fraction of
