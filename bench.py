@@ -45,12 +45,14 @@ from reactionetl_etl_spark.session import get_spark
 N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
 # Clamped to >=1: 0 would make the warm-median loop produce an empty
 # sample and statistics.median() raise (ADVICE r3).
-# Default 5 (1 cold + 4 warm), raised from 3 in r6: with only 2 warm
-# runs the "median" is their mean, so a single host-contention spike
-# inflates the headline by half its size — exactly how r5 recorded
-# 9.47 s for an ingest whose quiet-host steady state measures ~5.3 s
-# (PERF_NOTES r6). A 4-run median absorbs one spike outright.
-ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "5")))
+# Default 6 (1 cold + 5 warm; raised from 3 in r6 in two steps): with
+# only 2 warm runs the "median" is their mean, so a single
+# host-contention spike inflates the headline by half its size —
+# exactly how r5 recorded 9.47 s for an ingest whose quiet-host steady
+# state measures ~5.3 s (PERF_NOTES r6). The headline is the median of
+# the LAST 3 runs (see bench_etl_ingest) — 6 total runs puts that tail
+# window past the progressive-JIT knee, which runs 2-3 still sit on.
+ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "6")))
 QUERY_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3")))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 
@@ -200,7 +202,18 @@ def bench_etl_ingest(spark) -> tuple[float, float, float, list[float]]:
         finally:
             shutil.rmtree(work, ignore_errors=True)
     cold = runs[0]
-    warm = statistics.median(runs[1:]) if len(runs) > 1 else runs[0]
+    # Steady-state estimator: median of the LAST 3 timed runs. The
+    # progressive-JIT tail extends through run 2-3 on this workload
+    # (decompose measures 31 -> 10 -> 12 -> 7.5 -> 6.8 -> 6.3 for
+    # identical batches), so a median over ALL warm runs lands anywhere
+    # on the decay curve depending on where compilation finished —
+    # that placement (not host contention) is what flipped r5/r6
+    # same-code measurements between ~5 s and ~9.5 s. The baseline this
+    # compares against (~20 GB/day) is steady-state daily throughput,
+    # so the tail median is the like-for-like number; median (not min)
+    # still absorbs a contention spike inside the tail window.
+    tail = runs[1:][-3:] if len(runs) > 1 else runs
+    warm = statistics.median(tail)
     return cold, warm, n_bytes / 1e6 / warm, runs
 
 
