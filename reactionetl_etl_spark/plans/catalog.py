@@ -64,6 +64,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
     "mixture_resample_uniform",
@@ -5207,3 +5208,45 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy_bits"),
     )
     return base.join(ent)
+
+
+@_q(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_path
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 20
+    """,
+    tags=("sequence", "feature", "ml"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequence — the behavior-path feature
+    sequence models and funnel miners consume. Order inside each user
+    is made deterministic by sorting (ts, event_id, type) structs
+    (array_sort on structs compares fields left-to-right; event_id
+    breaks same-timestamp ties identically in both engines), so the
+    CONCATENATED PATH itself is value-oracled, not just its length.
+    One shuffle on user_id with partial collect_list; at real scale
+    cap the per-user array with slice() after the sort — the state is
+    O(events per user), same as any sessionization."""
+    ev = load_events(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts_ntz").alias("ts"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(F.transform(ordered, lambda s: s["et"]), ",").alias("type_path"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
