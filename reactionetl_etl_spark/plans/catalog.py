@@ -64,6 +64,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "semdedup_prune",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -1681,6 +1682,22 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling at some recall cost; rows-only check (seed-defined)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.cosine_neardup_pairs(emb, threshold=0.40, lsh_dim=64, lsh_bits=8)
+
+
+@_q("semdedup_prune", None, tags=("dedup", "similarity", "semantic"), bench=True)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: k-means-cluster the
+    embeddings (deterministic seed), near-dup pairs compared only
+    within a cluster (cell equi-join, never a cross product), groups
+    closed transitively, one keeper per group — the member LEAST
+    similar to its centroid. Returns the per-row verdict table (cell,
+    centroid_sim, component, keep). Rows-only check: the clustering is
+    seed-defined, not SQL; the keeper rule and drop-safety are pinned
+    by brute-force parity + determinism tests (test_operators.py)."""
+    from reactionetl_etl_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, n_cells=8, threshold=0.40).orderBy("vec_id")
 
 
 @_q(

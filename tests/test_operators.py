@@ -808,3 +808,97 @@ def test_fuzzy_pairs_pigeonhole_guarantee(spark):
     }
     assert got == brute
     assert all(d <= 2 for _, _, d in got)
+
+
+# ---------------------------------------------------------------------------
+# semdedup (semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_verdict_table_shape_and_determinism(spark, sf_dir):
+    """One verdict row per input vector; two runs (fresh plans, same
+    seed) return byte-identical verdicts — the drop list is auditable
+    and resumable."""
+    from reactionetl_etl_spark.operators.semdedup import semantic_dedup
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a = semantic_dedup(emb, dim=64, n_cells=4, threshold=0.40).orderBy("vec_id")
+    b = semantic_dedup(emb, dim=64, n_cells=4, threshold=0.40).orderBy("vec_id")
+    rows_a, rows_b = a.collect(), b.collect()
+    assert len(rows_a) == n
+    assert len({r["vec_id"] for r in rows_a}) == n
+    assert [tuple(r) for r in rows_a] == [tuple(r) for r in rows_b]
+
+
+def test_semdedup_matches_bruteforce_components_and_keeper_rule(spark):
+    """Parity against a numpy union-find oracle: same-cell pairs at the
+    threshold, transitive closure, keeper = argmin (centroid_sim, id)
+    per component — exactly one keeper per group, all other members
+    dropped, singletons kept with NULL component."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from reactionetl_etl_spark.operators.semdedup import semantic_dedup
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    out = semantic_dedup(emb, dim=64, n_cells=8, threshold=0.40).collect()
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in zip(tbl["vec_id"], tbl["embedding"])}
+    cell = {r["vec_id"]: r["cell"] for r in out}
+    csim = {r["vec_id"]: r["centroid_sim"] for r in out}
+
+    ids = sorted(vecs)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    linked = set()
+    for ii, a in enumerate(ids):
+        va = vecs[a]
+        for b in ids[ii + 1 :]:
+            if cell[a] != cell[b]:
+                continue
+            vb = vecs[b]
+            sim = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if sim >= 0.40:
+                ra, rb = find(a), find(b)
+                parent[max(ra, rb)] = min(ra, rb)
+                linked.update((a, b))
+
+    expected_comp = {i: find(i) for i in ids if i in linked}
+    got_comp = {r["vec_id"]: r["component"] for r in out if r["component"] is not None}
+    assert got_comp == expected_comp
+
+    groups: dict[int, list[int]] = {}
+    for i, c in expected_comp.items():
+        groups.setdefault(c, []).append(i)
+    expected_keep = {i: True for i in ids if i not in linked}
+    for c, members in groups.items():
+        keeper = min(members, key=lambda i: (csim[i], i))
+        for i in members:
+            expected_keep[i] = i == keeper
+    assert {r["vec_id"]: r["keep"] for r in out} == expected_keep
+    # every duplicate group loses all but one member
+    for members in groups.values():
+        assert sum(expected_keep[i] for i in members) == 1
+
+
+def test_semdedup_cell_guard_raises(spark, sf_dir):
+    """max_cell_rows trips before the quadratic join is scheduled."""
+    import pytest as _pytest
+
+    from reactionetl_etl_spark.operators.semdedup import semantic_dedup
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="max_cell_rows"):
+        semantic_dedup(emb, dim=64, n_cells=2, threshold=0.40, max_cell_rows=3)
