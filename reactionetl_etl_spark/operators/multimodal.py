@@ -730,6 +730,24 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Encode an (n_frames, n_channels) float array in [-1, 1] as a
+    16-bit PCM RIFF/WAVE payload — the inverse of `decode_wav_pcm` for
+    format 1 / 16-bit (round-trips within one quantization step).
+    Deterministic byte output, so downstream md5-pinned checks hold."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n_frames, n_ch = arr.shape
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def decode_wav_pcm(b: bytes):
     """Parse a RIFF/WAVE payload into (samples, sample_rate): samples
     is an (n_frames, n_channels) float64 array normalized to [-1, 1].
@@ -823,6 +841,96 @@ def audio_features(
             yield pdf_out
 
     return df.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_bandwidth_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("spectral_flatness", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    max_samples: int = 1 << 18,
+    rolloff_pct: float = 0.85,
+) -> DataFrame:
+    """Frequency-domain features per audio payload (numpy rFFT over the
+    Hann-windowed mono mixdown) — the second-stage audio filters after
+    `audio_features`' time-domain pass: dominant frequency (tone/bleep
+    detection), spectral centroid + bandwidth (brightness), rolloff
+    (energy concentration), flatness (0 = pure tone, →1 = white noise;
+    the standard voice-vs-noise discriminator) and zero-crossing rate.
+
+    ``max_samples`` bounds per-row FFT cost (2^18 frames ≈ 6 s at
+    44.1 kHz — O(n log n) on the clip head, constant per row, so a
+    100 TB corpus scan stays embarrassingly parallel). Non-WAV or
+    compressed payloads yield NULL features but keep their row.
+    Arrow-batched mapInPandas, no shuffle — same posture as every
+    other codec path here.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_SPECTRAL_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                decoded = decode_wav_pcm(bytes(payload))
+                row: dict = dict.fromkeys(out, None)
+                row["media_id"] = mid
+                if decoded is not None:
+                    samples, rate = decoded
+                    mono = samples.mean(axis=1)[:max_samples]
+                    n = mono.size
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+                    spec = np.abs(np.fft.rfft(mono * np.hanning(n)))
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    mag = spec[1:]  # drop DC: silence offsets are not "tones"
+                    f = freqs[1:]
+                    total = float(mag.sum())
+                    if total > 0.0:
+                        centroid = float((f * mag).sum()) / total
+                        bandwidth = float(
+                            np.sqrt(((f - centroid) ** 2 * mag).sum() / total)
+                        )
+                        roll_i = int(np.searchsorted(np.cumsum(mag), rolloff_pct * total))
+                        rolloff = float(f[min(roll_i, mag.size - 1)])
+                        power = mag**2
+                        flatness = float(
+                            np.exp(np.mean(np.log(power + 1e-30))) / (power.mean() + 1e-30)
+                        )
+                        dominant = float(f[int(np.argmax(mag))])
+                    else:  # digital silence: no spectrum to describe
+                        centroid = bandwidth = rolloff = dominant = flatness = 0.0
+                    row.update(
+                        sample_rate=rate,
+                        n_samples=int(n),
+                        dominant_freq_hz=dominant,
+                        spectral_centroid_hz=centroid,
+                        spectral_bandwidth_hz=bandwidth,
+                        spectral_rolloff_hz=rolloff,
+                        spectral_flatness=flatness,
+                        zero_crossing_rate=zc,
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["sample_rate"] = pdf_out["sample_rate"].astype("Int32")
+            pdf_out["n_samples"] = pdf_out["n_samples"].astype("Int64")
+            yield pdf_out
+
+    return df.mapInPandas(feats, AUDIO_SPECTRAL_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = T.StructType(

@@ -65,6 +65,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
     "semdedup_prune",
+    "audio_spectral_profile",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -1779,6 +1780,53 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = decode_image_features(docs, dim=8)
     return feats.select("media_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+@_q("audio_spectral_profile", None, tags=("multimodal", "audio"))
+def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path end-to-end: a deterministic PCM tone per
+    document (frequency keyed on doc_id, synthesized executor-side) is
+    encoded as a genuine RIFF/WAV payload (`encode_wav_pcm16`), then
+    `audio_spectral_features` FFTs it back — dominant_freq_hz recovers
+    the planted tone, so the rows-only check still pins the whole
+    encode→decode→rFFT chain (drift in any stage shifts the values).
+    Arrow-batched both stages, zero shuffle."""
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import audio_spectral_features
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 200)
+    )
+
+    def to_wav(batches):
+        import numpy as np
+
+        from reactionetl_etl_spark.operators.multimodal import encode_wav_pcm16
+
+        rate = 8000
+        t = np.arange(2000) / rate
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                freq = 200.0 + float(int(mid) % 20) * 150.0  # 200..3050 Hz < Nyquist
+                ids.append(mid)
+                blobs.append(encode_wav_pcm16(np.sin(2 * np.pi * freq * t), rate))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    wavs = docs.mapInPandas(to_wav, "media_id long, content binary")
+    feats = audio_spectral_features(wavs)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("dominant_freq_hz", 2).alias("dominant_freq_hz"),
+        F.round("spectral_centroid_hz", 2).alias("spectral_centroid_hz"),
+        F.round("spectral_flatness", 6).alias("spectral_flatness"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    ).orderBy("media_id")
 
 
 @_q("multimodal_resize_pixels", None, tags=("multimodal",))

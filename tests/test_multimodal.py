@@ -601,6 +601,56 @@ def test_wav_decode_formats_and_features(spark):
     assert got[3]["sample_rate"] is None  # non-audio keeps its row
 
 
+def test_audio_spectral_features(spark):
+    """FFT features recover planted signal structure: a pure 440 Hz
+    sine peaks at its own frequency with near-zero flatness and the
+    analytic zero-crossing rate; deterministic white-ish noise is
+    spectrally flat with a far higher centroid; non-audio rows keep
+    NULL features."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import audio_spectral_features
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    sine = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    # xorshift-ish deterministic noise in [-1, 1] — no RNG state
+    x, vals = 88172645463325252, []
+    for _ in range(rate):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        vals.append(((x % 2_000_001) / 1_000_000.0) - 1.0)
+    noise = np.array(vals).reshape(-1, 1)
+
+    rows = [
+        (1, _wav_bytes(sine, rate)),
+        (2, _wav_bytes(noise, rate)),
+        (3, b"not audio at all"),
+        (4, _wav_bytes(np.zeros((4000, 1)), rate)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_spectral_features(df).collect()}
+
+    bin_hz = rate / sine.size  # FFT resolution: 1 Hz at 1 s of audio
+    assert abs(got[1]["dominant_freq_hz"] - 440.0) <= 2 * bin_hz
+    assert abs(got[1]["spectral_centroid_hz"] - 440.0) <= 5.0
+    assert got[1]["spectral_flatness"] < 0.01
+    # sine ZCR = 2f/rate (two crossings per cycle)
+    assert abs(got[1]["zero_crossing_rate"] - 2 * 440 / rate) < 0.01
+
+    assert got[2]["spectral_flatness"] > 0.5
+    assert got[2]["spectral_centroid_hz"] > 1000.0
+    assert got[2]["spectral_rolloff_hz"] > got[1]["spectral_rolloff_hz"]
+
+    assert got[3]["dominant_freq_hz"] is None  # non-audio keeps its row
+
+    # digital silence: defined all-zero spectrum, never NaN
+    assert got[4]["spectral_flatness"] == 0.0
+    assert got[4]["dominant_freq_hz"] == 0.0
+    assert got[4]["zero_crossing_rate"] == 0.0
+
+
 def _animated_gif(palette, frames_spec, sw, sh):
     """GIF89a with multiple frames: frames_spec = [(idx_array, left,
     top, transparent_idx_or_None, disposal)]; clear-per-symbol LZW."""
