@@ -18,7 +18,8 @@ without a codec library.
     with_media_metadata(df)                            → sniff container
     decode_image_features(df)                          → mapInPandas
     sample_gif_frames(df, every_n)                     → REAL composed frames
-    sample_video_frames(df, every_n)                   → byte-stride stub
+    sample_y4m_frames(df, every_n)                     → REAL video frames (Y4M)
+    sample_video_frames(df, every_n)                   → byte-stride stub (mp4/webm)
 
 Scale posture: binary payloads never pass through Python row-by-row —
 mapInPandas streams Arrow record batches; `maxRecordsPerBatch` bounds
@@ -610,16 +611,141 @@ def decode_image_features(
     return mimed.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
 
 
+def _y4m_frames(b: bytes, max_frames: int | None = None):
+    """Pure-stdlib YUV4MPEG2 (.y4m) decoder: yields each video frame as
+    an (h, w, 3) uint8 RGB array. Y4M is the uncompressed interchange
+    format every video toolchain speaks (ffmpeg/mjpegtools emit it), and
+    — like PPM for images — it is a text header plus raw planes, so it
+    decodes with no codec library.
+
+    Stream layout: `YUV4MPEG2 W<w> H<h> F<n>:<d> [C<cs>] ...\\n` then per
+    frame `FRAME[ params]\\n` + planar Y/U/V bytes. Supported chroma:
+    C420* (all 420 siting variants share plane geometry), C422, C444,
+    Cmono. YUV→RGB is BT.601 limited-range (Y 16..235), the Y4M
+    default. Truncated payloads yield the frames decoded so far;
+    malformed headers yield []."""
+    import numpy as np
+
+    if not b.startswith(b"YUV4MPEG2"):
+        return []
+    nl = b.find(b"\n")
+    if nl < 0:
+        return []
+    w = h = None
+    cs = b"420"
+    for p in b[9:nl].split():
+        tag, val = p[:1], p[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            cs = val
+    if not w or not h:
+        return []
+    if cs.startswith(b"420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif cs.startswith(b"422"):
+        cw, ch = (w + 1) // 2, h
+    elif cs.startswith(b"444"):
+        cw, ch = w, h
+    elif cs == b"mono":
+        cw = ch = 0
+    else:
+        return []
+    ysize, csize = w * h, cw * ch
+
+    frames: list = []
+    i = nl + 1
+    while i < len(b):
+        if b[i : i + 5] != b"FRAME":
+            break
+        fnl = b.find(b"\n", i)
+        if fnl < 0 or fnl + ysize + 2 * csize > len(b):
+            break
+        i = fnl + 1
+        y = np.frombuffer(b[i : i + ysize], np.uint8).reshape(h, w).astype(np.float64)
+        i += ysize
+        yr = (y - 16.0) * (255.0 / 219.0)
+        if csize:
+            u = np.frombuffer(b[i : i + csize], np.uint8).reshape(ch, cw).astype(np.float64)
+            v = np.frombuffer(b[i + csize : i + 2 * csize], np.uint8).reshape(ch, cw).astype(np.float64)
+            i += 2 * csize
+            # nearest-neighbour chroma upsample back to luma geometry
+            u = np.repeat(np.repeat(u - 128.0, (h + ch - 1) // ch, 0), (w + cw - 1) // cw, 1)[:h, :w]
+            v = np.repeat(np.repeat(v - 128.0, (h + ch - 1) // ch, 0), (w + cw - 1) // cw, 1)[:h, :w]
+            r = yr + 1.596 * v
+            g = yr - 0.392 * u - 0.813 * v
+            bl = yr + 2.017 * u
+        else:  # mono: replicate luma
+            r = g = bl = yr
+        rgb = np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+        frames.append(rgb)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    return frames
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_png", T.BinaryType()),
+    ]
+)
+
+
+def sample_y4m_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+) -> DataFrame:
+    """REAL video frame sampling for Y4M payloads: every ``every_n``-th
+    DECODED frame (planar YUV → BT.601 RGB), re-encoded as lossless
+    PNG — the video twin of `sample_gif_frames`, and the shape compressed
+    containers take once a codec exists (`sample_video_frames` remains
+    the byte-stride plumbing stub for those). Non-Y4M payloads emit no
+    rows. 1→N Arrow-batched expansion, no shuffle; ``max_frames``
+    bounds decode work per payload (decoding stops early, it doesn't
+    decode-then-discard)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                cap = None if max_frames is None else (max_frames - 1) * every_n + 1
+                frames = _y4m_frames(bytes(payload), max_frames=cap)
+                for idx in range(0, len(frames), every_n):
+                    fr = frames[idx]
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(idx)
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["frame_png"].append(encode_png(fr))
+            pdf_out = pd.DataFrame(out)
+            for c in ("frame_index", "width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return df.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame, id_col: str = "media_id", binary_col: str = "content", every_n_bytes: int = 1024
 ) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame.
 
-    STUB decode: 'frames' are fixed-size byte slices standing in for
-    decoded frames (a real implementation uses pyav/ffmpeg per batch).
-    Demonstrates the 1→N row expansion shape under mapInPandas, which is
-    what matters for partition sizing (output can be much larger than
-    input — keep batches small via maxRecordsPerBatch).
+    STUB decode for compressed containers (mp4/webm need a codec
+    library this environment lacks — `sample_y4m_frames` is the REAL
+    path for uncompressed Y4M): 'frames' are fixed-size byte slices
+    standing in for decoded frames. Demonstrates the 1→N row expansion
+    shape under mapInPandas, which is what matters for partition sizing
+    (output can be much larger than input — keep batches small via
+    maxRecordsPerBatch).
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -970,7 +1096,7 @@ def sample_gif_frames(
             out: dict[str, list] = {f.name: [] for f in GIF_FRAME_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
                 # decode bound: frames actually needed, not the whole file
-                cap = None if max_frames is None else max_frames * every_n
+                cap = None if max_frames is None else (max_frames - 1) * every_n + 1
                 frames = _gif_frames(bytes(payload), max_frames=cap)
                 for k, screen in enumerate(frames[::every_n]):
                     if max_frames is not None and k >= max_frames:

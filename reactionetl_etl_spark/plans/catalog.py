@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
     "semdedup_prune",
     "audio_spectral_profile",
+    "video_frame_sample",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -1827,6 +1828,54 @@ def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("spectral_flatness", 6).alias("spectral_flatness"),
         F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
     ).orderBy("media_id")
+
+
+@_q("video_frame_sample", None, tags=("multimodal", "video"))
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path end-to-end: a deterministic 3-frame Y4M clip per
+    document (8x4 C420, luma keyed on doc_id and frame index,
+    synthesized executor-side) decoded by the pure-stdlib YUV4MPEG2
+    parser, every 2nd frame BT.601-converted and re-encoded as
+    lossless PNG. Geometry + payload md5 are deterministic, so the
+    rows-only check pins the whole synth->parse->convert->encode
+    chain. Arrow-batched 1->N expansion, zero shuffle."""
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import sample_y4m_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 100)
+    )
+
+    def to_y4m(batches):
+        w, h = 8, 4
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                clip = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+                for k in range(3):
+                    luma = 16 + (int(mid) * 31 + k * 73) % 220
+                    clip += (
+                        b"FRAME\n"
+                        + bytes([luma]) * (w * h)
+                        + bytes([(96 + int(mid)) % 256]) * ((w // 2) * (h // 2))
+                        + bytes([(160 + k * 40) % 256]) * ((w // 2) * (h // 2))
+                    )
+                ids.append(mid)
+                blobs.append(clip)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    clips = docs.mapInPandas(to_y4m, "media_id long, content binary")
+    frames = sample_y4m_frames(clips, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        F.md5("frame_png").alias("frame_md5"),
+    ).orderBy("media_id", "frame_index")
 
 
 @_q("multimodal_resize_pixels", None, tags=("multimodal",))

@@ -651,6 +651,63 @@ def test_audio_spectral_features(spark):
     assert got[4]["zero_crossing_rate"] == 0.0
 
 
+def _y4m_bytes(frames_yuv, w, h, cs=b"420"):
+    """Minimal YUV4MPEG2 writer: frames_yuv = [(y, u, v) plane bytes]."""
+    out = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n" % (w, h, cs)
+    for y, u, v in frames_yuv:
+        out += b"FRAME\n" + y + u + v
+    return out
+
+
+def test_y4m_decode_bt601_and_sampling(spark):
+    """Real Y4M decode: gray levels and a BT.601 red frame recover the
+    analytic RGB; every-2nd-frame sampling through Spark returns
+    losslessly PNG-encoded pixels."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        _png_decode,
+        _y4m_frames,
+        sample_y4m_frames,
+    )
+
+    w, h = 4, 2  # C420: chroma planes are 2x1
+    gray_frames = []
+    for yv in (16, 126, 235):
+        y = bytes([yv]) * (w * h)
+        u = v = bytes([128]) * 2
+        gray_frames.append((y, u, v))
+    b = _y4m_bytes(gray_frames, w, h)
+
+    frames = _y4m_frames(b)
+    assert len(frames) == 3 and frames[0].shape == (h, w, 3)
+    assert int(frames[0].max()) == 0          # Y=16 -> black (limited range)
+    assert abs(int(frames[1][0, 0, 0]) - 128) <= 1
+    assert int(frames[2].min()) == 255        # Y=235 -> white
+
+    red = (bytes([81]) * (w * h), bytes([90]) * 2, bytes([240]) * 2)
+    rf = _y4m_frames(_y4m_bytes([red], w, h))[0]
+    r, g, bl = (int(c) for c in rf[0, 0])
+    assert r >= 250 and g <= 5 and bl <= 5    # BT.601 red
+
+    # mono colorspace replicates luma; truncated stream keeps decoded head
+    mono = _y4m_frames(_y4m_bytes([(bytes([126]) * (w * h), b"", b"")], w, h, cs=b"mono"))
+    assert len(mono) == 1 and abs(int(mono[0][0, 0, 1]) - 128) <= 1
+    assert len(_y4m_frames(b[: len(b) - 3])) == 2
+    assert _y4m_frames(b"not a video") == []
+
+    df = spark.createDataFrame(
+        [(1, b), (2, b"RIFF not y4m")], "media_id long, content binary"
+    )
+    rows = sample_y4m_frames(df, every_n=2).collect()
+    got = {(r["media_id"], r["frame_index"]) for r in rows}
+    assert got == {(1, 0), (1, 2)}            # non-Y4M emits no rows
+    by_idx = {r["frame_index"]: r for r in rows}
+    assert by_idx[0]["width"] == w and by_idx[0]["height"] == h
+    px = _png_decode(bytes(by_idx[2]["frame_png"]))
+    assert px is not None and int(px.min()) == 255  # frame 2 is white
+
+
 def _animated_gif(palette, frames_spec, sw, sh):
     """GIF89a with multiple frames: frames_spec = [(idx_array, left,
     top, transparent_idx_or_None, disposal)]; clear-per-symbol LZW."""
