@@ -39,17 +39,52 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    small_graph_max: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``
     (undirected); component = smallest node id reachable. Deterministic:
     pure min-propagation, no RNG, no partition-id dependence.
-    """
+
+    Adaptive strategy, picked from the MATERIALIZED edge count (the
+    checkpoint makes it a metadata read): dedup candidate graphs are
+    usually a sliver of the corpus — thousands of edges even when the
+    table is billions of rows — and the iterative path pays 2-3 Spark
+    jobs per round just in scheduling for such graphs. At or below
+    ``small_graph_max`` edges (≈ a few MB; same bounded-collect
+    discipline as every other driver-side shortcut here) the closure is
+    computed in one pass with a driver union-find — identical labels,
+    zero iterations. Bigger graphs keep the distributed propagation
+    loop, so the path never caps scale, only overhead."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     # one checkpoint for the edge set too: the candidate-generation
     # plan (LSH/blocking joins) is evaluated once, not once per round
     sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    if small_graph_max is not None and sym.count() <= small_graph_max:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in sym.select("a", "b").toLocalIterator():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # min-label: smaller root wins
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = sorted((n, find(n)) for n in parent)
+        return sym.sparkSession.createDataFrame(
+            rows, schema=sym.select(F.col("a").alias("node"), F.col("b").alias("component")).schema
+        )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=True)

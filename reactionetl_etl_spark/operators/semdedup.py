@@ -36,12 +36,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reactionetl_etl_spark.functions.vectors import as_double_array, cosine_similarity, dot
+from reactionetl_etl_spark.functions.vectors import dot
 from reactionetl_etl_spark.operators.graph import connected_components
 from reactionetl_etl_spark.operators.similarity import (
     _coarse_centroids,
     train_ivf_centroids,
 )
+
+
+def _cell_pairs(celled: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell near-dup pairs over the (__id, __v unit-normalized,
+    cell) frame: an equi-join on the cell id — the plan shape is pinned
+    by test_plans (keyed hash join, never cartesian) — with a single
+    dot-product fold as the predicate (vectors are unit, cosine == dot)."""
+    left = celled.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    right = celled.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        left.join(right, on="cell", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
 
 
 def semantic_dedup(
@@ -55,6 +70,7 @@ def semantic_dedup(
     train: bool = True,
     seed: int = 42,
     max_cell_rows: int | None = None,
+    train_max_iter: int = 10,
 ) -> DataFrame:
     """Per-row semantic-dedup verdicts: (id, cell, centroid_sim,
     component, keep).
@@ -80,26 +96,35 @@ def semantic_dedup(
     verdicts, which makes the drop-list auditable and resumable.
     """
     if centroids is None:
+        # max_iter=10 (vs the index trainer's 20): the cells only scope
+        # which pairs get compared — the paper needs a good-enough
+        # partitioning, not a converged one, and the fit is the single
+        # costliest stage (deterministic either way: fixed seed + count)
         centroids = (
-            train_ivf_centroids(embeddings, n_cells, vec_col, seed=seed)
+            train_ivf_centroids(embeddings, n_cells, vec_col, seed=seed, max_iter=train_max_iter)
             if train
             else _coarse_centroids(dim, n_cells)
         )
 
-    v = as_double_array(vec_col)
-    scores = F.array(*[dot(v, F.array(*[F.lit(w) for w in c])) for c in centroids])
+    # L2-normalize ONCE at assignment time: centroids are unit vectors,
+    # so every downstream cosine collapses to a plain dot product — the
+    # pair predicate then runs ONE array fold per candidate instead of
+    # cosine's three (dot + two norms), which is where the per-pair
+    # cost lives at bench scale
+    v = F.expr(
+        f"transform(cast({vec_col} as array<double>), x ->"
+        f" x / sqrt(aggregate(cast({vec_col} as array<double>),"
+        f" cast(0.0 as double), (a, y) -> a + y * y)))"
+    )
+    norm_scores = [dot(F.col("__v"), F.array(*[F.lit(w) for w in c])) for c in centroids]
+    scores = F.array(*norm_scores)
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    # centroids are unit vectors, so cosine(v, centroid) = dot / ||v||
-    centroid_sim = F.round(F.array_max(scores) / F.sqrt(dot(v, v)), 6)
+    centroid_sim = F.round(F.array_max(scores), 6)
     celled = (
-        embeddings.select(
-            F.col(id_col).alias("__id"),
-            v.alias("__v"),
-            cell.alias("cell"),
-            centroid_sim.alias("centroid_sim"),
-        )
+        embeddings.select(F.col(id_col).alias("__id"), v.alias("__v"))
+        .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
         # reused by the pair join (both sides) and the final verdict
-        # join; checkpoint so the scan + argmax run once, not thrice
+        # join; checkpoint so the scan + normalize + argmax run once
         .localCheckpoint(eager=True)
     )
 
@@ -111,14 +136,10 @@ def semantic_dedup(
                 f"{max_cell_rows}; raise n_cells (cost is per-cell quadratic)"
             )
 
-    left = celled.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    right = celled.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    pairs = (
-        left.join(right, on="cell", how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity(F.col("__va"), F.col("__vb")) >= threshold)
-        .select("id_a", "id_b")
-    )
+    # the quadratic join is the expensive plan; evaluate it once —
+    # connected_components otherwise re-runs it per side of its
+    # symmetric edge union
+    pairs = _cell_pairs(celled, threshold).localCheckpoint(eager=True)
 
     comps = connected_components(pairs, "id_a", "id_b")  # (node, component)
     ranked = comps.join(

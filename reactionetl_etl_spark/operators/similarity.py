@@ -145,39 +145,64 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_sample: int = 100_000,
+    max_iter: int = 20,
+    restarts: int = 4,
 ) -> list[list[float]]:
-    """Fit k-means centroids for IVF coarse quantization
-    (pyspark.ml.clustering.KMeans, deterministic seed).
+    """Fit spherical k-means centroids for IVF coarse quantization:
+    driver-side numpy Lloyd's on a bounded deterministic sample — the
+    same training discipline as the PQ codebooks (`operators/pq.py`),
+    and for the same reason: training reads at most ``max_sample``
+    vectors (one collect-bounded job; at 100 TB pass a pre-sampled
+    frame), so the iteration belongs on dense BLAS, not on a
+    many-job ML pipeline whose per-pass scheduling dwarfs the math at
+    sample scale (measured: ~2.5 s of fixed Spark ML overhead vs
+    ~20 ms of numpy for 2 000×64).
 
-    Vectors are L2-normalized before the fit, so euclidean k-means
-    approximates spherical k-means and the learned cells partition by
-    DIRECTION — the right geometry for cosine search. Returned
-    centroids are re-normalized; cell assignment stays max-dot-product
-    (argmax dot(v, c_norm) == argmax cosine when c's are unit).
-
-    Cost: one Spark ML job over at most ``max_sample`` vectors
-    (driver-bounded via limit — at 100 TB pass a pre-sampled frame).
+    Vectors are L2-normalized, assignment is max-dot (== cosine on
+    unit vectors), the centroid update renormalizes the member mean —
+    textbook spherical k-means, so the learned cells partition by
+    DIRECTION. Empty cells reseed from the worst-served point.
+    Deterministic: seeded init, fixed iteration count.
     """
-    import math
+    import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    sample = embeddings.select(
-        array_to_vector(
-            F.expr(
-                f"transform({vec_col}, x -> cast(x as double) /"
-                f" sqrt(aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))))"
-            )
-        ).alias("features")
-    ).limit(max_sample)
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(sample)
-    out = []
-    for center in model.clusterCenters():
-        vals = [float(v) for v in center]
-        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
-        out.append([v / norm for v in vals])
-    return out
+    rows = embeddings.select(vec_col).limit(max_sample).collect()
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    if x.shape[0] < n_cells:
+        raise ValueError(f"sample of {x.shape[0]} rows < n_cells={n_cells}")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    # k-means++ seeding (spherical distance 1 - cos) and best-inertia-
+    # of-``restarts`` selection: on weakly-clustered corpora a single
+    # seeded run lands ~2 cells' worth of probe recall worse (measured
+    # on the sf0.01 fixture: 7/10 → 9/10 at n_probe=6); restarts are
+    # numpy-cheap and keep the result deterministic (derived seeds)
+    best_cents, best_inertia = None, None
+    for r in range(max(1, restarts)):
+        rng = np.random.default_rng(seed + r * 1000)
+        cents = np.empty((n_cells, x.shape[1]))
+        cents[0] = x[int(rng.integers(len(x)))]
+        d2 = np.maximum(1.0 - x @ cents[0], 0.0) ** 2
+        for c in range(1, n_cells):
+            probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+            cents[c] = x[int(rng.choice(len(x), p=probs))]
+            d2 = np.minimum(d2, np.maximum(1.0 - x @ cents[c], 0.0) ** 2)
+        for _ in range(max_iter):
+            sims = x @ cents.T
+            assign = sims.argmax(axis=1)
+            best = sims.max(axis=1)
+            for c in range(n_cells):
+                mask = assign == c
+                if mask.any():
+                    m = x[mask].mean(axis=0)
+                    cents[c] = m / (np.linalg.norm(m) or 1.0)
+                else:
+                    cents[c] = x[best.argmin()]
+        inertia = float((1.0 - (x @ cents.T).max(axis=1)).sum())
+        if best_inertia is None or inertia < best_inertia:
+            best_inertia, best_cents = inertia, cents.copy()
+    return [[float(v) for v in c] for c in best_cents]
 
 
 def with_ivf_cell(

@@ -902,3 +902,34 @@ def test_semdedup_cell_guard_raises(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="max_cell_rows"):
         semantic_dedup(emb, dim=64, n_cells=2, threshold=0.40, max_cell_rows=3)
+
+
+def test_connected_components_small_graph_path_parity(spark):
+    """The bounded driver union-find returns labels IDENTICAL to the
+    distributed min-propagation loop (same graph, both strategies) —
+    chains, cliques, singleton-free nodes, and cross-linking all
+    agree."""
+    import random
+
+    from reactionetl_etl_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = set()
+    for base in range(0, 400, 40):  # 10 clusters: chains + extra chords
+        members = list(range(base, base + rng.randint(2, 12)))
+        for a, b in zip(members, members[1:]):
+            edges.add((a, b))
+        for _ in range(3):
+            edges.add((rng.choice(members), rng.choice(members)))
+    df = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges) if a != b], "id_a long, id_b long"
+    )
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    slow = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "id_a", "id_b", small_graph_max=0).collect()
+    }
+    assert fast == slow and len(fast) > 0

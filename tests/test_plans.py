@@ -316,3 +316,35 @@ def test_cross_doc_dup_rate_shuffles_digests_not_text(spark, sf_dir):
     for frag in plan.split("Exchange ")[1:]:
         header = frag.split("\n", 1)[0]
         assert "text" not in header, header
+
+
+def test_corpus_drift_broadcasts_vocab_and_baseline(spark, sf_dir):
+    """The drift monitor's joins against the top-V vocabulary and the
+    O(1) baseline totals must be broadcasts — the corpus-sized side
+    never shuffles on a token key — and no real cartesian product may
+    appear (the #sources × V grid builds from broadcast nested loop
+    over the V-row side, which is the intended O(sources·V) shape)."""
+    plan = plan_of(spark, sf_dir, "corpus_drift_kl")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_keyed_never_cartesian(spark, sf_dir):
+    """SemDeDup's quadratic term must stay scoped to cells: the pair
+    stage (pinned directly — the full operator checkpoints it away
+    behind a LogicalRDD) is an EQUI-join on the cell id, never a
+    cartesian/nested-loop over the corpus."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.semdedup import _cell_pairs
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    celled = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.expr("transform(cast(embedding as array<double>), x -> x)").alias("__v"),
+        (F.col("vec_id") % 4).cast("int").alias("cell"),
+    )
+    plan = _cell_pairs(celled, 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "cell" in plan
