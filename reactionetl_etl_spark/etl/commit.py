@@ -67,6 +67,7 @@ def staged_overwrite_partitions(
     df: DataFrame,
     partition_col: str,
     emptied: list[str] | tuple[str, ...] = (),
+    markers: list[str] | tuple[str, ...] = (),
 ) -> str:
     """Replace the partitions present in ``df`` (plus delete ``emptied``
     partition VALUES) under ``table_path``, all-or-nothing.
@@ -76,6 +77,15 @@ def staged_overwrite_partitions(
     values in ``emptied`` must not need Hadoop path-escaping (true for
     day strings / plain identifiers; values with ``/ : =`` etc. would
     need the escaped directory name).
+
+    ``markers``: zero-byte filenames (leading ``_`` → invisible to
+    readers) created in the table root as PART OF the same commit —
+    they ride in the intent, so roll-forward (incl. crash recovery)
+    creates them iff the data swap commits. This is how callers get
+    exactly-once side-facts on plain parquet: e.g. the incremental-agg
+    state records ``_APPLIED_<batch_id>`` atomically with the merged
+    data, so a replayed batch is detectable with no window where data
+    committed but the fact didn't (or vice versa).
     """
     token = uuid.uuid4().hex
     staging = f"{table_path}/{STAGING_PREFIX}{token}"
@@ -90,6 +100,7 @@ def staged_overwrite_partitions(
         "partition_col": partition_col,
         "partitions": sorted(staged),
         "emptied": [f"{partition_col}={v}" for v in emptied],
+        "markers": sorted(markers),
     }
     _write_intent(spark, staging, intent)
     _roll_forward(fs, Path, table_path, staging, intent)
@@ -120,6 +131,10 @@ def _roll_forward(fs, Path, table_path: str, staging: str, intent: dict) -> None
         p = Path(f"{table_path}/{name}")
         if fs.exists(p):
             fs.delete(p, True)
+    for name in intent.get("markers", []):  # .get: pre-marker intents recover fine
+        mp = Path(f"{table_path}/{name}")
+        if not fs.exists(mp):
+            fs.create(mp, True).close()
     fs.delete(Path(staging), True)
 
 

@@ -1,0 +1,169 @@
+"""Incremental aggregate maintenance: a materialized rollup merged
+batch-by-batch instead of recomputed by rescanning the fact table.
+
+The 100 TB problem: a daily dashboard over (month, segment) revenue
+does not get to re-aggregate 100 TB every morning. The classical
+answer (Gray et al.'s data cube; every warehouse's incremental
+materialized view) is to persist the rollup in its MERGEABLE partial
+form and fold each new batch in: sum/count/min/max are algebraic, so
+
+    state' = combine(state, partial(batch))
+
+is exact — identical to recomputing from scratch — and costs
+O(batch + touched state partitions), not O(history).
+
+Spark shape:
+- `partial(batch)` is an ordinary groupBy: map-side combined, shuffle
+  keyed on the rollup keys, output is rollup-sized (tiny).
+- the merge unions the batch partials with ONLY the state partitions
+  the batch touches (partition-pruned read) and re-aggregates — work
+  is proportional to the update, exactly like the keyed upsert.
+- the swap is the staged atomic commit (`etl/commit.py`): a crash
+  mid-merge leaves exactly-old or exactly-new state, never a mix.
+- exactly-once per batch on plain parquet: each merge names an
+  ``_APPLIED_<batch_id>`` marker that rides IN the commit intent, so
+  the "did this batch land?" fact and the merged data commit
+  atomically (crash recovery creates both or neither). A replayed
+  batch is skipped by checking the marker — the same manifest
+  discipline the ingest pipeline uses, pushed into the commit itself.
+
+AVG is finalized from (sum, count) at read time (`read_aggregate_view`)
+— never stored, since averages don't merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.etl.commit import _fs, staged_overwrite_partitions
+
+_ROW_COUNT = "__nrows"
+# merge rule per aggregate: how two partial values combine. COUNT
+# DISTINCT is the one classic rollup measure that is NOT algebraic —
+# per-group exact distincts cannot be added across batches — so it
+# ships as the standard warehouse answer: a mergeable HyperLogLog
+# sketch (Datasketches HLL via hll_sketch_agg; ~1.5% relative error
+# at the default lgConfigK=12) stored as binary partial state, merged
+# with hll_union_agg, estimated at read time. Exactness stays
+# available by adding the distinct column to the rollup KEYS instead.
+_MERGE = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.sum,
+    "hll": F.hll_union_agg,
+}
+
+
+def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) -> DataFrame:
+    """One batch's mergeable partial aggregate (plus the row count)."""
+    aggs = [F.count(F.lit(1)).alias(_ROW_COUNT)]
+    for col, specs in measures.items():
+        for a in specs:
+            if a not in _MERGE:
+                raise ValueError(f"non-mergeable aggregate {a!r} (avg is read-time)")
+            fn = {"count": F.count, "hll": F.hll_sketch_agg}.get(a, _MERGE[a])
+            aggs.append(fn(col).alias(f"{col}__{a}"))
+    return batch.groupBy(*keys).agg(*aggs)
+
+
+def batch_already_applied(spark: SparkSession, state_path: str, batch_id: str) -> bool:
+    """True iff a prior merge of ``batch_id`` COMMITTED (marker files
+    are created during roll-forward, so an interrupted merge that never
+    reached its commit point reports False and is safe to retry)."""
+    fs, Path = _fs(spark, state_path)
+    return bool(fs.exists(Path(f"{state_path}/_APPLIED_{batch_id}")))
+
+
+def merge_aggregate_state(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    partition_col: str,
+    batch_id: str | None = None,
+) -> bool:
+    """Fold one batch into the persisted rollup at ``state_path``.
+
+    ``keys`` are the rollup grain (must include ``partition_col`` — the
+    state's partition column, chosen so incremental batches touch few
+    partitions: a date-derived column for time-ordered facts).
+    ``measures`` maps fact columns to mergeable aggregates
+    (sum/count/min/max). ``batch_id``, when given, makes the merge
+    exactly-once under at-least-once delivery: replays return False
+    without touching state. Returns True iff the batch was applied.
+
+    Single-writer, like every rename-based parquet layout; call
+    `etl.commit.recover_staged_commits` at process start.
+    """
+    if partition_col not in keys:
+        raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
+    if batch_id is not None and batch_already_applied(spark, state_path, batch_id):
+        return False
+
+    part = _partial(batch, keys, measures)
+    fs, Path = _fs(spark, state_path)
+    # "state exists" = has at least one data partition — the directory
+    # alone proves nothing (markers/staging from an empty first batch
+    # create it without any readable parquet)
+    has_data = fs.exists(Path(state_path)) and any(
+        st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
+        for st in fs.listStatus(Path(state_path))
+    )
+    if has_data:
+        touched = [r[0] for r in part.select(partition_col).distinct().collect()]
+        old = spark.read.parquet(state_path).filter(F.col(partition_col).isin(touched))
+        # a caller whose keys/measures drifted from the stored state
+        # must fail HERE, loudly — unionByName would otherwise raise a
+        # generic resolution error (or, worse for subset drift, merge a
+        # partial view of the state)
+        want, have = set(part.columns), set(old.columns)
+        if want != have:
+            raise ValueError(
+                f"state schema mismatch at {state_path}: stored columns "
+                f"{sorted(have)} != requested {sorted(want)} — keys/measures "
+                "must match the state's original definition"
+            )
+        merge_aggs = [F.sum(_ROW_COUNT).alias(_ROW_COUNT)]
+        for col, specs in measures.items():
+            for a in specs:
+                merge_aggs.append(_MERGE[a](f"{col}__{a}").alias(f"{col}__{a}"))
+        merged = part.unionByName(old).groupBy(*keys).agg(*merge_aggs)
+    else:
+        merged = part
+    # never lazily read the table being overwritten at swap time
+    merged = merged.localCheckpoint(eager=True)
+    staged_overwrite_partitions(
+        spark,
+        state_path,
+        merged,
+        partition_col,
+        markers=[f"_APPLIED_{batch_id}"] if batch_id is not None else [],
+    )
+    return True
+
+
+def read_aggregate_view(
+    spark: SparkSession,
+    state_path: str,
+    measures: dict[str, list[str]],
+    avg_of: list[str] = (),
+) -> DataFrame:
+    """The finalized rollup: stored partials plus read-time derivations
+    — ``avg_of`` columns get ``<col>__avg = <col>__sum / <col>__count``
+    (both partials must be maintained). ``__nrows`` is exposed as
+    ``row_count``."""
+    df = spark.read.parquet(state_path).withColumnRenamed(_ROW_COUNT, "row_count")
+    for col in avg_of:
+        for need in ("sum", "count"):
+            if need not in measures.get(col, []):
+                raise ValueError(f"avg_of {col!r} needs {need} in measures")
+        df = df.withColumn(f"{col}__avg", F.col(f"{col}__sum") / F.col(f"{col}__count"))
+    for col, specs in measures.items():
+        if "hll" in specs:  # finalize sketches into estimates
+            df = df.withColumn(
+                f"{col}__approx_distinct", F.hll_sketch_estimate(f"{col}__hll")
+            )
+    return df

@@ -67,6 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
+    "incremental_agg_rollup",
+    "corpus_drift_kl",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -3931,6 +3933,79 @@ def upsert_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "incremental_agg_rollup",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderpriority,
+           count(*) AS row_count,
+           round(sum(o_totalprice), 2) AS sum_price,
+           count(o_totalprice) AS cnt_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(sum(o_totalprice) / count(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("etl", "incremental", "rollup"),
+)
+def incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (etl/incremental_agg.py): orders
+    arrive as three date-sliced batches folded one at a time into a
+    month-partitioned mergeable state table (sum/count/min/max partials,
+    atomic staged swaps, per-batch exactly-once markers) — and the
+    finalized view is value-checked against DuckDB's ONE-SHOT group-by
+    over everything. The hash match proves the algebraic merge drifts
+    by nothing: fold(batches) == recompute(all), including read-time
+    averages. This is the shape a 100 TB daily rollup takes — work per
+    day ∝ that day's batch + its touched months, never the history."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        merge_aggregate_state,
+        read_aggregate_view,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    keys = ["order_month", "o_orderpriority"]
+    measures = {"o_totalprice": ["sum", "count", "min", "max"]}
+    work = _tempfile.mkdtemp(prefix="inc_agg_")
+    try:
+        state = _os.path.join(work, "state")
+        for i, (lo, hi) in enumerate(
+            [(None, "1997-01-01"), ("1997-01-01", "1999-06-15"), ("1999-06-15", None)]
+        ):
+            b = orders
+            if lo:
+                b = b.filter(F.col("o_orderdate") >= lo)
+            if hi:
+                b = b.filter(F.col("o_orderdate") < hi)
+            merge_aggregate_state(
+                spark, state, b, keys, measures, "order_month", batch_id=f"b{i}"
+            )
+        view = read_aggregate_view(spark, state, measures, avg_of=["o_totalprice"])
+        return (
+            view.select(
+                "order_month",
+                "o_orderpriority",
+                "row_count",
+                F.round("o_totalprice__sum", 2).alias("sum_price"),
+                F.col("o_totalprice__count").alias("cnt_price"),
+                F.round("o_totalprice__min", 2).alias("min_price"),
+                F.round("o_totalprice__max", 2).alias("max_price"),
+                F.round("o_totalprice__avg", 6).alias("avg_price"),
+            )
+            .orderBy("order_month", "o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
     "token_budget_packing",
     """
     WITH t AS (
@@ -5266,6 +5341,84 @@ def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared",
             F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("dup_rate"),
         )
+    )
+
+
+@_q(
+    "corpus_drift_kl",
+    """
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+    ), tok2 AS (
+        SELECT source, t FROM tok WHERE length(t) > 0
+    ), vocab AS (
+        SELECT t, count(*) AS c_g FROM tok2 GROUP BY t ORDER BY c_g DESC, t LIMIT 1000
+    ), tot AS (
+        SELECT sum(c_g) AS n_g, count(*) AS v FROM vocab
+    ), cnt AS (
+        SELECT source, t, count(*) AS c FROM tok2 JOIN vocab USING (t) GROUP BY source, t
+    ), src_tot AS (
+        SELECT source, sum(c) AS n_s FROM cnt GROUP BY source
+    ), grid AS (
+        SELECT st.source, v.t, v.c_g, st.n_s, coalesce(c.c, 0) AS c
+        FROM src_tot st CROSS JOIN vocab v
+        LEFT JOIN cnt c ON c.source = st.source AND c.t = v.t
+    )
+    SELECT g.source,
+           CAST(max(g.n_s) AS BIGINT) AS n_tokens,
+           round(sum(((g.c + 0.5) / (g.n_s + 0.5 * tot.v))
+                     * ln(((g.c + 0.5) / (g.n_s + 0.5 * tot.v)) / (g.c_g * 1.0 / tot.n_g))), 6)
+               AS kl_divergence
+    FROM grid g CROSS JOIN tot
+    GROUP BY g.source
+    ORDER BY g.source
+    """,
+    tags=("text", "quality", "drift"),
+)
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: KL(source distribution ‖ corpus baseline)
+    per source over the top-V unigram vocabulary (V ≤ 1000 — the vocab
+    and the O(V) baseline are broadcast-sized BY CONSTRUCTION, which is
+    what keeps this runnable daily at 100 TB: token counting is one
+    map-side-combined groupBy; everything after operates on
+    #sources × V rows). Add-half smoothing on the source side keeps
+    zero-count cells finite; deterministic vocab tie-break (count desc,
+    token asc). The query a pipeline pages on: a source whose KL jumps
+    is shipping different content than the corpus it feeds."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).filter(F.length("t") > 0)
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+        .orderBy(F.desc("c_g"), "t")
+        .limit(1000)
+    )
+    tot = vocab.agg(F.sum("c_g").alias("n_g"), F.count(F.lit(1)).alias("v"))
+    cnt = (
+        tok.join(F.broadcast(vocab.select("t")), "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    src_tot = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "t"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    q = (F.col("c") + F.lit(0.5)) / (F.col("n_s") + F.lit(0.5) * F.col("v"))
+    p = F.col("c_g") / F.col("n_g")
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(q * F.log(q / p)), 6).alias("kl_divergence"),
+        )
+        .orderBy("source")
     )
 
 

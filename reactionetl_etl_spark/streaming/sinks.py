@@ -246,3 +246,64 @@ def ivf_append_batch_writer(
             )
 
     return write_batch
+
+
+def rollup_batch_writer(
+    state_path: str,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    partition_col: str,
+):
+    """foreachBatch callback maintaining an incremental mergeable
+    rollup (etl/incremental_agg.py) as facts stream in: each
+    micro-batch folds its partial aggregates into the persisted state.
+
+    EXACTLY-once, not just idempotent-by-luck: foreachBatch delivers
+    at-least-once (a crash between the sink completing and the
+    checkpoint advancing replays the batch), and unlike the keyed
+    upsert a re-MERGED batch would double-count. The batch id
+    therefore rides the commit intent as an ``_APPLIED_stream-<id>``
+    marker — atomic with the merged data — so a replay is detected and
+    skipped even when the crash hit inside the previous attempt.
+    Interrupted staged commits are recovered before merging (the same
+    roll-forward/rollback the batch pipeline runs at start)."""
+    from reactionetl_etl_spark.etl.commit import recover_staged_commits
+    from reactionetl_etl_spark.etl.incremental_agg import merge_aggregate_state
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_staged_commits(spark, state_path)
+        applied = merge_aggregate_state(
+            spark,
+            state_path,
+            batch_df,
+            keys,
+            measures,
+            partition_col,
+            batch_id=f"stream-{batch_id}",
+        )
+        logger.info(
+            "rollup sink: batch %d %s", batch_id, "merged" if applied else "replay skipped"
+        )
+
+    return write_batch
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    partition_col: str,
+    checkpoint_dir: str,
+):
+    """Run a fact stream into the incremental-rollup sink
+    (AvailableNow-friendly); returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            rollup_batch_writer(state_path, keys, measures, partition_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

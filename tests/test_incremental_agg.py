@@ -1,0 +1,224 @@
+"""Incremental aggregate maintenance (etl/incremental_agg.py).
+
+Contracts under test: batch-folded state is EXACTLY equal to a full
+recompute (algebraic merge, no drift); replayed batches are skipped
+(exactly-once via commit-riding markers); the applied-batch fact and
+the merged data commit atomically through crash recovery.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.etl.commit import (
+    STAGING_PREFIX,
+    _write_intent,
+    recover_staged_commits,
+)
+from reactionetl_etl_spark.etl.incremental_agg import (
+    batch_already_applied,
+    merge_aggregate_state,
+    read_aggregate_view,
+)
+from reactionetl_etl_spark.sources.tables import load_table
+
+KEYS = ["order_month", "o_orderpriority"]
+MEASURES = {"o_totalprice": ["sum", "count", "min", "max"]}
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+
+
+def _final(df):
+    return {
+        (r["order_month"], r["o_orderpriority"]): (
+            r["row_count"],
+            round(r["o_totalprice__sum"], 2),
+            r["o_totalprice__count"],
+            round(r["o_totalprice__min"], 2),
+            round(r["o_totalprice__max"], 2),
+            round(r["o_totalprice__avg"], 6),
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Three date-sliced batches folded in sequence == one-shot groupBy
+    over everything, including min/max and the read-time average."""
+    state = str(tmp_path / "state")
+    orders = _orders(spark, sf_dir)
+    cuts = ["1997-01-01", "1999-06-15"]  # testdata spans 1995-01..2001-08
+    batches = [
+        orders.filter(F.col("o_orderdate") < cuts[0]),
+        orders.filter((F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])),
+        orders.filter(F.col("o_orderdate") >= cuts[1]),
+    ]
+    for i, b in enumerate(batches):
+        assert merge_aggregate_state(
+            spark, state, b, KEYS, MEASURES, "order_month", batch_id=f"b{i}"
+        )
+
+    got = _final(read_aggregate_view(spark, state, MEASURES, avg_of=["o_totalprice"]))
+    expected = _final(
+        orders.groupBy(*KEYS)
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum("o_totalprice").alias("o_totalprice__sum"),
+            F.count("o_totalprice").alias("o_totalprice__count"),
+            F.min("o_totalprice").alias("o_totalprice__min"),
+            F.max("o_totalprice").alias("o_totalprice__max"),
+        )
+        .withColumn(
+            "o_totalprice__avg", F.col("o_totalprice__sum") / F.col("o_totalprice__count")
+        )
+    )
+    assert got == expected
+
+
+def test_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
+    """At-least-once delivery: the same batch_id merges once; the
+    replay returns False and leaves state untouched."""
+    state = str(tmp_path / "state")
+    orders = _orders(spark, sf_dir).filter(F.col("o_orderkey") % 7 == 0)
+    assert merge_aggregate_state(
+        spark, state, orders, KEYS, MEASURES, "order_month", batch_id="dup"
+    )
+    snap = _final(read_aggregate_view(spark, state, MEASURES, avg_of=["o_totalprice"]))
+    assert not merge_aggregate_state(
+        spark, state, orders, KEYS, MEASURES, "order_month", batch_id="dup"
+    )
+    assert (
+        _final(read_aggregate_view(spark, state, MEASURES, avg_of=["o_totalprice"]))
+        == snap
+    )
+    assert batch_already_applied(spark, state, "dup")
+    assert not batch_already_applied(spark, state, "other")
+
+
+def test_marker_rides_the_commit_through_crash_recovery(spark, tmp_path):
+    """The exactly-once fact is atomic with the data: a crash AFTER the
+    intent is persisted rolls forward to data + marker together; a
+    crash BEFORE leaves neither, so the batch correctly retries."""
+    path = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "m1", 5)], "k int, m string, s long")
+    df.write.partitionBy("m").parquet(path)
+
+    # crash after commit point: staged data + intent naming the marker
+    staging = os.path.join(path, f"{STAGING_PREFIX}feedface")
+    spark.createDataFrame([(2, "m1", 9)], "k int, m string, s long").write.partitionBy(
+        "m"
+    ).parquet(staging)
+    _write_intent(
+        spark,
+        staging,
+        {
+            "partition_col": "m",
+            "partitions": ["m=m1"],
+            "emptied": [],
+            "markers": ["_APPLIED_bX"],
+        },
+    )
+    recover_staged_commits(spark, path)
+    assert batch_already_applied(spark, path, "bX")
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {2}
+
+    # crash before commit point: rollback, marker absent → retry runs
+    staging2 = os.path.join(path, f"{STAGING_PREFIX}0badc0de")
+    spark.createDataFrame([(3, "m1", 1)], "k int, m string, s long").write.partitionBy(
+        "m"
+    ).parquet(staging2)
+    recover_staged_commits(spark, path)
+    assert not batch_already_applied(spark, path, "bY")
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {2}
+
+
+def test_untouched_partitions_are_not_rewritten(spark, sf_dir, tmp_path):
+    """Merge work is proportional to the batch: folding a batch that
+    touches one month leaves every other month's partition files
+    byte-identical (mtime unchanged)."""
+    state = str(tmp_path / "state")
+    orders = _orders(spark, sf_dir)
+    merge_aggregate_state(spark, state, orders, KEYS, MEASURES, "order_month")
+    months = sorted(
+        d for d in os.listdir(state) if d.startswith("order_month=")
+    )
+    assert len(months) > 12
+    target = months[0].split("=", 1)[1]
+    mtimes = {
+        d: os.path.getmtime(os.path.join(state, d)) for d in months if d != f"order_month={target}"
+    }
+    batch = orders.filter(F.date_format("o_orderdate", "yyyy-MM") == target)
+    assert batch.count() > 0
+    merge_aggregate_state(spark, state, batch, KEYS, MEASURES, "order_month")
+    for d, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(state, d)) == mt
+
+
+def test_empty_first_batch_commits_marker_without_breaking_state(spark, sf_dir, tmp_path):
+    """An empty batch is a valid unit of work: its marker commits (the
+    replay is skipped) and the state stays mergeable for later real
+    batches."""
+    state = str(tmp_path / "state")
+    orders = _orders(spark, sf_dir)
+    empty = orders.filter(F.lit(False))
+    assert merge_aggregate_state(
+        spark, state, empty, KEYS, MEASURES, "order_month", batch_id="e0"
+    )
+    assert batch_already_applied(spark, state, "e0")
+    assert merge_aggregate_state(
+        spark, state, orders, KEYS, MEASURES, "order_month", batch_id="r1"
+    )
+    got = _final(read_aggregate_view(spark, state, MEASURES, avg_of=["o_totalprice"]))
+    assert len(got) > 0
+
+
+def test_hll_distinct_merges_across_batches(spark, sf_dir, tmp_path):
+    """COUNT DISTINCT as mergeable HLL partials: folding date-sliced
+    batches then estimating equals (within the sketch's documented
+    ~2% band) the exact one-shot distinct — the measure a naive
+    per-batch count-distinct rollup CANNOT provide."""
+    state = str(tmp_path / "state")
+    orders = _orders(spark, sf_dir)
+    measures = {"o_custkey": ["hll"]}
+    keys = ["order_month"]
+    for i, half in enumerate(
+        [orders.filter(F.col("o_orderkey") % 2 == 0), orders.filter(F.col("o_orderkey") % 2 == 1)]
+    ):
+        # halves OVERLAP in custkeys per month — the union must dedup
+        assert merge_aggregate_state(
+            spark, state, half, keys, measures, "order_month", batch_id=f"h{i}"
+        )
+    got = {
+        r["order_month"]: r["o_custkey__approx_distinct"]
+        for r in read_aggregate_view(spark, state, measures).collect()
+    }
+    exact = {
+        r["order_month"]: r["d"]
+        for r in orders.groupBy("order_month")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for m, est in got.items():
+        assert abs(est - exact[m]) <= max(2, 0.05 * exact[m]), (m, est, exact[m])
+
+
+def test_schema_drift_raises_loudly(spark, sf_dir, tmp_path):
+    """Folding with measures that differ from the state's original
+    definition fails with a named error instead of a resolution error
+    or a silently partial merge."""
+    import pytest
+
+    state = str(tmp_path / "state")
+    orders = _orders(spark, sf_dir)
+    merge_aggregate_state(spark, state, orders, KEYS, MEASURES, "order_month")
+    with pytest.raises(ValueError, match="state schema mismatch"):
+        merge_aggregate_state(
+            spark, state, orders, KEYS, {"o_totalprice": ["sum"]}, "order_month"
+        )

@@ -420,3 +420,57 @@ def test_stream_ivf_append_trains_once_then_reuses_centroids(spark, tmp_path):
     )
     got = probe_ivf_index(qs, vectors, cents_after_first, k=3, n_probe=4).collect()
     assert len(got) == 12  # 4 queries x top-3, drawn from BOTH batches
+
+
+def test_stream_rollup_matches_batch_and_skips_replay(spark, tmp_path):
+    """Streaming micro-batches fold into the incremental rollup; the
+    drained state equals a one-shot groupBy over all input, and a
+    foreachBatch replay (same batch id) is detected via the
+    commit-riding marker and skipped instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.etl.incremental_agg import read_aggregate_view
+    from reactionetl_etl_spark.streaming.sinks import rollup_batch_writer, stream_rollup
+
+    src = str(tmp_path / "rollup_src")
+    state = str(tmp_path / "rollup_state")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    keys, measures = ["day", "cat"], {"v": ["sum", "count", "min", "max"]}
+
+    spark.createDataFrame(
+        [(1.0, "d1", "x"), (2.0, "d1", "y"), (3.0, "d2", "x")],
+        "v double, day string, cat string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("v double, day string, cat string").parquet(src)
+        q = stream_rollup(stream, state, keys, measures, "day", ckpt)
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(
+        [(5.0, "d2", "x"), (7.0, "d1", "x")], "v double, day string, cat string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    def snap():
+        return {
+            (r["day"], r["cat"]): (r["row_count"], r["v__sum"], r["v__min"], r["v__max"])
+            for r in read_aggregate_view(spark, state, measures).collect()
+        }
+
+    assert snap() == {
+        ("d1", "x"): (2, 8.0, 1.0, 7.0),
+        ("d1", "y"): (1, 2.0, 2.0, 2.0),
+        ("d2", "x"): (2, 8.0, 3.0, 5.0),
+    }
+
+    # at-least-once replay: drive the writer directly with an already-
+    # applied stream batch id — state must not change
+    before = snap()
+    writer = rollup_batch_writer(state, keys, measures, "day")
+    writer(
+        spark.createDataFrame([(99.0, "d1", "x")], "v double, day string, cat string"),
+        0,
+    )
+    assert snap() == before
