@@ -29,8 +29,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -197,3 +199,91 @@ class IncomingReactionsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return IncomingReactionsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source WRITE path: two-phase-commit JSONL shard writer
+# ---------------------------------------------------------------------------
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """Executor side of the two-phase protocol: each task streams its
+    partition to a STAGED file (invisible name), returns the filename
+    as its commit message. Nothing becomes readable unless the DRIVER
+    commit renames it — the same write-then-swap discipline as
+    `etl/commit.py`, expressed through Spark's native
+    write/commit/abort writer contract (a failed/speculated task's
+    staged file is simply never committed)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_staged-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ShardCommit(staged, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        if self.overwrite:  # clear prior committed shards, atomically-ish last
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        manifest = []
+        for i, m in enumerate(msg for msg in messages if msg is not None):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            _json.dump({"shards": manifest, "total_rows": sum(s["rows"] for s in manifest)}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlShardsDataSource(DataSource):
+    """`df.write.format("jsonl_shards").option("path", ...).save()` —
+    the training-export shape (one JSONL shard per task, `_SUCCESS`
+    manifest with per-shard row counts) as a registered Spark 4 Python
+    data source writer. Local-filesystem template, like the reader
+    above: the point is the write/commit/abort protocol; object-store
+    targets swap the os.rename for their committer."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def schema(self) -> str:
+        # writers receive the dataframe's schema via writer(); reads of
+        # the output go through spark.read.json. A static schema is
+        # still required by the DataSource contract for the format.
+        return "placeholder string"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return JsonlShardWriter(self.options, overwrite)

@@ -279,3 +279,39 @@ def test_python_stream_data_source_incremental(spark, tmp_path):
     # nothing new → a third drain appends nothing
     drain()
     assert spark.read.parquet(out).count() == 32
+
+
+def test_jsonl_shards_python_datasource_writer(spark, tmp_path):
+    """The Spark 4 Python data source WRITE path: shards land only via
+    the driver commit (staged files are never readable), the _SUCCESS
+    manifest carries per-shard row counts, the round trip preserves
+    rows, and overwrite mode replaces prior shards."""
+    import json
+    import os
+
+    from reactionetl_etl_spark.sources.pyds import JsonlShardsDataSource
+
+    spark.dataSource.register(JsonlShardsDataSource)
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 4) for i in range(20)], "id long, text string, score double"
+    ).repartition(3)
+    df.write.format("jsonl_shards").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    parts = [n for n in names if n.startswith("part-") and n.endswith(".jsonl")]
+    assert parts and not [n for n in names if n.startswith("_staged-")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["total_rows"] == 20
+    assert sorted(s["file"] for s in manifest["shards"]) == parts
+
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 20
+    assert {r["id"] for r in back.collect()} == set(range(20))
+
+    # overwrite replaces previous shards rather than accumulating
+    df2 = spark.createDataFrame([(99, "only", 1.0)], "id long, text string, score double")
+    df2.coalesce(1).write.format("jsonl_shards").option("path", out).mode("overwrite").save()
+    back2 = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert [r["id"] for r in back2.collect()] == [99]
+    assert json.load(open(os.path.join(out, "_SUCCESS")))["total_rows"] == 1
