@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "video_frame_sample",
     "incremental_agg_rollup",
     "corpus_drift_kl",
+    "snapshot_time_travel",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -3926,6 +3927,57 @@ def upsert_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
                 F.sum((F.col("o_orderstatus") == "N").cast("bigint")).alias("n_inserted"),
             )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "snapshot_time_travel",
+    """
+    SELECT 'head' AS snapshot, count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    UNION ALL
+    SELECT 'v1', count(*), round(sum(o_totalprice), 2)
+    FROM orders WHERE o_orderdate < '1999-01-01'
+    ORDER BY snapshot
+    """,
+    tags=("etl", "snapshot", "acid"),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated table format (etl/snapshots.py): orders commit
+    as two snapshots (v1 = pre-1999, v2 appends the rest); the query
+    aggregates BOTH the time-traveled v1 read and the head read, and
+    the DuckDB oracle reproduces each from plain filters — so the hash
+    match pins manifest resolution, the append's file carry-forward,
+    and as-of reads end to end. Readers resolve explicit file lists
+    (never directory listings), which is what makes reads atomic under
+    concurrent overwrite — the property `test_snapshots.py` pins."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="snap_tt_")
+    try:
+        table = _os.path.join(work, "orders_snap")
+        v1 = snapshot_write(spark, table, orders.filter(F.col("o_orderdate") < "1999-01-01"))
+        snapshot_write(spark, table, orders.filter(F.col("o_orderdate") >= "1999-01-01"), mode="append")
+
+        def agg(df, label):
+            return df.agg(
+                F.lit(label).alias("snapshot"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+
+        return (
+            agg(snapshot_read(spark, table), "head")
+            .unionByName(agg(snapshot_read(spark, table, v1), "v1"))
+            .orderBy("snapshot")
             .localCheckpoint(eager=True)
         )
     finally:

@@ -1,0 +1,103 @@
+"""Snapshot-isolated parquet tables (etl/snapshots.py).
+
+Contracts: the commit point is one atomic marker creation (a crash
+before it is invisible); readers resolve complete snapshots only, even
+across a concurrent overwrite; time travel reads any kept version;
+vacuum removes exactly the unreferenced garbage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from reactionetl_etl_spark.etl.snapshots import (
+    head_version,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_versions,
+    snapshot_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _snap(spark, path, version=None):
+    return {(r["k"], r["v"]) for r in snapshot_read(spark, path, version).collect()}
+
+
+def test_write_read_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert head_version(spark, t) is None
+    v1 = snapshot_write(spark, t, _df(spark, [(1, "a"), (2, "b")]))
+    v2 = snapshot_write(spark, t, _df(spark, [(3, "c")]), mode="append")
+    v3 = snapshot_write(spark, t, _df(spark, [(9, "z")]), mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3) and head_version(spark, t) == 3
+    assert _snap(spark, t) == {(9, "z")}
+    assert _snap(spark, t, v2) == {(1, "a"), (2, "b"), (3, "c")}  # time travel
+    assert _snap(spark, t, v1) == {(1, "a"), (2, "b")}
+    assert snapshot_versions(spark, t) == [1, 2, 3]
+
+
+def test_reader_is_isolated_from_concurrent_overwrite(spark, tmp_path):
+    """A plan resolved against v1 returns v1's rows even when the head
+    moves (and is re-collected after): snapshot reads pin files, not
+    directories."""
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _df(spark, [(1, "a")]))
+    reader = snapshot_read(spark, t)  # resolves v1's file list NOW
+    snapshot_write(spark, t, _df(spark, [(2, "b")]), mode="overwrite")
+    assert {(r["k"], r["v"]) for r in reader.collect()} == {(1, "a")}
+    assert _snap(spark, t) == {(2, "b")}  # new readers see the new head
+
+
+def test_crash_before_marker_is_invisible(spark, tmp_path):
+    """Staged data and even a written manifest WITHOUT its marker never
+    surface: head, reads, and version listing are unchanged."""
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _df(spark, [(1, "a")]))
+    # simulate a crashed writer: data files + manifest for v2, no marker
+    _df(spark, [(7, "x")]).write.parquet(os.path.join(t, "data", "_stage-crash"))
+    with open(os.path.join(t, "_snapshots", "v2.json"), "w") as fh:
+        fh.write('{"version": 2, "mode": "overwrite", "files": ["data/nope.parquet"]}')
+    assert head_version(spark, t) == 1
+    assert snapshot_versions(spark, t) == [1]
+    assert _snap(spark, t) == {(1, "a")}
+    # the next real commit supersedes the orphan manifest (same slot)
+    v = snapshot_write(spark, t, _df(spark, [(2, "b")]), mode="append")
+    assert v == 2 and _snap(spark, t) == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _df(spark, [(1, "a")]))
+    snapshot_write(spark, t, _df(spark, [(2, "b")]), mode="overwrite")
+    snapshot_write(spark, t, _df(spark, [(3, "c")]), mode="append")
+    os.makedirs(os.path.join(t, "data", "_stage-leftover"))
+    deleted = snapshot_vacuum(spark, t, keep_last=2)
+    # v1's file + its manifest pair + staging debris are gone
+    assert any(d.startswith("data/") for d in deleted)
+    assert "_snapshots/v1.json" in deleted and "_snapshots/v1.committed" in deleted
+    assert "data/_stage-leftover" in deleted
+    assert snapshot_versions(spark, t) == [2, 3]
+    assert _snap(spark, t) == {(2, "b"), (3, "c")}
+    assert _snap(spark, t, 2) == {(2, "b")}  # kept version still reads
+    # every remaining data file is referenced by a kept manifest
+    live = set()
+    for v in (2, 3):
+        from reactionetl_etl_spark.etl.snapshots import _manifest
+
+        live.update(_manifest(spark, t, v)["files"])
+    on_disk = {
+        f"data/{n}" for n in os.listdir(os.path.join(t, "data")) if n.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_empty_overwrite_truncates_but_stays_readable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _df(spark, [(1, "a")]))
+    snapshot_write(spark, t, _df(spark, []).filter("1=0"), mode="overwrite")
+    got = snapshot_read(spark, t)
+    assert got.count() == 0 and got.columns == ["k", "v"]
