@@ -102,47 +102,12 @@ def snapshot_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    fs, Path = _fs(spark, table_path)
-    token = uuid.uuid4().hex
-    stage = f"{table_path}/data/_stage-{token}"
-    df.write.mode("error").parquet(stage)
-    # move the part files out of staging under unique immutable names;
-    # files in data/ are only ever OBSERVED through a manifest, so the
-    # moves need no ordering guarantees
-    new_files = []
-    for i, st in enumerate(
-        s for s in fs.listStatus(Path(stage)) if s.getPath().getName().endswith(".parquet")
-    ):
-        dst = f"{table_path}/data/{token}-{i:05d}.parquet"
-        fs.rename(st.getPath(), Path(dst))
-        new_files.append(f"data/{token}-{i:05d}.parquet")
-    fs.delete(Path(stage), True)
-
-    prev = head_version(spark, table_path)
+    new_files = _commit_files(spark, table_path, df)
     files = list(new_files)
+    prev = head_version(spark, table_path)
     if mode == "append" and prev is not None:
         files = _manifest(spark, table_path, prev)["files"] + files
-    version = 1 if prev is None else prev + 1
-    manifest_path = f"{table_path}/_snapshots/v{version}.json"
-    out = fs.create(Path(manifest_path), True)
-    out.write(
-        bytearray(
-            json.dumps(
-                {
-                    "version": version,
-                    "mode": mode,
-                    "files": sorted(files),
-                    # keeps empty snapshots (a legitimate truncate) readable
-                    "schema": df.schema.jsonValue(),
-                }
-            ).encode("utf-8")
-        )
-    )
-    out.close()
-    # THE commit point: one atomic create — no overwrite, no delete, no
-    # window where the head is missing or partial
-    fs.create(Path(f"{table_path}/_snapshots/v{version}.committed"), True).close()
-    return version
+    return _commit_manifest(spark, table_path, files, mode, df.schema.jsonValue())
 
 
 def snapshot_read(
@@ -203,3 +168,129 @@ def snapshot_vacuum(
                 fs.delete(p, False)
                 deleted.append(f"_snapshots/v{v}{suffix}")
     return sorted(deleted)
+
+
+def _commit_files(spark: SparkSession, table_path: str, df: DataFrame) -> list[str]:
+    """Write ``df`` as new immutable data files (stage → move); returns
+    their manifest-relative paths. No snapshot is created here."""
+    fs, Path = _fs(spark, table_path)
+    token = uuid.uuid4().hex
+    stage = f"{table_path}/data/_stage-{token}"
+    df.write.mode("error").parquet(stage)
+    new_files = []
+    for i, st in enumerate(
+        s for s in fs.listStatus(Path(stage)) if s.getPath().getName().endswith(".parquet")
+    ):
+        dst = f"{table_path}/data/{token}-{i:05d}.parquet"
+        fs.rename(st.getPath(), Path(dst))
+        new_files.append(f"data/{token}-{i:05d}.parquet")
+    fs.delete(Path(stage), True)
+    return new_files
+
+
+def _commit_manifest(
+    spark: SparkSession, table_path: str, files: list[str], mode: str, schema_json: dict
+) -> int:
+    fs, Path = _fs(spark, table_path)
+    prev = head_version(spark, table_path)
+    version = 1 if prev is None else prev + 1
+    out = fs.create(Path(f"{table_path}/_snapshots/v{version}.json"), True)
+    out.write(
+        bytearray(
+            json.dumps(
+                {"version": version, "mode": mode, "files": sorted(files), "schema": schema_json}
+            ).encode("utf-8")
+        )
+    )
+    out.close()
+    fs.create(Path(f"{table_path}/_snapshots/v{version}.committed"), True).close()
+    return version
+
+
+def snapshot_upsert(
+    spark: SparkSession, table_path: str, updates: DataFrame, key_cols: list[str]
+) -> int:
+    """Copy-on-write MERGE: rows in ``updates`` replace same-key rows,
+    new keys insert — by rewriting ONLY the data files that contain a
+    matched key (the Delta/Iceberg CoW strategy). Files without any
+    touched key carry into the new snapshot untouched (same bytes, same
+    path), so merge work is ∝ touched files + updates, never ∝ table —
+    and the whole merge is one atomic snapshot commit with time travel
+    back to the pre-merge version for free.
+
+    ``updates`` must carry the full table schema and be unique on
+    ``key_cols`` (raises otherwise — double-keyed updates make the
+    replacement order undefined)."""
+    from pyspark.sql import functions as F
+
+    head = head_version(spark, table_path)
+    if head is None:
+        return snapshot_write(spark, table_path, updates, mode="overwrite")
+    n_dup = updates.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+    if n_dup:
+        raise ValueError(f"updates carry {n_dup} duplicated keys on {key_cols}")
+
+    man = _manifest(spark, table_path, head)
+    all_files = man["files"]
+    current = spark.read.parquet(*[f"{table_path}/{f}" for f in all_files])
+    keys = updates.select(*key_cols)
+    # which files hold a matched key? metadata-sized collect (≤ #files)
+    touched_names = {
+        r[0].rsplit("/", 1)[-1]
+        for r in current.withColumn("__f", F.input_file_name())
+        .join(F.broadcast(keys), on=key_cols, how="leftsemi")
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    touched = [f for f in all_files if f.rsplit("/", 1)[-1] in touched_names]
+    untouched = [f for f in all_files if f.rsplit("/", 1)[-1] not in touched_names]
+
+    if touched:
+        kept = (
+            spark.read.parquet(*[f"{table_path}/{f}" for f in touched])
+            .join(keys, on=key_cols, how="left_anti")
+        )
+        rewritten = kept.unionByName(updates.select(*kept.columns))
+    else:  # pure insert
+        rewritten = updates
+    # evaluate before committing: the rewrite must not lazily read
+    # files the new manifest supersedes at some later collect time
+    rewritten = rewritten.localCheckpoint(eager=True)
+    new_files = _commit_files(spark, table_path, rewritten)
+    return _commit_manifest(
+        spark, table_path, untouched + new_files, "upsert", man["schema"]
+    )
+
+
+def snapshot_delete(spark: SparkSession, table_path: str, predicate: str) -> int:
+    """Copy-on-write DELETE WHERE ``predicate``: files containing no
+    matching row carry forward untouched; matching files are rewritten
+    without the matching rows. One atomic snapshot commit."""
+    from pyspark.sql import functions as F
+
+    head = head_version(spark, table_path)
+    if head is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    man = _manifest(spark, table_path, head)
+    all_files = man["files"]
+    current = spark.read.parquet(*[f"{table_path}/{f}" for f in all_files])
+    touched_names = {
+        r[0].rsplit("/", 1)[-1]
+        for r in current.filter(predicate)
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    }
+    touched = [f for f in all_files if f.rsplit("/", 1)[-1] in touched_names]
+    untouched = [f for f in all_files if f.rsplit("/", 1)[-1] not in touched_names]
+    files = list(untouched)
+    if touched:
+        kept = (
+            spark.read.parquet(*[f"{table_path}/{f}" for f in touched])
+            .filter(f"NOT ({predicate})")
+            .localCheckpoint(eager=True)
+        )
+        if kept.count() > 0:
+            files += _commit_files(spark, table_path, kept)
+    return _commit_manifest(spark, table_path, files, "delete", man["schema"])

@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_agg_rollup",
     "corpus_drift_kl",
     "snapshot_time_travel",
+    "snapshot_cow_upsert",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -3927,6 +3928,81 @@ def upsert_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
                 F.sum((F.col("o_orderstatus") == "N").cast("bigint")).alias("n_inserted"),
             )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "snapshot_cow_upsert",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0
+        UNION ALL
+        SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 1009 = 0
+    ), merged AS (
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT o_orderstatus,
+           count(*)                    AS n_rows,
+           count(DISTINCT o_orderkey)  AS n_keys,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("etl", "snapshot", "merge", "acid"),
+)
+def snapshot_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the snapshot table format
+    (etl/snapshots.py::snapshot_upsert): orders commit as an 8-file
+    snapshot, a derived batch (price bumps on keys %101, inserts on
+    keys %1009) merges by rewriting ONLY files containing a matched key
+    (untouched files carry forward by path), and the post-merge head is
+    value-checked against DuckDB's anti-join ∪ updates reconstruction.
+    The hash match therefore pins file-level touch detection, the
+    rewrite, the carry-forward, AND the atomic manifest commit."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read, snapshot_upsert, snapshot_write
+
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="snap_cow_")
+    try:
+        table = _os.path.join(work, "orders_snap")
+        snapshot_write(spark, table, orders.repartition(8, "o_orderkey"))
+        upd = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        ins = orders.filter(F.col("o_orderkey") % 1009 == 0).withColumns(
+            {
+                "o_orderkey": F.col("o_orderkey") + 200_000_000,
+                "o_orderstatus": F.lit("N"),
+                "o_totalprice": F.round(F.col("o_totalprice"), 2),
+            }
+        )
+        snapshot_upsert(spark, table, upd.unionByName(ins).select(*orders.columns), ["o_orderkey"])
+        return (
+            snapshot_read(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
             .localCheckpoint(eager=True)
         )
     finally:

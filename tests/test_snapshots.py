@@ -101,3 +101,63 @@ def test_empty_overwrite_truncates_but_stays_readable(spark, tmp_path):
     snapshot_write(spark, t, _df(spark, []).filter("1=0"), mode="overwrite")
     got = snapshot_read(spark, t)
     assert got.count() == 0 and got.columns == ["k", "v"]
+
+
+def test_snapshot_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write MERGE: same-key rows replaced, new keys inserted,
+    files without a matched key carried forward BYTE-identical (same
+    manifest path), and the pre-merge version still time-travels."""
+    from reactionetl_etl_spark.etl.snapshots import _manifest, snapshot_upsert
+
+    t = str(tmp_path / "t")
+    # two files: keys 1-2 in one, keys 3-4 in the other
+    snapshot_write(spark, t, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v2 = snapshot_write(spark, t, _df(spark, [(3, "c"), (4, "d")]).coalesce(1), mode="append")
+    before_files = set(_manifest(spark, t, v2)["files"])
+
+    v3 = snapshot_upsert(
+        spark, t, _df(spark, [(3, "C!"), (9, "new")]).coalesce(1), ["k"]
+    )
+    assert _snap(spark, t) == {(1, "a"), (2, "b"), (3, "C!"), (4, "d"), (9, "new")}
+    assert _snap(spark, t, v2) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    after_files = set(_manifest(spark, t, v3)["files"])
+    carried = before_files & after_files
+    # the file holding keys 1-2 was untouched and carried forward
+    assert len(carried) == 1
+    kept_rows = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(*(f"{t}/{f}" for f in carried)).collect()
+    }
+    assert kept_rows == {(1, "a"), (2, "b")}
+
+    # duplicate update keys are refused
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicated keys"):
+        snapshot_upsert(spark, t, _df(spark, [(5, "x"), (5, "y")]), ["k"])
+
+    # upsert into an empty table bootstraps it
+    t2 = str(tmp_path / "t2")
+    snapshot_upsert(spark, t2, _df(spark, [(1, "a")]), ["k"])
+    assert _snap(spark, t2) == {(1, "a")}
+
+
+def test_snapshot_delete_where(spark, tmp_path):
+    """CoW DELETE: untouched files carry forward; matching files are
+    rewritten without the matching rows; fully-deleted files vanish."""
+    from reactionetl_etl_spark.etl.snapshots import _manifest, snapshot_delete
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v2 = snapshot_write(spark, t, _df(spark, [(3, "c"), (4, "d")]).coalesce(1), mode="append")
+    before = set(_manifest(spark, t, v2)["files"])
+
+    v3 = snapshot_delete(spark, t, "k = 3")
+    assert _snap(spark, t) == {(1, "a"), (2, "b"), (4, "d")}
+    carried = before & set(_manifest(spark, t, v3)["files"])
+    assert len(carried) == 1  # the 1-2 file survived as-is
+
+    v4 = snapshot_delete(spark, t, "k IN (1, 2)")  # empties a whole file
+    assert _snap(spark, t) == {(4, "d")}
+    assert len(_manifest(spark, t, v4)["files"]) == 1
+    assert _snap(spark, t, v2) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
