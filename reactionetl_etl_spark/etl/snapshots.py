@@ -170,13 +170,21 @@ def snapshot_vacuum(
     return sorted(deleted)
 
 
-def _commit_files(spark: SparkSession, table_path: str, df: DataFrame) -> list[str]:
+def _commit_files(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    max_records_per_file: int | None = None,
+) -> list[str]:
     """Write ``df`` as new immutable data files (stage → move); returns
     their manifest-relative paths. No snapshot is created here."""
     fs, Path = _fs(spark, table_path)
     token = uuid.uuid4().hex
     stage = f"{table_path}/data/_stage-{token}"
-    df.write.mode("error").parquet(stage)
+    writer = df.write.mode("error")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(stage)
     new_files = []
     for i, st in enumerate(
         s for s in fs.listStatus(Path(stage)) if s.getPath().getName().endswith(".parquet")
@@ -294,3 +302,28 @@ def snapshot_delete(spark: SparkSession, table_path: str, predicate: str) -> int
         if kept.count() > 0:
             files += _commit_files(spark, table_path, kept)
     return _commit_manifest(spark, table_path, files, "delete", man["schema"])
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Compaction as a snapshot: rewrite the head's data into fewer,
+    healthier files and commit the SAME rows as a new version. The
+    small-files problem is the dominant operational failure of
+    accumulate-forever tables (every append adds task-count files;
+    scans eventually pay per-file open cost that dwarfs the bytes);
+    because compaction here is just another snapshot, it is atomic,
+    non-blocking for readers (they keep their version), and fully
+    reversible until vacuum."""
+    head = head_version(spark, table_path)
+    if head is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    man = _manifest(spark, table_path, head)
+    df = snapshot_read(spark, table_path, head)
+    if target_files is not None:
+        df = df.repartition(max(1, target_files))
+    new_files = _commit_files(spark, table_path, df, max_records_per_file)
+    return _commit_manifest(spark, table_path, new_files, "compact", man["schema"])

@@ -161,3 +161,21 @@ def test_snapshot_delete_where(spark, tmp_path):
     assert _snap(spark, t) == {(4, "d")}
     assert len(_manifest(spark, t, v4)["files"]) == 1
     assert _snap(spark, t, v2) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path):
+    """Compaction rewrites the head into fewer files with identical
+    rows; readers of the pre-compaction version are untouched."""
+    from reactionetl_etl_spark.etl.snapshots import _manifest, snapshot_compact
+
+    t = str(tmp_path / "t")
+    for i in range(5):  # five tiny appends → ≥5 files
+        snapshot_write(spark, t, _df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+    before_version = head_version(spark, t)
+    before_rows = _snap(spark, t)
+    assert len(_manifest(spark, t, before_version)["files"]) >= 5
+
+    v = snapshot_compact(spark, t, target_files=1)
+    assert len(_manifest(spark, t, v)["files"]) == 1
+    assert _snap(spark, t) == before_rows
+    assert _snap(spark, t, before_version) == before_rows  # history intact
