@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_drift_kl",
     "snapshot_time_travel",
     "snapshot_cow_upsert",
+    "event_transition_matrix",
+    "hard_negatives_topk",
     "user_event_sequences",
     "corpus_profile",
     "cross_doc_dup_rate",
@@ -3932,6 +3934,99 @@ def upsert_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    tags=("events", "window", "behavior"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event types per
+    user (the behavior-model fitting table and the funnel/sankey
+    backbone): one lag window per user (shuffle keyed on user_id,
+    event_id tie-break for same-timestamp determinism), then a
+    map-side-combined count over the #types² matrix — output is
+    O(types²) regardless of corpus size."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@_q(
+    "hard_negatives_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.qid, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])), 6) AS cosine_sim
+        FROM q JOIN embeddings e
+          ON e.label <> q.qlabel AND e.vec_id <> q.qid
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    )
+    SELECT qid, vec_id AS neg_id, cosine_sim
+    FROM ranked WHERE rn <= 5
+    ORDER BY qid, cosine_sim DESC, neg_id
+    """,
+    tags=("similarity", "training", "contrastive"),
+)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-5 most-similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the best negatives. Same scale shape as the
+    exact batch ANN: broadcast query batch, one corpus scan, per-query
+    partial top-k (WindowGroupLimit) before the exchange; the label
+    inequality rides the join condition so same-class rows never enter
+    the candidate set. Fully value-oracled (deterministic rounding +
+    id tie-break)."""
+    from reactionetl_etl_spark.functions.vectors import as_double_array, cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        as_double_array("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        on=(F.col("label") != F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
+        how="inner",
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_similarity(as_double_array("embedding"), F.col("qv")), 6).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", F.col("vec_id").alias("neg_id"), "cosine_sim")
+        .orderBy("qid", F.desc("cosine_sim"), "neg_id")
+    )
 
 
 @_q(
