@@ -89,10 +89,17 @@ def _manifest(spark: SparkSession, table_path: str, version: int) -> dict:
 
 
 def snapshot_write(
-    spark: SparkSession, table_path: str, df: DataFrame, mode: str = "overwrite"
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    mode: str = "overwrite",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
+    ``stats_cols`` (a table property — appends inherit it) records
+    per-file [min, max] footer statistics in the manifest, enabling
+    `snapshot_scan`'s file skipping.
     ``mode='append'`` carries the previous snapshot's files forward;
     ``'overwrite'`` references only the new files (old files stay on
     disk — still served to readers holding older versions — until
@@ -102,12 +109,18 @@ def snapshot_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    new_files = _commit_files(spark, table_path, df)
-    files = list(new_files)
     prev = head_version(spark, table_path)
+    prev_man = _manifest(spark, table_path, prev) if prev is not None else {}
+    # stats columns are a TABLE property: appends inherit them
+    cols = stats_cols if stats_cols is not None else prev_man.get("stats_cols")
+    new_files, stats = _commit_files(spark, table_path, df, stats_cols=cols)
+    files = list(new_files)
     if mode == "append" and prev is not None:
-        files = _manifest(spark, table_path, prev)["files"] + files
-    return _commit_manifest(spark, table_path, files, mode, df.schema.jsonValue())
+        files = prev_man["files"] + files
+        stats = {**prev_man.get("stats", {}), **stats}
+    return _commit_manifest(
+        spark, table_path, files, mode, df.schema.jsonValue(), stats, cols
+    )
 
 
 def snapshot_read(
@@ -175,9 +188,13 @@ def _commit_files(
     table_path: str,
     df: DataFrame,
     max_records_per_file: int | None = None,
-) -> list[str]:
+    stats_cols: list[str] | None = None,
+) -> tuple[list[str], dict]:
     """Write ``df`` as new immutable data files (stage → move); returns
-    their manifest-relative paths. No snapshot is created here."""
+    (manifest-relative paths, per-file min/max stats for ``stats_cols``).
+    No snapshot is created here. Stats gathering is best-effort
+    (missing footer stats, exotic types, or a non-pyarrow-readable URI
+    → no entry → pruning stays conservative for that file)."""
     fs, Path = _fs(spark, table_path)
     token = uuid.uuid4().hex
     stage = f"{table_path}/data/_stage-{token}"
@@ -186,30 +203,43 @@ def _commit_files(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(stage)
     new_files = []
+    stats: dict = {}
     for i, st in enumerate(
         s for s in fs.listStatus(Path(stage)) if s.getPath().getName().endswith(".parquet")
     ):
-        dst = f"{table_path}/data/{token}-{i:05d}.parquet"
+        rel = f"data/{token}-{i:05d}.parquet"
+        dst = f"{table_path}/{rel}"
         fs.rename(st.getPath(), Path(dst))
-        new_files.append(f"data/{token}-{i:05d}.parquet")
+        new_files.append(rel)
+        if stats_cols:
+            try:
+                s = _gather_file_stats(dst.removeprefix("file:"), stats_cols)
+            except Exception:
+                s = {}
+            if s:
+                stats[rel] = s
     fs.delete(Path(stage), True)
-    return new_files
+    return new_files, stats
 
 
 def _commit_manifest(
-    spark: SparkSession, table_path: str, files: list[str], mode: str, schema_json: dict
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    mode: str,
+    schema_json: dict,
+    stats: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     fs, Path = _fs(spark, table_path)
     prev = head_version(spark, table_path)
     version = 1 if prev is None else prev + 1
+    manifest = {"version": version, "mode": mode, "files": sorted(files), "schema": schema_json}
+    if stats_cols:
+        manifest["stats_cols"] = sorted(stats_cols)
+        manifest["stats"] = {f: stats.get(f, {}) for f in files if stats and stats.get(f)}
     out = fs.create(Path(f"{table_path}/_snapshots/v{version}.json"), True)
-    out.write(
-        bytearray(
-            json.dumps(
-                {"version": version, "mode": mode, "files": sorted(files), "schema": schema_json}
-            ).encode("utf-8")
-        )
-    )
+    out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     out.close()
     fs.create(Path(f"{table_path}/_snapshots/v{version}.committed"), True).close()
     return version
@@ -265,9 +295,11 @@ def snapshot_upsert(
     # evaluate before committing: the rewrite must not lazily read
     # files the new manifest supersedes at some later collect time
     rewritten = rewritten.localCheckpoint(eager=True)
-    new_files = _commit_files(spark, table_path, rewritten)
+    cols = man.get("stats_cols")
+    new_files, stats = _commit_files(spark, table_path, rewritten, stats_cols=cols)
+    stats = {**{f: s for f, s in man.get("stats", {}).items() if f in set(untouched)}, **stats}
     return _commit_manifest(
-        spark, table_path, untouched + new_files, "upsert", man["schema"]
+        spark, table_path, untouched + new_files, "upsert", man["schema"], stats, cols
     )
 
 
@@ -293,6 +325,8 @@ def snapshot_delete(spark: SparkSession, table_path: str, predicate: str) -> int
     touched = [f for f in all_files if f.rsplit("/", 1)[-1] in touched_names]
     untouched = [f for f in all_files if f.rsplit("/", 1)[-1] not in touched_names]
     files = list(untouched)
+    cols = man.get("stats_cols")
+    stats = {f: s for f, s in man.get("stats", {}).items() if f in set(untouched)}
     if touched:
         kept = (
             spark.read.parquet(*[f"{table_path}/{f}" for f in touched])
@@ -300,8 +334,10 @@ def snapshot_delete(spark: SparkSession, table_path: str, predicate: str) -> int
             .localCheckpoint(eager=True)
         )
         if kept.count() > 0:
-            files += _commit_files(spark, table_path, kept)
-    return _commit_manifest(spark, table_path, files, "delete", man["schema"])
+            new_files, new_stats = _commit_files(spark, table_path, kept, stats_cols=cols)
+            files += new_files
+            stats.update(new_stats)
+    return _commit_manifest(spark, table_path, files, "delete", man["schema"], stats, cols)
 
 
 def snapshot_compact(
@@ -325,5 +361,115 @@ def snapshot_compact(
     df = snapshot_read(spark, table_path, head)
     if target_files is not None:
         df = df.repartition(max(1, target_files))
-    new_files = _commit_files(spark, table_path, df, max_records_per_file)
-    return _commit_manifest(spark, table_path, new_files, "compact", man["schema"])
+    cols = man.get("stats_cols")
+    new_files, stats = _commit_files(
+        spark, table_path, df, max_records_per_file, stats_cols=cols
+    )
+    return _commit_manifest(
+        spark, table_path, new_files, "compact", man["schema"], stats, cols
+    )
+
+
+def _gather_file_stats(path: str, stats_cols: list[str]) -> dict:
+    """Per-column [min, max] for one parquet file, from its footer row-
+    group statistics (no data read). Local-filesystem template — at
+    object-store scale the same footers are read by executors during
+    the write and collected with the commit message."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in stats_cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            # JSON-safe; bytes stats (rare) are skipped conservatively
+            if not isinstance(lo, (int, float, str)) or not isinstance(hi, (int, float, str)):
+                continue
+            out[col] = [lo, hi]
+    return out
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-level FILE SKIPPING (the Iceberg/Delta data-skipping
+    idea): ``predicates`` — [(col, op, value)] with op ∈ {=, <, <=, >,
+    >=}, AND-combined — are checked against each file's committed
+    [min, max] stats, and files that PROVABLY contain no matching row
+    are never handed to Spark at all: no footer read, no task, no
+    object-store GET. The same predicates are re-applied to the
+    surviving rows, so results equal an unpruned scan + filter (pinned
+    by test). Files without stats for a predicate column are kept —
+    pruning is always conservative. Pays off exactly when the table is
+    clustered on the stats columns (`etl/zorder.py` or a sorted write):
+    tight per-file ranges → most files skipped."""
+    import functools
+    import operator as _op
+
+    v = version if version is not None else head_version(spark, table_path)
+    if v is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    man = _manifest(spark, table_path, v)
+    stats = man.get("stats", {})
+    ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    for _, op, _value in predicates:
+        if op not in ops:
+            raise ValueError(f"unsupported op {op!r} (use =, <, <=, >, >=)")
+
+    def may_match(f: str) -> bool:
+        for col, op, value in predicates:
+            rng = stats.get(f, {}).get(col)
+            if rng is None:
+                continue  # no stats → cannot prune
+            lo, hi = rng
+            if op == "=" and not (lo <= value <= hi):
+                return False
+            if op in ("<", "<=") and not ops[op](lo, value):
+                return False
+            if op in (">", ">=") and not ops[op](hi, value):
+                return False
+        return True
+
+    files = [f for f in man["files"] if may_match(f)]
+    from pyspark.sql import functions as F
+
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [ops[op](F.col(col), F.lit(value)) for col, op, value in predicates],
+    )
+    if not files:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(man["schema"]))
+    return spark.read.parquet(*[f"{table_path}/{f}" for f in files]).filter(cond)
+
+
+def snapshot_scan_file_counts(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> tuple[int, int]:
+    """(files_scanned, files_total) for a pruned scan — the observable
+    the skipping tests and capacity planning read."""
+    v = version if version is not None else head_version(spark, table_path)
+    man = _manifest(spark, table_path, v)
+    pruned = snapshot_scan(spark, table_path, predicates, v)
+    # count distinct source files the pruned plan actually references
+    if not pruned.inputFiles():
+        return 0, len(man["files"])
+    return len(pruned.inputFiles()), len(man["files"])

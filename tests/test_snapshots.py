@@ -179,3 +179,52 @@ def test_snapshot_compact_preserves_rows_and_history(spark, tmp_path):
     assert len(_manifest(spark, t, v)["files"]) == 1
     assert _snap(spark, t) == before_rows
     assert _snap(spark, t, before_version) == before_rows  # history intact
+
+
+def test_snapshot_scan_prunes_files_from_manifest_stats(spark, tmp_path):
+    """Data skipping: with the table clustered on k, a point/range scan
+    touches a fraction of the files (counted from the PLAN's input
+    files) and returns exactly what an unpruned scan + filter returns;
+    stats survive upsert/compact; files without stats are kept."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_compact,
+        snapshot_scan,
+        snapshot_scan_file_counts,
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(1000)], "k int, v string")
+    # range-partitioned on k → tight, disjoint per-file min/max
+    snapshot_write(spark, t, df.repartitionByRange(8, "k"), stats_cols=["k"])
+
+    scanned, total = snapshot_scan_file_counts(spark, t, [("k", "=", 500)])
+    assert total == 8 and scanned == 1
+    got = {r["k"] for r in snapshot_scan(spark, t, [("k", "=", 500)]).collect()}
+    assert got == {500}
+
+    scanned, total = snapshot_scan_file_counts(spark, t, [("k", ">=", 900)])
+    assert scanned <= 2  # the tail file(s) only
+    rng = {r["k"] for r in snapshot_scan(spark, t, [("k", ">=", 900)]).collect()}
+    assert rng == set(range(900, 1000))
+
+    # conjunction: empty provable range → zero files, empty result
+    scanned, total = snapshot_scan_file_counts(
+        spark, t, [("k", ">", 990), ("k", "<", 5)]
+    )
+    assert scanned == 0
+    assert snapshot_scan(spark, t, [("k", ">", 990), ("k", "<", 5)]).count() == 0
+
+    # stats survive CoW upsert (carried + recomputed files)
+    upd = spark.createDataFrame([(500, "X")], "k int, v string")
+    snapshot_upsert(spark, t, upd, ["k"])
+    scanned, total = snapshot_scan_file_counts(spark, t, [("k", "=", 3)])
+    assert scanned == 1
+    assert {r["v"] for r in snapshot_scan(spark, t, [("k", "=", 500)]).collect()} == {"X"}
+
+    # and survive compaction (recomputed for the new layout)
+    snapshot_compact(spark, t, target_files=4)
+    pruned = snapshot_scan(spark, t, [("k", "=", 7)])
+    assert [r["v"] for r in pruned.collect()] == ["v7"]
