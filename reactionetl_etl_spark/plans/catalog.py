@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_drift_kl",
     "snapshot_time_travel",
     "snapshot_cow_upsert",
+    "snapshot_pruned_scan",
     "event_transition_matrix",
     "hard_negatives_topk",
     "user_event_sequences",
@@ -4098,6 +4099,61 @@ def snapshot_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             )
             .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "snapshot_pruned_scan",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 100000 AND o_orderkey <= 120000
+    """,
+    tags=("etl", "snapshot", "pruning"),
+)
+def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping end to end: orders commit as a snapshot
+    range-clustered on o_orderkey with per-file min/max stats; a key-
+    range scan resolves its file list from the manifest (provably-non-
+    matching files never reach Spark — the builder asserts the pruned
+    plan reads fewer files than the table holds) and the aggregate is
+    value-checked against DuckDB's plain filtered scan. Hash match ∧
+    file-count assertion ⇒ pruning is both SOUND and ACTIVE."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_scan,
+        snapshot_scan_file_counts,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="snap_prune_")
+    try:
+        table = _os.path.join(work, "orders_snap")
+        snapshot_write(
+            spark, table, orders.repartitionByRange(8, "o_orderkey"), stats_cols=["o_orderkey"]
+        )
+        preds = [("o_orderkey", ">=", 100_000), ("o_orderkey", "<=", 120_000)]
+        scanned, total = snapshot_scan_file_counts(spark, table, preds)
+        if not scanned < total:
+            raise AssertionError(f"pruning inactive: {scanned}/{total} files scanned")
+        return (
+            snapshot_scan(spark, table, preds)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
             .localCheckpoint(eager=True)
         )
     finally:
