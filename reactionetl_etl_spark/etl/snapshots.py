@@ -94,6 +94,7 @@ def snapshot_write(
     df: DataFrame,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    batch_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
@@ -111,6 +112,15 @@ def snapshot_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     prev = head_version(spark, table_path)
     prev_man = _manifest(spark, table_path, prev) if prev is not None else {}
+    if batch_id is not None and snapshot_batch_applied(spark, table_path, batch_id):
+        return prev
+    schema_json = df.schema.jsonValue()
+    if mode == "append" and prev is not None:
+        # add-column schema evolution: common columns must keep their
+        # type; the committed schema is the UNION (old order first), and
+        # reads apply it explicitly, so pre-evolution files surface the
+        # new columns as NULL
+        schema_json = _evolve_schema(prev_man["schema"], schema_json)
     # stats columns are a TABLE property: appends inherit them
     cols = stats_cols if stats_cols is not None else prev_man.get("stats_cols")
     new_files, stats = _commit_files(spark, table_path, df, stats_cols=cols)
@@ -119,7 +129,7 @@ def snapshot_write(
         files = prev_man["files"] + files
         stats = {**prev_man.get("stats", {}), **stats}
     return _commit_manifest(
-        spark, table_path, files, mode, df.schema.jsonValue(), stats, cols
+        spark, table_path, files, mode, schema_json, stats, cols, batch_id
     )
 
 
@@ -133,11 +143,15 @@ def snapshot_read(
     if v is None:
         raise ValueError(f"no committed snapshot at {table_path}")
     man = _manifest(spark, table_path, v)
-    if not man["files"]:
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType.fromJson(man["schema"]))
-    return spark.read.parquet(*[f"{table_path}/{f}" for f in man["files"]])
+    schema = StructType.fromJson(man["schema"])
+    if not man["files"]:
+        return spark.createDataFrame([], schema)
+    # explicit committed schema: pre-evolution files surface later-added
+    # columns as NULL, and the read never depends on which footer Spark
+    # happens to sample
+    return spark.read.schema(schema).parquet(*[f"{table_path}/{f}" for f in man["files"]])
 
 
 def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
@@ -222,6 +236,35 @@ def _commit_files(
     return new_files, stats
 
 
+def _evolve_schema(old_json: dict, new_json: dict) -> dict:
+    """Union of two schemas for add-column evolution. Same-named fields
+    must keep their exact type (no implicit widening — a type change is
+    a rewrite, not an append); brand-new fields attach at the end."""
+    old_fields = {f["name"]: f for f in old_json["fields"]}
+    merged = list(old_json["fields"])
+    for f in new_json["fields"]:
+        have = old_fields.get(f["name"])
+        if have is None:
+            merged.append(f)
+        elif have["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} from "
+                f"{have['type']} to {f['type']} (rewrite the table instead)"
+            )
+    return {**old_json, "fields": merged}
+
+
+def snapshot_batch_applied(spark: SparkSession, table_path: str, batch_id: str) -> bool:
+    """True iff some COMMITTED snapshot carries ``batch_id`` — the
+    exactly-once check for at-least-once writers (foreachBatch): the
+    batch fact lives inside the manifest, so it exists iff the data
+    committed. O(#snapshots) tiny-file reads; vacuum keeps that small."""
+    for v in snapshot_versions(spark, table_path):
+        if _manifest(spark, table_path, v).get("batch_id") == batch_id:
+            return True
+    return False
+
+
 def _commit_manifest(
     spark: SparkSession,
     table_path: str,
@@ -230,11 +273,14 @@ def _commit_manifest(
     schema_json: dict,
     stats: dict | None = None,
     stats_cols: list[str] | None = None,
+    batch_id: str | None = None,
 ) -> int:
     fs, Path = _fs(spark, table_path)
     prev = head_version(spark, table_path)
     version = 1 if prev is None else prev + 1
     manifest = {"version": version, "mode": mode, "files": sorted(files), "schema": schema_json}
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     if stats_cols:
         manifest["stats_cols"] = sorted(stats_cols)
         manifest["stats"] = {f: stats.get(f, {}) for f in files if stats and stats.get(f)}
@@ -451,11 +497,16 @@ def snapshot_scan(
         lambda a, b: a & b,
         [ops[op](F.col(col), F.lit(value)) for col, op, value in predicates],
     )
-    if not files:
-        from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType
 
-        return spark.createDataFrame([], StructType.fromJson(man["schema"]))
-    return spark.read.parquet(*[f"{table_path}/{f}" for f in files]).filter(cond)
+    schema = StructType.fromJson(man["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*[f"{table_path}/{f}" for f in files])
+        .filter(cond)
+    )
 
 
 def snapshot_scan_file_counts(

@@ -307,3 +307,45 @@ def stream_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_append_batch_writer(table_path: str, stats_cols: list[str] | None = None):
+    """foreachBatch callback appending each micro-batch to a snapshot-
+    isolated table (etl/snapshots.py) EXACTLY once: the stream batch id
+    commits inside the manifest, atomically with the data, so a
+    replayed batch (crash between sink completion and checkpoint
+    advance) is recognized and skipped — and readers racing the stream
+    always resolve a complete snapshot, never a half-written append."""
+    from reactionetl_etl_spark.etl.snapshots import snapshot_write
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = snapshot_write(
+            spark,
+            table_path,
+            batch_df,
+            mode="append",
+            stats_cols=stats_cols,
+            batch_id=f"stream-{batch_id}",
+        )
+        logger.info("snapshot sink: batch %d -> version %s", batch_id, v)
+
+    return write_batch
+
+
+def stream_snapshot_append(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    stats_cols: list[str] | None = None,
+):
+    """Run a stream into the snapshot-append sink (AvailableNow-
+    friendly); returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            snapshot_append_batch_writer(table_path, stats_cols)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

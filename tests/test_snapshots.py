@@ -228,3 +228,40 @@ def test_snapshot_scan_prunes_files_from_manifest_stats(spark, tmp_path):
     snapshot_compact(spark, t, target_files=4)
     pruned = snapshot_scan(spark, t, [("k", "=", 7)])
     assert [r["v"] for r in pruned.collect()] == ["v7"]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appending a superset schema evolves the table: old files surface
+    the new column as NULL, type changes are refused, and the evolved
+    schema is what every read (head or time travel to the evolved
+    version) applies."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    snapshot_write(spark, t, _df(spark, [(1, "a")]))
+    evolved = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double")
+    snapshot_write(spark, t, evolved, mode="append")
+
+    got = {(r["k"], r["v"], r["score"]) for r in snapshot_read(spark, t).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    assert snapshot_read(spark, t).columns == ["k", "v", "score"]
+
+    bad = spark.createDataFrame([(3, 7)], "k int, v int")  # v: string→int
+    with pytest.raises(ValueError, match="schema evolution cannot change"):
+        snapshot_write(spark, t, bad, mode="append")
+
+
+def test_snapshot_batch_id_exactly_once(spark, tmp_path):
+    """An append replayed with the same batch_id is skipped (the fact
+    rides the committed manifest), and a different batch_id applies."""
+    from reactionetl_etl_spark.etl.snapshots import snapshot_batch_applied
+
+    t = str(tmp_path / "t")
+    v1 = snapshot_write(spark, t, _df(spark, [(1, "a")]), mode="append", batch_id="b1")
+    v_replay = snapshot_write(spark, t, _df(spark, [(1, "a")]), mode="append", batch_id="b1")
+    assert v_replay == v1  # no new version
+    assert _snap(spark, t) == {(1, "a")}
+    assert snapshot_batch_applied(spark, t, "b1")
+    assert not snapshot_batch_applied(spark, t, "b2")
+    snapshot_write(spark, t, _df(spark, [(2, "b")]), mode="append", batch_id="b2")
+    assert _snap(spark, t) == {(1, "a"), (2, "b")}

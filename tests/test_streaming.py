@@ -514,3 +514,40 @@ def test_progress_audit_listener_records_batches(spark, tmp_path):
         assert listener.flush(spark, audit) == 0  # buffer drained
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_snapshot_append_sink(spark, tmp_path):
+    """Micro-batches append to the snapshot table exactly once; the
+    drained table equals the concatenated input and a direct writer
+    replay with an applied stream batch id is a no-op."""
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
+    from reactionetl_etl_spark.streaming.sinks import (
+        snapshot_append_batch_writer,
+        stream_snapshot_append,
+    )
+
+    src = str(tmp_path / "snapsink_src")
+    table = str(tmp_path / "snapsink_table")
+    ckpt = str(tmp_path / "snapsink_ckpt")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k long, v string").parquet(src)
+        q = stream_snapshot_append(stream, table, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame([(3, "c")], "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    # replayed foreachBatch delivery: same stream batch id → no-op
+    writer = snapshot_append_batch_writer(table)
+    writer(spark.createDataFrame([(99, "dup")], "k long, v string"), 0)
+    got2 = {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()}
+    assert got2 == got
