@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "snapshot_cow_upsert",
     "snapshot_pruned_scan",
+    "scd2_customer_history",
     "event_transition_matrix",
     "hard_negatives_topk",
     "user_event_sequences",
@@ -4099,6 +4100,80 @@ def snapshot_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             )
             .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "scd2_customer_history",
+    """
+    WITH cur AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+               round(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS bal
+        FROM customer
+    ), closed AS (
+        SELECT c_custkey, c_mktsegment AS seg, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT * FROM (
+        SELECT 'current' AS state, seg AS segment, count(*) AS n_rows,
+               round(sum(bal), 2) AS sum_bal
+        FROM cur GROUP BY seg
+        UNION ALL
+        SELECT 'closed', seg, count(*), round(sum(bal), 2)
+        FROM closed GROUP BY seg
+    ) ORDER BY state, segment
+    """,
+    tags=("etl", "scd", "dimension"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history (etl/scd.py on the snapshot table
+    format): customers load as the opening batch, then a second batch
+    moves every %7 key to segment 'MOVED' with +100 balance — closing
+    their old rows and opening new ones. The history aggregates by
+    (state = open/closed, segment) and the DuckDB oracle reconstructs
+    both sets with plain CASE logic, so the hash match pins the change
+    detection (null-safe), the close/open row surgery, AND that
+    unchanged keys produced no spurious versions."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.scd import scd2_merge
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
+
+    cust = _t(spark, sf_dir, "customer")
+    work = _tempfile.mkdtemp(prefix="scd2_")
+    try:
+        dim = _os.path.join(work, "dim_customer")
+        b1 = cust.select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.round("c_acctbal", 2).alias("bal"),
+            F.lit("1995-01-01").alias("effective_date"),
+        )
+        scd2_merge(spark, dim, b1, ["c_custkey"], ["seg", "bal"])
+        b2 = b1.withColumns(
+            {
+                "seg": F.when(F.col("c_custkey") % 7 == 0, "MOVED").otherwise(F.col("seg")),
+                "bal": F.when(F.col("c_custkey") % 7 == 0, F.round(F.col("bal") + 100, 2)).otherwise(
+                    F.col("bal")
+                ),
+                "effective_date": F.lit("1998-06-01"),
+            }
+        )
+        scd2_merge(spark, dim, b2, ["c_custkey"], ["seg", "bal"])
+        hist = snapshot_read(spark, dim)
+        return (
+            hist.groupBy(
+                F.when(F.col("valid_to").isNull(), "current").otherwise("closed").alias("state"),
+                F.col("seg").alias("segment"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("bal"), 2).alias("sum_bal"))
+            .orderBy("state", "segment")
             .localCheckpoint(eager=True)
         )
     finally:
