@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_cow_upsert",
     "snapshot_pruned_scan",
     "scd2_customer_history",
+    "orders_scd2_temporal_join",
     "event_transition_matrix",
     "hard_negatives_topk",
     "user_event_sequences",
@@ -4174,6 +4175,86 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("bal"), 2).alias("sum_bal"))
             .orderBy("state", "segment")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "orders_scd2_temporal_join",
+    """
+    WITH hist AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               DATE '1995-01-01' AS valid_from,
+               CASE WHEN c_custkey % 7 = 0 THEN DATE '1998-06-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MOVED', DATE '1998-06-01', NULL
+        FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT h.seg AS segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN hist h ON h.c_custkey = o.o_custkey
+               AND o.o_orderdate >= h.valid_from
+               AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY h.seg
+    ORDER BY h.seg
+    """,
+    tags=("etl", "scd", "temporal", "join"),
+)
+def orders_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact join — the READ side of SCD2: every order
+    joins the customer dimension AS IT WAS on the order date (equi-join
+    on the key, validity-interval residual; orders from %7 customers
+    split between their pre- and post-move segment at 1998-06-01). The
+    history is built live by etl/scd.py from two batches, so the hash
+    match pins merge surgery AND interval semantics together. Plan
+    shape: hash join keyed on custkey — the interval check rides as a
+    residual filter, never a range blow-up (each fact row matches
+    exactly one history row by construction)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.scd import scd2_merge
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="scd2_join_")
+    try:
+        dim = _os.path.join(work, "dim_customer")
+        b1 = cust.select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.lit("1995-01-01").alias("effective_date"),
+        )
+        scd2_merge(spark, dim, b1, ["c_custkey"], ["seg"])
+        b2 = b1.withColumns(
+            {
+                "seg": F.when(F.col("c_custkey") % 7 == 0, "MOVED").otherwise(F.col("seg")),
+                "effective_date": F.lit("1998-06-01"),
+            }
+        )
+        scd2_merge(spark, dim, b2, ["c_custkey"], ["seg"])
+        hist = snapshot_read(spark, dim)
+        joined = orders.join(
+            F.broadcast(hist),
+            on=(F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+            how="inner",
+        )
+        return (
+            joined.groupBy(F.col("seg").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .orderBy("segment")
             .localCheckpoint(eager=True)
         )
     finally:
