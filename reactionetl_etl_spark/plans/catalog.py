@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_pruned_scan",
     "scd2_customer_history",
     "orders_scd2_temporal_join",
+    "orders_expectations_report",
     "event_transition_matrix",
     "hard_negatives_topk",
     "user_event_sequences",
@@ -4105,6 +4106,78 @@ def snapshot_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "orders_expectations_report",
+    """
+    SELECT rule, kind, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'key_not_null' AS rule, 'not_null' AS kind,
+               CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'price_le_300k', 'range',
+               CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+                                       AND (o_totalprice < 0 OR o_totalprice > 300000)
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'status_domain', 'values_in',
+               CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'too_recent', 'predicate',
+               CAST(coalesce(sum(CASE WHEN o_orderdate > DATE '2001-06-01' THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'key_unique', 'unique',
+               coalesce((SELECT CAST(sum(c) AS BIGINT)
+                         FROM (SELECT count(*) AS c FROM orders
+                               GROUP BY o_orderkey HAVING count(*) > 1)), 0)
+        UNION ALL
+        SELECT 'cust_fk', 'foreign_key',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+    ) ORDER BY rule
+    """,
+    tags=("quality", "expectations", "validation"),
+)
+def orders_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (etl/expectations.py — the
+    reference's V1-V4 validations generalized): six rules over orders —
+    four ROW-LOCAL rules fused into ONE aggregate pass (not-null, a
+    deliberately-tight price ceiling that fires, a status domain, a
+    recency predicate), a uniqueness shuffle, and an FK anti-join
+    against customer. The rule-grained report (rule, kind,
+    n_violations, passed) is value-checked against per-rule SQL
+    reconstructions."""
+    from reactionetl_etl_spark.etl.expectations import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_predicate,
+        expect_range,
+        expect_unique,
+        expect_values_in,
+        run_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    report = run_expectations(
+        orders,
+        [
+            expect_not_null("key_not_null", "o_orderkey"),
+            expect_range("price_le_300k", "o_totalprice", 0, 300_000),
+            expect_values_in("status_domain", "o_orderstatus", ["O", "F", "P"]),
+            expect_predicate("too_recent", "o_orderdate > DATE '2001-06-01'"),
+            expect_unique("key_unique", ["o_orderkey"]),
+            expect_foreign_key("cust_fk", ["o_custkey"], cust, ["c_custkey"]),
+        ],
+    )
+    return report.orderBy("rule")
 
 
 @_q(
