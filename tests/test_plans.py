@@ -348,3 +348,13 @@ def test_semdedup_pair_join_is_keyed_never_cartesian(spark, sf_dir):
     plan = _cell_pairs(celled, 0.4)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan and "cell" in plan
+
+
+def test_expectations_fuse_row_local_rules_into_one_scan(spark, sf_dir):
+    """The expectations report's plan scans orders exactly 3× — ONE
+    fused pass for all four row-local rules, plus the unavoidable
+    uniqueness and foreign-key passes. A fourth scan means rule fusion
+    broke and every added rule would cost a table pass at 100 TB."""
+    plan = plan_of(spark, sf_dir, "orders_expectations_report")
+    assert plan.count("orders.parquet") == 3
+    assert plan.count("customer.parquet") == 1
