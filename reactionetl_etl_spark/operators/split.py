@@ -72,6 +72,42 @@ def split_frames(
     return {name: tagged.filter(F.col("split") == name).drop("split") for name in weights}
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    order_key: str,
+    salt: str = "s42",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically —
+    the per-domain document cap every web-corpus pipeline applies so a
+    handful of mega-domains can't dominate the training mixture.
+
+    Selection order is md5(salt:order_key) ascending (ties by the key
+    itself), i.e. a seeded-but-stateless uniform draw: the SAME rows
+    survive on every run, engine, and cluster size, and adding new
+    rows to a group displaces old survivors only by hash order — no
+    RNG, no membership table.
+
+    Scale posture: the rank is `row_number()` over a window keyed on
+    the group, and the `rn <= cap` filter plans as WindowGroupLimit —
+    each map task emits at most ``cap`` rows per group BEFORE the
+    exchange (pinned in tests/test_plans.py), so a mega-domain with a
+    billion rows ships ~cap·n_tasks rows into the shuffle, not a
+    billion. The hot-key single-reducer problem the naive window has
+    is exactly what that partial limit removes.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(order_key).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(order_key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def split_by_cluster(
     df: DataFrame,
     key_col: str,

@@ -64,6 +64,8 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
+    "decontaminated_corpus",
+    "domain_cap_sample",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -2950,6 +2952,81 @@ def contamination_check_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     return TX.ngram_contamination(tr, ev, "text", "doc_id", k=4, broadcast_eval=False)
+
+
+@_q(
+    "decontaminated_corpus",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
+    ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+        SELECT DISTINCT doc_id FROM g
+        WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM ev)
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    tags=("text", "contamination", "llm"),
+)
+def decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination sweep's ACTION: emit the training corpus with
+    every document sharing a 4-gram with the eval slice REMOVED — the
+    step a pipeline actually ships, not just the report. The matched-id
+    set is the contamination result collapsed to distinct train ids
+    (rare by construction, so the anti-join broadcasts it and the
+    corpus rescan is map-side); at 100 TB the flagged-id table is
+    still benchmark-suite-sized, never corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = (
+        TX.ngram_contamination(tr, ev, "text", "doc_id", k=4)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return tr.join(flagged, on="doc_id", how="left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@_q(
+    "domain_cap_sample",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+    tags=("sampling", "llm", "rank"),
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (≤10 docs per source), the standard
+    web-corpus guard against mega-domains dominating the training
+    mixture. Survivors are chosen by md5-hash order — a stateless
+    uniform draw, reproducible across runs/engines/cluster sizes. The
+    rank-filter plans as WindowGroupLimit: each map task emits ≤cap
+    rows per domain BEFORE the exchange, so hot domains never funnel
+    their full row set through one reducer (operators/split.py
+    cap_per_group; plan pinned in tests/test_plans.py)."""
+    from reactionetl_etl_spark.operators.split import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, ["source"], cap=10, order_key="doc_id")
 
 
 @_q(

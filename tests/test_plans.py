@@ -358,3 +358,20 @@ def test_expectations_fuse_row_local_rules_into_one_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "orders_expectations_report")
     assert plan.count("orders.parquet") == 3
     assert plan.count("customer.parquet") == 1
+
+
+def test_domain_cap_windowgrouplimit(spark, sf_dir):
+    """cap_per_group's rank filter must plan as WindowGroupLimit — the
+    partial per-group limit BEFORE the exchange is what keeps a
+    mega-domain from funneling its entire row set through one reducer."""
+    plan = plan_of(spark, sf_dir, "domain_cap_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_decontaminated_corpus_no_cartesian(spark, sf_dir):
+    """The decontamination rescan is an anti-join against the (rare)
+    flagged-id set: never a cartesian/nested-loop, and the gram match
+    inside stays an equi-join."""
+    plan = plan_of(spark, sf_dir, "decontaminated_corpus")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
