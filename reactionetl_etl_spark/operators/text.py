@@ -178,6 +178,80 @@ def token_ngrams(df: DataFrame, text_col: str, k: int) -> DataFrame:
     )
 
 
+def token_ngrams_pos(df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """`token_ngrams` with provenance: one row per k-token shingle AND
+    its 1-based token position (`pos`, `gram`). The positioned variant
+    exists for span-level work — knowing WHERE a duplicated shingle
+    sits inside the document, not just that it exists."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    pairs = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+        f" i -> struct(i AS pos, array_join(slice(__toks, i, {k}), ' ') AS gram))"
+    )
+    d = df.withColumn("__toks", toks).withColumn("__pg", F.explode(pairs))
+    return d.select(
+        *df.columns, F.col("__pg.pos").alias("pos"), F.col("__pg.gram").alias("gram")
+    ).drop("__toks")
+
+
+def duplicated_span_extents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document EXTENTS of cross-document duplicated content: every
+    maximal token range covered by k-token shingles that also appear in
+    at least one OTHER document — the span-level answer behind
+    `cross_doc_dup_rate`'s scalar, and the input an exact-substring
+    dedup pass needs to cut duplicated regions instead of whole docs.
+
+    Output: (id, span_start, span_end, span_tokens), token positions
+    1-based inclusive; overlapping/adjacent covered ranges merge.
+
+    Scale: shingles shuffle as 8-byte xxhash64 digests (never gram
+    strings); the shared-gram filter is one partial-aggregated count
+    per digest; the island merge is a per-document window — bounded by
+    single-document token counts, so no hot-key reducer. Because every
+    covered interval has the same length k, island starts reduce to
+    `pos > lag(pos) + k` (the running-max-end of general interval
+    merging is unnecessary), one lag + one running sum."""
+    from pyspark.sql import Window
+
+    grams = token_ngrams_pos(df.select(id_col, text_col), text_col, k).select(
+        id_col, "pos", F.xxhash64("gram").alias("__gh")
+    )
+    shared = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__gh")
+    )
+    dup_pos = grams.join(shared, on="__gh", how="left_semi").select(id_col, "pos").distinct()
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_island = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k), 1
+    ).otherwise(0)
+    islanded = dup_pos.withColumn("__new", new_island).withColumn(
+        "__isl", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islanded.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

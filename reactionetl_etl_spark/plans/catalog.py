@@ -66,6 +66,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-6 NEW queries (never driver-checked)
     "decontaminated_corpus",
     "domain_cap_sample",
+    "repeated_span_extents",
+    "doc_char_stats",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -3027,6 +3029,118 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, ["source"], cap=10, order_key="doc_id")
+
+
+@_q(
+    "repeated_span_extents",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+            FROM tok
+        )
+    ), shared AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), dp AS (
+        SELECT DISTINCT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM shared)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                    THEN 1 ELSE 0 END AS nw
+        FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grp AS (
+        SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM isl
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS span_tokens
+    FROM grp GROUP BY doc_id, isl
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def repeated_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE the duplicated content sits: per-doc maximal token ranges
+    covered by 8-gram shingles shared with another document — the
+    span-level map an exact-substring dedup pass cuts by, versus
+    `cross_doc_dup_rate`'s per-doc scalar. Shingles shuffle as 8-byte
+    digests; the island merge is a per-document window
+    (operators/text.py duplicated_span_extents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.duplicated_span_extents(docs, "text", "doc_id", k=8)
+
+
+@_q(
+    "doc_char_stats",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+    ), cnt AS (
+        SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    ), ent AS (
+        SELECT doc_id,
+               count(*) AS n_unique_chars,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS char_entropy
+        FROM cnt GROUP BY doc_id
+    ), pos AS (
+        SELECT doc_id, chs[i] AS ch, i
+        FROM (
+            SELECT doc_id, chs, unnest(generate_series(1, len(chs))) AS i
+            FROM (SELECT doc_id, regexp_extract_all(text, '.') AS chs FROM documents)
+        )
+    ), isl AS (
+        SELECT doc_id, i,
+               CASE WHEN lag(ch) OVER w IS NULL OR ch <> lag(ch) OVER w
+                    THEN 1 ELSE 0 END AS nw
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), runs AS (
+        SELECT doc_id, count(*) AS run_len
+        FROM (SELECT doc_id, i,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+              FROM isl)
+        GROUP BY doc_id, run_id
+    ), mr AS (
+        SELECT doc_id, max(run_len) AS max_char_run FROM runs GROUP BY doc_id
+    )
+    SELECT ent.doc_id, n_unique_chars, char_entropy, max_char_run
+    FROM ent JOIN mr ON ent.doc_id = mr.doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def doc_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality signals (the CCNet/Gopher complements to
+    the token-level `doc_quality_scores`): per-doc character-
+    distribution Shannon entropy (nats — low entropy flags boilerplate
+    and generator loops), distinct-character count, and the longest
+    same-character run (key-mash/padding detector). Entropy folds from
+    one (doc, char) count pass as ln(n) − Σc·ln(c)/n; the run length
+    is a zero-shuffle backreference regex in Spark, value-oracled
+    against DuckDB's RE2-safe window-island formulation of the same
+    quantity."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select("doc_id", F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"))
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    ent = cnt.groupBy("doc_id").agg(
+        F.count("*").alias("n_unique_chars"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("char_entropy"),
+    )
+    runs = docs.select(
+        "doc_id",
+        F.expr(
+            r"array_max(transform(regexp_extract_all(text, '(.)\\1*', 0), x -> length(x)))"
+        ).alias("max_char_run"),
+    )
+    return ent.join(runs, on="doc_id")
 
 
 @_q(

@@ -961,3 +961,29 @@ def test_cap_per_group_exact_and_deterministic(spark):
     # idempotent: capping the capped output changes nothing
     again = cap_per_group(out, ["grp"], cap=5, order_key="id")
     assert {(r["grp"], r["id"]) for r in again.collect()} == kept
+
+
+def test_duplicated_span_extents_tiny_fixture(spark):
+    """Two docs sharing one long phrase → each gets exactly one extent
+    covering the phrase; a doc with no cross-doc shingle gets none;
+    overlapping shingles merge into a single span."""
+    from reactionetl_etl_spark.operators.text import duplicated_span_extents
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " tail1 tail2"),
+            (2, shared + " other words here"),
+            (3, "completely different text with no overlap at all whatsoever"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_span_extents(df, "text", "doc_id", k=8).collect()
+    }
+    # doc1: shared phrase occupies tokens 4..13 → grams at pos 4,5,6 cover 4..13
+    assert out[1] == (4, 13, 10)
+    # doc2: phrase at tokens 1..10 → grams at pos 1,2,3 cover 1..10
+    assert out[2] == (1, 10, 10)
+    assert 3 not in out
