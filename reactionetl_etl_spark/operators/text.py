@@ -230,6 +230,16 @@ def duplicated_span_extents(
         .select("__gh")
     )
     dup_pos = grams.join(shared, on="__gh", how="left_semi").select(id_col, "pos").distinct()
+    return _covered_extents(dup_pos, id_col, k)
+
+
+def _covered_extents(dup_pos: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge k-wide covered intervals starting at each (id, pos) into
+    maximal extents (span_start, span_end, span_tokens). Because every
+    interval has the same width, a new island starts exactly when
+    `pos > lag(pos) + k` — one lag + one running sum per document."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     new_island = F.when(
         F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k), 1
@@ -248,6 +258,73 @@ def duplicated_span_extents(
             "span_start",
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication as an ACTION (the Lee et al. 2022
+    policy): for every k-token shingle shared across documents, the
+    smallest-id document OWNS it; every other document gets the covered
+    token ranges CUT from its text, so repeated boilerplate survives
+    exactly once in the corpus instead of per-copy. Whole-doc dedup
+    (`dedup_exact_documents` / minhash) can't do this — most web
+    duplication is span-level (quoted passages, templates, licenses),
+    not whole-document.
+
+    Output per input row: (id, n_tokens_before, n_tokens_cut,
+    text_dedup) where text_dedup is the NORMALIZED text (lowercase,
+    collapsed whitespace — the shingling normalization) with cut
+    ranges removed; a fully-duplicated non-owner doc comes back empty.
+
+    Scale: shingles shuffle as 8-byte digests; ownership is one
+    partial-aggregated min per digest; per-doc cut extents are FEW
+    (merged islands), so the rebuild is an in-row `filter()` over the
+    token array against a broadcast-sized extent list per row — no
+    token-level shuffle ever happens."""
+    grams = token_ngrams_pos(df.select(id_col, text_col), text_col, k).select(
+        id_col, "pos", F.xxhash64("gram").alias("__gh")
+    )
+    owners = grams.groupBy("__gh").agg(
+        F.min(id_col).alias("__owner"), F.countDistinct(id_col).alias("__nd")
+    )
+    dup_pos = (
+        grams.join(owners.filter(F.col("__nd") >= 2), on="__gh")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    cuts = (
+        _covered_extents(dup_pos, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("__cuts"))
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    kept = F.expr(
+        "filter(transform(__toks, (t, i) -> struct(t AS t, i + 1 AS p)),"
+        " x -> !exists(__cuts, c -> x.p >= c.span_start AND x.p <= c.span_end))"
+    )
+    d = df.select(id_col, text_col).withColumn("__toks", toks).join(
+        cuts, on=id_col, how="left"
+    )
+    kept_tokens = F.when(F.col("__cuts").isNull(), F.col("__toks")).otherwise(
+        F.expr("transform(__kept, x -> x.t)")
+    )
+    return (
+        d.withColumn("__kept", F.when(F.col("__cuts").isNull(), F.lit(None)).otherwise(kept))
+        .withColumn("__out", kept_tokens)
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens_before"),
+            (F.size("__toks") - F.size("__out")).alias("n_tokens_cut"),
+            F.array_join("__out", " ").alias("text_dedup"),
         )
     )
 

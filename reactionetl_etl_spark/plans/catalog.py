@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "domain_cap_sample",
     "repeated_span_extents",
     "doc_char_stats",
+    "cut_duplicated_spans",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -3076,6 +3077,63 @@ def repeated_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py duplicated_span_extents)."""
     docs = _t(spark, sf_dir, "documents")
     return TX.duplicated_span_extents(docs, "text", "doc_id", k=8)
+
+
+@_q(
+    "cut_duplicated_spans",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+            FROM tok
+        )
+    ), own AS (
+        SELECT gram, min(doc_id) AS owner
+        FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), dp AS (
+        SELECT DISTINCT g.doc_id, g.pos
+        FROM g JOIN own USING (gram) WHERE g.doc_id <> own.owner
+    ), idx AS (
+        SELECT doc_id, len(toks) AS n_tok,
+               unnest(generate_series(1, len(toks))) AS j, toks
+        FROM tok
+    ), keptk AS (
+        SELECT i.doc_id, i.j, i.toks[i.j] AS tk
+        FROM idx i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dp
+            WHERE dp.doc_id = i.doc_id AND i.j BETWEEN dp.pos AND dp.pos + 7
+        )
+    )
+    SELECT tok.doc_id,
+           len(tok.toks) AS n_tokens_before,
+           len(tok.toks) - coalesce(kc.n_kept, 0) AS n_tokens_cut,
+           coalesce(kc.txt, '') AS text_dedup
+    FROM tok LEFT JOIN (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tk, ' ' ORDER BY j) AS txt
+        FROM keptk GROUP BY doc_id
+    ) kc USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def cut_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as an ACTION (Lee et al. 2022 policy):
+    each cross-doc-shared 8-gram's covered range survives only in the
+    smallest-id owner doc and is CUT from every other copy — the
+    rewritten corpus itself, with before/cut token counts, not just a
+    report. Digest-keyed shuffles only; the text rebuild is an in-row
+    array filter against each doc's few merged cut extents
+    (operators/text.py cut_duplicated_spans). Value-oracled: the full
+    rewritten text string must match DuckDB's reconstruction."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.cut_duplicated_spans(docs, "text", "doc_id", k=8)
 
 
 @_q(

@@ -987,3 +987,27 @@ def test_duplicated_span_extents_tiny_fixture(spark):
     # doc2: phrase at tokens 1..10 → grams at pos 1,2,3 cover 1..10
     assert out[2] == (1, 10, 10)
     assert 3 not in out
+
+
+def test_cut_duplicated_spans_owner_keeps_copy(spark):
+    """The smallest-id doc keeps the shared phrase; every other copy is
+    cut; untouched docs round-trip (normalized) with zero cut tokens;
+    conservation: before - cut = len(rebuilt)."""
+    from reactionetl_etl_spark.operators.text import cut_duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " tail1 tail2"),
+            (2, shared + " other words here"),
+            (3, "completely different text with no overlap at all whatsoever"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in cut_duplicated_spans(df, "text", "doc_id", k=8).collect()}
+    assert out[1]["n_tokens_cut"] == 0 and shared in out[1]["text_dedup"]
+    assert out[2]["n_tokens_cut"] == 10 and out[2]["text_dedup"] == "other words here"
+    assert out[3]["n_tokens_cut"] == 0
+    for r in out.values():
+        rebuilt = r["text_dedup"].split(" ") if r["text_dedup"] else []
+        assert r["n_tokens_before"] - r["n_tokens_cut"] == len(rebuilt)
