@@ -76,6 +76,76 @@ def expect_foreign_key(name: str, cols: list[str], ref: DataFrame, ref_cols: lis
     return Rule(name, "foreign_key", None, tuple(cols), ref, tuple(ref_cols))
 
 
+def write_with_expectations(
+    df: DataFrame,
+    path: str,
+    rules: list[Rule],
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> tuple[DataFrame, int]:
+    """Validate WHILE writing: every row-local rule's violation counter
+    rides the write job itself via Spark's Observation API, so checking
+    40 rules on a 100 TB load costs ZERO extra scans — the counters are
+    accumulated by the same tasks that write the parquet. `unique` /
+    `foreign_key` rules still need their own shuffle/join and fall back
+    to `run_expectations` (their cost is inherent to the kind, and
+    visible in it).
+
+    Returns (report, n_rows_written): the report has the exact
+    `run_expectations` shape — (rule, kind, n_violations, passed), in
+    declaration order — and the row count comes from the same
+    observation, not a recount.
+
+    This is validate-then-alert, not validate-then-abort: the data is
+    already written when the report materializes (counters only exist
+    once the job finishes). For gate-before-visible semantics, write to
+    a staging path here and promote with `etl/commit.py` /
+    `etl/snapshots.py` only when the report passes — the observation
+    still makes validation itself free."""
+    from pyspark.sql import Observation
+
+    spark = df.sparkSession
+    row_local = [r for r in rules if r.violation is not None]
+    others = [r for r in rules if r.violation is None]
+
+    obs = Observation()
+    observed = df
+    metrics = [F.count(F.lit(1)).alias("__rows_written")]
+    metrics += [F.sum(r.violation.cast("long")).alias(r.name) for r in row_local]
+    observed = df.observe(obs, *metrics)
+
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    got = obs.get  # blocks until the (already finished) write job reports
+    n_rows = int(got["__rows_written"] or 0)
+    reports: list[DataFrame] = []
+    if row_local:
+        reports.append(
+            spark.createDataFrame(
+                [(r.name, r.kind, int(got[r.name] or 0)) for r in row_local],
+                "rule string, kind string, n_violations long",
+            )
+        )
+    if others:
+        reports.append(run_expectations(df, others).drop("passed"))
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    order = F.create_map(
+        *[x for i, r in enumerate(rules) for x in (F.lit(r.name), F.lit(i))]
+    )
+    report = (
+        out.withColumn("passed", F.col("n_violations") == 0)
+        .withColumn("__o", order[F.col("rule")])
+        .orderBy("__o")
+        .drop("__o")
+    )
+    return report, n_rows
+
+
 def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Evaluate ``rules`` against ``df``; returns one row per rule:
     (rule, kind, n_violations, passed) — deterministic rule order."""

@@ -70,3 +70,41 @@ def test_expectations_all_green(spark, sf_dir):
         ],
     )
     assert all(r["passed"] for r in report.collect())
+
+
+def test_write_with_expectations_matches_separate_pass(spark, tmp_path):
+    """The observed (write-job-riding) report must equal the standalone
+    run_expectations report, the data must land, and the row count must
+    come from the same observation."""
+    from reactionetl_etl_spark.etl.expectations import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_range,
+        expect_unique,
+        run_expectations,
+        write_with_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, None), (2, 700.0, "b"), (3, 50.0, "c")],
+        "id int, amount double, tag string",
+    )
+    ref = spark.createDataFrame([("a",), ("b",)], "tag string")
+    rules = [
+        expect_not_null("tag_not_null", "tag"),
+        expect_range("amount_0_500", "amount", 0, 500),
+        expect_unique("id_unique", ["id"]),
+        expect_foreign_key("tag_fk", ["tag"], ref, ["tag"]),
+    ]
+    out = str(tmp_path / "observed_write")
+    report, n_rows = write_with_expectations(df, out, rules, mode="overwrite")
+    assert n_rows == 4
+    assert spark.read.parquet(out).count() == 4
+    got = [(r["rule"], r["kind"], r["n_violations"], r["passed"]) for r in report.collect()]
+    want = [
+        (r["rule"], r["kind"], r["n_violations"], r["passed"])
+        for r in run_expectations(df, rules).collect()
+    ]
+    assert got == want
+    assert got[0] == ("tag_not_null", "not_null", 1, False)
+    assert got[1] == ("amount_0_500", "range", 2, False)
