@@ -38,6 +38,7 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from reactionetl_etl_spark.etl.commit import _fs
 
@@ -152,6 +153,92 @@ def snapshot_read(
     # columns as NULL, and the read never depends on which footer Spark
     # happens to sample
     return spark.read.schema(schema).parquet(*[f"{table_path}/{f}" for f in man["files"]])
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two committed versions: one row per
+    logical change with ``_change_type`` ∈ insert | delete |
+    update_preimage | update_postimage (Delta-CDF semantics), derived
+    from the manifests alone — the format never stores a change log.
+
+    The scan cost is ∝ CHURNED files, never table size: snapshot files
+    are immutable, so a file present in both manifests cannot contain
+    a change, and the diff reads only files REMOVED since
+    ``from_version`` (old images) and ADDED (new images). An
+    append-only commit therefore costs one scan of the appended files
+    and no join at all; a pure compaction reads the rewritten files
+    and nets to zero rows (carried rows reconcile as unchanged).
+
+    Requires ``key_cols`` to be non-null and unique per version (what
+    `snapshot_upsert` maintains). Rows whose key appears on both sides
+    with every other column null-safe-equal are compaction carries and
+    are dropped."""
+    import functools
+
+    from pyspark.sql.types import StructType
+
+    v_to = to_version if to_version is not None else head_version(spark, table_path)
+    if v_to is None:
+        raise ValueError(f"no committed snapshot at {table_path}")
+    man_a = _manifest(spark, table_path, from_version)
+    man_b = _manifest(spark, table_path, v_to)
+    files_a, files_b = set(man_a["files"]), set(man_b["files"])
+    removed = [f for f in man_a["files"] if f not in files_b]
+    added = [f for f in man_b["files"] if f not in files_a]
+    schema_b = StructType.fromJson(man_b["schema"])
+
+    def _read(files: list[str], schema_json: dict) -> DataFrame:
+        schema = StructType.fromJson(schema_json)
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*[f"{table_path}/{f}" for f in files])
+
+    new = _read(added, man_b["schema"])
+    out_cols = [f.name for f in schema_b.fields]
+    if not removed:
+        # append-only commit: every new-file row is an insert, no join
+        return new.select(*out_cols, F.lit("insert").alias("_change_type"))
+    old = _read(removed, man_a["schema"])
+    # add-only schema evolution: surface later-added columns as NULL on
+    # the old side so both images share the to-version schema
+    for fld in schema_b.fields:
+        if fld.name not in old.columns:
+            old = old.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    old = old.select(*out_cols)
+
+    o = old.withColumn("__old", F.lit(True)).alias("o")
+    n = new.withColumn("__new", F.lit(True)).alias("n")
+    on = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols],
+    )
+    j = o.join(n, on, "full_outer")
+    non_key = [c for c in out_cols if c not in key_cols]
+    unchanged = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in non_key],
+        F.lit(True),
+    )
+    o_cols = [F.col(f"o.{c}").alias(c) for c in out_cols]
+    n_cols = [F.col(f"n.{c}").alias(c) for c in out_cols]
+    ins = j.filter(F.col("o.__old").isNull()).select(
+        *n_cols, F.lit("insert").alias("_change_type")
+    )
+    dele = j.filter(F.col("n.__new").isNull()).select(
+        *o_cols, F.lit("delete").alias("_change_type")
+    )
+    both = j.filter(
+        F.col("o.__old").isNotNull() & F.col("n.__new").isNotNull() & ~unchanged
+    )
+    pre = both.select(*o_cols, F.lit("update_preimage").alias("_change_type"))
+    post = both.select(*n_cols, F.lit("update_postimage").alias("_change_type"))
+    return ins.unionByName(dele).unionByName(pre).unionByName(post)
 
 
 def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "repeated_span_extents",
     "doc_char_stats",
     "cut_duplicated_spans",
+    "snapshot_change_feed",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -4351,6 +4352,84 @@ def snapshot_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             )
             .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "snapshot_change_feed",
+    """
+    WITH upd AS (
+        SELECT o_orderkey, o_totalprice AS oldp,
+               round(o_totalprice * 1.1, 2) AS newp
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), ins AS (
+        SELECT o_orderkey + 200000000 AS k, round(o_totalprice, 2) AS p
+        FROM orders WHERE o_orderkey % 1009 = 0
+    )
+    SELECT * FROM (
+        SELECT 'insert' AS _change_type, count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS key_sum,
+               round(sum(p), 2) AS price_sum
+        FROM ins
+        UNION ALL
+        SELECT 'update_postimage', count(*),
+               CAST(sum(o_orderkey) AS BIGINT), round(sum(newp), 2) FROM upd
+        UNION ALL
+        SELECT 'update_preimage', count(*),
+               CAST(sum(o_orderkey) AS BIGINT), round(sum(oldp), 2) FROM upd
+    ) ORDER BY _change_type
+    """,
+    tags=("etl", "snapshot", "cdc", "acid"),
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read off the snapshot format
+    (etl/snapshots.py::snapshot_changes): orders commit, a derived
+    batch upserts (price bumps %101, inserts %1009), and the v1→v2
+    feed — derived from the two manifests' file DIFF, scanning only
+    churned files, never a stored change log — is aggregated per
+    change type and value-checked against DuckDB's direct derivation
+    of the same batch. Pins insert/update_pre/update_post splitting,
+    the unchanged-carry drop, and the file-diff read path."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_changes,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="snap_cdf_")
+    try:
+        table = _os.path.join(work, "orders_snap")
+        v1 = snapshot_write(spark, table, orders.repartition(8, "o_orderkey"))
+        upd = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        ins = orders.filter(F.col("o_orderkey") % 1009 == 0).withColumns(
+            {
+                "o_orderkey": F.col("o_orderkey") + 200_000_000,
+                "o_orderstatus": F.lit("N"),
+                "o_totalprice": F.round(F.col("o_totalprice"), 2),
+            }
+        )
+        v2 = snapshot_upsert(
+            spark, table, upd.unionByName(ins).select(*orders.columns), ["o_orderkey"]
+        )
+        feed = snapshot_changes(spark, table, ["o_orderkey"], v1, v2)
+        return (
+            feed.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+            .orderBy("_change_type")
             .localCheckpoint(eager=True)
         )
     finally:

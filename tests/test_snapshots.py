@@ -265,3 +265,52 @@ def test_snapshot_batch_id_exactly_once(spark, tmp_path):
     assert not snapshot_batch_applied(spark, t, "b2")
     snapshot_write(spark, t, _df(spark, [(2, "b")]), mode="append", batch_id="b2")
     assert _snap(spark, t) == {(1, "a"), (2, "b")}
+
+
+def test_change_feed_upsert_delete_compact_append(spark, tmp_path):
+    """snapshot_changes between versions: upsert → insert + pre/post
+    image pairs; append-only → pure inserts whose scan touches ONLY the
+    added files (no join, no old-file read); delete → delete rows;
+    compaction → zero changes (carried rows reconcile as unchanged)."""
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_upsert,
+    )
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(8)], "k int, v string")
+    v1 = snapshot_write(spark, t, base.repartition(4, "k"))
+    # v2: update k=1, insert k=100
+    upd = spark.createDataFrame([(1, "V1"), (100, "new")], "k int, v string")
+    v2 = snapshot_upsert(spark, t, upd, ["k"])
+    feed = snapshot_changes(spark, t, ["k"], v1, v2)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in feed.collect()}
+    assert got == {
+        (100, "new", "insert"),
+        (1, "v1", "update_preimage"),
+        (1, "V1", "update_postimage"),
+    }
+    # v3: append-only commit → inserts only, scanning only added files
+    v3 = snapshot_write(
+        spark, t, spark.createDataFrame([(200, "x")], "k int, v string"), mode="append"
+    )
+    feed3 = snapshot_changes(spark, t, ["k"], v2, v3)
+    assert [(r["k"], r["_change_type"]) for r in feed3.collect()] == [(200, "insert")]
+    from reactionetl_etl_spark.etl.snapshots import _manifest
+
+    added = set(_manifest(spark, t, v3)["files"]) - set(_manifest(spark, t, v2)["files"])
+    scanned = {f.split("/")[-1] for f in feed3.inputFiles()}
+    assert scanned == {f.split("/")[-1] for f in added}
+    # v4: delete k=2
+    v4 = snapshot_delete(spark, t, "k = 2")
+    feed4 = snapshot_changes(spark, t, ["k"], v3, v4)
+    assert {(r["k"], r["_change_type"]) for r in feed4.collect()} == {(2, "delete")}
+    # v5: compaction is change-free
+    v5 = snapshot_compact(spark, t, target_files=1)
+    assert snapshot_changes(spark, t, ["k"], v4, v5).count() == 0
+    # cumulative feed v1 → head nets everything
+    total = snapshot_changes(spark, t, ["k"], v1)
+    types = {r["_change_type"] for r in total.collect()}
+    assert types == {"insert", "delete", "update_preimage", "update_postimage"}
