@@ -436,6 +436,90 @@ def snapshot_upsert(
     )
 
 
+def snapshot_apply_changes(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    batch_id: str | None = None,
+    change_type_col: str = "_change_type",
+) -> int:
+    """Apply one CDC batch (the `snapshot_changes` shape — or any
+    feed carrying ``_change_type``) as ONE atomic commit: `insert` /
+    `update_postimage` rows upsert, `delete` rows remove their keys,
+    `update_preimage` rows are ignored (they describe the replaced
+    state). This closes the CDC loop: a downstream replica stays in
+    sync by folding the upstream table's feed, version by version.
+
+    One key must resolve to one action per batch — a key that is both
+    deleted and upserted raises (the producer owns within-batch
+    ordering; collapse to the net action before applying). Exactly-once
+    under at-least-once delivery via ``batch_id`` (the commit carries
+    the batch fact; replays no-op), the same discipline as
+    `snapshot_write(batch_id=…)`.
+
+    Scale: identical to `snapshot_upsert` — files holding any touched
+    key rewrite, everything else carries forward by path, so work is
+    ∝ touched files + batch size, never ∝ table."""
+    head = head_version(spark, table_path)
+    if batch_id is not None and snapshot_batch_applied(spark, table_path, batch_id):
+        return head
+    ups = changes.filter(
+        F.col(change_type_col).isin("insert", "update_postimage")
+    ).drop(change_type_col)
+    del_keys = (
+        changes.filter(F.col(change_type_col) == "delete")
+        .select(*key_cols)
+        .distinct()
+    )
+    n_dup = ups.groupBy(*key_cols).count().filter(F.col("count") > 1).count()
+    if n_dup:
+        raise ValueError(f"change batch upserts {n_dup} duplicated keys on {key_cols}")
+    n_both = ups.join(del_keys, on=key_cols, how="left_semi").count()
+    if n_both:
+        raise ValueError(
+            f"{n_both} keys are both deleted and upserted in one batch — "
+            "collapse to the net action before applying"
+        )
+    if head is None:
+        if del_keys.limit(1).count():
+            raise ValueError(f"cannot apply deletes: no committed snapshot at {table_path}")
+        return snapshot_write(spark, table_path, ups, mode="overwrite", batch_id=batch_id)
+
+    man = _manifest(spark, table_path, head)
+    all_files = man["files"]
+    current = spark.read.parquet(*[f"{table_path}/{f}" for f in all_files])
+    touched_keys = ups.select(*key_cols).unionByName(del_keys).distinct()
+    touched_names = {
+        r[0].rsplit("/", 1)[-1]
+        for r in current.withColumn("__f", F.input_file_name())
+        .join(F.broadcast(touched_keys), on=key_cols, how="leftsemi")
+        .select("__f")
+        .distinct()
+        .collect()
+    }
+    touched = [f for f in all_files if f.rsplit("/", 1)[-1] in touched_names]
+    untouched = [f for f in all_files if f.rsplit("/", 1)[-1] not in touched_names]
+    if touched:
+        kept = spark.read.parquet(*[f"{table_path}/{f}" for f in touched]).join(
+            touched_keys, on=key_cols, how="left_anti"
+        )
+        rewritten = kept.unionByName(ups.select(*kept.columns))
+    else:
+        rewritten = ups
+    rewritten = rewritten.localCheckpoint(eager=True)
+    cols = man.get("stats_cols")
+    files = list(untouched)
+    stats = {f: s for f, s in man.get("stats", {}).items() if f in set(untouched)}
+    if rewritten.count() > 0:
+        new_files, new_stats = _commit_files(spark, table_path, rewritten, stats_cols=cols)
+        files += new_files
+        stats.update(new_stats)
+    return _commit_manifest(
+        spark, table_path, files, "apply_changes", man["schema"], stats, cols, batch_id
+    )
+
+
 def snapshot_delete(spark: SparkSession, table_path: str, predicate: str) -> int:
     """Copy-on-write DELETE WHERE ``predicate``: files containing no
     matching row carry forward untouched; matching files are rewritten

@@ -349,3 +349,42 @@ def stream_snapshot_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def apply_changes_batch_writer(table_path: str, key_cols: list[str]):
+    """foreachBatch callback folding a CDC stream (the
+    `snapshot_changes` shape: `_change_type` ∈ insert / delete /
+    update_pre/postimage) into a snapshot-isolated replica EXACTLY
+    once: each micro-batch applies as ONE atomic commit carrying the
+    stream batch id, so a replayed batch no-ops
+    (etl/snapshots.py::snapshot_apply_changes). Within a batch, keys
+    must resolve to a single net action — collapse upstream (e.g.
+    keep the latest change per key by feed order) before the sink."""
+    from reactionetl_etl_spark.etl.snapshots import snapshot_apply_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        v = snapshot_apply_changes(
+            spark, table_path, batch_df, key_cols, batch_id=f"stream-{batch_id}"
+        )
+        logger.info("apply-changes sink: batch %d → version %s", batch_id, v)
+
+    return write_batch
+
+
+def stream_apply_changes(
+    stream_df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+):
+    """Run a CDC stream into the apply-changes sink (AvailableNow-
+    friendly); returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            apply_changes_batch_writer(table_path, key_cols)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -314,3 +314,66 @@ def test_change_feed_upsert_delete_compact_append(spark, tmp_path):
     total = snapshot_changes(spark, t, ["k"], v1)
     types = {r["_change_type"] for r in total.collect()}
     assert types == {"insert", "delete", "update_preimage", "update_postimage"}
+
+
+def test_apply_changes_replicates_source_table(spark, tmp_path):
+    """The CDC round trip: every change feed of the source, applied in
+    order to a replica, reproduces the source head exactly — across
+    upserts, deletes, and a compaction (whose feed is empty). Replays
+    of an applied batch_id no-op; ambiguous batches raise."""
+    import pytest
+
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_apply_changes,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_upsert,
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "rep")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(6)], "k int, v string")
+    snapshot_write(spark, src, base.repartition(3, "k"))
+    snapshot_upsert(
+        spark, src, spark.createDataFrame([(2, "V2"), (50, "new")], "k int, v string"), ["k"]
+    )
+    snapshot_delete(spark, src, "k = 3")
+    snapshot_compact(spark, src, target_files=1)
+
+    versions = snapshot_versions(spark, src)
+    # bootstrap replica from v1's full image, then fold each feed
+    snapshot_apply_changes(
+        spark,
+        rep,
+        snapshot_read(spark, src, versions[0]).selectExpr("*", "'insert' AS _change_type"),
+        ["k"],
+        batch_id="v1",
+    )
+    for a, b in zip(versions, versions[1:]):
+        feed = snapshot_changes(spark, src, ["k"], a, b)
+        snapshot_apply_changes(spark, rep, feed, ["k"], batch_id=f"v{b}")
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, rep).collect()}
+    want = {(r["k"], r["v"]) for r in snapshot_read(spark, src).collect()}
+    assert got == want and (50, "new") in got and not any(k == 3 for k, _ in got)
+
+    # replayed batch: same batch_id → same head version, same rows
+    head_before = head_version(spark, rep)
+    snapshot_apply_changes(
+        spark,
+        rep,
+        spark.createDataFrame([(99, "dup", "insert")], "k int, v string, _change_type string"),
+        ["k"],
+        batch_id=f"v{versions[-1]}",
+    )
+    assert head_version(spark, rep) == head_before
+    assert {(r["k"], r["v"]) for r in snapshot_read(spark, rep).collect()} == want
+
+    # a key both deleted and upserted in one batch is ambiguous
+    bad = spark.createDataFrame(
+        [(2, "x", "update_postimage"), (2, None, "delete")],
+        "k int, v string, _change_type string",
+    )
+    with pytest.raises(ValueError, match="deleted and upserted"):
+        snapshot_apply_changes(spark, rep, bad, ["k"])

@@ -551,3 +551,41 @@ def test_stream_snapshot_append_sink(spark, tmp_path):
     writer(spark.createDataFrame([(99, "dup")], "k long, v string"), 0)
     got2 = {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()}
     assert got2 == got
+
+
+def test_stream_apply_changes_sink(spark, tmp_path):
+    """A CDC stream drains into a snapshot replica exactly once:
+    inserts then an update+delete batch land as atomic versions, and a
+    replayed foreachBatch delivery (same stream batch id) no-ops."""
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
+    from reactionetl_etl_spark.streaming.sinks import (
+        apply_changes_batch_writer,
+        stream_apply_changes,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, v string, _change_type string"
+    spark.createDataFrame(
+        [(1, "a", "insert"), (2, "b", "insert")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_apply_changes(stream, table, ["k"], ckpt)
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(
+        [(1, "A", "update_postimage"), (1, "a", "update_preimage"), (2, None, "delete")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()}
+    assert got == {(1, "A")}
+
+    # replayed delivery of stream batch 0 → no-op
+    writer = apply_changes_batch_writer(table, ["k"])
+    writer(spark.createDataFrame([(9, "dup", "insert")], schema), 0)
+    assert {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()} == {(1, "A")}
