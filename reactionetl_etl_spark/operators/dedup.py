@@ -307,16 +307,40 @@ def simhash_candidates(
     caveats as minhash_lsh_candidates). ``max_bucket=None`` disables.
     """
     sig = simhash_signature(df, text_col, id_col)
-    chunked = sig.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), c -> named_struct('chunk', c,"
-                " 'ckey', shiftright(simhash, c * 16) & 65535))"
-            )
-        ).alias("cc"),
-    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    return hamming_candidates(sig, "id", "simhash", max_hamming, max_bucket)
+
+
+def hamming_candidates(
+    sig_df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit signatures differ in ≤ ``max_hamming``
+    bits, for ANY signature family (text SimHash, image dHash, …).
+
+    Blocking: split the signature into ``max_hamming + 1`` chunks — a
+    pair within the Hamming budget must agree on at least one chunk
+    (pigeonhole), so per-chunk equi-joins have FULL recall and the
+    cross product never materializes. Chunk widths are 64 // n_chunks
+    bits (the last chunk absorbing the remainder), so the bucket-skew
+    and cap semantics match `simhash_candidates` (which delegates
+    here). Returns (id_a, id_b, hamming)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    pieces = []
+    for c in range(n_chunks):
+        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = (1 << w) - 1
+        pieces.append(
+            f"named_struct('chunk', {c}, 'ckey', shiftright({sig_col}, {c * width}) & {mask}L)"
+        )
+    chunked = sig_df.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(F.expr(f"array({', '.join(pieces)})")).alias("cc"),
+    ).select("id", "__sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
     if max_bucket is not None:
         cw = Window.partitionBy("chunk", "ckey")
         chunked = (
@@ -325,7 +349,7 @@ def simhash_candidates(
             .drop("__bsize")
         )
     l, r = chunked.alias("l"), chunked.alias("r")
-    hamming = F.expr("bit_count(l.simhash ^ r.simhash)")
+    hamming = F.expr("bit_count(l.__sig ^ r.__sig)")
     return (
         l.join(r, on=["chunk", "ckey"], how="inner")
         .filter(F.col("l.id") < F.col("r.id"))

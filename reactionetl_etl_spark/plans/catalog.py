@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_char_stats",
     "cut_duplicated_spans",
     "snapshot_change_feed",
+    "image_neardup_dhash",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -1892,6 +1893,57 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.md5("frame_png").alias("frame_md5"),
     ).orderBy("media_id", "frame_index")
+
+
+@_q("image_neardup_dhash", None, tags=("multimodal", "dedup", "llm"))
+def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup sweep over REAL encoded images: every 10th
+    document's image is a +3-brightness copy of its predecessor's
+    pixels shipped in a DIFFERENT container (BMP/PNG/PPM cycle), so a
+    found pair proves pixel-level (container-invariant) perceptual
+    hashing, not byte equality. dHash per image, pigeonhole Hamming
+    join (operators/multimodal.py image_neardup_pairs). Rows-only:
+    planted-pair recall is pinned by test_multimodal.py."""
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import image_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    )
+    # planted dup: doc N (N%10==9) renders doc N-1's bytes, +3 brightness
+    base = docs.alias("d").join(
+        docs.selectExpr("doc_id + 1 AS doc_id", "raw AS prev_raw").alias("p"),
+        on="doc_id",
+        how="left",
+    )
+
+    def to_image(batches):
+        import numpy as np
+
+        from reactionetl_etl_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        encoders = [encode_bmp, encode_png, encode_ppm]
+        need = 32 * 32 * 3
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, raw, prev in zip(pdf["doc_id"], pdf["raw"], pdf["prev_raw"]):
+                src = prev if (int(did) % 10 == 9 and prev is not None) else raw
+                b = bytes(src) or b"\x00"
+                b = (b * (need // len(b) + 1))[:need]
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3)
+                if int(did) % 10 == 9 and prev is not None:
+                    arr = np.minimum(arr.astype(np.int32) + 3, 255).astype(np.uint8)
+                ids.append(did)
+                blobs.append(encoders[int(did) % 3](arr))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    imgs = base.mapInPandas(to_image, "media_id long, content binary")
+    return image_neardup_pairs(imgs, max_hamming=4).orderBy("id_a", "id_b")
 
 
 @_q("multimodal_resize_pixels", None, tags=("multimodal",))

@@ -1136,3 +1136,41 @@ def test_jpeg_restart_markers():
     got = decode_pixels(bytes(out))
     assert got is not None and got.shape == (8, 24, 3)
     assert np.abs(got.astype(int) - val).max() <= 1
+
+
+def test_image_dhash_container_invariant_and_perturbation_tolerant(spark):
+    """The dhash depends on pixels only: one image encoded as BMP and
+    as PNG hashes IDENTICALLY; a +3-brightness copy lands within
+    Hamming 4; a different image does not pair."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    bright = np.minimum(a.astype(np.int32) + 3, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(a))),
+            (2, bytearray(encode_png(a))),
+            (3, bytearray(encode_bmp(bright))),
+            (4, bytearray(encode_png(other))),
+            (5, bytearray(b"not an image")),
+        ],
+        "media_id long, content binary",
+    )
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert hashes[1] == hashes[2]          # container-invariant
+    assert hashes[5] is None               # undecodable → NULL
+    assert bin((hashes[1] ^ hashes[3]) & (2**64 - 1)).count("1") <= 4
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in image_neardup_pairs(df, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
