@@ -56,16 +56,72 @@ _MERGE = {
 }
 
 
+def _hist_width(spec: str) -> float | None:
+    """Bin width of a ``"hist:<width>"`` measure spec, else None.
+
+    The histogram is the mergeable-quantile answer: exact quantiles
+    don't merge across batches (they need the full value multiset),
+    but FIXED-width bin counts do — map merge is exact, and any
+    quantile estimated from the merged map is within one bin_width of
+    the true value, a deterministic error contract chosen at state
+    definition time (vs approx_percentile, whose internal sketch Spark
+    does not expose as mergeable state)."""
+    if spec.startswith("hist:"):
+        w = float(spec.split(":", 1)[1])
+        if w <= 0:
+            raise ValueError(f"hist bin width must be > 0, got {spec!r}")
+        return w
+    return None
+
+
 def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) -> DataFrame:
     """One batch's mergeable partial aggregate (plus the row count)."""
     aggs = [F.count(F.lit(1)).alias(_ROW_COUNT)]
+    hists: list[tuple[str, float]] = []
     for col, specs in measures.items():
         for a in specs:
+            w = _hist_width(a)
+            if w is not None:
+                hists.append((col, w))
+                continue
             if a not in _MERGE:
                 raise ValueError(f"non-mergeable aggregate {a!r} (avg is read-time)")
             fn = {"count": F.count, "hll": F.hll_sketch_agg}.get(a, _MERGE[a])
             aggs.append(fn(col).alias(f"{col}__{a}"))
-    return batch.groupBy(*keys).agg(*aggs)
+    part = batch.groupBy(*keys).agg(*aggs)
+    for col, w in hists:
+        # bin counts as map<bin_id, count> — one extra rollup-keyed agg
+        # per hist measure over the (tiny) batch; NULLs are not binned
+        h = (
+            batch.filter(F.col(col).isNotNull())
+            .groupBy(*keys, F.floor(F.col(col) / F.lit(w)).alias("__bin"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("__bin", "__c")))
+                ).alias(f"{col}__hist")
+            )
+        )
+        part = part.join(h, on=keys, how="left")
+    return part
+
+
+def _merge_hist_maps(merged_src: DataFrame, keys: list[str], hist_col: str) -> DataFrame:
+    """Fold rows' bin-count maps into one map per group: explode →
+    sum per bin → re-assemble. Exact — map merge loses nothing."""
+    return (
+        merged_src.select(*keys, F.explode_outer(hist_col).alias("__bin", "__c"))
+        .filter(F.col("__bin").isNotNull())
+        .groupBy(*keys, "__bin")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy(*keys)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__bin", "__c")))
+            ).alias(hist_col)
+        )
+    )
 
 
 def batch_already_applied(spark: SparkSession, state_path: str, batch_id: str) -> bool:
@@ -127,10 +183,17 @@ def merge_aggregate_state(
                 "must match the state's original definition"
             )
         merge_aggs = [F.sum(_ROW_COUNT).alias(_ROW_COUNT)]
+        hist_cols: list[str] = []
         for col, specs in measures.items():
             for a in specs:
+                if _hist_width(a) is not None:
+                    hist_cols.append(f"{col}__hist")
+                    continue
                 merge_aggs.append(_MERGE[a](f"{col}__{a}").alias(f"{col}__{a}"))
-        merged = part.unionByName(old).groupBy(*keys).agg(*merge_aggs)
+        both = part.unionByName(old)
+        merged = both.groupBy(*keys).agg(*merge_aggs)
+        for hc in hist_cols:
+            merged = merged.join(_merge_hist_maps(both, keys, hc), on=keys, how="left")
     else:
         merged = part
     # never lazily read the table being overwritten at swap time
@@ -150,11 +213,16 @@ def read_aggregate_view(
     state_path: str,
     measures: dict[str, list[str]],
     avg_of: list[str] = (),
+    quantiles: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """The finalized rollup: stored partials plus read-time derivations
     — ``avg_of`` columns get ``<col>__avg = <col>__sum / <col>__count``
     (both partials must be maintained). ``__nrows`` is exposed as
-    ``row_count``."""
+    ``row_count``. ``quantiles`` maps a column carrying a
+    ``"hist:<width>"`` measure to the quantiles to estimate
+    (``<col>__p<q·100>`` = midpoint of the bin where the cumulative
+    count crosses ceil(q·n) — within one bin_width of the exact
+    value, by construction, however many batches were merged)."""
     df = spark.read.parquet(state_path).withColumnRenamed(_ROW_COUNT, "row_count")
     for col in avg_of:
         for need in ("sum", "count"):
@@ -166,4 +234,31 @@ def read_aggregate_view(
             df = df.withColumn(
                 f"{col}__approx_distinct", F.hll_sketch_estimate(f"{col}__hll")
             )
+    for col, qs in (quantiles or {}).items():
+        spec = next(
+            (s for s in measures.get(col, []) if _hist_width(s) is not None), None
+        )
+        if spec is None:
+            raise ValueError(f"quantiles of {col!r} need a 'hist:<width>' measure")
+        w = _hist_width(spec)
+        hc = f"{col}__hist"
+        df = df.withColumn(
+            "__tot", F.expr(f"aggregate(map_values({hc}), 0L, (a, v) -> a + v)")
+        )
+        for q in qs:
+            name = f"{col}__p{int(round(q * 100))}"
+            df = df.withColumn(
+                name,
+                F.expr(
+                    f"""aggregate(array_sort(map_entries({hc})),
+                        named_struct('cum', 0L, 'ans', CAST(NULL AS DOUBLE)),
+                        (acc, e) -> IF(acc.ans IS NOT NULL, acc,
+                            named_struct('cum', acc.cum + e.value,
+                                'ans', IF(acc.cum + e.value >= CEIL({q} * __tot),
+                                          (e.key + 0.5D) * {w}D,
+                                          CAST(NULL AS DOUBLE)))),
+                        acc -> acc.ans)"""
+                ),
+            )
+        df = df.drop("__tot")
     return df

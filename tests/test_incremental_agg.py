@@ -222,3 +222,56 @@ def test_schema_drift_raises_loudly(spark, sf_dir, tmp_path):
         merge_aggregate_state(
             spark, state, orders, KEYS, {"o_totalprice": ["sum"]}, "order_month"
         )
+
+
+def test_hist_measure_merges_exactly_and_bounds_quantiles(spark, tmp_path):
+    """The 'hist:<w>' measure: folding 3 batches produces EXACTLY the
+    bin map of a one-shot aggregate over the union (map merge is
+    lossless), and every read-time quantile estimate is within one
+    bin_width of the exact quantile."""
+    import numpy as np
+
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        _partial,
+        merge_aggregate_state,
+        read_aggregate_view,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        ("g1" if i % 3 else "g2", float(v), f"d{i % 2}")
+        for i, v in enumerate(rng.normal(50, 20, 600))
+    ]
+    batches = [rows[:200], rows[200:400], rows[400:]]
+    schema = "grp string, value double, day string"
+    state = str(tmp_path / "hist_state")
+    measures = {"value": ["hist:5.0", "sum", "count"]}
+    for i, b in enumerate(batches):
+        merge_aggregate_state(
+            spark, state, spark.createDataFrame(b, schema),
+            ["grp", "day"], measures, "day", batch_id=f"b{i}",
+        )
+    # merged map == one-shot map over the union, exactly
+    folded = {
+        (r["grp"], r["day"]): dict(r["value__hist"])
+        for r in spark.read.parquet(state).collect()
+    }
+    oneshot = {
+        (r["grp"], r["day"]): dict(r["value__hist"])
+        for r in _partial(
+            spark.createDataFrame(rows, schema), ["grp", "day"], measures
+        ).collect()
+    }
+    assert folded == oneshot
+    # quantile error contract: within one bin width of exact
+    view = read_aggregate_view(
+        spark, state, measures, quantiles={"value": [0.5, 0.95]}
+    )
+    got = {(r["grp"], r["day"]): (r["value__p50"], r["value__p95"]) for r in view.collect()}
+    import math
+
+    for (g, d), (p50, p95) in got.items():
+        vals = sorted(v for gg, v, dd in rows if gg == g and dd == d)
+        for q, est in ((0.5, p50), (0.95, p95)):
+            exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            assert abs(est - exact) <= 5.0, (g, d, q, est, exact)
