@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "cut_duplicated_spans",
     "snapshot_change_feed",
     "image_neardup_dhash",
+    "incremental_quantile_rollup",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -4404,6 +4405,80 @@ def snapshot_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             )
             .orderBy("o_orderstatus")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "incremental_quantile_rollup",
+    """
+    WITH b AS (
+        SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS n_values FROM b GROUP BY 1
+    ), cum AS (
+        SELECT event_type, bin,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        FROM b
+    )
+    SELECT t.event_type, t.n_values,
+           (SELECT min(bin) FROM cum
+            WHERE cum.event_type = t.event_type
+              AND cum.cum >= ceil(0.5 * t.n_values)) * 5.0 + 2.5 AS p50,
+           (SELECT min(bin) FROM cum
+            WHERE cum.event_type = t.event_type
+              AND cum.cum >= ceil(0.95 * t.n_values)) * 5.0 + 2.5 AS p95
+    FROM tot t ORDER BY t.event_type
+    """,
+    tags=("etl", "incremental", "rollup", "quantile"),
+)
+def incremental_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup: events fold in as three batches of
+    'hist:5.0' bin-count partials (etl/incremental_agg.py), and the
+    read-time p50/p95 — midpoint of the cumulative-crossing bin — is
+    value-checked against DuckDB computing the SAME estimator from the
+    raw table in one shot. The hash match proves the map merge is
+    lossless across batches: fold(batches) quantiles == one-shot
+    quantiles, exactly, with error ≤ bin_width vs truth by
+    construction."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        merge_aggregate_state,
+        read_aggregate_view,
+    )
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    measures = {"value": ["hist:5.0", "count"]}
+    work = _tempfile.mkdtemp(prefix="inc_q_")
+    try:
+        state = _os.path.join(work, "state")
+        for i in range(3):
+            merge_aggregate_state(
+                spark,
+                state,
+                ev.filter(F.col("event_id") % 3 == i),
+                ["event_type"],
+                measures,
+                "event_type",
+                batch_id=f"b{i}",
+            )
+        view = read_aggregate_view(
+            spark, state, measures, quantiles={"value": [0.5, 0.95]}
+        )
+        return (
+            view.select(
+                "event_type",
+                F.col("value__count").alias("n_values"),
+                F.col("value__p50").alias("p50"),
+                F.col("value__p95").alias("p95"),
+            )
+            .orderBy("event_type")
             .localCheckpoint(eager=True)
         )
     finally:
