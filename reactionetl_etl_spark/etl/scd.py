@@ -128,3 +128,32 @@ def scd2_as_of(spark: SparkSession, table_path: str, as_of_date: str) -> DataFra
         (F.col("valid_from") <= d)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
     )
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Enrich facts with the dimension AS OF each fact's own timestamp:
+    equi-join on the key with the validity interval
+    [valid_from, valid_to) as a RESIDUAL predicate — Catalyst plans a
+    hash join keyed on the dimension key, never a range blow-up, since
+    SCD2 intervals per key are disjoint (each fact matches ≤ 1 history
+    row by construction). ``ts_col`` compares as a date (the history's
+    grain)."""
+    h = history.select(
+        *[F.col(k).alias(f"__h_{k}") for k in key_cols],
+        *[c for c in history.columns if c not in key_cols],
+    )
+    ts = F.col(ts_col).cast("date")
+    cond = None
+    for k in key_cols:
+        c = F.col(k) == F.col(f"__h_{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (ts >= F.col("valid_from")) & (
+        F.col("valid_to").isNull() | (ts < F.col("valid_to"))
+    )
+    return facts.join(h, on=cond, how=how).drop(*[f"__h_{k}" for k in key_cols])

@@ -1896,7 +1896,7 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
-@_q("image_neardup_dhash", None, tags=("multimodal", "dedup", "llm"))
+@_q("image_neardup_dhash", None, tags=("multimodal", "dedup", "llm"), bench=True)
 def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup sweep over REAL encoded images: every 10th
     document's image is a +3-brightness copy of its predecessor's
@@ -3176,6 +3176,7 @@ def repeated_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) kc USING (doc_id)
     """,
     tags=("text", "dedup", "llm"),
+    bench=True,
 )
 def cut_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup as an ACTION (Lee et al. 2022 policy):

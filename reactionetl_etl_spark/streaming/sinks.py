@@ -388,3 +388,47 @@ def stream_apply_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_enrich_batch_writer(dim_path: str, out_path: str, key_cols: list[str], ts_col: str):
+    """foreachBatch callback: enrich each fact micro-batch with the
+    SCD2 dimension AS OF each fact's own event time
+    (etl/scd.py::scd2_point_in_time_join) and append the result to a
+    snapshot table EXACTLY once (the stream batch id commits in the
+    manifest). The history is re-read from its snapshot head per
+    batch, so dimension changes flow into enrichment at batch
+    granularity with no stream restart — the streaming twin of
+    `orders_scd2_temporal_join`."""
+    from reactionetl_etl_spark.etl.scd import scd2_point_in_time_join
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read, snapshot_write
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = snapshot_read(spark, dim_path)
+        enriched = scd2_point_in_time_join(batch_df, hist, key_cols, ts_col)
+        v = snapshot_write(
+            spark, out_path, enriched, mode="append", batch_id=f"stream-{batch_id}"
+        )
+        logger.info("scd2-enrich sink: batch %d → version %s", batch_id, v)
+
+    return write_batch
+
+
+def stream_scd2_enrich(
+    stream_df: DataFrame,
+    dim_path: str,
+    out_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    checkpoint_dir: str,
+):
+    """Run a fact stream through point-in-time SCD2 enrichment into a
+    snapshot table (AvailableNow-friendly); returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            scd2_enrich_batch_writer(dim_path, out_path, key_cols, ts_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -77,3 +77,39 @@ def test_scd2_null_safe_tracking(spark, tmp_path):
     assert len(_hist(spark, t)) == 1  # NULL == NULL: no new version
     scd2_merge(spark, t, _upd(spark, [(1, "A", 10.0, "2020-03-01")]), ["id"], ["seg", "bal"])
     assert len(_hist(spark, t)) == 2  # NULL -> 'A' closed the first row
+
+
+def test_point_in_time_join_picks_interval_row(spark, tmp_path):
+    """Each fact joins the history row whose [valid_from, valid_to)
+    covers the fact's own timestamp; facts before the first interval
+    drop (inner) or survive with NULLs (left)."""
+    from reactionetl_etl_spark.etl.scd import scd2_merge, scd2_point_in_time_join
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
+
+    dim = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "gold", "2020-01-01"), (2, "silver", "2020-01-01")],
+        "k int, tier string, effective_date string",
+    )
+    scd2_merge(spark, dim, b1, ["k"], ["tier"])
+    b2 = spark.createDataFrame(
+        [(1, "plat", "2021-06-01"), (2, "silver", "2021-06-01")],
+        "k int, tier string, effective_date string",
+    )
+    scd2_merge(spark, dim, b2, ["k"], ["tier"])
+    facts = spark.createDataFrame(
+        [(10, 1, "2020-05-05"), (11, 1, "2021-06-01"), (12, 2, "2022-01-01"),
+         (13, 1, "2019-12-31"), (14, 9, "2021-01-01")],
+        "fid int, k int, ts string",
+    )
+    hist = snapshot_read(spark, dim)
+    inner = {
+        r["fid"]: r["tier"]
+        for r in scd2_point_in_time_join(facts, hist, ["k"], "ts").collect()
+    }
+    assert inner == {10: "gold", 11: "plat", 12: "silver"}
+    left = {
+        r["fid"]: r["tier"]
+        for r in scd2_point_in_time_join(facts, hist, ["k"], "ts", how="left").collect()
+    }
+    assert left[13] is None and left[14] is None and left[10] == "gold"

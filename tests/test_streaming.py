@@ -589,3 +589,52 @@ def test_stream_apply_changes_sink(spark, tmp_path):
     writer = apply_changes_batch_writer(table, ["k"])
     writer(spark.createDataFrame([(9, "dup", "insert")], schema), 0)
     assert {(r["k"], r["v"]) for r in snapshot_read(spark, table).collect()} == {(1, "A")}
+
+
+def test_stream_scd2_enrich_tracks_dim_changes(spark, tmp_path):
+    """Streamed facts enrich against the SCD2 history as of THEIR OWN
+    event time, and a dimension change merged between micro-batch
+    drains flows into later batches without a stream restart; output
+    appends are exactly-once."""
+    from reactionetl_etl_spark.etl.scd import scd2_merge
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
+    from reactionetl_etl_spark.streaming.sinks import stream_scd2_enrich
+
+    dim = str(tmp_path / "dim")
+    src = str(tmp_path / "facts_src")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    scd2_merge(
+        spark,
+        dim,
+        spark.createDataFrame([(1, "gold", "2020-01-01")], "k int, tier string, effective_date string"),
+        ["k"],
+        ["tier"],
+    )
+    schema = "fid int, k int, ts string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_scd2_enrich(stream, dim, out, ["k"], "ts", ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(10, 1, "2020-05-05")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # dim change lands between drains
+    scd2_merge(
+        spark,
+        dim,
+        spark.createDataFrame([(1, "plat", "2021-01-01")], "k int, tier string, effective_date string"),
+        ["k"],
+        ["tier"],
+    )
+    spark.createDataFrame(
+        [(11, 1, "2021-05-05"), (12, 1, "2020-07-07")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {r["fid"]: r["tier"] for r in snapshot_read(spark, out).collect()}
+    # fid 12 is a LATE fact: arrives after the change but dated before
+    # it — point-in-time join still lands it on the old tier
+    assert got == {10: "gold", 11: "plat", 12: "gold"}
