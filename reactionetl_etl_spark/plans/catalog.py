@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_change_feed",
     "image_neardup_dhash",
     "incremental_quantile_rollup",
+    "multimodal_corpus_build",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -1945,6 +1946,75 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = base.mapInPandas(to_image, "media_id long, content binary")
     return image_neardup_pairs(imgs, max_hamming=4).orderBy("id_a", "id_b")
+
+
+@_q("multimodal_corpus_build", None, tags=("multimodal", "pipeline", "llm"))
+def multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image-corpus build (pipelines/multimodal.py): the
+    planted-duplicate image set (every 10th image = its predecessor's
+    pixels re-encoded) runs sniff → geometry filter → perceptual dedup
+    → bounded resize → hash-bucketed sharded export with a full drop
+    ledger. Returns one row per ledger stage plus the export totals —
+    deterministic, so the rows-only check pins stage counts;
+    conservation and ledger semantics are pinned by
+    test_training_pipeline.py."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pandas as pd
+
+    from reactionetl_etl_spark.pipelines.multimodal import build_image_corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    )
+    base = docs.alias("d").join(
+        docs.selectExpr("doc_id + 1 AS doc_id", "raw AS prev_raw").alias("p"),
+        on="doc_id",
+        how="left",
+    )
+
+    def to_image(batches):
+        import numpy as np
+
+        from reactionetl_etl_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        encoders = [encode_bmp, encode_png, encode_ppm]
+        need = 32 * 32 * 3
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, raw, prev in zip(pdf["doc_id"], pdf["raw"], pdf["prev_raw"]):
+                src = prev if (int(did) % 10 == 9 and prev is not None) else raw
+                b = bytes(src) or b"\x00"
+                b = (b * (need // len(b) + 1))[:need]
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3)
+                ids.append(did)
+                blobs.append(encoders[int(did) % 3](arr))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    imgs = base.mapInPandas(to_image, "media_id long, content binary")
+    work = _tempfile.mkdtemp(prefix="img_corpus_")
+    try:
+        out = _os.path.join(work, "corpus")
+        st = build_image_corpus(spark, imgs, out, min_side=16, max_side=16, n_shards=8)
+        return spark.createDataFrame(
+            [
+                ("input", st.n_input),
+                ("undecodable", st.n_undecodable),
+                ("too_small", st.n_too_small),
+                ("near_dup", st.n_dup_dropped),
+                ("exported", st.n_exported),
+                ("shards", st.n_shards),
+            ],
+            "stage string, n long",
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 @_q("multimodal_resize_pixels", None, tags=("multimodal",))

@@ -67,3 +67,48 @@ def test_build_training_corpus_no_eval_set(spark, sf_dir, tmp_path):
     stats = build_training_corpus(spark, _docs(spark, sf_dir), out, token_budget=1024)
     assert stats.n_contaminated_dropped == 0
     assert stats.n_exported + stats.n_quality_dropped + stats.n_dup_dropped == stats.n_input
+
+
+def test_build_image_corpus_conservation_and_ledger(spark, tmp_path):
+    """Every input image lands in exactly one place — a shard or one
+    ledger row with the right stage: undecodable junk, a too-small
+    image, a cross-container duplicate (BMP copy of a PNG keeps the
+    smaller id), everything else exported resized; shard assignment is
+    deterministic."""
+    import numpy as np
+
+    from reactionetl_etl_spark.etl.snapshots import head_version  # noqa: F401  (env warm)
+    from reactionetl_etl_spark.operators.multimodal import encode_bmp, encode_png
+    from reactionetl_etl_spark.pipelines.multimodal import build_image_corpus
+
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    tiny = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(big))),
+        (2, bytearray(encode_bmp(big))),          # visual dup of 1
+        (3, bytearray(encode_png(other))),
+        (4, bytearray(encode_bmp(tiny))),         # below min_side
+        (5, bytearray(b"junk bytes, not an image")),
+    ]
+    imgs = spark.createDataFrame(rows, "media_id long, content binary")
+    out = str(tmp_path / "imgcorpus")
+    stats = build_image_corpus(
+        spark, imgs, out, min_side=16, max_side=32, n_shards=4
+    )
+    assert (stats.n_input, stats.n_undecodable, stats.n_too_small) == (5, 1, 1)
+    assert stats.n_dup_dropped == 1 and stats.n_exported == 2
+    ledger = {
+        r["media_id"]: (r["stage"], r["reason"])
+        for r in spark.read.parquet(f"{out}/ledger").collect()
+    }
+    assert ledger[5][0] == "undecodable"
+    assert ledger[4] == ("too_small", "8x8")
+    assert ledger[2] == ("near_dup", "kept=1")
+    exported = spark.read.parquet(f"{out}/shards")
+    got = {r["media_id"]: (r["dst_width"], r["dst_height"]) for r in exported.collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == (24, 32) and got[3] == (32, 32)  # aspect-preserving cap
+    # conservation: every id in exactly one of shards ∪ ledger
+    assert set(got) | set(ledger) == {1, 2, 3, 4, 5}
