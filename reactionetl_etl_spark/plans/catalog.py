@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "image_neardup_dhash",
     "incremental_quantile_rollup",
     "multimodal_corpus_build",
+    "ann_recall_report",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6012,6 +6013,80 @@ def pq_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_cosine_topk(qs, coded, book, k=5, refine=8)
+
+
+@_q(
+    "ann_recall_report",
+    None,  # recall OF approximate methods — the exact side is the measure
+    tags=("similarity", "ann", "quality"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of every approximate ANN path against the
+    exact batch baseline, WITH the scan fraction each method pays —
+    the recall/cost trade as a queryable artifact. The fixture
+    embeddings are near-uniform (LSH's worst case: recall ≈ scan
+    fraction, nothing to exploit — real corpora cluster), so the
+    numbers read as a cost curve: LSH radius 1 probes 9/256 buckets,
+    radius 2 probes 37/256, IVF probes 4/16 trained cells, PQ scans
+    100% of CODES (32× smaller bytes) then re-ranks a shortlist.
+    Deterministic throughout (fixed hyperplanes, seeded k-means), so
+    implementation drift moves a recall number in the driver's
+    rows-only check; test_operators.py pins per-method floors."""
+    from reactionetl_etl_spark.operators.pq import (
+        pq_cosine_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
+    from reactionetl_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_cosine_topk_batch,
+        lsh_cosine_topk_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = cosine_topk_batch(qs, emb, k=k).select("query_id", "vec_id")
+    exact = exact.localCheckpoint(eager=True)
+    n_exact = exact.count()
+
+    approx = {
+        "lsh_b8_r1": (
+            lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=1),
+            9 / 256,
+        ),
+        "lsh_b8_r2": (
+            lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=2),
+            37 / 256,
+        ),
+        "ivf_probe4": (
+            ivf_cosine_topk_batch(qs, emb, dim=64, k=k, n_cells=16, n_probe=4),
+            4 / 16,
+        ),
+    }
+    book = train_pq_codebook(emb, dim=64, m=8, k=16)
+    coded = pq_encode(emb, book).localCheckpoint(eager=True)
+    approx["pq_rerank"] = (
+        pq_cosine_topk(qs, coded, book, k=k, refine=8).filter(
+            F.col("vec_id") != F.col("query_id")
+        ),
+        1.0,
+    )
+    rows = []
+    for method, (df, scan) in approx.items():
+        hit = (
+            df.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .count()
+        )
+        rows.append(
+            (method, int(scan * 10000 + 0.5) / 10000.0, int(hit * 10000 / n_exact) / 10000.0)
+        )
+    return spark.createDataFrame(
+        rows, "method string, scan_fraction double, recall double"
+    ).orderBy("method")
 
 
 @_q(

@@ -1011,3 +1011,20 @@ def test_cut_duplicated_spans_owner_keeps_copy(spark):
     for r in out.values():
         rebuilt = r["text_dedup"].split(" ") if r["text_dedup"] else []
         assert r["n_tokens_before"] - r["n_tokens_cut"] == len(rebuilt)
+
+
+def test_ann_recall_report_floors_and_ordering(spark, sf_dir):
+    """The recall/cost report: every method beats its scan fraction is
+    not required (PQ pays bytes, not rows), but LSH recall must climb
+    with radius, IVF and PQ must clear their floors, and the frame is
+    deterministic across builds."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    q = all_queries()["ann_recall_report"].builder
+    got = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
+    assert set(got) == {"lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "pq_rerank"}
+    assert got["lsh_b8_r2"][1] > got["lsh_b8_r1"][1]
+    assert got["ivf_probe4"][1] >= 0.5
+    assert got["pq_rerank"][1] >= 0.7
+    again = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
+    assert again == got
