@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_quantile_rollup",
     "multimodal_corpus_build",
     "ann_recall_report",
+    "events_linear_interpolation",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -3669,6 +3670,93 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(counts, on="h", how="left").select(
         F.col("h").cast("string").alias("hour_start"),
         F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+@_q(
+    "events_linear_interpolation",
+    """
+    WITH e AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               floor(avg(value) * 1000000 + 0.5) / 1000000 AS v
+        FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ), b AS (
+        SELECT user_id, min(h) AS lo, max(h) AS hi FROM e GROUP BY 1
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+    ), j AS (
+        SELECT s.user_id, s.h, e.v FROM spine s LEFT JOIN e USING (user_id, h)
+    ), f AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(h AS VARCHAR) AS hour_start,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv) * ((epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph)))
+                  END) * 1000000 + 0.5) / 1000000 AS v_interp,
+           v IS NOT NULL AS is_observed
+    FROM f
+    """,
+    tags=("events", "time", "gapfill", "interpolation"),
+)
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gapfill — the zero-fill spine's sibling for
+    CONTINUOUS signals (sensor feeds, metrics): per-user hourly spine
+    bounded by that user's own observed range, observed hours keep
+    their (rounded) mean, interior gaps lerp between the nearest
+    observed neighbours via last/first IGNORE NULLS windows. No
+    extrapolation by construction (spine endpoints are observed). The
+    epoch arithmetic uses DIFFERENCES only, so session timezone
+    cancels; both engines compute the identical lerp expression."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 30)
+    known = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts_ntz").alias("h")
+    ).agg((F.floor(F.avg("value") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("v"))
+    bounds = known.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = spine.join(known, on=["user_id", "h"], how="left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = j.withColumns(
+        {
+            "pv": F.last("v", ignorenulls=True).over(wp),
+            "ph": F.last(known_h, ignorenulls=True).over(wp),
+            "nv": F.first("v", ignorenulls=True).over(wn),
+            "nh": F.first(known_h, ignorenulls=True).over(wn),
+        }
+    )
+    eh, eph, enh = (F.unix_timestamp(c).cast("double") for c in ("h", "ph", "nh"))
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * ((eh - eph) / (enh - eph))
+    return f.select(
+        "user_id",
+        F.col("h").cast("string").alias("hour_start"),
+        (
+            F.floor(
+                F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp) * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("v_interp"),
+        F.col("v").isNotNull().alias("is_observed"),
     )
 
 
