@@ -287,3 +287,131 @@ class JsonlShardsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return JsonlShardWriter(self.options, overwrite)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC source over the snapshot table format: version numbers
+# ARE the offsets, so Structured Streaming's checkpoint/replay machinery
+# gets exactly-once change delivery for free.
+# ---------------------------------------------------------------------------
+
+
+class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
+    """Streams `etl/snapshots.py` change feeds: offset = committed
+    version number; each micro-batch emits the file-diff-derived
+    changes (insert / delete / update_pre/postimage — the
+    `snapshot_changes` semantics, including compaction netting to
+    zero) between the checkpointed version and the current head. A
+    batch spanning several commits collapses them into the NET change,
+    exactly like `snapshot_changes(v0, head)`.
+
+    Scope (mirrors this module's template note): the simple stream
+    API reads driver-side and pickles rows — right for dimension /
+    control-plane tables; a fact-scale feed belongs on the partitioned
+    reader or batch `snapshot_changes` in foreachBatch. Manifest and
+    data access use local-fs paths + pyarrow; an object-store table
+    swaps these for fsspec. Requires key-unique tables (what
+    snapshot_upsert maintains): pass .option("keys", "k1,k2")."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        keys = options.get("keys")
+        if not self.path or not keys:
+            raise ValueError(
+                "snapshot_changes_stream requires .option('path', …) and "
+                ".option('keys', 'k1,k2')"
+            )
+        self.key_cols = [k.strip() for k in keys.split(",")]
+
+    def initialOffset(self) -> dict:
+        return {"v": 0}  # before the first commit → batch 1 = full image
+
+    def _head(self) -> int:
+        import os
+        import re
+
+        d = os.path.join(self.path, "_snapshots")
+        if not os.path.isdir(d):
+            return 0
+        vs = []
+        for f in os.listdir(d):
+            m = re.match(r"v(\d+)\.committed$", f)
+            if m:
+                vs.append(int(m.group(1)))
+        return max(vs, default=0)
+
+    def _manifest(self, v: int) -> dict:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "_snapshots", f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def _keyed_rows(self, files: list[str], field_names: list[str]) -> dict:
+        import os
+
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for f in files:
+            t = pq.read_table(os.path.join(self.path, f))
+            cols = {
+                c: (
+                    t.column(c).to_pylist()
+                    if c in t.column_names
+                    else [None] * t.num_rows  # add-only schema evolution
+                )
+                for c in field_names
+            }
+            for i in range(t.num_rows):
+                key = tuple(cols[k][i] for k in self.key_cols)
+                out[key] = tuple(cols[c][i] for c in field_names)
+        return out
+
+    def read(self, start: dict):
+        v0 = int(start.get("v", 0))
+        v1 = self._head()
+        if v1 <= v0:
+            return iter([]), {"v": v0}
+        man1 = self._manifest(v1)
+        files1 = man1["files"]
+        files0 = self._manifest(v0)["files"] if v0 > 0 else []
+        s0, s1 = set(files0), set(files1)
+        removed = [f for f in files0 if f not in s1]
+        added = [f for f in files1 if f not in s0]
+        names = [f["name"] for f in man1["schema"]["fields"]]
+        old = self._keyed_rows(removed, names)
+        new = self._keyed_rows(added, names)
+        rows: list[tuple] = []
+        for k, r in new.items():
+            if k not in old:
+                rows.append(r + ("insert",))
+            elif old[k] != r:
+                rows.append(old[k] + ("update_preimage",))
+                rows.append(r + ("update_postimage",))
+            # equal rows = compaction carries → no change emitted
+        for k, r in old.items():
+            if k not in new:
+                rows.append(r + ("delete",))
+        return iter(rows), {"v": v1}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint
+
+
+class SnapshotChangesStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes_stream"
+
+    def schema(self) -> str:
+        reader = SnapshotChangesStreamReader(self.options)
+        head = reader._head()
+        if head == 0:
+            raise ValueError(f"no committed snapshot at {self.options.get('path')}")
+        st = StructType.fromJson(reader._manifest(head)["schema"])
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+        return ddl + ", _change_type string"
+
+    def simpleStreamReader(self, schema: StructType):
+        return SnapshotChangesStreamReader(self.options)

@@ -315,3 +315,74 @@ def test_jsonl_shards_python_datasource_writer(spark, tmp_path):
     back2 = spark.read.json(os.path.join(out, "part-*.jsonl"))
     assert [r["id"] for r in back2.collect()] == [99]
     assert json.load(open(os.path.join(out, "_SUCCESS")))["total_rows"] == 1
+
+
+def test_snapshot_changes_streaming_source(spark, tmp_path):
+    """The CDC streaming source: versions are offsets, so drain 1
+    emits the full image as inserts, drain 2 emits only the net
+    changes since the checkpointed version (upsert + delete collapsed
+    across commits), a compaction-only commit emits nothing, and the
+    emitted set equals batch `snapshot_changes` for the same version
+    span."""
+    from reactionetl_etl_spark.etl.snapshots import (
+        head_version,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from reactionetl_etl_spark.sources.pyds import SnapshotChangesStreamDataSource
+
+    table = str(tmp_path / "dimtable")
+    out = str(tmp_path / "feed_out")
+    ckpt = str(tmp_path / "feed_ckpt")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "k int, v string")
+    v1 = snapshot_write(spark, table, base.repartition(2, "k"))
+
+    spark.dataSource.register(SnapshotChangesStreamDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_changes_stream")
+            .option("path", table)
+            .option("keys", "k")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {(r["k"], r["v"], r["_change_type"]) for r in spark.read.parquet(out).collect()}
+    assert first == {(i, f"v{i}", "insert") for i in range(5)}
+
+    # two commits between drains: an upsert and a delete — net changes only
+    snapshot_upsert(
+        spark, table, spark.createDataFrame([(1, "V1"), (9, "new")], "k int, v string"), ["k"]
+    )
+    snapshot_delete(spark, table, "k = 3")
+    drain()
+    now = {(r["k"], r["v"], r["_change_type"]) for r in spark.read.parquet(out).collect()}
+    delta = now - first
+    assert delta == {
+        (1, "v1", "update_preimage"),
+        (1, "V1", "update_postimage"),
+        (9, "new", "insert"),
+        (3, "v3", "delete"),
+    }
+    # parity with the batch reader over the same span
+    batch = {
+        (r["k"], r["v"], r["_change_type"])
+        for r in snapshot_changes(spark, table, ["k"], v1).collect()
+    }
+    assert batch == delta
+
+    # compaction-only commit emits nothing
+    snapshot_compact(spark, table, target_files=1)
+    assert head_version(spark, table) is not None
+    drain()
+    assert {(r["k"], r["v"], r["_change_type"]) for r in spark.read.parquet(out).collect()} == now
