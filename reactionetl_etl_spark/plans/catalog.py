@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_corpus_build",
     "ann_recall_report",
     "events_linear_interpolation",
+    "part_pair_affinity",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6175,6 +6176,82 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, scan_fraction double, recall double"
     ).orderBy("method")
+
+
+@_q(
+    "part_pair_affinity",
+    """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp
+    ), co AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS co_orders
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), pc AS (
+        SELECT l_partkey, count(*) AS n FROM lp GROUP BY 1
+    )
+    SELECT part_a, part_b, co_orders,
+           floor(co_orders * 1.0 / n.n_orders * 1000000 + 0.5) / 1000000 AS support,
+           floor(co_orders * 1.0 / pa.n * 1000000 + 0.5) / 1000000 AS conf_a_to_b,
+           floor(co_orders * 1.0 * n.n_orders / (pa.n * pb.n) * 1000000 + 0.5)
+               / 1000000 AS lift
+    FROM co
+    JOIN pc pa ON pa.l_partkey = co.part_a
+    JOIN pc pb ON pb.l_partkey = co.part_b
+    CROSS JOIN n
+    ORDER BY co_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+    tags=("analytics", "affinity", "join"),
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same
+    order with support, directional confidence, and lift — the
+    recommendation/co-purchase primitive. The pair join is keyed on
+    the ORDER (self-equi-join on l_orderkey), so fan-out is bounded by
+    per-basket line count squared, never by catalog size; part counts
+    broadcast back. Top-100 by co-occurrence with full tie-breaks for
+    a deterministic row set."""
+    lp = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = lp.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+    )
+    pc = lp.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n"))
+
+    def _r6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    out = (
+        co.join(F.broadcast(pc.withColumnsRenamed({"l_partkey": "part_a", "n": "na"})), "part_a")
+        .join(F.broadcast(pc.withColumnsRenamed({"l_partkey": "part_b", "n": "nb"})), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            _r6(F.col("co_orders") / F.col("n_orders")).alias("support"),
+            _r6(F.col("co_orders") / F.col("na")).alias("conf_a_to_b"),
+            _r6(F.col("co_orders") * F.col("n_orders") / (F.col("na") * F.col("nb"))).alias(
+                "lift"
+            ),
+        )
+    )
+    return out.orderBy(F.col("co_orders").desc(), "part_a", "part_b").limit(100)
 
 
 @_q(
