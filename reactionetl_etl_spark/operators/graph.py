@@ -107,3 +107,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` power iterations of PageRank —
+    centrality over an edge list (co-purchase affinity, citation,
+    dup-cluster adjacency). Fixed iteration count, synchronous
+    updates, deterministic: no RNG, no partition-order dependence, so
+    two runs (or two engines) agree bit-for-bit given the same edges.
+
+    Spark shape: one shuffle per iteration — contributions =
+    rank/degree routed along edges (join on the source key), then a
+    groupBy-sum on the destination; dangling nodes (no out-edges)
+    leak their mass to the teleport term, the standard simplification.
+    Ranks are eagerly localCheckpoint'ed per round (the
+    `connected_components` lesson: persist() leaves an unrolled
+    n_iter-deep plan that re-evaluates wholesale if the cache drops).
+    At 100 TB the edge frame is the big side and it is scanned once
+    per iteration, hash-partitioned on the join key; ranks are
+    node-sized. ``directed=False`` symmetrizes the edges first.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), on="s")
+            .join(deg, on="s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

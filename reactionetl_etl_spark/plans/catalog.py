@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_recall_report",
     "events_linear_interpolation",
     "part_pair_affinity",
+    "part_copurchase_pagerank",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6252,6 +6253,82 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("co_orders").desc(), "part_a", "part_b").limit(100)
+
+
+@_q(
+    "part_copurchase_pagerank",
+    """
+    WITH RECURSIVE lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+        SELECT pa AS s, pb AS d FROM co UNION SELECT pb, pa FROM co
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), deg AS (
+        SELECT s, count(*) AS deg FROM e GROUP BY 1
+    ), nn AS (
+        SELECT count(*) AS n FROM nodes
+    ), pr AS (
+        SELECT node, CAST(1.0 / (SELECT n FROM nn) AS DOUBLE) AS rank, 0 AS it
+        FROM nodes
+        UNION ALL
+        SELECT node, rank, it FROM (
+            SELECT n.node,
+                   (1 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(s.inflow, 0) AS rank,
+                   max(s.it1) OVER () AS it
+            FROM nodes n LEFT JOIN (
+                SELECT e.d AS node, sum(p.rank / dg.deg) AS inflow,
+                       max(p.it) + 1 AS it1
+                FROM pr p JOIN e ON e.s = p.node JOIN deg dg ON dg.s = p.node
+                GROUP BY e.d
+            ) s ON s.node = n.node
+        ) WHERE it <= 10
+    )
+    SELECT node AS part, floor(rank * 1000000 + 0.5) / 1000000 AS rank6
+    FROM pr WHERE it = 10
+    ORDER BY rank6 DESC, part LIMIT 20
+    """,
+    tags=("graph", "iterative", "analytics"),
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph (parts sharing
+    ≥2 orders), 10 synchronous power iterations
+    (operators/graph.py::pagerank) — the iterative-algorithm family,
+    value-oracled against a DuckDB RECURSIVE-CTE implementation of the
+    SAME recurrence (identical damping constants, dangling-free
+    symmetrized graph), so every iteration's arithmetic is pinned
+    cross-engine. One edge-keyed shuffle per iteration; ranks stay
+    node-sized; lineage truncated per round."""
+    from reactionetl_etl_spark.operators.graph import pagerank
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    ranks = pagerank(co, src="pa", dst="pb", damping=0.85, n_iter=10)
+    r6 = F.floor(F.col("rank") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        ranks.select(F.col("node").alias("part"), r6.alias("rank6"))
+        .orderBy(F.col("rank6").desc(), "part")
+        .limit(20)
+    )
 
 
 @_q(

@@ -1028,3 +1028,34 @@ def test_ann_recall_report_floors_and_ordering(spark, sf_dir):
     assert got["pq_rerank"][1] >= 0.7
     again = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
     assert again == got
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank equals a dense numpy power iteration with
+    the same damping/iterations/dangling convention, on a graph with a
+    hub, a chain, and an isolated-ish leaf."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(edge_list, "src int, dst int")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=12).collect()}
+
+    # numpy reference: symmetrized, same fixed-iteration recurrence
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in edge_list:
+        adj[idx[a], idx[b]] = 1.0
+        adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        inflow = (adj / deg[:, None]).T @ r
+        r = (1 - 0.85) / n + 0.85 * inflow
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
+    # the hub out-ranks the chain tail
+    assert got[2] > got[5]
