@@ -77,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_linear_interpolation",
     "part_pair_affinity",
     "part_copurchase_pagerank",
+    "dau_wau_mau",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6177,6 +6178,68 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, scan_fraction double, recall double"
     ).orderBy("method")
+
+
+@_q(
+    "dau_wau_mau",
+    """
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM ud
+    ), dau AS (
+        SELECT d, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+    ), wau AS (
+        SELECT days.d, count(DISTINCT ud.user_id) AS wau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d GROUP BY 1
+    ), mau AS (
+        SELECT days.d, count(DISTINCT ud.user_id) AS mau
+        FROM days JOIN ud ON ud.d BETWEEN days.d - 29 AND days.d GROUP BY 1
+    )
+    SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, wau.wau, mau.mau,
+           floor(dau.dau * 1.0 / mau.mau * 1000000 + 0.5) / 1000000 AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    ORDER BY day
+    """,
+    tags=("events", "analytics", "retention"),
+)
+def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness per observed day — the product-
+    analytics staple. Spark windows cannot COUNT DISTINCT over a range
+    frame, so the scalable shape is support fan-out: each distinct
+    (user, day) pair explodes into the trailing windows it supports
+    (×7 and ×30 at DAY grain — rows ∝ active user-days, tiny), then
+    one distinct-count per window day. No per-day self-scan of the
+    events table, no range join."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        F.col("ts_ntz").cast("date").alias("d"), "user_id"
+    ).distinct().localCheckpoint(eager=True)
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+
+    def trailing(n: int, name: str) -> DataFrame:
+        fan = ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), n - 1))
+            ).alias("wd"),
+        )
+        return (
+            fan.join(days.withColumnRenamed("d", "wd"), on="wd", how="left_semi")
+            .groupBy(F.col("wd").alias("d"))
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    out = dau.join(trailing(7, "wau"), "d").join(trailing(30, "mau"), "d")
+    stick = F.floor(F.col("dau") / F.col("mau") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return out.select(
+        F.col("d").cast("string").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        stick.alias("stickiness"),
+    ).orderBy("day")
 
 
 @_q(
