@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_pair_affinity",
     "part_copurchase_pagerank",
     "dau_wau_mau",
+    "bm25_search_topk",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6178,6 +6179,52 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, scan_fraction double, recall double"
     ).orderBy("method")
+
+
+@_q(
+    "bm25_search_topk",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM tok
+    ), t AS (
+        SELECT doc_id, unnest(toks) AS term FROM tok
+    ), hits AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), dft AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    )
+    SELECT doc_id,
+           floor(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           ) * 1000000 + 0.5) / 1000000 AS bm25,
+           count(*) AS n_hit_terms
+    FROM hits JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "llm"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical search over the corpus (operators/retrieval.py):
+    the curation counterpart to embedding ANN — 'find the documents
+    about X' answered lexically. Query-term tf comes from a filter
+    pushed inside the token explode (never a vocabulary aggregation);
+    corpus constants broadcast back; top-k plans as
+    TakeOrderedAndProject. Value-oracled against DuckDB computing the
+    identical Lucene-variant BM25 expression."""
+    from reactionetl_etl_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "window"], k=10)
 
 
 @_q(

@@ -1059,3 +1059,30 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[v] - r[idx[v]]) < 1e-12, (v, got[v], r[idx[v]])
     # the hub out-ranks the chain tail
     assert got[2] > got[5]
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 sanity on a controlled corpus: a doc with more query-term
+    occurrences (per length) outranks a dilute one; rare terms
+    outweigh common ones; no-hit docs never appear; k truncates."""
+    from reactionetl_etl_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark short doc"),
+            (2, "spark " + "filler " * 50),
+            (3, "rare term appears here once"),
+            (4, "nothing relevant at all"),
+            (5, "spark rare together text"),
+        ],
+        "doc_id int, text string",
+    )
+    out = bm25_topk(docs, ["spark", "rare"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 4 not in ids
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2]          # tf + length normalization
+    assert scores[5] == max(scores.values())  # hits BOTH terms, one rare
+    hitters = {r["doc_id"]: r["n_hit_terms"] for r in out}
+    assert hitters[5] == 2 and hitters[1] == 1
+    assert len(bm25_topk(docs, ["spark", "rare"], k=2).collect()) == 2
