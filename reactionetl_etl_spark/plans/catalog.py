@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_copurchase_pagerank",
     "dau_wau_mau",
     "bm25_search_topk",
+    "hybrid_search_rrf",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6225,6 +6226,99 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "merge", "window"], k=10)
+
+
+@_q(
+    "hybrid_search_rrf",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM tok
+    ), t AS (
+        SELECT doc_id, unnest(toks) AS term FROM tok
+    ), hits AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), dft AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    ), bm AS (
+        SELECT doc_id,
+               floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+               ) * 1000000 + 0.5) / 1000000 AS bm25
+        FROM hits JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), bmr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb FROM bm
+    ), q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ), cs AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+                   AS cosine_sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY cosine_sim DESC, doc_id ASC LIMIT 20
+    ), csr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rc FROM cs
+    )
+    SELECT doc_id,
+           floor((coalesce(1.0 / (60 + rb), 0) + coalesce(1.0 / (60 + rc), 0))
+                 * 1000000 + 0.5) / 1000000 AS rrf,
+           rb IS NOT NULL AS in_bm25,
+           rc IS NOT NULL AS in_ann
+    FROM bmr FULL OUTER JOIN csr USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "similarity", "llm"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) and exact-cosine top-20
+    (semantic, query = vec 0) fused by reciprocal-rank fusion
+    rrf = Σ 1/(60 + rank) — the standard zero-tuning way to combine
+    retrievers whose scores live on incompatible scales. Both
+    candidate lists are deterministic (rounded scores, full
+    tie-breaks), so the fusion is value-oracled end to end; the
+    rank windows run over ≤20-row LIMIT'd frames, never the corpus."""
+    from pyspark.sql import Window as W
+
+    from reactionetl_etl_spark.operators.retrieval import bm25_topk
+    from reactionetl_etl_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["spark", "merge", "window"], k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rb"),
+    )
+    cs = cosine_topk(emb, query_id=0, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc()))
+        .alias("rc"),
+    )
+    fused = bm.join(cs, on="doc_id", how="full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rc")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            (F.floor(rrf * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("rrf"),
+            F.col("rb").isNotNull().alias("in_bm25"),
+            F.col("rc").isNotNull().alias("in_ann"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+    )
 
 
 @_q(
