@@ -97,3 +97,97 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_posting_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the inverted index for repeated-query BM25: one row per
+    (term, doc, tf), parquet PARTITIONED BY a deterministic term-hash
+    bucket, plus a 1-row corpus-stats sidecar (N, avgdl) and a per-term
+    df table. Tokenize once, query forever — a probe reads only the
+    partitions its query terms hash into (dynamic partition pruning),
+    ~n_terms/n_buckets of the index instead of re-tokenizing the corpus
+    per query. ``mode='append'`` grows the index with new documents
+    (the bucket function is a pure hash, so old and new batches
+    partition consistently) — but the stats/df sidecars describe ONLY
+    the last written batch's fold; rebuild them for exact idf after
+    appends (documented trade, same as any incremental df statistic)."""
+    toks = docs.select(F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    dl = docs.select(F.col(id_col), F.size(_terms(F.col(text_col))).alias("dl"))
+    tf.join(dl, id_col).withColumn("bucket", bucket).write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+    dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    tf.groupBy("term").agg(F.countDistinct(id_col).alias("df")).withColumn(
+        "bucket", bucket
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
+
+
+def probe_posting_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a `write_posting_index` layout: query terms
+    hash to their buckets, so the postings/df scans read only those
+    partitions (the probe's PushedFilters carry bucket AND term).
+    Identical scoring algebra to `bm25_topk` — probing the index
+    returns exactly what the scan-time path computes."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    # bucket ids of the query terms: one 0-task-shuffle job over a
+    # |terms|-row literal frame (xxhash64 is JVM-side; this keeps the
+    # probe's bucket function bit-identical to the writer's) → STATIC
+    # partition pruning on the postings/df scans
+    buckets = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    ]
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    df_t = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (
+        post.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("__s"), F.count(F.lit(1)).alias("n_hit_terms"))
+    )
+    bm25 = F.floor(F.col("__s") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        scored.select(F.col(id_col), bm25.alias("bm25"), "n_hit_terms")
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "dau_wau_mau",
     "bm25_search_topk",
     "hybrid_search_rrf",
+    "bm25_index_probe",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6226,6 +6227,74 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "merge", "window"], k=10)
+
+
+@_q(
+    "bm25_index_probe",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM tok
+    ), t AS (
+        SELECT doc_id, unnest(toks) AS term FROM tok
+    ), hits AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), dft AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1
+    )
+    SELECT doc_id,
+           floor(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           ) * 1000000 + 0.5) / 1000000 AS bm25,
+           count(*) AS n_hit_terms
+    FROM hits JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "index", "llm"),
+)
+def bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a PERSISTED inverted index
+    (operators/retrieval.py::write_posting_index / probe_posting_index):
+    the corpus tokenizes ONCE into term-hash-bucketed posting
+    partitions; the probe reads only its query terms' buckets (static
+    partition pruning — the builder asserts fewer files than the index
+    holds) and must reproduce the scan-time BM25 exactly, so it shares
+    `bm25_search_topk`'s DuckDB oracle. Index amortization with zero
+    scoring drift."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.operators.retrieval import (
+        probe_posting_index,
+        write_posting_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = _tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        idx = _os.path.join(work, "index")
+        write_posting_index(docs, idx, n_buckets=64)
+        out = probe_posting_index(spark, idx, ["spark", "merge", "window"], k=10)
+        # pruning ACTIVE: the physical scans carry the bucket IN-list as
+        # a PartitionFilter (inputFiles() ignores partition filters, so
+        # the plan text is the reliable witness)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert __import__("re").search(r"PartitionFilters: \[[^]]*bucket[^]]*IN", plan), (
+            plan[:2000]
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
 
 
 @_q(

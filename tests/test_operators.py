@@ -1086,3 +1086,30 @@ def test_bm25_ranking_semantics(spark):
     hitters = {r["doc_id"]: r["n_hit_terms"] for r in out}
     assert hitters[5] == 2 and hitters[1] == 1
     assert len(bm25_topk(docs, ["spark", "rare"], k=2).collect()) == 2
+
+
+def test_bm25_index_probe_matches_scan_path(spark, sf_dir, tmp_path):
+    """Probing the persisted posting index returns exactly the
+    scan-time bm25_topk result, and the probe scans fewer posting
+    files than the index holds (bucket pruning active)."""
+    from reactionetl_etl_spark.operators.retrieval import (
+        bm25_topk,
+        probe_posting_index,
+        write_posting_index,
+    )
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "postidx")
+    write_posting_index(docs, idx, n_buckets=64)
+    probe = probe_posting_index(spark, idx, ["spark", "merge", "window"], k=10)
+    scan = bm25_topk(docs, ["spark", "merge", "window"], k=10)
+    got = [(r["doc_id"], r["bm25"], r["n_hit_terms"]) for r in probe.collect()]
+    want = [(r["doc_id"], r["bm25"], r["n_hit_terms"]) for r in scan.collect()]
+    assert got == want and len(got) == 10
+    # bucket pruning is a PartitionFilter on the postings scan
+    # (inputFiles() ignores partition filters — plan text is the witness)
+    import re
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*bucket[^]]*IN", plan)
