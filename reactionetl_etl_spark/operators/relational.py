@@ -166,3 +166,48 @@ def topk_per_group(df: DataFrame, group_cols: list[str], order_exprs: list, k: i
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def binned_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval × interval OVERLAP join (a.lo < b.hi AND b.lo < a.hi,
+    half-open) as an equi-join — the genomics/session/validity-window
+    shape `binned_range_join` (point × interval) does not cover.
+
+    Both sides explode to every bin their interval touches; candidates
+    meet hash-partitioned on the bin id; the exact overlap predicate
+    re-filters; duplicates from multi-bin overlaps collapse via the
+    canonical-bin trick — a candidate pair is KEPT only in the bin
+    containing the overlap's start, max(a.lo, b.lo), so no
+    dropDuplicates pass (and therefore no wide all-columns shuffle) is
+    ever needed. Work ∝ |a|·(width_a/bin) + |b|·(width_b/bin) + true
+    matches; pick bin_width ≈ typical interval width."""
+    if how != "inner":
+        raise ValueError("binned_interval_overlap_join supports inner joins only")
+    w = float(bin_width)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    a = binned(left, left_lo, left_hi)
+    b = binned(right, right_lo, right_hi)
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    canonical = F.col("__bin") == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / F.lit(w)
+    ).cast("long")
+    return a.join(b, on="__bin", how="inner").filter(overlap & canonical).drop("__bin")

@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_search_topk",
     "hybrid_search_rrf",
     "bm25_index_probe",
+    "session_overlap_pairs",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -1767,6 +1768,77 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("string").alias("session_end"),
         "n_events",
         "sum_value",
+    )
+
+
+@_q(
+    "session_overlap_pairs",
+    """
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sess_seq
+        FROM o
+    ), sess AS (
+        SELECT user_id, epoch(min(ts)) AS lo, epoch(max(ts)) + 1800 AS hi
+        FROM s GROUP BY user_id, sess_seq
+    ), a AS (SELECT user_id AS user_a, lo AS lo_a, hi AS hi_a FROM sess WHERE user_id < 75),
+       b AS (SELECT user_id AS user_b, lo AS lo_b, hi AS hi_b FROM sess WHERE user_id >= 75)
+    SELECT user_a, user_b, count(*) AS n_overlaps
+    FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+    GROUP BY user_a, user_b
+    HAVING count(*) >= 8
+    """,
+    tags=("events", "session", "join", "interval"),
+)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-activity detection: pairs of users whose 30-minute-gap
+    sessions OVERLAP in time ≥8 times — the interval×interval join
+    shape (operators/relational.py::binned_interval_overlap_join):
+    both interval sets explode onto an hour-bin grid, meet in a
+    bin-keyed EQUI-join (never a nested loop over |a|·|b|), the exact
+    overlap predicate re-filters, and the canonical-bin rule
+    deduplicates multi-bin pairs without a dropDuplicates shuffle.
+    Oracled against DuckDB's direct non-equi formulation. Counts are
+    invariant to the epoch base, so session timezone cancels."""
+    from reactionetl_etl_spark.operators.relational import binned_interval_overlap_join
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts_ntz")
+    w = Window.partitionBy("user_id").orderBy("ts_ntz")
+    o = ev.withColumn("prev", F.lag("ts_ntz").over(w))
+    # fractional epoch seconds (ntz→ltz→double keeps sub-second
+    # precision; unix_timestamp truncates to whole seconds and splits
+    # sessions differently than the oracle's interval comparison). The
+    # session-tz shift is common to every timestamp, so gaps, overlap
+    # predicates, and counts are all invariant to it.
+    es = F.col("ts_ntz").cast("timestamp").cast("double")
+    eprev = F.col("prev").cast("timestamp").cast("double")
+    new_sess = F.when(F.col("prev").isNull() | (es - eprev >= 1800), 1).otherwise(0)
+    s = o.withColumn(
+        "sess_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = s.groupBy("user_id", "sess_seq").agg(
+        F.min(F.col("ts_ntz").cast("timestamp").cast("double")).alias("lo"),
+        (F.max(F.col("ts_ntz").cast("timestamp").cast("double")) + F.lit(1800.0)).alias("hi"),
+    )
+    a = sess.filter(F.col("user_id") < 75).select(
+        F.col("user_id").alias("user_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
+    )
+    b = sess.filter(F.col("user_id") >= 75).select(
+        F.col("user_id").alias("user_b"), F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b")
+    )
+    j = binned_interval_overlap_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=3600.0)
+    return (
+        j.groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .filter(F.col("n_overlaps") >= 8)
     )
 
 

@@ -1113,3 +1113,39 @@ def test_bm25_index_probe_matches_scan_path(spark, sf_dir, tmp_path):
 
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^]]*bucket[^]]*IN", plan)
+
+
+def test_interval_overlap_join_exact_and_no_duplicates(spark):
+    """binned_interval_overlap_join equals the brute-force non-equi
+    overlap join exactly — including pairs spanning many bins (no
+    duplicates: the canonical-bin rule keeps one candidate per pair)
+    and adjacent-but-not-overlapping intervals (half-open)."""
+    from reactionetl_etl_spark.operators.relational import binned_interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 120.0), (4, 200.0, 201.0)],
+        "ida int, lo_a double, hi_a double",
+    )
+    b = spark.createDataFrame(
+        [(10, 9.0, 25.0), (11, 10.0, 12.0), (12, 30.0, 40.0), (13, 115.0, 300.0)],
+        "idb int, lo_b double, hi_b double",
+    )
+    got = {
+        (r["ida"], r["idb"])
+        for r in binned_interval_overlap_join(
+            a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=7.0
+        ).collect()
+    }
+    brute = {
+        (r["ida"], r["idb"])
+        for r in a.crossJoin(b)
+        .filter("lo_a < hi_b AND lo_b < hi_a")
+        .collect()
+    }
+    assert got == brute
+    assert (1, 11) not in got        # touching at 10.0 — half-open, no overlap
+    assert (3, 13) in got            # wide intervals spanning many bins, once
+    rows = binned_interval_overlap_join(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=7.0
+    ).collect()
+    assert len(rows) == len(got)     # no duplicate candidate survived
