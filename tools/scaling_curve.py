@@ -1,0 +1,65 @@
+"""Measured scaling curves: run the benched headline queries at every
+available scale factor (sf0.001 / sf0.01 / sf0.1 — a 100× data range)
+and report warm medians + the time ratio across the range.
+
+The point of the artifact: SCALING.md argues each operator's shuffle
+shape SHOULD scale; this measures whether wall-clock agrees on the
+range we can test locally. A query whose 100× data ratio is far above
+100× has a super-linear term (quadratic candidate growth, driver
+bottleneck) worth investigating; far below ~10× means fixed scheduling
+overhead still dominates at sf0.1 and the local numbers mostly measure
+Spark constant costs, not the operator.
+
+Usage: python tools/scaling_curve.py [runs]   (writes one JSON line,
+and a markdown table to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reactionetl_etl_spark.plans.catalog import all_queries  # noqa: E402
+from reactionetl_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+}
+
+
+def main() -> int:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark("scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    benched = {n: s for n, s in all_queries().items() if s.bench}
+    out: dict[str, dict[str, float]] = {}
+    for name, spec in sorted(benched.items()):
+        out[name] = {}
+        for sf, d in SF_DIRS.items():
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                spec.builder(spark, d).collect()
+                times.append(time.monotonic() - t0)
+            # warm median: drop the first (compilation-heavy) run
+            out[name][sf] = round(statistics.median(times[1:] or times), 3)
+    print("| query | sf0.001 | sf0.01 | sf0.1 | t(0.1)/t(0.001) for 100x data |")
+    print("|---|---|---|---|---|")
+    for name, row in sorted(out.items()):
+        ratio = round(row["0.1"] / row["0.001"], 1) if row["0.001"] > 0 else float("inf")
+        print(
+            f"| {name} | {row['0.001']} | {row['0.01']} | {row['0.1']} | {ratio}x |"
+        )
+    print(json.dumps({"metric": "scaling_curve", "runs": runs, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
