@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "hybrid_search_rrf",
     "bm25_index_probe",
     "session_overlap_pairs",
+    "curriculum_order",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6253,6 +6254,79 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, scan_fraction double, recall double"
     ).orderBy("method")
+
+
+@_q(
+    "curriculum_order",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               len(list_distinct(toks)) * 1.0 / len(toks) AS ratio
+        FROM tok
+    ), n AS (
+        SELECT count(*) AS n FROM r
+    ), banded AS (
+        SELECT doc_id,
+               CAST(floor(((row_number() OVER (ORDER BY ratio DESC, doc_id) - 1)
+                           * 4.0) / n.n) + 1 AS BIGINT) AS band
+        FROM r CROSS JOIN n
+    )
+    SELECT doc_id, band,
+           row_number() OVER (
+               ORDER BY band, md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS curriculum_pos
+    FROM banded
+    """,
+    tags=("sampling", "llm", "rank", "curriculum"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: documents banded into quartiles by a
+    quality proxy (unique-token ratio — cleanest band first), shuffled
+    hash-deterministically WITHIN each band — easy-to-hard ordering
+    with randomness inside each difficulty level, reproducible across
+    runs/engines/cluster sizes. Both ranks use the DISTRIBUTED global
+    rank (rank.global_order_ranks — per-key counts + prefix sums, no
+    single-partition window), and the band comes from integer math on
+    the rank, not an engine-specific ntile/quantile."""
+    from reactionetl_etl_spark.operators.rank import global_order_ranks
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    r = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("ratio"),
+    )
+    n = r.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_order_ranks(
+        r,
+        rank_exprs=[F.col("ratio")],
+        rank_desc=[True],
+        tie_exprs=[F.col("doc_id")],
+        tie_desc=[False],
+    )
+    banded = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        (
+            F.floor(((F.col("global_row_number") - 1) * F.lit(4.0)) / F.col("n"))
+            + F.lit(1)
+        ).alias("band"),
+    )
+    pos = global_order_ranks(
+        banded,
+        rank_exprs=[F.col("band"), F.md5(F.col("doc_id").cast("string"))],
+        rank_desc=[False, False],
+        tie_exprs=[F.col("doc_id")],
+        tie_desc=[False],
+    )
+    return pos.select(
+        "doc_id", "band", F.col("global_row_number").alias("curriculum_pos")
+    )
 
 
 @_q(
