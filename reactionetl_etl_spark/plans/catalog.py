@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_index_probe",
     "session_overlap_pairs",
     "curriculum_order",
+    "events_seasonal_anomalies",
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
@@ -6533,6 +6534,61 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
+    )
+
+
+@_q(
+    "events_seasonal_anomalies",
+    """
+    WITH base AS (
+        SELECT event_id, event_type, value,
+               dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow
+        FROM events
+    ), stats AS (
+        SELECT event_type, dow,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma,
+               count(*) AS n
+        FROM base GROUP BY 1, 2
+    )
+    SELECT b.event_type, b.dow,
+           CAST(any_value(s.n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(b.value - s.mu) > 3 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           floor(any_value(s.mu) * 1000000 + 0.5) / 1000000 AS mu
+    FROM base b JOIN stats s
+      ON b.event_type = s.event_type AND b.dow = s.dow
+    GROUP BY b.event_type, b.dow
+    """,
+    tags=("events", "anomaly", "seasonal"),
+)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly counts: each event compares against
+    the mean/σ of ITS OWN (event_type, day-of-week) bucket, so a busy
+    Monday isn't flagged for being unlike Sunday — the deseasonalized
+    twin of the global z-score and MAD queries. One rollup-sized stats
+    aggregate broadcast back onto the stream; the 3σ flag is pure
+    expression math. Engine gotcha, pinned by the oracle: Spark's
+    dayofweek is 1-based (Sun=1), DuckDB's 0-based — the oracle
+    shifts, and the hash check keeps the conventions aligned."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dayofweek(F.col("ts_ntz")).alias("dow"),
+    )
+    stats = ev.groupBy("event_type", "dow").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = ev.join(F.broadcast(stats), on=["event_type", "dow"])
+    return j.groupBy("event_type", "dow").agg(
+        F.any_value("n").alias("n"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")).cast("bigint")
+        ).alias("n_anomalies"),
+        (F.floor(F.any_value("mu") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mu"),
     )
 
 
