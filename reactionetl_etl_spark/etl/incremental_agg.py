@@ -12,6 +12,14 @@ form and fold each new batch in: sum/count/min/max are algebraic, so
 is exact — identical to recomputing from scratch — and costs
 O(batch + touched state partitions), not O(history).
 
+EXACT-TYPE CONTRACT for `sum`: "fold == recompute" is bit-exact only
+when the summed type is associative under addition — integers and
+DECIMAL. A DOUBLE measure folds in a different order than a one-shot
+aggregate and drifts in the low bits (r6: a 3-batch fold of a ~1e7
+double sum landed a cent off DuckDB's single pass). Cast money/metric
+doubles to DECIMAL(18,2) (or wider) BEFORE merge_aggregate_state;
+min/max/count are order-independent for every type.
+
 Spark shape:
 - `partial(batch)` is an ordinary groupBy: map-side combined, shuffle
   keyed on the rollup keys, output is rollup-sized (tiny).
@@ -35,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from reactionetl_etl_spark.etl.commit import _fs, staged_overwrite_partitions
 
@@ -89,6 +98,18 @@ def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) 
             fn = {"count": F.count, "hll": F.hll_sketch_agg}.get(a, _MERGE[a])
             aggs.append(fn(col).alias(f"{col}__{a}"))
     part = batch.groupBy(*keys).agg(*aggs)
+    # Stable state type for decimal sums: Spark widens sum(DECIMAL(p,s))
+    # to DECIMAL(p+10,s), and re-summing widens again on the first merge
+    # (28,2 -> 38,2) — so batch-partial files and merged-state files
+    # would carry DIFFERENT parquet physical types and the vectorized
+    # reader refuses the mix. Pin every decimal sum at DECIMAL(38,s)
+    # once; sum over 38,s stays 38,s, so every write from then on is
+    # type-identical.
+    for f in part.schema.fields:
+        if f.name.endswith("__sum") and isinstance(f.dataType, DecimalType):
+            part = part.withColumn(
+                f.name, F.col(f.name).cast(DecimalType(38, f.dataType.scale))
+            )
     for col, w in hists:
         # bin counts as map<bin_id, count> — one extra rollup-keyed agg
         # per hist measure over the (tiny) batch; NULLs are not binned

@@ -62,29 +62,40 @@ def connected_components(
     # plan (LSH/blocking joins) is evaluated once, not once per round
     sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
 
-    if small_graph_max is not None and sym.count() <= small_graph_max:
-        parent: dict = {}
+    if small_graph_max is not None:
+        # ONE action doubles as size probe + edge fetch: limit(max+1)
+        # either proves the graph is small (and we already hold the
+        # edges — no second job, no 32-sequential-partition
+        # toLocalIterator round-trips, the r6 7x regression) or stops
+        # fetching past the bound and falls through to the
+        # distributed loop. Bounded at ≈ a few MB by construction.
+        head = sym.limit(small_graph_max + 1).collect()
+        if len(head) <= small_graph_max:
+            parent: dict = {}
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
 
-        for a, b in sym.select("a", "b").toLocalIterator():
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:  # min-label: smaller root wins
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        rows = sorted((n, find(n)) for n in parent)
-        return sym.sparkSession.createDataFrame(
-            rows, schema=sym.select(F.col("a").alias("node"), F.col("b").alias("component")).schema
-        )
+            for a, b in head:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # min-label: smaller root wins
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = sorted((n, find(n)) for n in parent)
+            return sym.sparkSession.createDataFrame(
+                rows,
+                schema=sym.select(
+                    F.col("a").alias("node"), F.col("b").alias("component")
+                ).schema,
+            )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=True)

@@ -63,7 +63,24 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # long-stable tail. This is a committed, static list — ordering is
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
-    # round-6 NEW queries (never driver-checked)
+    # round-7 FIXED (r6's one driver hash-fail: decimal sums both engines)
+    "incremental_agg_rollup",
+    # never driver-sampled across r1-r6 (green locally; the driver has
+    # never hashed these 13 — spend the window here first)
+    "bpe_learned_merges",
+    "fuzzy_name_pairs",
+    "word_window_udtf",
+    "events_variant_stats",
+    "recursive_month_spine",
+    "training_corpus_build",
+    "pq_cosine_topk_batch",
+    "bigram_logprob_scores",
+    "sentence_stats",
+    "top_docs_per_lang",
+    "vocab_coverage_topk",
+    "revenue_yoy_growth",
+    "events_mad_anomalies",
+    # round-6 NEW queries (driver-checked r6; keep ahead of the stable tail)
     "decontaminated_corpus",
     "domain_cap_sample",
     "repeated_span_extents",
@@ -87,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "audio_spectral_profile",
     "video_frame_sample",
-    "incremental_agg_rollup",
     "corpus_drift_kl",
     "snapshot_time_travel",
     "snapshot_cow_upsert",
@@ -114,19 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "canonical_doc_per_cluster",
     "nation_market_share",
     "product_type_profit",
-    "training_corpus_build",
-    "sentence_stats",
-    "top_docs_per_lang",
-    "vocab_coverage_topk",
-    "revenue_yoy_growth",
-    "fuzzy_name_pairs",
-    "word_window_udtf",
-    "events_variant_stats",
-    "recursive_month_spine",
-    "bigram_logprob_scores",
-    "bpe_learned_merges",
-    "pq_cosine_topk_batch",
-    "events_mad_anomalies",
     # round-6 behavior changes: LSH multi-probe (recall fix), PNG
     # decode (pixel path), staged atomic commit + adaptive dense
     # sequence (ETL), as-of direction/tolerance params
@@ -5141,11 +5144,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            o_orderpriority,
            count(*) AS row_count,
-           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            count(o_totalprice) AS cnt_price,
-           round(min(o_totalprice), 2) AS min_price,
-           round(max(o_totalprice), 2) AS max_price,
-           round(sum(o_totalprice) / count(o_totalprice), 6) AS avg_price
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(o_totalprice), 6) AS avg_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -5160,7 +5164,14 @@ def incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over everything. The hash match proves the algebraic merge drifts
     by nothing: fold(batches) == recompute(all), including read-time
     averages. This is the shape a 100 TB daily rollup takes — work per
-    day ∝ that day's batch + its touched months, never the history."""
+    day ∝ that day's batch + its touched months, never the history.
+
+    The money measure is cast to DECIMAL(18,2) on BOTH engines before
+    aggregation: decimal sums are order-independent, so "fold ==
+    recompute" is bit-exact regardless of how batches slice the data.
+    Double sums are NOT (r6's one driver failure: the 3-batch double
+    fold drifted a cent against DuckDB's one-shot sum in a >=1e7
+    group, and round(...,2) landed on opposite sides)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
@@ -5170,8 +5181,12 @@ def incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_aggregate_view,
     )
 
-    orders = _t(spark, sf_dir, "orders").withColumn(
-        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        # exact type for the additive measure: decimal partials merge
+        # order-independently (see docstring) — the module contract
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)"))
     )
     keys = ["order_month", "o_orderpriority"]
     measures = {"o_totalprice": ["sum", "count", "min", "max"]}
@@ -5189,17 +5204,23 @@ def incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_aggregate_state(
                 spark, state, b, keys, measures, "order_month", batch_id=f"b{i}"
             )
-        view = read_aggregate_view(spark, state, measures, avg_of=["o_totalprice"])
+        view = read_aggregate_view(spark, state, measures)
         return (
             view.select(
                 "order_month",
                 "o_orderpriority",
                 "row_count",
-                F.round("o_totalprice__sum", 2).alias("sum_price"),
+                # exact decimals -> double at the END (both engines cast
+                # the identical decimal, landing on the identical double)
+                F.col("o_totalprice__sum").cast("double").alias("sum_price"),
                 F.col("o_totalprice__count").alias("cnt_price"),
-                F.round("o_totalprice__min", 2).alias("min_price"),
-                F.round("o_totalprice__max", 2).alias("max_price"),
-                F.round("o_totalprice__avg", 6).alias("avg_price"),
+                F.col("o_totalprice__min").cast("double").alias("min_price"),
+                F.col("o_totalprice__max").cast("double").alias("max_price"),
+                F.round(
+                    F.col("o_totalprice__sum").cast("double")
+                    / F.col("o_totalprice__count"),
+                    6,
+                ).alias("avg_price"),
             )
             .orderBy("order_month", "o_orderpriority")
             .localCheckpoint(eager=True)
@@ -7172,7 +7193,7 @@ def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "corpus_drift_kl",
-    """
+    r"""
     WITH tok AS (
         SELECT source,
                unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t

@@ -74,7 +74,13 @@ def normalize_rows(df: pd.DataFrame) -> list[tuple]:
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 norm.append("<NULL>")
             elif isinstance(v, float):
-                norm.append(f"{v:.9g}")
+                # FULL precision (round-trip repr), not %.9g: the driver
+                # hashes exact values, and a 9-sig-digit normalization
+                # masked r6's one driver failure — a cent-level drift in
+                # a >=1e7 sum serialized identically here while the
+                # driver's hash differed. Any sub-round-trip divergence
+                # must FAIL locally so this gate mirrors the driver.
+                norm.append(repr(v))
             else:
                 norm.append(str(v))
         rows.append(tuple(norm))
