@@ -105,6 +105,17 @@ def write_with_expectations(
     from pyspark.sql import Observation
 
     spark = df.sparkSession
+    # Degenerate inputs must fail (or short-circuit) BEFORE the write
+    # starts — an empty rule list used to IndexError on reports[0] and
+    # duplicate rule names used to blow up create_map, both AFTER the
+    # parquet was already on disk, handing the caller an exception for
+    # a completed write (ADVICE r6).
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
+    if "__rows_written" in names:
+        raise ValueError("'__rows_written' is a reserved rule name")
     row_local = [r for r in rules if r.violation is not None]
     others = [r for r in rules if r.violation is None]
 
@@ -131,6 +142,11 @@ def write_with_expectations(
         )
     if others:
         reports.append(run_expectations(df, others).drop("passed"))
+    if not reports:  # zero rules: a completed write still gets a report
+        empty = spark.createDataFrame(
+            [], "rule string, kind string, n_violations long, passed boolean"
+        )
+        return empty, n_rows
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)

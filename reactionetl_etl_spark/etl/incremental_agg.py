@@ -65,6 +65,21 @@ _MERGE = {
 }
 
 
+def _join_null_safe(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Left join on group keys with NULL-safe equality. The hist state
+    rides in via a join while every other measure folds through groupBy
+    — and groupBy treats a NULL key as a perfectly valid group, so a
+    name-list join (null-UNSAFE `=`) would silently hand NULL-key
+    groups a NULL hist map while their sum/count/min/max merge fine."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & left[k].eqNullSafe(r[f"__r_{k}"])
+    return left.join(r, on=cond, how="left").drop(*[f"__r_{k}" for k in keys])
+
+
 def _hist_width(spec: str) -> float | None:
     """Bin width of a ``"hist:<width>"`` measure spec, else None.
 
@@ -124,7 +139,7 @@ def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) 
                 ).alias(f"{col}__hist")
             )
         )
-        part = part.join(h, on=keys, how="left")
+        part = _join_null_safe(part, h, keys)
     return part
 
 
@@ -214,7 +229,7 @@ def merge_aggregate_state(
         both = part.unionByName(old)
         merged = both.groupBy(*keys).agg(*merge_aggs)
         for hc in hist_cols:
-            merged = merged.join(_merge_hist_maps(both, keys, hc), on=keys, how="left")
+            merged = _join_null_safe(merged, _merge_hist_maps(both, keys, hc), keys)
     else:
         merged = part
     # never lazily read the table being overwritten at swap time

@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reactionetl_etl_spark.etl.commit import _fs
@@ -225,20 +225,28 @@ def snapshot_changes(
         [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in non_key],
         F.lit(True),
     )
-    o_cols = [F.col(f"o.{c}").alias(c) for c in out_cols]
-    n_cols = [F.col(f"n.{c}").alias(c) for c in out_cols]
-    ins = j.filter(F.col("o.__old").isNull()).select(
-        *n_cols, F.lit("insert").alias("_change_type")
+    # ONE pass: each joined row explodes into its change structs
+    # (insert | delete | pre+post | none for compaction carries). A
+    # 4-branch filter+union would re-evaluate the uncached join — and
+    # the churned-file scans under it — up to four times (ADVICE r6).
+    def _img(side: str, change_type: str) -> Column:
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in out_cols],
+            F.lit(change_type).alias("_change_type"),
+        )
+
+    # typed empty array (compaction carries): same struct shape, 0 rows
+    empty = F.slice(F.array(_img("o", "x")), 1, 0)
+    changes = (
+        F.when(F.col("o.__old").isNull(), F.array(_img("n", "insert")))
+        .when(F.col("n.__new").isNull(), F.array(_img("o", "delete")))
+        .when(
+            ~unchanged,
+            F.array(_img("o", "update_preimage"), _img("n", "update_postimage")),
+        )
+        .otherwise(empty)
     )
-    dele = j.filter(F.col("n.__new").isNull()).select(
-        *o_cols, F.lit("delete").alias("_change_type")
-    )
-    both = j.filter(
-        F.col("o.__old").isNotNull() & F.col("n.__new").isNotNull() & ~unchanged
-    )
-    pre = both.select(*o_cols, F.lit("update_preimage").alias("_change_type"))
-    post = both.select(*n_cols, F.lit("update_postimage").alias("_change_type"))
-    return ins.unionByName(dele).unionByName(pre).unionByName(post)
+    return j.select(F.explode(changes).alias("__c")).select("__c.*")
 
 
 def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:

@@ -332,10 +332,14 @@ def hamming_candidates(
     pieces = []
     for c in range(n_chunks):
         w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
-        mask = (1 << w) - 1
-        pieces.append(
-            f"named_struct('chunk', {c}, 'ckey', shiftright({sig_col}, {c * width}) & {mask}L)"
-        )
+        if w >= 64:
+            # max_hamming=0: one 64-bit chunk = the whole signature.
+            # (2^64-1)L would overflow the signed BIGINT literal; the
+            # unmasked value IS the chunk key (exact-duplicate join).
+            key = sig_col
+        else:
+            key = f"shiftright({sig_col}, {c * width}) & {(1 << w) - 1}L"
+        pieces.append(f"named_struct('chunk', {c}, 'ckey', {key})")
     chunked = sig_df.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("__sig"),

@@ -55,21 +55,20 @@ def connected_components(
     computed in one pass with a driver union-find — identical labels,
     zero iterations. Bigger graphs keep the distributed propagation
     loop, so the path never caps scale, only overhead."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    # one checkpoint for the edge set too: the candidate-generation
-    # plan (LSH/blocking joins) is evaluated once, not once per round
-    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    out_schema = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("component")
+    ).schema
 
     if small_graph_max is not None:
-        # ONE action doubles as size probe + edge fetch: limit(max+1)
-        # either proves the graph is small (and we already hold the
-        # edges — no second job, no 32-sequential-partition
-        # toLocalIterator round-trips, the r6 7x regression) or stops
-        # fetching past the bound and falls through to the
-        # distributed loop. Bounded at ≈ a few MB by construction.
-        head = sym.limit(small_graph_max + 1).collect()
+        # ONE bounded action on the RAW edge plan doubles as size probe
+        # + edge fetch: limit(max+1).collect() either proves the graph
+        # is small (and we already hold the edges — no symmetrize/
+        # distinct shuffle, no checkpoint job, none of the 32 sequential
+        # toLocalIterator fetches behind the r6 7x regression) or stops
+        # fetching past the bound and falls through to the distributed
+        # loop. Union-find needs neither dedup nor symmetry — repeats
+        # and direction just cost a find() each. Bounded at ≈ a few MB.
+        head = edges.select(src, dst).limit(small_graph_max + 1).collect()
         if len(head) <= small_graph_max:
             parent: dict = {}
 
@@ -82,6 +81,8 @@ def connected_components(
                 return r
 
             for a, b in head:
+                if a == b:  # self-loops are dropped, as in the a != b
+                    continue  # filter on the distributed path
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -90,12 +91,14 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = sorted((n, find(n)) for n in parent)
-            return sym.sparkSession.createDataFrame(
-                rows,
-                schema=sym.select(
-                    F.col("a").alias("node"), F.col("b").alias("component")
-                ).schema,
-            )
+            return edges.sparkSession.createDataFrame(rows, schema=out_schema)
+
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    # one checkpoint for the edge set: the candidate-generation plan
+    # (LSH/blocking joins) is evaluated once, not once per round
+    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=True)

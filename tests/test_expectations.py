@@ -108,3 +108,31 @@ def test_write_with_expectations_matches_separate_pass(spark, tmp_path):
     assert got == want
     assert got[0] == ("tag_not_null", "not_null", 1, False)
     assert got[1] == ("amount_0_500", "range", 2, False)
+
+
+def test_write_with_expectations_degenerate_inputs(spark, tmp_path):
+    """Empty rule list → the write completes and an EMPTY report comes
+    back (not an IndexError after the data landed); duplicate rule
+    names → loud ValueError BEFORE anything is written (ADVICE r6)."""
+    import os
+
+    import pytest
+
+    from reactionetl_etl_spark.etl.expectations import write_with_expectations
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, name string")
+
+    out = str(tmp_path / "no_rules")
+    report, n = write_with_expectations(df, out, rules=[], mode="overwrite")
+    assert n == 2 and report.count() == 0
+    assert [f.name for f in report.schema.fields] == ["rule", "kind", "n_violations", "passed"]
+    assert spark.read.parquet(out).count() == 2
+
+    dup_path = str(tmp_path / "dup_rules")
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        write_with_expectations(
+            df, dup_path,
+            rules=[expect_not_null("r", "id"), expect_not_null("r", "name")],
+            mode="overwrite",
+        )
+    assert not os.path.exists(dup_path)  # validation fired before the write

@@ -275,3 +275,38 @@ def test_hist_measure_merges_exactly_and_bounds_quantiles(spark, tmp_path):
         for q, est in ((0.5, p50), (0.95, p95)):
             exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
             assert abs(est - exact) <= 5.0, (g, d, q, est, exact)
+
+
+def test_hist_state_survives_null_group_key(spark, tmp_path):
+    """A NULL group key is a valid rollup group (groupBy semantics).
+    The hist map rides in via a join on the group keys — which must be
+    NULL-SAFE, or the NULL-key group silently gets a NULL hist (and
+    NULL quantiles) while its sum/count merge fine (ADVICE r6)."""
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        merge_aggregate_state,
+        read_aggregate_view,
+    )
+
+    schema = "grp string, value double, day string"
+    batches = [
+        [(None, 10.0, "d0"), ("g1", 20.0, "d0")],
+        [(None, 30.0, "d0"), (None, 12.0, "d1"), ("g1", 40.0, "d1")],
+    ]
+    state = str(tmp_path / "null_key_state")
+    measures = {"value": ["hist:10.0", "sum", "count"]}
+    for i, b in enumerate(batches):
+        merge_aggregate_state(
+            spark, state, spark.createDataFrame(b, schema),
+            ["grp", "day"], measures, "day", batch_id=f"b{i}",
+        )
+    rows = {
+        (r["grp"], r["day"]): (r["value__sum"], dict(r["value__hist"] or {}))
+        for r in spark.read.parquet(state).collect()
+    }
+    # NULL-key groups keep their bin counts across the fold
+    assert rows[(None, "d0")] == (40.0, {1: 1, 3: 1})
+    assert rows[(None, "d1")] == (12.0, {1: 1})
+    assert rows[("g1", "d0")] == (20.0, {2: 1})
+    view = read_aggregate_view(spark, state, measures, quantiles={"value": [0.5]})
+    p50 = {(r["grp"], r["day"]): r["value__p50"] for r in view.collect()}
+    assert p50[(None, "d0")] is not None and abs(p50[(None, "d0")] - 15.0) < 1e-9

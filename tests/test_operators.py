@@ -1149,3 +1149,19 @@ def test_interval_overlap_join_exact_and_no_duplicates(spark):
         a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin_width=7.0
     ).collect()
     assert len(rows) == len(got)     # no duplicate candidate survived
+
+
+def test_hamming_candidates_zero_budget_is_exact_match(spark):
+    """max_hamming=0 degenerates to one 64-bit chunk; the chunk key must
+    be the unmasked signature (a (2^64-1)L mask literal overflows
+    BIGINT and used to raise at analysis, ADVICE r6). Only identical
+    signatures pair."""
+    sig = spark.createDataFrame(
+        [(1, -1), (2, -1), (3, 7), (4, 5), (5, -9223372036854775808)],
+        "id long, simhash long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.hamming_candidates(sig, "id", "simhash", max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
