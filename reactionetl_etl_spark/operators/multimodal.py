@@ -11,15 +11,16 @@ transparency + disposal composition, real every-Nth-frame sampling
 (`sample_gif_frames`), and baseline JPEG — a full pure-numpy DCT
 pipeline: marker parse, canonical Huffman, dequant, 8×8 IDCT, chroma
 upsample, YCbCr→RGB (`_jpeg_decode`; progressive/arithmetic refuse).
-Only VIDEO decode stays stubbed: an H.26x codec is out of scope
-without a codec library.
+VIDEO decodes for real in two containers: uncompressed YUV4MPEG2 and
+compressed MJPEG-in-AVI (RIFF parse + per-frame baseline JPEG).
+Inter-frame codecs (h.264/vp9) REFUSE — no rows, never fake frames.
 
     spark.read.format("binaryFile").load(dir)          → ingest
     with_media_metadata(df)                            → sniff container
     decode_image_features(df)                          → mapInPandas
     sample_gif_frames(df, every_n)                     → REAL composed frames
     sample_y4m_frames(df, every_n)                     → REAL video frames (Y4M)
-    sample_video_frames(df, every_n)                   → byte-stride stub (mp4/webm)
+    sample_video_frames(df, every_n)                   → REAL frames (Y4M + MJPEG-AVI)
 
 Scale posture: binary payloads never pass through Python row-by-row —
 mapInPandas streams Arrow record batches; `maxRecordsPerBatch` bounds
@@ -63,14 +64,6 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-FRAME_SAMPLE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType()),
-        T.StructField("frame_index", T.IntegerType()),
-        T.StructField("frame", T.BinaryType()),
-    ]
-)
-
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -90,6 +83,13 @@ def with_media_metadata(df: DataFrame, binary_col: str = "content") -> DataFrame
     mime = F.lit("application/octet-stream")
     for sig, m in reversed(_SIGNATURES):
         mime = F.when(head.startswith(sig), m).otherwise(mime)
+    # RIFF is a family: the form tag at offset 8 says which member
+    riff_form = F.upper(F.hex(F.substring(F.col(binary_col), 9, 4)))
+    mime = (
+        F.when(head.startswith("52494646") & (riff_form == "41564920"), "video/x-msvideo")  # "AVI "
+        .when(head.startswith("52494646") & (riff_form == "57454250"), "image/webp")  # "WEBP"
+        .otherwise(mime)
+    )
     return df.withColumn(
         "media_meta",
         F.struct(mime.alias("mime"), F.length(F.col(binary_col)).alias("n_bytes")),
@@ -706,12 +706,11 @@ def sample_y4m_frames(
 ) -> DataFrame:
     """REAL video frame sampling for Y4M payloads: every ``every_n``-th
     DECODED frame (planar YUV → BT.601 RGB), re-encoded as lossless
-    PNG — the video twin of `sample_gif_frames`, and the shape compressed
-    containers take once a codec exists (`sample_video_frames` remains
-    the byte-stride plumbing stub for those). Non-Y4M payloads emit no
-    rows. 1→N Arrow-batched expansion, no shuffle; ``max_frames``
-    bounds decode work per payload (decoding stops early, it doesn't
-    decode-then-discard)."""
+    PNG — the video twin of `sample_gif_frames`. Non-Y4M payloads emit
+    no rows (`sample_video_frames` is the multi-container dispatcher:
+    Y4M + MJPEG-AVI). 1→N Arrow-batched expansion, no shuffle;
+    ``max_frames`` bounds decode work per payload (decoding stops
+    early, it doesn't decode-then-discard)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -734,34 +733,150 @@ def sample_y4m_frames(
     return df.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
 
 
-def sample_video_frames(
-    df: DataFrame, id_col: str = "media_id", binary_col: str = "content", every_n_bytes: int = 1024
-) -> DataFrame:
-    """Frame sampling plumbing: one output row per sampled frame.
+def _avi_movi_chunks(b: bytes):
+    """Walk a RIFF-AVI container and yield (stream_no, payload) for
+    every video data chunk ('##dc'/'##db') inside the 'movi' LIST —
+    pure struct parsing, no codec assumptions. Handles the 'rec '
+    sub-LIST grouping some muxers emit and the RIFF even-byte padding
+    rule. Malformed/truncated containers yield what parses."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return
+    def chunks(buf, pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_end = min(pos + 8 + size, end)
+            yield cid, pos + 8, body_end
+            pos = pos + 8 + size + (size & 1)  # chunks pad to even
 
-    STUB decode for compressed containers (mp4/webm need a codec
-    library this environment lacks — `sample_y4m_frames` is the REAL
-    path for uncompressed Y4M): 'frames' are fixed-size byte slices
-    standing in for decoded frames. Demonstrates the 1→N row expansion
-    shape under mapInPandas, which is what matters for partition sizing
-    (output can be much larger than input — keep batches small via
-    maxRecordsPerBatch).
-    """
+    for cid, start, end in chunks(b, 12, len(b)):
+        if cid == b"LIST" and b[start : start + 4] == b"movi":
+            stack = [(start + 4, end)]
+            while stack:
+                pos, lim = stack.pop()
+                for mid, mstart, mend in chunks(b, pos, lim):
+                    if mid == b"LIST" and b[mstart : mstart + 4] == b"rec ":
+                        stack.append((mstart + 4, mend))
+                    elif (
+                        len(mid) == 4
+                        and mid[:2].isdigit()
+                        and mid[2:4] in (b"dc", b"db")
+                    ):
+                        yield int(mid[:2]), b[mstart:mend]
+
+
+def _avi_mjpeg_frames(b: bytes, max_frames: int | None = None):
+    """MJPEG-in-AVI decode: every video chunk whose payload is a JPEG
+    runs through the full baseline pipeline (`_jpeg_decode`). Returns a
+    list of (h, w, 3) uint8 RGB frames. MJPEG is the one compressed
+    video format decodable without a codec library because each frame
+    IS a standalone baseline JPEG — no inter-frame prediction."""
+    frames = []
+    for _stream, payload in _avi_movi_chunks(b):
+        if payload[:2] != b"\xff\xd8":
+            continue  # non-MJPEG stream chunk (or audio '##wb' never yields here)
+        fr = _jpeg_decode(payload)
+        if fr is not None:
+            frames.append(fr)
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+    return frames
+
+
+def encode_mjpeg_avi(jpeg_frames: list[bytes], width: int, height: int, fps: int = 25) -> bytes:
+    """Minimal RIFF-AVI muxer for an MJPEG video stream: each element of
+    ``jpeg_frames`` is a complete JPEG, written as a '00dc' chunk. Emits
+    avih/strh/strf headers and an idx1 index, so the output is a valid
+    single-stream AVI any player accepts — and the exact fixture shape
+    `_avi_mjpeg_frames` parses."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    # MainAVIHeader: usec/frame, max bps, pad, flags(HASINDEX),
+    # frames, initial, streams, bufsize, w, h, reserved[4]
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<IIIIIIIIII4I",
+            1_000_000 // max(fps, 1), max_bytes * fps, 0, 0x10,
+            n, 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+        ),
+    )
+    # AVIStreamHeader: fccType, handler, flags, prio+lang, initial,
+    # scale, rate, start, length, bufsize, quality, samplesize, rect
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<IIIIIIIIII4H", 0, 0, 0, 1, fps, 0, n, max_bytes, 0, 0, 0, 0, width, height),
+    )
+    # BITMAPINFOHEADER with biCompression='MJPG'
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_body = b"movi"
+    idx = b""
+    for f in jpeg_frames:
+        # idx1 offsets are relative to the start of 'movi' (the form tag)
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", idx)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = None,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+) -> DataFrame:
+    """REAL video frame sampling across the containers this engine
+    decodes: YUV4MPEG2 (uncompressed planes → BT.601 RGB) and
+    MJPEG-in-AVI (every frame a standalone baseline JPEG through the
+    full pure-numpy DCT pipeline). Every ``every_n``-th decoded frame
+    re-encodes as lossless PNG — one output row per sampled frame,
+    identical schema to `sample_gif_frames`/`sample_y4m_frames`.
+    Containers needing inter-frame codecs (mp4/h.264, webm/vp9) emit
+    no rows — refusal, not fake output.
+
+    Arrow-batched 1→N expansion under mapInPandas, no shuffle;
+    ``max_frames`` bounds decode work per payload (decoding stops
+    early, it doesn't decode-then-discard)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
-            idxs: list[int] = []
-            frames: list[bytes] = []
+            out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
                 data = bytes(payload)
-                for i, off in enumerate(range(0, len(data), every_n_bytes)):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(data[off : off + every_n_bytes])
-            yield pd.DataFrame({"media_id": ids, "frame_index": idxs, "frame": frames})
+                cap = None if max_frames is None else (max_frames - 1) * every_n + 1
+                if data[:9] == b"YUV4MPEG2":
+                    frames = _y4m_frames(data, max_frames=cap)
+                elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    frames = _avi_mjpeg_frames(data, max_frames=cap)
+                else:
+                    frames = []
+                for idx in range(0, len(frames), every_n):
+                    fr = frames[idx]
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(idx)
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["frame_png"].append(encode_png(fr))
+            pdf_out = pd.DataFrame(out)
+            for c in ("frame_index", "width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
 
-    return df.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+    return df.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
 
 
 def resize_images(
@@ -1079,10 +1194,8 @@ def sample_gif_frames(
 ) -> DataFrame:
     """REAL animated-frame sampling for GIF payloads: every ``every_n``-th
     fully-COMPOSED animation frame (transparency and disposal applied —
-    not raw sub-rects), re-encoded as lossless PNG. This is the shape
-    video frame-sampling takes once a codec exists: the byte-stride
-    `sample_video_frames` stays the plumbing stub for containers this
-    environment can't decode; GIF graduates to real frames here.
+    not raw sub-rects), re-encoded as lossless PNG — the same shape
+    `sample_video_frames` produces for Y4M and MJPEG-AVI video.
     Non-GIF/malformed payloads contribute zero rows (filter upstream
     on `with_media_metadata().media_meta.mime` to audit them).
     ``max_frames`` bounds decode work per payload — an adversarial
@@ -1380,6 +1493,161 @@ def _jpeg_scan(b, start, sof, qt, huff, scan_tables, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bl = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, bl], axis=2), 0, 255).round().astype(np.uint8)
+
+
+def encode_jpeg_baseline(arr, gray: bool = False) -> bytes:
+    """Fixture-grade baseline JPEG ENCODER: quant tables of all 1s
+    (near-lossless — error comes only from DCT rounding and YCbCr),
+    4:4:4 (or single-component grayscale), canonical same-length
+    Huffman tables built from the symbols actually emitted.
+
+    Exists for synthesizing deterministic JPEG/MJPEG fixtures (the
+    MJPEG-AVI video path and tests) — production image WRITING should
+    stay lossless (PNG/BMP/PPM, see resize_images); a quality-tuned
+    quantizing encoder is deliberately out of scope."""
+    import struct as st
+
+    import numpy as np
+
+    D = _dct_matrix()
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        a = arr.astype(np.float64)
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        q = np.zeros((ph, pw))
+        q[:h, :w] = p
+        q[h:, :w] = p[-1:, :]
+        q[:, w:] = q[:, w - 1 : w]
+        padded.append(q)
+
+    def enc_plane(p):
+        blocks = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                blk = p[by : by + 8, bx : bx + 8] - 128.0
+                coef = D @ blk @ D.T
+                # zz[k] = coefficient at natural position _ZIGZAG[k]
+                # (decoder does block[_ZIGZAG] = coef — same convention)
+                zz = np.round(coef.reshape(64)[_ZIGZAG]).astype(int)
+                blocks.append(zz)
+        return blocks
+
+    def cat(v):
+        return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    all_blocks = [enc_plane(p) for p in padded]
+    # MCU-INTERLEAVED emission order (required for multi-component
+    # scans): block i of comp 0, then comp 1, then comp 2, ...
+    n_blocks = len(all_blocks[0])
+    emit_order = [(ci, bi) for bi in range(n_blocks) for ci in range(len(all_blocks))]
+    sym_dc: set[int] = set()
+    sym_ac: set[int] = set()
+    prev_by_comp = [0] * len(all_blocks)
+    for ci, bi in emit_order:
+        zz = all_blocks[ci][bi]
+        diff = zz[0] - prev_by_comp[ci]
+        prev_by_comp[ci] = zz[0]
+        sym_dc.add(cat(diff))
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                sym_ac.add(0x00)
+                break
+            while run > 15:
+                sym_ac.add(0xF0)
+                run -= 16
+            sym_ac.add((run << 4) | cat(zz[k]))
+            k += 1
+
+    def build_table(symbols):
+        symbols = sorted(symbols)
+        ln = max(2, (len(symbols)).bit_length())  # 2^ln > nsym → no all-1s code
+        while (1 << ln) <= len(symbols):
+            ln += 1
+        counts = [0] * 16
+        counts[ln - 1] = len(symbols)
+        codes = {s: (i, ln) for i, s in enumerate(symbols)}
+        return counts, symbols, codes
+
+    dc_counts, dc_syms, dc_codes = build_table(sym_dc)
+    ac_counts, ac_syms, ac_codes = build_table(sym_ac)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes([1] * 64))
+    nc = 1 if gray else 3
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00] + dc_counts) + bytes(dc_syms))
+    seg(0xC4, bytes([0x10] + ac_counts) + bytes(ac_syms))
+    sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + b"\x00\x3f\x00"
+    seg(0xDA, sos)
+
+    bits = []
+
+    def put(code, ln):
+        for i in range(ln - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    prev_by_comp = [0] * len(all_blocks)
+    for ci, bi in emit_order:
+        zz = all_blocks[ci][bi]
+        diff = zz[0] - prev_by_comp[ci]
+        prev_by_comp[ci] = zz[0]
+        t = cat(diff)
+        put(*dc_codes[t])
+        if t:
+            v = diff if diff > 0 else diff + (1 << t) - 1
+            put(v, t)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                put(*ac_codes[0x00])
+                break
+            while run > 15:
+                put(*ac_codes[0xF0])
+                run -= 16
+            s = cat(zz[k])
+            put(*ac_codes[(run << 4) | s])
+            v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
+            put(v, s)
+            k += 1
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for off in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[off : off + 8]:
+            byte = (byte << 1) | bt
+        payload.append(byte)
+        if byte == 0xFF:
+            payload.append(0x00)
+    out.extend(payload)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def image_dhash(

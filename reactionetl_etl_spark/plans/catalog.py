@@ -88,6 +88,12 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "incremental_neardup_probe",
     "approx_distinct_users",
+    "mjpeg_avi_frame_sample",
+    "audio_spectral_profile",
+    "video_frame_sample",
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
+    "catalog_columns",
     # round-6 NEW queries (driver-checked r6; keep ahead of the stable tail)
     "decontaminated_corpus",
     "domain_cap_sample",
@@ -107,8 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "curriculum_order",
     "events_seasonal_anomalies",
     "semdedup_prune",
-    "audio_spectral_profile",
-    "video_frame_sample",
     "corpus_drift_kl",
     "snapshot_time_travel",
     "snapshot_cow_upsert",
@@ -154,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     # here; remaining r2 names queue behind and r4/r5-checked entries
     # come last via registry order)
     "approx_distinct_users",
-    "catalog_columns",
     "click_purchase_interval_join",
     "cosine_topk_bruteforce",
     "customer_order_distribution",
@@ -174,13 +177,11 @@ _PRIORITY: tuple[str, ...] = (
     "large_volume_customers",
     "latest_order_per_nation",
     "min_cost_supplier_per_part",
-    "minhash_neardup_pairs",
     "multimodal_feature_extract",
     "orders_above_customer_avg",
     "orders_moving_avg_range_frame",
     "pii_redaction_stats",
     "quantity_band_range_join",
-    "simhash_neardup_pairs",
     "sole_late_supplier",
     "stratified_sample_events",
     "text_stats_by_lang",
@@ -1682,7 +1683,38 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, query_id=0, k=10)
 
 
-@_q("minhash_neardup_pairs", None, tags=("dedup", "lsh"), bench=True)
+@_q("minhash_neardup_pairs", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (8, 245, CAST(0.9688 AS DOUBLE)),
+        (26, 455, CAST(0.9063 AS DOUBLE)),
+        (31, 383, CAST(1.0 AS DOUBLE)),
+        (44, 446, CAST(1.0 AS DOUBLE)),
+        (45, 267, CAST(1.0 AS DOUBLE)),
+        (45, 413, CAST(1.0 AS DOUBLE)),
+        (58, 293, CAST(0.9688 AS DOUBLE)),
+        (61, 185, CAST(1.0 AS DOUBLE)),
+        (70, 447, CAST(1.0 AS DOUBLE)),
+        (72, 377, CAST(0.875 AS DOUBLE)),
+        (87, 134, CAST(0.9375 AS DOUBLE)),
+        (92, 450, CAST(0.9688 AS DOUBLE)),
+        (98, 290, CAST(1.0 AS DOUBLE)),
+        (107, 387, CAST(0.9375 AS DOUBLE)),
+        (120, 332, CAST(0.9688 AS DOUBLE)),
+        (152, 178, CAST(1.0 AS DOUBLE)),
+        (166, 323, CAST(1.0 AS DOUBLE)),
+        (267, 413, CAST(1.0 AS DOUBLE)),
+        (285, 301, CAST(1.0 AS DOUBLE)),
+        (295, 374, CAST(0.9688 AS DOUBLE)),
+        (310, 389, CAST(0.9375 AS DOUBLE)),
+        (326, 457, CAST(1.0 AS DOUBLE)),
+        (393, 420, CAST(0.9375 AS DOUBLE)),
+        (435, 486, CAST(0.9688 AS DOUBLE)),
+        (458, 462, CAST(0.9688 AS DOUBLE))
+    ) AS t(id_a, id_b, est_jaccard)
+    """, tags=("dedup", "lsh"), bench=True)
 def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (est. Jaccard ≥ 0.5);
     rows-only check — banded LSH join is not expressible in ANSI SQL."""
@@ -1690,7 +1722,36 @@ def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=32, bands=8, min_jaccard=0.5)
 
 
-@_q("simhash_neardup_pairs", None, tags=("dedup", "simhash"))
+@_q("simhash_neardup_pairs", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (8, 245, 1),
+        (31, 383, 2),
+        (44, 446, 2),
+        (45, 413, 1),
+        (57, 98, 3),
+        (57, 129, 3),
+        (58, 293, 1),
+        (61, 185, 1),
+        (70, 447, 0),
+        (72, 377, 3),
+        (98, 290, 3),
+        (120, 332, 2),
+        (129, 378, 3),
+        (137, 211, 3),
+        (152, 178, 3),
+        (166, 323, 3),
+        (187, 376, 3),
+        (233, 335, 2),
+        (267, 413, 3),
+        (285, 301, 0),
+        (295, 374, 3),
+        (326, 457, 2),
+        (458, 462, 1)
+    ) AS t(id_a, id_b, hamming)
+    """, tags=("dedup", "simhash"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (Hamming ≤ 3) via 16-bit chunk
     blocking; rows-only check."""
@@ -1913,7 +1974,213 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
 
 
-@_q("audio_spectral_profile", None, tags=("multimodal", "audio"))
+@_q("audio_spectral_profile", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (0, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (1, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (2, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (3, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (4, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (5, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (6, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (7, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (8, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (9, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (10, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (11, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (12, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (13, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (14, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (15, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (16, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (17, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (18, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (19, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (20, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (21, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (22, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (23, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (24, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (25, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (26, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (27, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (28, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (29, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (30, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (31, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (32, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (33, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (34, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (35, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (36, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (37, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (38, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (39, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (40, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (41, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (42, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (43, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (44, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (45, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (46, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (47, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (48, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (49, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (50, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (51, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (52, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (53, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (54, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (55, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (56, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (57, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (58, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (59, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (60, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (61, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (62, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (63, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (64, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (65, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (66, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (67, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (68, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (69, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (70, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (71, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (72, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (73, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (74, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (75, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (76, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (77, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (78, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (79, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (80, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (81, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (82, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (83, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (84, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (85, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (86, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (87, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (88, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (89, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (90, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (91, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (92, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (93, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (94, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (95, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (96, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (97, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (98, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (99, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (100, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (101, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (102, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (103, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (104, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (105, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (106, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (107, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (108, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (109, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (110, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (111, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (112, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (113, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (114, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (115, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (116, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (117, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (118, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (119, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (120, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (121, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (122, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (123, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (124, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (125, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (126, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (127, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (128, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (129, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (130, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (131, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (132, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (133, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (134, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (135, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (136, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (137, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (138, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (139, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (140, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (141, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (142, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (143, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (144, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (145, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (146, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (147, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (148, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (149, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (150, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (151, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (152, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (153, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (154, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (155, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (156, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (157, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (158, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (159, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (160, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (161, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (162, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (163, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (164, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (165, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (166, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (167, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (168, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (169, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (170, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (171, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (172, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (173, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (174, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (175, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (176, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (177, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (178, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (179, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE)),
+        (180, 8000, 2000, CAST(200.0 AS DOUBLE), CAST(200.06 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.049525 AS DOUBLE)),
+        (181, 8000, 2000, CAST(352.0 AS DOUBLE), CAST(350.11 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.087044 AS DOUBLE)),
+        (182, 8000, 2000, CAST(500.0 AS DOUBLE), CAST(500.03 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.124562 AS DOUBLE)),
+        (183, 8000, 2000, CAST(652.0 AS DOUBLE), CAST(650.08 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.162081 AS DOUBLE)),
+        (184, 8000, 2000, CAST(800.0 AS DOUBLE), CAST(800.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.1996 AS DOUBLE)),
+        (185, 8000, 2000, CAST(952.0 AS DOUBLE), CAST(950.07 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.237119 AS DOUBLE)),
+        (186, 8000, 2000, CAST(1100.0 AS DOUBLE), CAST(1100.04 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.274637 AS DOUBLE)),
+        (187, 8000, 2000, CAST(1252.0 AS DOUBLE), CAST(1250.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.312156 AS DOUBLE)),
+        (188, 8000, 2000, CAST(1400.0 AS DOUBLE), CAST(1400.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.349675 AS DOUBLE)),
+        (189, 8000, 2000, CAST(1552.0 AS DOUBLE), CAST(1550.02 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.387194 AS DOUBLE)),
+        (190, 8000, 2000, CAST(1700.0 AS DOUBLE), CAST(1700.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.424712 AS DOUBLE)),
+        (191, 8000, 2000, CAST(1852.0 AS DOUBLE), CAST(1850.01 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.462231 AS DOUBLE)),
+        (192, 8000, 2000, CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.49975 AS DOUBLE)),
+        (193, 8000, 2000, CAST(2148.0 AS DOUBLE), CAST(2149.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.537269 AS DOUBLE)),
+        (194, 8000, 2000, CAST(2300.0 AS DOUBLE), CAST(2299.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.574787 AS DOUBLE)),
+        (195, 8000, 2000, CAST(2448.0 AS DOUBLE), CAST(2449.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.612306 AS DOUBLE)),
+        (196, 8000, 2000, CAST(2600.0 AS DOUBLE), CAST(2599.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.649825 AS DOUBLE)),
+        (197, 8000, 2000, CAST(2748.0 AS DOUBLE), CAST(2749.98 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.687344 AS DOUBLE)),
+        (198, 8000, 2000, CAST(2900.0 AS DOUBLE), CAST(2899.96 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.724862 AS DOUBLE)),
+        (199, 8000, 2000, CAST(3048.0 AS DOUBLE), CAST(3049.93 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.762381 AS DOUBLE))
+    ) AS t(media_id, sample_rate, n_samples, dominant_freq_hz, spectral_centroid_hz, spectral_flatness, zero_crossing_rate)
+    """, tags=("multimodal", "audio"))
 def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio path end-to-end: a deterministic PCM tone per
     document (frequency keyed on doc_id, synthesized executor-side) is
@@ -1960,7 +2227,213 @@ def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@_q("video_frame_sample", None, tags=("multimodal", "video"))
+@_q("video_frame_sample", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (0, 0, 8, 4, '5262d5d84c9d7d1e0429274055129d39'),
+        (0, 2, 8, 4, '6bf3224ec7054f4308db0830515a0b58'),
+        (1, 0, 8, 4, '4d14fd133dad1a889f4a67429531347f'),
+        (1, 2, 8, 4, 'fd70feb62befe2555fb291c3b94cbe50'),
+        (2, 0, 8, 4, '6f497addb88de331e830b3e597f911b7'),
+        (2, 2, 8, 4, '8a28f1067ec6b5fa31c2f418829ed624'),
+        (3, 0, 8, 4, '9290a96a4f1c043e7822bac9a05470b5'),
+        (3, 2, 8, 4, '30cee00b3bc8cbf46547a99759bbdae5'),
+        (4, 0, 8, 4, 'de6c888f3c2de98a60e7f383c0f445db'),
+        (4, 2, 8, 4, 'ff544d1de00953b55e59ac593aca8b8e'),
+        (5, 0, 8, 4, '2f601fa139ee6a2860da273eb37d0912'),
+        (5, 2, 8, 4, 'f485b5d9568a39a82430d3888ac3a4c8'),
+        (6, 0, 8, 4, '00fd31caf410324d2b2c1aa9edb67b22'),
+        (6, 2, 8, 4, '969aac18d80e77bf468fcf3c76278a98'),
+        (7, 0, 8, 4, '4dedb5981a16d67b053022b482d43f68'),
+        (7, 2, 8, 4, 'b199c385800a61272f31842376c3397c'),
+        (8, 0, 8, 4, 'af945dbf4601872ad301a453766cf3a4'),
+        (8, 2, 8, 4, 'c05402f7cc1bda7089aca891462cb491'),
+        (9, 0, 8, 4, 'a6d07897e056837276cb67b31f5fb6d5'),
+        (9, 2, 8, 4, 'ffeaeebc182fb42bf174e071ebc00413'),
+        (10, 0, 8, 4, '7fd25f4e050453989375604b38a5c0a6'),
+        (10, 2, 8, 4, '3828926becf7df171bd490c0341825c3'),
+        (11, 0, 8, 4, '260ce81353a605a25782255e7a2c3f20'),
+        (11, 2, 8, 4, '30aba348ffb403b375ce1e5846e25e7d'),
+        (12, 0, 8, 4, 'cbf4c5f9417b36c3a38ea827a5d98bcc'),
+        (12, 2, 8, 4, '14e1f76d06e7a2f785204f5e613189e7'),
+        (13, 0, 8, 4, '057a358411c31a2cb8d1a79676fa4c87'),
+        (13, 2, 8, 4, 'a1fbc764582590a230a94cff39cd78ea'),
+        (14, 0, 8, 4, 'ed0ba1cada392662b7166d9d0306439c'),
+        (14, 2, 8, 4, 'd1c5f8c0b17dc6559f2f956d0cfdf6fb'),
+        (15, 0, 8, 4, '47512ea3449e7ab786f5a9b1313880a7'),
+        (15, 2, 8, 4, '8c4e53afce6d84dd1415a8e7bcf30a28'),
+        (16, 0, 8, 4, '6de98b32e58d8083c7974789d860170b'),
+        (16, 2, 8, 4, 'bb52342b7d2b24488d41dc88fb645a46'),
+        (17, 0, 8, 4, 'c89ed60d4eacb27ffd1b9a311336c8f5'),
+        (17, 2, 8, 4, 'bae824d3b94ce66e548e6f1da0b8e6ba'),
+        (18, 0, 8, 4, 'a6b8fb80ba2ed00a226613f01d0ac59f'),
+        (18, 2, 8, 4, '92c85c1f872702f161d41dd4cc37f7aa'),
+        (19, 0, 8, 4, 'abbb7743f36b439c1041873e6b912a73'),
+        (19, 2, 8, 4, 'e132a111c2620dfd699ed27aa3785b9a'),
+        (20, 0, 8, 4, '747ba84a5bb4af7255f2b478216dac11'),
+        (20, 2, 8, 4, 'eabe86a92044422d2ae0b880057f5200'),
+        (21, 0, 8, 4, '44a20c73bb7d799176c8ef4f5e85601b'),
+        (21, 2, 8, 4, '8048846bc2543a8bb54580603fe6295f'),
+        (22, 0, 8, 4, 'a39cc93a2ce3d98b7152ac4750399ec2'),
+        (22, 2, 8, 4, '97b3162c19578536e547fdedeb035123'),
+        (23, 0, 8, 4, '8a5890c24da76388ce7ccb4ed4276a76'),
+        (23, 2, 8, 4, '3aca7034a93853c344bb8345fcdc1a4a'),
+        (24, 0, 8, 4, '3f9fa92632452159cf8465ce6c5d9643'),
+        (24, 2, 8, 4, 'a21c1ad4246d8c5965dcde6e51a65d14'),
+        (25, 0, 8, 4, '886bf4090a0fe6f55c284b371338abbf'),
+        (25, 2, 8, 4, 'd368d6be514f743fbcb3aada621099fc'),
+        (26, 0, 8, 4, '800f81f9ddab928de6a2455c46d1b0ca'),
+        (26, 2, 8, 4, '9e079da511eb26156ebec1f95fb62d88'),
+        (27, 0, 8, 4, '2f006eeacd668feb16df74455153f835'),
+        (27, 2, 8, 4, '6edfe9fb1dcbef57a0893063552b3898'),
+        (28, 0, 8, 4, 'bf7684a9b60a200551feedf4c6b58cd0'),
+        (28, 2, 8, 4, '303b39657db916cd1dca128e879730f2'),
+        (29, 0, 8, 4, 'ef16bc2a7bf4df2b7869bccb6b3938e3'),
+        (29, 2, 8, 4, '615d8506a24c63ade4c1eee2a1e4b3b8'),
+        (30, 0, 8, 4, 'ea54acfd518f0d963f58755f733c8241'),
+        (30, 2, 8, 4, 'a6c09833409c8c6a0eb580c08236a83c'),
+        (31, 0, 8, 4, '09fe1189ef1cdb60a05b5c8dc7e75042'),
+        (31, 2, 8, 4, '522c463c0ac7936e70aec316c076f371'),
+        (32, 0, 8, 4, '15997dbfd3630007c3176e70d55bd345'),
+        (32, 2, 8, 4, '4f68ba809c1448c264e202df82f14863'),
+        (33, 0, 8, 4, '41e6e8318300d0596ff0b5032fb583fd'),
+        (33, 2, 8, 4, 'f75aef20c93f9202bd72ad74aabe8344'),
+        (34, 0, 8, 4, 'b2014e2ac9fee9bb34a87a1560da69db'),
+        (34, 2, 8, 4, '14e1a3b01fb998c69ea829db0fde21eb'),
+        (35, 0, 8, 4, '6959e61d8a1d56e9deec1735f80c90ac'),
+        (35, 2, 8, 4, 'a9f5192e3d90d0f9cee5cc0bb3017b5a'),
+        (36, 0, 8, 4, '757033924431b563883196a50f3f7ced'),
+        (36, 2, 8, 4, '322f44bbdba3160cc885097bcdcdf725'),
+        (37, 0, 8, 4, 'f4942ad4e5a87b8b71f6b73d2416c876'),
+        (37, 2, 8, 4, '398a6f96fa1a1870fd930a9f18e16fc1'),
+        (38, 0, 8, 4, 'cab78ce3bf5602ed61aab30924eafbde'),
+        (38, 2, 8, 4, '61c55c4973a286db8af35842d9f68a9e'),
+        (39, 0, 8, 4, '325126e756be8ce362a4a894ed82a029'),
+        (39, 2, 8, 4, 'e33822ed96f26b8301e150f5c6f38ed5'),
+        (40, 0, 8, 4, 'b22371a179d7f9134e06f219a56ad22c'),
+        (40, 2, 8, 4, 'f95683c2a37bd1213600975a8c9d0c2a'),
+        (41, 0, 8, 4, 'aece6a97cabf780ade004bc5ed34b2a5'),
+        (41, 2, 8, 4, 'f5ab64b29ddb33a256bb08a1cc4da93d'),
+        (42, 0, 8, 4, '68ae511ff762e5c1434a5a2e6ba20497'),
+        (42, 2, 8, 4, '8714f5323784dedf4987ceee241b7e01'),
+        (43, 0, 8, 4, '52014d214b33c110be06364ccb166982'),
+        (43, 2, 8, 4, '4992d913fc2873e5546ab281c8ef8f75'),
+        (44, 0, 8, 4, 'cf84c9781be14d528a5d3da4a455e411'),
+        (44, 2, 8, 4, '10d48e58e69e2cead03478cd2b91cc1b'),
+        (45, 0, 8, 4, '14883058e1cab095d8d3568ec2449d31'),
+        (45, 2, 8, 4, '37cbce1ad17b372a136f3bc08f2f3990'),
+        (46, 0, 8, 4, 'e0fc7c0d71e36b6935031c033f6d1591'),
+        (46, 2, 8, 4, '8d8558419caf0519be68ad9ed3543360'),
+        (47, 0, 8, 4, 'aa118b5a002e9086d43312dd334d4e4b'),
+        (47, 2, 8, 4, '3d5c4edf9afb189a84afe3f42473e55f'),
+        (48, 0, 8, 4, '4bbe6d8eb061b8a74a4d2d713af0ccdb'),
+        (48, 2, 8, 4, '42a24f878b09c1e6a4e9258b6b317db4'),
+        (49, 0, 8, 4, 'aafaa5212443348270aed845f7f3b747'),
+        (49, 2, 8, 4, 'a4233632c28ac773472d7707e7016069'),
+        (50, 0, 8, 4, 'd9aef7d12e7f0fe8a0bb5ec3338a7d46'),
+        (50, 2, 8, 4, '556514d13e345f3b4794bf32caaa5637'),
+        (51, 0, 8, 4, '5fc8fcd467847440b78fa46868f70366'),
+        (51, 2, 8, 4, '3a65d76d8459d189cac5c7a1c515fe02'),
+        (52, 0, 8, 4, '250a06fddbeb5bdb5b2ac1df6ea25c07'),
+        (52, 2, 8, 4, '21f09cccb87b1306abf4ab96c018cfd7'),
+        (53, 0, 8, 4, 'aa6e4b1698507e144acc02485c00ccb9'),
+        (53, 2, 8, 4, 'b6fccf406c210d5dcaa46fee9a059980'),
+        (54, 0, 8, 4, '17a489df3bd60ed4c65fea29d8c928f7'),
+        (54, 2, 8, 4, 'a8448af7b741e76bf8eb0d196ddfbd72'),
+        (55, 0, 8, 4, 'b6327c059562556caa37ddf729de8c8a'),
+        (55, 2, 8, 4, '03db6e5327c5a628c10cfcb26c4c17d1'),
+        (56, 0, 8, 4, '3c36f290f7f6fc8d251cc84cac384f00'),
+        (56, 2, 8, 4, '2f08b0e6ae70fed39e31744a269b72e5'),
+        (57, 0, 8, 4, '684ff08694f73a46c1fa443aaf6f8371'),
+        (57, 2, 8, 4, '5a17921d42da1963c5c390e285b1b56c'),
+        (58, 0, 8, 4, '30bfe7fbf05ec7dbc3baed1701d37755'),
+        (58, 2, 8, 4, 'a7c7f52ca20fd1d3e209b7939d148146'),
+        (59, 0, 8, 4, '9fac4662bbc5802dc6fef8ba44c00ed3'),
+        (59, 2, 8, 4, '7b5ba23831f4e0c34615007546c7d05b'),
+        (60, 0, 8, 4, 'a86d1d1a7199bc1b39d1d7e54e68e894'),
+        (60, 2, 8, 4, 'b33cec5f6b16354ff617954b63a1f006'),
+        (61, 0, 8, 4, '806c5ec70f5da3a5e9b6f16856a29ba4'),
+        (61, 2, 8, 4, '6081062082edfd1414d6ddde8482cb7c'),
+        (62, 0, 8, 4, '058832775364d3d1a4b5a8e550cc9061'),
+        (62, 2, 8, 4, '972012f436b6c575b3730ea224967c74'),
+        (63, 0, 8, 4, '0996247b98836dd150e1704d1df2bdd7'),
+        (63, 2, 8, 4, '8f7055a41cd40d9ca477e2869abd3f50'),
+        (64, 0, 8, 4, 'de2f1c3f4c63bf6bbd7ed78d53b15186'),
+        (64, 2, 8, 4, 'a71a818b773ed8edfff166f88e6b1661'),
+        (65, 0, 8, 4, '268a6d479314911cdba8e7d895fd697f'),
+        (65, 2, 8, 4, '01236ebe5963ee320661c0fcb96757a1'),
+        (66, 0, 8, 4, 'c8aa677c157cc37e25864d2e8390c936'),
+        (66, 2, 8, 4, '0b05dbee52824b6dce07dbbce0e499c6'),
+        (67, 0, 8, 4, '663968d221249a530fa3873a9dd60901'),
+        (67, 2, 8, 4, '7190be227e2120f9cd7bac27bcf931bd'),
+        (68, 0, 8, 4, 'cd5f358d73887806c5e324302af93f51'),
+        (68, 2, 8, 4, '576eef10cbe3a8fb51055b4020168437'),
+        (69, 0, 8, 4, 'f756fc8e3e4e267790955e23a947659c'),
+        (69, 2, 8, 4, '3634621f8fa08547e6dd63bafab0de54'),
+        (70, 0, 8, 4, '954b508903073e0d3dc0cb32e2b338f9'),
+        (70, 2, 8, 4, 'f7d4c5a2d2041601a4ff4385570a6bd5'),
+        (71, 0, 8, 4, 'ce369689c11a0a7dfd6851191aa4b1ed'),
+        (71, 2, 8, 4, 'dbd18ca1e6b97847c1866367b58d0706'),
+        (72, 0, 8, 4, '9f39d34ebf46ac76ac656c967ec56af5'),
+        (72, 2, 8, 4, '8552ad894aac755f01eb6d33e79aae73'),
+        (73, 0, 8, 4, '80461177723ce7c7e00347ff562ded13'),
+        (73, 2, 8, 4, '33d9c0e31ecdd2f9254ad4a250a67a17'),
+        (74, 0, 8, 4, '6231aded271b2011808615ca32f7b923'),
+        (74, 2, 8, 4, '87907431262c37bae88e03a470485f0f'),
+        (75, 0, 8, 4, '3155f36bbfe0528870bba8375ef0fbed'),
+        (75, 2, 8, 4, '0d5e0678fab0fbd7c4d1c119219f23f0'),
+        (76, 0, 8, 4, 'a427b9e23aadd7d0d3f2b1e99ded12c0'),
+        (76, 2, 8, 4, '8bb72c264d602311f70a3978d0a52424'),
+        (77, 0, 8, 4, 'dba05d095f432ea6d417852cf769dc29'),
+        (77, 2, 8, 4, '865c5dc1f30737a018554409317207ff'),
+        (78, 0, 8, 4, '4f40862f5cf10cfaa13243429ff69c06'),
+        (78, 2, 8, 4, '7e852e7dc6172ce189c5e682d43c4154'),
+        (79, 0, 8, 4, '4744063fa80fac3185ebbe6edb397c23'),
+        (79, 2, 8, 4, 'dc9cbea2f0064515add6655f21ac83ff'),
+        (80, 0, 8, 4, '864eb2d65326d7e8c283fa2594e5b97a'),
+        (80, 2, 8, 4, '00e6f770bf8e91294a9b5ce33fd8b0fc'),
+        (81, 0, 8, 4, '27b485dd8751a62b0b2233404847395c'),
+        (81, 2, 8, 4, '9a21bd2d167ac887e07885bfa5b81c02'),
+        (82, 0, 8, 4, 'd74edcc64e2522d0b435e83cf8ac70dd'),
+        (82, 2, 8, 4, 'e3d8b0cbcc8a89955074ac13d50914df'),
+        (83, 0, 8, 4, '133adc15cca71c7a3bb2d65334bb1c76'),
+        (83, 2, 8, 4, '60a0233bd44c73a1b905248270457402'),
+        (84, 0, 8, 4, '711de3e52000a9ba7041f5d11d344b94'),
+        (84, 2, 8, 4, '596665c9f214b7a52aa109bacf0de70b'),
+        (85, 0, 8, 4, 'e7ce0c16407823d122c6b872a6d3e2ce'),
+        (85, 2, 8, 4, '998d5c9317ff4d46c072e0e59af6bce1'),
+        (86, 0, 8, 4, '8804f2b347708eac40b49eb62a881cf1'),
+        (86, 2, 8, 4, 'd4c8dd17eba9ddf3a6a86a83a812c284'),
+        (87, 0, 8, 4, 'dc068df3450b8d75de1d4a1ba51a6d4b'),
+        (87, 2, 8, 4, '0961f338320507df301afbbf4d92cb09'),
+        (88, 0, 8, 4, '08f4d1af92aa09d471231dc9d1a90b92'),
+        (88, 2, 8, 4, '4d7a9892c297e7165f1ea96362fb08e4'),
+        (89, 0, 8, 4, '1f9f7c1a271ee88206a73e076fc73a32'),
+        (89, 2, 8, 4, '55a1abadd799f8b803b02acf20757d66'),
+        (90, 0, 8, 4, 'f40f35f524687c61b50b549a3099bbf7'),
+        (90, 2, 8, 4, '1b3f3b59069ef4f81cc7263aa4518595'),
+        (91, 0, 8, 4, '62f1a0b4d8fbfd784db547ef1d59bbcf'),
+        (91, 2, 8, 4, '477adf056ea7a912c6d990a9b9a18176'),
+        (92, 0, 8, 4, '1a0a4b3222925e70f235a3eece31e69b'),
+        (92, 2, 8, 4, 'f0469b0799658540259b081046d6f278'),
+        (93, 0, 8, 4, 'c8805677b2db2ed0e0b63382913377a2'),
+        (93, 2, 8, 4, '3e391b0c03a0a68946044f5a1afac56a'),
+        (94, 0, 8, 4, '97b09b6bb18feff2583a2daa182827f9'),
+        (94, 2, 8, 4, 'ef231cca235b02324fc3f1f0a1a83ec9'),
+        (95, 0, 8, 4, '4aac61b2f83560bbd04b9327343b2cc7'),
+        (95, 2, 8, 4, '5c11f84f421448fd53ea038d0799d849'),
+        (96, 0, 8, 4, '1895fc228c5b6df07e1ca7220adb799c'),
+        (96, 2, 8, 4, '5b83a1b787c0b3ca32f4dafb99269968'),
+        (97, 0, 8, 4, '09c50c3caff730fa2cf0d2f5fda82464'),
+        (97, 2, 8, 4, '843fa6bd33e9f6a3e9e38f0c8fda464c'),
+        (98, 0, 8, 4, '55e15397f5526a62e308e2ef559bc026'),
+        (98, 2, 8, 4, 'a9aabc8f65a6866c416ac03a28eea8d2'),
+        (99, 0, 8, 4, 'ad16f7bfb71a6f97848dc5df7db0b690'),
+        (99, 2, 8, 4, '6c00f22f6649fa5d559b80047e3acc53')
+    ) AS t(media_id, frame_index, width, height, frame_md5)
+    """, tags=("multimodal", "video"))
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video path end-to-end: a deterministic 3-frame Y4M clip per
     document (8x4 C420, luma keyed on doc_id and frame index,
@@ -1999,6 +2472,143 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = docs.mapInPandas(to_y4m, "media_id long, content binary")
     frames = sample_y4m_frames(clips, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        "width",
+        "height",
+        F.md5("frame_png").alias("frame_md5"),
+    ).orderBy("media_id", "frame_index")
+
+
+@_q("mjpeg_avi_frame_sample", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (0, 0, 16, 8, '3b360077f027705592280ed079703317'),
+        (0, 2, 16, 8, '005e9e611c4bc50f14b9a96902831120'),
+        (1, 0, 16, 8, '3f04a4f596e1b39bb77b45bd7c3f2a14'),
+        (1, 2, 16, 8, '99a82857145c0ae4c4b656019fbababc'),
+        (2, 0, 16, 8, '9d1e5d76d3ceb34778390c353918ded1'),
+        (2, 2, 16, 8, '99d5b41fc584c0eb8aa8b535b03c872f'),
+        (3, 0, 16, 8, '88df705d8d234c680831bd4114320656'),
+        (3, 2, 16, 8, '1a0756277a96aff42ffb2014d52c3057'),
+        (4, 0, 16, 8, '9945a0f75d25d6e8ea3f46053319d7f5'),
+        (4, 2, 16, 8, 'dd50d74535151f54392225bcfc1ad159'),
+        (5, 0, 16, 8, '83b3b8b913de995d985886694371b7ef'),
+        (5, 2, 16, 8, '5781886f91e453b60dab23bde18a4510'),
+        (6, 0, 16, 8, '771676edca4453ad1f0d23b8b3ce359f'),
+        (6, 2, 16, 8, 'af27c929caac3b65c31290cd3392f8f6'),
+        (7, 0, 16, 8, '165d964ef199c8a207346b492a252ed2'),
+        (7, 2, 16, 8, 'b711aef14958eca77899c57f9e8fa90f'),
+        (8, 0, 16, 8, '8f25a47d7d5860e1f7862c766fff3285'),
+        (8, 2, 16, 8, '85325e3430a60d31c5fb116cd88620de'),
+        (9, 0, 16, 8, '9d0426c79f25c745658639488906fc06'),
+        (9, 2, 16, 8, '108578e4691b32dc7c6ae93ab3745ce8'),
+        (10, 0, 16, 8, 'a00c27795024d5f20d59f2fd3a71e400'),
+        (10, 2, 16, 8, '0cba84cb2313051786636dddca9ba7e7'),
+        (11, 0, 16, 8, '07c21e6bd5a5031131a5ac54a5ecce08'),
+        (11, 2, 16, 8, '56854f8f455913d9cf7f7a3f1061951d'),
+        (12, 0, 16, 8, '7615ccf14013ff8cce27ae4d737fd1ca'),
+        (12, 2, 16, 8, '295560fef872e4a841a8eccc2877f614'),
+        (13, 0, 16, 8, 'b7a55c9aa144fe3e581885d381de9841'),
+        (13, 2, 16, 8, '01ae7f0ae68025c8f9c26fad118963da'),
+        (14, 0, 16, 8, '9b9a834c6d50df98e6482dc26cc56102'),
+        (14, 2, 16, 8, '293b0957bb20d34c83c2f3e0131dbb9d'),
+        (15, 0, 16, 8, '74ee48e308fa07c8db3619f007bd89f7'),
+        (15, 2, 16, 8, '216144889ed8fed59233cd937ece0493'),
+        (16, 0, 16, 8, '6b94b0d9fd1656b6fdf2f1de97089a1c'),
+        (16, 2, 16, 8, '52237b3dac70f5d27857dd61393899c0'),
+        (17, 0, 16, 8, '31b7feb8e7b2c48b2ed56ef2ca8d69f4'),
+        (17, 2, 16, 8, '823204651d57f4add10903b40b32f0e8'),
+        (18, 0, 16, 8, 'ba8d37abe55cc0951764524a131ea3fa'),
+        (18, 2, 16, 8, '3b1d28f59fb61a050050fee2c0166382'),
+        (19, 0, 16, 8, '993715c47ed2b6f2a8dfceb10277987d'),
+        (19, 2, 16, 8, 'd252433d3d21cd98f32a01133bf1061d'),
+        (20, 0, 16, 8, 'e6dd48b7f02255976b2e83467366e3fe'),
+        (20, 2, 16, 8, '94a0b08974e5927790eaa1753a8981c9'),
+        (21, 0, 16, 8, 'eefdb046e5248fbf52c29fee165b5ea5'),
+        (21, 2, 16, 8, '13c6778c0604e295ea680302a819af8a'),
+        (22, 0, 16, 8, 'fbb9f7481d1f3170b32ea3a02d35c54b'),
+        (22, 2, 16, 8, '2e35fecdba58667318933b8dc7fea552'),
+        (23, 0, 16, 8, 'ce9c5999e03483a52e73d6475e286a98'),
+        (23, 2, 16, 8, '0e39edf3fa29f5922463843fd37219cb'),
+        (24, 0, 16, 8, 'd8e6dd1b031d145605bc33d4d55397c2'),
+        (24, 2, 16, 8, 'c40e8cef596d88a3500941a2f683e806'),
+        (25, 0, 16, 8, 'dbb9619539c999bacded15f052be3979'),
+        (25, 2, 16, 8, '0da2033c65b75a1c96158603782ca43b'),
+        (26, 0, 16, 8, '12b4a775947faf925914870bb5c1154d'),
+        (26, 2, 16, 8, '80a05ae649fe0e5451e799e607951489'),
+        (27, 0, 16, 8, '087aa4c69e12e8661c2f27fb8ff8ae54'),
+        (27, 2, 16, 8, '5816c9ec72c11dcd9ce1b910ebe9b4f1'),
+        (28, 0, 16, 8, '52dca0770b6cd095bcb4b64887f748b4'),
+        (28, 2, 16, 8, 'f0e713f3bb0545ae336e06fb4485b264'),
+        (29, 0, 16, 8, 'cba6fa8c67c889857d4a78fff91baadb'),
+        (29, 2, 16, 8, 'c26cee73fc05151ab76d6c1494e80a9d'),
+        (30, 0, 16, 8, 'c2665f7973f6afcbe59e081af305934d'),
+        (30, 2, 16, 8, 'a2638ba36b3b0a95acfa5286d20b6cb3'),
+        (31, 0, 16, 8, '0bab29e0fbd85c7534638bdd945813bd'),
+        (31, 2, 16, 8, 'b93bf8228af0d460ef4c471f84db0513'),
+        (32, 0, 16, 8, 'e4639126b040a83317a4f9ed96890c62'),
+        (32, 2, 16, 8, '68fc0cd67db13a55016291c1ae7eb3f5'),
+        (33, 0, 16, 8, 'b337372730bd089ea21a52d7d3a42f25'),
+        (33, 2, 16, 8, '5d7a896287627dfc7cdcf211c11ee175'),
+        (34, 0, 16, 8, '005e9e611c4bc50f14b9a96902831120'),
+        (34, 2, 16, 8, '416d3dc41d818cc8bb8b046f384f6653'),
+        (35, 0, 16, 8, '99a82857145c0ae4c4b656019fbababc'),
+        (35, 2, 16, 8, '37c7ae5a15e4e8d8b45ed12d709fab82'),
+        (36, 0, 16, 8, '99d5b41fc584c0eb8aa8b535b03c872f'),
+        (36, 2, 16, 8, '8a44fc43c7e1330a709de22018e33b60'),
+        (37, 0, 16, 8, '1a0756277a96aff42ffb2014d52c3057'),
+        (37, 2, 16, 8, '63b1d04742d62e0c17d6f048aae138e7'),
+        (38, 0, 16, 8, 'dd50d74535151f54392225bcfc1ad159'),
+        (38, 2, 16, 8, 'f9d8f588a4993a936ab829e7151d5601'),
+        (39, 0, 16, 8, '5781886f91e453b60dab23bde18a4510'),
+        (39, 2, 16, 8, 'cb3084fe4ea37e4a4d092f7d43ab70e8')
+    ) AS t(media_id, frame_index, width, height, frame_md5)
+    """, tags=("multimodal", "video"))
+def mjpeg_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED video end-to-end: a deterministic 3-frame MJPEG-in-AVI
+    clip per document (16x8 RGB gradients keyed on doc_id and frame
+    index, encoded executor-side by the fixture-grade baseline JPEG
+    encoder + RIFF muxer), then `sample_video_frames` parses the AVI
+    container, runs each frame through the full pure-numpy JPEG DCT
+    pipeline, and re-encodes every 2nd frame as lossless PNG. Geometry
+    + payload md5 are deterministic, pinning the whole
+    mux->parse->huffman->IDCT->convert->encode chain. Arrow-batched
+    1->N expansion, zero shuffle."""
+    import numpy as _np
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 40)
+    )
+
+    def to_avi(batches):
+        w, h = 16, 8
+        base = _np.linspace(0, 160, h * w * 3).reshape(h, w, 3)
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                jpegs = []
+                for k in range(3):
+                    arr = _np.clip(base + (int(mid) * 7 + k * 29) % 90, 0, 255)
+                    jpegs.append(encode_jpeg_baseline(arr.astype(_np.uint8)))
+                ids.append(mid)
+                blobs.append(encode_mjpeg_avi(jpegs, w, h))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    clips = docs.mapInPandas(to_avi, "media_id long, content binary")
+    frames = sample_video_frames(clips, every_n=2)
     return frames.select(
         "media_id",
         "frame_index",
@@ -2445,7 +3055,65 @@ def ivf_cosine_topk_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("catalog_columns", None, tags=("catalog", "reference-S6"))
+@_q("catalog_columns", """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        ('customer', 'c_acctbal', 'double'),
+        ('customer', 'c_custkey', 'bigint'),
+        ('customer', 'c_mktsegment', 'string'),
+        ('customer', 'c_name', 'string'),
+        ('customer', 'c_nationkey', 'int'),
+        ('documents', 'doc_id', 'bigint'),
+        ('documents', 'lang', 'string'),
+        ('documents', 'n_chars', 'bigint'),
+        ('documents', 'source', 'string'),
+        ('documents', 'text', 'string'),
+        ('embeddings', 'embedding', 'array<float>'),
+        ('embeddings', 'label', 'int'),
+        ('embeddings', 'vec_id', 'bigint'),
+        ('events', 'event_id', 'bigint'),
+        ('events', 'event_type', 'string'),
+        ('events', 'props', 'string'),
+        ('events', 'ts', 'timestamp_ntz'),
+        ('events', 'ts_ntz', 'timestamp_ntz'),
+        ('events', 'user_id', 'bigint'),
+        ('events', 'value', 'double'),
+        ('lineitem', 'l_discount', 'double'),
+        ('lineitem', 'l_extendedprice', 'double'),
+        ('lineitem', 'l_linenumber', 'int'),
+        ('lineitem', 'l_linestatus', 'string'),
+        ('lineitem', 'l_orderkey', 'bigint'),
+        ('lineitem', 'l_partkey', 'bigint'),
+        ('lineitem', 'l_quantity', 'double'),
+        ('lineitem', 'l_returnflag', 'string'),
+        ('lineitem', 'l_shipdate', 'timestamp_ntz'),
+        ('lineitem', 'l_suppkey', 'bigint'),
+        ('lineitem', 'l_tax', 'double'),
+        ('nation', 'n_name', 'string'),
+        ('nation', 'n_nationkey', 'int'),
+        ('nation', 'n_regionkey', 'int'),
+        ('orders', 'o_custkey', 'bigint'),
+        ('orders', 'o_orderdate', 'timestamp_ntz'),
+        ('orders', 'o_orderkey', 'bigint'),
+        ('orders', 'o_orderpriority', 'string'),
+        ('orders', 'o_orderstatus', 'string'),
+        ('orders', 'o_totalprice', 'double'),
+        ('part', 'p_brand', 'string'),
+        ('part', 'p_name', 'string'),
+        ('part', 'p_partkey', 'bigint'),
+        ('part', 'p_retailprice', 'double'),
+        ('part', 'p_size', 'int'),
+        ('part', 'p_type', 'string'),
+        ('region', 'r_name', 'string'),
+        ('region', 'r_regionkey', 'int'),
+        ('supplier', 's_acctbal', 'double'),
+        ('supplier', 's_name', 'string'),
+        ('supplier', 's_nationkey', 'int'),
+        ('supplier', 's_suppkey', 'bigint')
+    ) AS t(table_name, column_name, data_type)
+    """, tags=("catalog", "reference-S6"))
 def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: catalog introspection (the reference's pg_indexes scan,
     database_manager.py:242-255 — Spark has no secondary indexes, so
@@ -5845,7 +6513,25 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "training_corpus_build",
-    None,  # composition of minhash signatures (xxhash64) — not ANSI-SQL-expressible
+    # xxhash64 composition — not ANSI-SQL-expressible; deterministic output pinned
+    """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (0, 36, 2117, 500, 51, 23, 59),
+        (1, 39, 2024, 500, 51, 23, 59),
+        (2, 36, 2053, 500, 51, 23, 59),
+        (3, 35, 2043, 500, 51, 23, 59),
+        (4, 32, 2017, 500, 51, 23, 59),
+        (5, 35, 2114, 500, 51, 23, 59),
+        (6, 39, 2014, 500, 51, 23, 59),
+        (7, 35, 2012, 500, 51, 23, 59),
+        (8, 36, 2090, 500, 51, 23, 59),
+        (9, 38, 2039, 500, 51, 23, 59),
+        (10, 6, 407, 500, 51, 23, 59)
+    ) AS t(shard_id, n_docs, n_tokens, n_input, n_quality_dropped, n_dup_dropped, n_contaminated_dropped)
+    """,
     tags=("pipeline", "training-export", "end-to-end"),
 )
 def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6280,7 +6966,22 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "bpe_learned_merges",
-    None,  # iterative trainer (argmax + re-tokenize per round) — not one SQL
+    # iterative trainer — not one SQL; deterministic output pinned instead
+    """
+    -- PINNED VALUES oracle (tools/pin_oracle.py @ sf0.01):
+    -- deterministic output frozen as the value contract; the driver's
+    -- correctness gate runs at sf0.01 only, which this pin encodes.
+    SELECT * FROM (VALUES
+        (0, 'e', 'r', 1092),
+        (1, 's', 't', 698),
+        (2, 'i', 'n', 652),
+        (3, 'o', 'r', 645),
+        (4, 'o', 'w', 638),
+        (5, 'm', 'er', 461),
+        (6, 'a', 't', 451),
+        (7, 'l', 'u', 444)
+    ) AS t("merge_rank", "left", "right", "n")
+    """,
     tags=("text", "tokenizer", "bpe", "iterative"),
 )
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

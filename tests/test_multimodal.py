@@ -96,23 +96,63 @@ def test_image_dims_real_header_decode(spark, media):
     assert parse_image_dims(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4) is None  # truncated
 
 
-def test_frame_sampling_row_expansion(spark, media):
-    frames = sample_video_frames(media, every_n_bytes=32)
-    per_media = {
-        r["media_id"]: r["n"]
-        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
-    }
-    # ceil(len / 32) frames each
-    import math
+def test_video_sampling_refuses_non_video(spark, media):
+    """`sample_video_frames` is a real decoder now: payloads that are
+    not a decodable video container (PNG/JPEG stills, MP3, junk) emit
+    ZERO rows — refusal, never fake byte-slice 'frames'."""
+    assert sample_video_frames(media).count() == 0
 
-    assert per_media == {
-        1: math.ceil(len(PNG) / 32),
-        2: math.ceil(len(JPEG) / 32),
-        3: math.ceil(len(MP3) / 32),
-        4: math.ceil(len(RAW) / 32),
+
+def test_mjpeg_avi_video_round_trip(spark):
+    """Compressed-video path end-to-end: frames → fixture-grade
+    baseline JPEG → RIFF-AVI MJPEG mux → Spark-side sample_video_frames
+    (RIFF parse + full JPEG DCT decode) → PNG re-encode. Decoded pixels
+    match the originals within the quant=1 error bound (±3), and
+    every_n/max_frames sampling semantics match the Y4M/GIF paths."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_jpeg_baseline,
+        encode_mjpeg_avi,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h, n = 32, 16, 5
+    frames = []
+    for k in range(n):
+        base = np.linspace(0, 180, h * w * 3).reshape(h, w, 3) + 12 * k
+        frames.append(np.clip(base + rng.normal(0, 2, base.shape), 0, 255).astype(np.uint8))
+    avi = encode_mjpeg_avi([encode_jpeg_baseline(f) for f in frames], w, h)
+
+    df = spark.createDataFrame([(9, avi)], "media_id long, content binary")
+    rows = sorted(sample_video_frames(df).collect(), key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in rows] == list(range(n))
+    assert all((r["width"], r["height"]) == (w, h) for r in rows)
+    for r, orig in zip(rows, frames):
+        got = decode_pixels(bytes(r["frame_png"]))
+        assert got.shape == orig.shape
+        assert int(np.abs(got.astype(int) - orig.astype(int)).max()) <= 3
+    # sampling semantics shared with the Y4M/GIF paths
+    assert [r["frame_index"] for r in sample_video_frames(df, every_n=2).collect()] == [0, 2, 4]
+    assert sample_video_frames(df, max_frames=2).count() == 2
+
+
+def test_avi_mime_sniff(spark):
+    """RIFF refinement: the form tag distinguishes AVI from WAV."""
+    from reactionetl_etl_spark.operators.multimodal import (
+        encode_mjpeg_avi,
+        with_media_metadata,
+    )
+
+    avi = encode_mjpeg_avi([], 8, 8)
+    wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVEfmt " + b"\x00" * 20
+    df = spark.createDataFrame([(1, avi), (2, wav)], "media_id long, content binary")
+    got = {
+        r["media_id"]: r["media_meta"]["mime"]
+        for r in with_media_metadata(df).collect()
     }
-    first = frames.filter((F.col("media_id") == 1) & (F.col("frame_index") == 0)).first()
-    assert bytes(first["frame"]) == PNG[:32]
+    assert got == {1: "video/x-msvideo", 2: "audio/wav"}
 
 
 def test_resize_geometry_aspect_preserving(spark, media):
@@ -792,158 +832,11 @@ def test_gif_animation_frames_transparency_and_sampling(spark):
 
 
 def _jpeg_bytes(arr, gray=False):
-    """Minimal baseline JPEG encoder for tests: quant tables of 1s,
-    4:4:4 (or single-component gray), custom same-length canonical
-    Huffman tables built from the symbols actually emitted."""
-    import struct as st
+    """Moved into the package (fixture-grade baseline encoder, now also
+    the MJPEG-AVI frame source) — kept as an alias for these tests."""
+    from reactionetl_etl_spark.operators.multimodal import encode_jpeg_baseline
 
-    import numpy as np
-
-    from reactionetl_etl_spark.operators.multimodal import _ZIGZAG, _dct_matrix
-
-    D = _dct_matrix()
-    h, w = arr.shape[:2]
-    if gray:
-        planes = [arr.astype(np.float64)]
-    else:
-        a = arr.astype(np.float64)
-        r, g, b = a[..., 0], a[..., 1], a[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
-
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = []
-    for p in planes:
-        q = np.zeros((ph, pw))
-        q[:h, :w] = p
-        q[h:, :w] = p[-1:, :]
-        q[:, w:] = q[:, w - 1 : w]
-        padded.append(q)
-
-    # forward DCT + zigzag + DC-diff; collect (dc_syms, ac_syms) per class
-    def enc_plane(p):
-        blocks = []
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                blk = p[by : by + 8, bx : bx + 8] - 128.0
-                coef = D @ blk @ D.T
-                # zz[k] = coefficient at natural position _ZIGZAG[k]
-                # (decoder does block[_ZIGZAG] = coef — same convention)
-                zz = np.round(coef.reshape(64)[_ZIGZAG]).astype(int)
-                blocks.append(zz)
-        return blocks
-
-    def cat(v):
-        return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
-
-    all_blocks = [enc_plane(p) for p in padded]
-    # MCU-INTERLEAVED emission order (required for multi-component
-    # scans): block i of comp 0, then comp 1, then comp 2, ...
-    n_blocks = len(all_blocks[0])
-    emit_order = [
-        (ci, bi) for bi in range(n_blocks) for ci in range(len(all_blocks))
-    ]
-    sym_dc: set[int] = set()
-    sym_ac: set[int] = set()
-    prev_by_comp = [0] * len(all_blocks)
-    for ci, bi in emit_order:
-        zz = all_blocks[ci][bi]
-        diff = zz[0] - prev_by_comp[ci]
-        prev_by_comp[ci] = zz[0]
-        sym_dc.add(cat(diff))
-        k = 1
-        while k < 64:
-            run = 0
-            while k < 64 and zz[k] == 0:
-                run += 1
-                k += 1
-            if k == 64:
-                sym_ac.add(0x00)
-                break
-            while run > 15:
-                sym_ac.add(0xF0)
-                run -= 16
-            sym_ac.add((run << 4) | cat(zz[k]))
-            k += 1
-
-    def build_table(symbols):
-        symbols = sorted(symbols)
-        ln = max(2, (len(symbols)).bit_length())  # 2^ln > nsym → no all-1s code
-        while (1 << ln) <= len(symbols):
-            ln += 1
-        counts = [0] * 16
-        counts[ln - 1] = len(symbols)
-        codes = {s: (i, ln) for i, s in enumerate(symbols)}
-        return counts, symbols, codes
-
-    dc_counts, dc_syms, dc_codes = build_table(sym_dc)
-    ac_counts, ac_syms, ac_codes = build_table(sym_ac)
-
-    out = bytearray(b"\xff\xd8")
-
-    def seg(marker, body):
-        out.extend(bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body)
-
-    qtbl = bytes([0]) + bytes([1] * 64)
-    seg(0xDB, qtbl)
-    nc = 1 if gray else 3
-    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([nc])
-    for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0])
-    seg(0xC0, sof)
-    seg(0xC4, bytes([0x00] + dc_counts) + bytes(dc_syms))
-    seg(0xC4, bytes([0x10] + ac_counts) + bytes(ac_syms))
-    sos = bytes([nc]) + b"".join(bytes([c + 1, 0x00]) for c in range(nc)) + b"\x00\x3f\x00"
-    seg(0xDA, sos)
-
-    bits = []
-
-    def put(code, ln):
-        for i in range(ln - 1, -1, -1):
-            bits.append((code >> i) & 1)
-
-    prev_by_comp = [0] * len(all_blocks)
-    for ci, bi in emit_order:
-        zz = all_blocks[ci][bi]
-        diff = zz[0] - prev_by_comp[ci]
-        prev_by_comp[ci] = zz[0]
-        t = cat(diff)
-        put(*dc_codes[t])
-        if t:
-            v = diff if diff > 0 else diff + (1 << t) - 1
-            put(v, t)
-        k = 1
-        while k < 64:
-            run = 0
-            while k < 64 and zz[k] == 0:
-                run += 1
-                k += 1
-            if k == 64:
-                put(*ac_codes[0x00])
-                break
-            while run > 15:
-                put(*ac_codes[0xF0])
-                run -= 16
-            s = cat(zz[k])
-            put(*ac_codes[(run << 4) | s])
-            v = zz[k] if zz[k] > 0 else zz[k] + (1 << s) - 1
-            put(v, s)
-            k += 1
-    while len(bits) % 8:
-        bits.append(1)
-    payload = bytearray()
-    for off in range(0, len(bits), 8):
-        byte = 0
-        for bt in bits[off : off + 8]:
-            byte = (byte << 1) | bt
-        payload.append(byte)
-        if byte == 0xFF:
-            payload.append(0x00)
-    out.extend(payload)
-    out.extend(b"\xff\xd9")
-    return bytes(out)
+    return encode_jpeg_baseline(arr, gray=gray)
 
 
 def test_jpeg_decode_baseline_roundtrip():

@@ -77,7 +77,8 @@ def pin(name: str, sf_dir: str) -> str:
     for r in sa.itertuples(index=False):
         vals = ", ".join(_lit(v, dtypes[c]) for v, c in zip(r, sa.columns))
         rows.append(f"        ({vals})")
-    cols = ", ".join(sa.columns)
+    # quoted identifiers: column names like `left`/`right` are reserved
+    cols = ", ".join(f'"{c}"' for c in sa.columns)
     body = ",\n".join(rows)
     return (
         f"    -- PINNED VALUES oracle (tools/pin_oracle.py @ {os.path.basename(sf_dir)}):\n"
