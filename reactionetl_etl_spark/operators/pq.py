@@ -63,9 +63,13 @@ def train_pq_codebook(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows = df.select(vec_col).limit(max_sample).collect()
+    # orderBy before limit: partition-order-independent training set —
+    # same reasoning as similarity.train_ivf_centroids (codebooks must
+    # not depend on the session's split settings).
+    rows = df.select(vec_col).orderBy(vec_col).limit(max_sample).collect()
     x = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
+    rng.shuffle(x)  # mix the sorted sample (see similarity.train_ivf_centroids)
     books = []
     for s in range(m):
         xs = x[:, s * sub : (s + 1) * sub]

@@ -166,10 +166,20 @@ def train_ivf_centroids(
     """
     import numpy as np
 
-    rows = embeddings.select(vec_col).limit(max_sample).collect()
+    # orderBy before limit: a bare limit collects rows in partition
+    # order, which varies with session split settings — the sampled
+    # TRAINING SET (and so the centroids, cells, and every probe
+    # result) must be identical under any executor layout. Arrays sort
+    # lexicographically; TakeOrdered keeps this one bounded job.
+    rows = embeddings.select(vec_col).orderBy(vec_col).limit(max_sample).collect()
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     if x.shape[0] < n_cells:
         raise ValueError(f"sample of {x.shape[0]} rows < n_cells={n_cells}")
+    # seeded re-shuffle: k-means++ seeding degrades on lexicographically
+    # sorted input (adjacent rows are near-identical); a deterministic
+    # permutation restores the mixing without reintroducing
+    # partition-order dependence
+    np.random.default_rng(seed).shuffle(x)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms

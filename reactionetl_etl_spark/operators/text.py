@@ -8,7 +8,7 @@ shuffle; the only shuffles are the final aggregations on small keys
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker sets for the n-gram/stopword language-ID
@@ -441,3 +441,104 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(stopword_ratio(text_col), 4).alias("stop_ratio"),
         quality_score(text_col).alias("quality"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1 — public): heavily
+    repetitive documents are low-quality training data, and the
+    cheapest detectors are exact self-repetition rates. Per document:
+
+    - ``n_lines``, ``dup_line_frac`` (fraction of lines that are
+      duplicates of another line in the SAME doc) and
+      ``dup_line_char_frac`` (character-weighted version — one long
+      duplicated line matters more than many short ones);
+    - ``top_bigram`` / ``top_bigram_frac``: the most frequent word
+      2-gram and the fraction of normalized characters its occurrences
+      cover (ties broken lexicographically-greatest, deterministic).
+
+    Spark shape: the line signals are pure per-row HOFs (zero
+    shuffle); the bigram mode needs a per-(doc, gram) count — one
+    doc-keyed explode + groupBy + row_number, all shuffles keyed on
+    doc_id, never global. At 100 TB this is the same cost profile as
+    any per-doc tokenize pass."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    dlines = F.array_distinct(lines)
+    chars = lambda arr: F.expr(  # noqa: E731
+        f"aggregate(transform({arr}, x -> length(x)), 0L, (a, b) -> a + b)"
+    )
+    line_stats = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        _round6(
+            F.lit(1.0)
+            - F.size(dlines) / F.greatest(F.size(lines), F.lit(1)).cast("double")
+        ).alias("dup_line_frac"),
+        lines.alias("__lines"),
+        dlines.alias("__dlines"),
+    ).select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        _round6(
+            F.lit(1.0)
+            - chars("__dlines") / F.greatest(chars("__lines"), F.lit(1)).cast("double")
+        ).alias("dup_line_char_frac"),
+    )
+    norm_len = F.length(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    grams = token_ngrams(
+        df.select(F.col(id_col), F.col(text_col), norm_len.alias("__nlen")), text_col, 2
+    )
+    counts = grams.groupBy(id_col, "__nlen", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.desc("gram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("gram").alias("top_bigram"),
+            _round6(
+                F.length("gram") * F.col("cnt") / F.greatest("__nlen", F.lit(1)).cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return line_stats.join(top, on=id_col, how="left")
+
+
+def _round6(c: Column) -> Column:
+    """floor(x·1e6 + 0.5)/1e6 — the repo's cross-engine rounding (plain
+    round() diverges between Spark and DuckDB at .5 boundaries)."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def strip_html(col) -> Column:
+    """Plain text out of an HTML payload — the first transform of any
+    web-crawl training pipeline. Pure column expressions (JVM regex,
+    zero Python): drop comments / <script> / <style> blocks (dotall,
+    non-greedy, case-insensitive), strip remaining tags, decode the
+    six ubiquitous entities (&amp; LAST so &amp;lt; round-trips as
+    the literal '&lt;' — the standard decode order), collapse
+    whitespace. A heuristic extractor, not an HTML5 parser: malformed
+    markup degrades to extra whitespace, never to an error."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?is)<script\b.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style\b.*?</style\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<[^>]+>", " ")
+    for ent, ch in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ]:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))

@@ -1165,3 +1165,60 @@ def test_hamming_candidates_zero_budget_is_exact_match(spark):
         for r in D.hamming_candidates(sig, "id", "simhash", max_hamming=0).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed Gopher repetition signals on a fixture where the
+    answers are obvious: duplicate lines and a dominating bigram."""
+    from reactionetl_etl_spark.operators.text import repetition_signals
+
+    rows = [
+        # 4 lines, "same line" twice -> dup_line_frac 0.25;
+        # text normalizes to "same line same line other ab x"
+        (1, "same line\nsame line\nother ab\nx"),
+        # no duplicate lines, "spam ham" repeated dominates bigrams
+        (2, "spam ham spam ham spam"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_lines"] == 4
+    assert abs(r1["dup_line_frac"] - 0.25) < 1e-9
+    # chars: lines 9+9+8+1=27, distinct 9+8+1=18 -> 1-18/27 = 1/3
+    assert abs(r1["dup_line_char_frac"] - round(1 - 18 / 27, 6)) < 1e-6
+    # "same line" bigram occurs twice among bigrams of 6 tokens
+    assert r1["top_bigram"] == "same line"
+
+    r2 = got[2]
+    assert r2["n_lines"] == 1 and r2["dup_line_frac"] == 0.0
+    # bigrams: spam ham (x2), ham spam (x2) -> tie broken by DESC gram
+    assert r2["top_bigram"] == "spam ham"
+    # 2 occurrences x 8 chars / 22 normalized chars
+    assert abs(r2["top_bigram_frac"] - round(16 / 22, 6)) < 1e-6
+
+    r3 = got[3]
+    # single-token doc: one truncated "bigram" = the token itself
+    assert r3["top_bigram"] == "solo" and r3["n_lines"] == 1
+
+
+def test_strip_html_blocks_entities_whitespace(spark):
+    """script/style CONTENTS must vanish (the classic extractor bug),
+    comments drop, entities decode in the standard order (&amp; last),
+    tags collapse to whitespace."""
+    from reactionetl_etl_spark.operators.text import strip_html
+
+    html = (
+        '<html><head><style>b { x: 1; }</style>'
+        '<script>if (1 < 2) { alert("hi"); }</script></head>'
+        "<body><!-- note --><h1>Title</h1>"
+        "<p>a &amp;&amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"
+        "<div>multi\n  space</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = df.select(strip_html("html").alias("t")).first()["t"]
+    assert got == 'Title a && b <tag> "q" \'s\' end multi space'
+    # &amp;lt; decodes to the LITERAL '&lt;', not '<' (single-pass order)
+    df2 = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], "id long, html string")
+    assert df2.select(strip_html("html").alias("t")).first()["t"] == "&lt;"

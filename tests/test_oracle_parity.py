@@ -28,6 +28,13 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_matches_oracle(spark, sf_dir, duck, name):
     spec = all_queries()[name]
+    if "PINNED VALUES oracle" in spec.oracle and not sf_dir.rstrip("/").endswith("sf0.01"):
+        # pinned constant tables encode sf0.01 outputs (the driver's
+        # correctness scale); at this suite's scale they are wrong by
+        # construction — run the query, skip the value compare (same
+        # degradation tools/oracle_check.py applies)
+        spec.builder(spark, sf_dir).collect()
+        pytest.skip("pinned VALUES oracle is sf0.01-only")
     sdf = spec.builder(spark, sf_dir).toPandas()
     odf = duck.execute(spec.oracle).fetchdf()
     assert len(sdf) == len(odf), f"rowcount spark={len(sdf)} duckdb={len(odf)}"

@@ -111,6 +111,12 @@ def main() -> int:
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
+        if "PINNED VALUES oracle" in spec.oracle and not sf_dir.rstrip("/").endswith("sf0.01"):
+            # pinned constant tables encode sf0.01 outputs (the driver's
+            # correctness scale) — at any other scale they are wrong by
+            # construction, so degrade to the rows-only check
+            print(f"rows  {name}: {len(sdf)} rows (pin is sf0.01-only)")
+            continue
         try:
             odf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001

@@ -37,7 +37,9 @@ _DUCK_TYPES = {
     "int32": "BIGINT",
     "int64": "BIGINT",
     "float64": "DOUBLE",
-    "float32": "DOUBLE",
+    # REAL keeps the pandas dtype float32, matching Spark FloatType —
+    # the driver's value hash is type-serialization-sensitive
+    "float32": "REAL",
     "object": "VARCHAR",
     "bool": "BOOLEAN",
 }
@@ -50,6 +52,12 @@ def _lit(v, dtype: str) -> str:
         # full round-trip repr: DuckDB parses the decimal literal to the
         # nearest double == the exact double Spark computed
         return f"CAST({v!r} AS DOUBLE)"
+    if dtype == "REAL":
+        # via DOUBLE: a bare decimal literal parses as DECIMAL, and
+        # DuckDB's DECIMAL→REAL rounding can land one float32 ULP off;
+        # repr→DOUBLE is exact (it IS the float32 value), DOUBLE→REAL
+        # is then exact too
+        return f"CAST(CAST({v!r} AS DOUBLE) AS REAL)"
     if dtype == "BIGINT":
         return str(int(v))
     if dtype == "BOOLEAN":
