@@ -497,15 +497,20 @@ def repetition_signals(
     counts = grams.groupBy(id_col, "__nlen", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.desc("gram"))
+    # max(struct(cnt, gram)) == "highest count, ties to the
+    # lexicographically-greatest gram" — the same deterministic pick a
+    # row_number window would make, but as an ALGEBRAIC aggregate:
+    # map-side combined, no per-doc sort, one exchange keyed on doc_id
     top = (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        counts.groupBy(id_col, "__nlen")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("__top"))
         .select(
             id_col,
-            F.col("gram").alias("top_bigram"),
+            F.col("__top.gram").alias("top_bigram"),
             _round6(
-                F.length("gram") * F.col("cnt") / F.greatest("__nlen", F.lit(1)).cast("double")
+                F.length("__top.gram")
+                * F.col("__top.cnt")
+                / F.greatest("__nlen", F.lit(1)).cast("double")
             ).alias("top_bigram_frac"),
         )
     )
