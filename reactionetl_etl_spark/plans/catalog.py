@@ -8440,6 +8440,7 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM line_stats l LEFT JOIN top t USING (doc_id)
     """,
     tags=("text", "quality", "llm"),
+    bench=True,
 )
 def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (operators/text.py::
