@@ -95,13 +95,18 @@ def snapshot_write(
     df: DataFrame,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     batch_id: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new version.
 
     ``stats_cols`` (a table property — appends inherit it) records
     per-file [min, max] footer statistics in the manifest, enabling
-    `snapshot_scan`'s file skipping.
+    `snapshot_scan`'s file skipping. ``bloom_cols`` (same table-property
+    semantics) additionally commits a per-(file, column) Bloom filter
+    (`etl/bloom.py`) so EQUALITY predicates on high-cardinality,
+    UNCLUSTERED keys prune too — min/max ranges on such keys span
+    everything and prune nothing.
     ``mode='append'`` carries the previous snapshot's files forward;
     ``'overwrite'`` references only the new files (old files stay on
     disk — still served to readers holding older versions — until
@@ -122,15 +127,19 @@ def snapshot_write(
         # reads apply it explicitly, so pre-evolution files surface the
         # new columns as NULL
         schema_json = _evolve_schema(prev_man["schema"], schema_json)
-    # stats columns are a TABLE property: appends inherit them
+    # stats/bloom columns are TABLE properties: appends inherit them
     cols = stats_cols if stats_cols is not None else prev_man.get("stats_cols")
+    bcols = bloom_cols if bloom_cols is not None else prev_man.get("bloom_cols")
     new_files, stats = _commit_files(spark, table_path, df, stats_cols=cols)
+    blooms = _gather_file_blooms(spark, table_path, new_files, bcols)
     files = list(new_files)
     if mode == "append" and prev is not None:
         files = prev_man["files"] + files
         stats = {**prev_man.get("stats", {}), **stats}
+        blooms = {**prev_man.get("blooms", {}), **blooms}
     return _commit_manifest(
-        spark, table_path, files, mode, schema_json, stats, cols, batch_id
+        spark, table_path, files, mode, schema_json, stats, cols, batch_id,
+        blooms=blooms, bloom_cols=bcols,
     )
 
 
@@ -331,6 +340,72 @@ def _commit_files(
     return new_files, stats
 
 
+def _gather_file_blooms(
+    spark: SparkSession,
+    table_path: str,
+    rel_files: list[str],
+    bloom_cols: list[str] | None,
+) -> dict:
+    """{rel_file: {col: bloom entry}} for the NEW files of a commit.
+
+    One distributed read-back pass: every row hashes its bloom columns
+    with Spark's own `xxhash64` (executor-side), an `applyInPandas`
+    keyed on the source file builds each file's bitset with vectorized
+    numpy, and only the finished ~KB filters collect for the manifest.
+    Files whose row count would blow the `MAX_BITS` cap simply carry no
+    filter for that column (pruning stays conservative)."""
+    if not rel_files or not bloom_cols:
+        return {}
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.etl.bloom import (
+        MAX_BITS,
+        bloom_params,
+        build_bloom,
+        encode_bloom,
+    )
+
+    paths = [f"{table_path}/{f}" for f in rel_files]
+    df = spark.read.parquet(*paths)
+    cols = [c for c in bloom_cols if c in df.columns]
+    if not cols:
+        return {}
+    hashed = df.select(
+        F.input_file_name().alias("__f"),
+        *[F.xxhash64(F.col(c)).alias(f"__h{i}") for i, c in enumerate(cols)],
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        f = pdf["__f"].iloc[0]
+        n = len(pdf)
+        m, k = bloom_params(n)
+        for i, c in enumerate(cols):
+            if m > MAX_BITS:
+                continue
+            e = encode_bloom(m, k, build_bloom(pdf[f"__h{i}"].to_numpy(), m, k))
+            rows.append((f, c, e["m"], e["k"], e["bits"]))
+        return pd.DataFrame(rows, columns=["f", "col", "m", "k", "bits"])
+
+    got = hashed.groupBy("__f").applyInPandas(
+        build, "f string, col string, m long, k long, bits string"
+    ).collect()
+    # absolute URI → manifest-relative path
+    rel_of = {}
+    for rel in rel_files:
+        tail = "/" + rel
+        rel_of[tail] = rel
+    out: dict = {}
+    for r in got:
+        rel = next((v for t, v in rel_of.items() if r["f"].endswith(t)), None)
+        if rel is None:
+            continue
+        out.setdefault(rel, {})[r["col"]] = {"m": r["m"], "k": r["k"], "bits": r["bits"]}
+    return out
+
+
 def _evolve_schema(old_json: dict, new_json: dict) -> dict:
     """Union of two schemas for add-column evolution. Same-named fields
     must keep their exact type (no implicit widening — a type change is
@@ -369,6 +444,8 @@ def _commit_manifest(
     stats: dict | None = None,
     stats_cols: list[str] | None = None,
     batch_id: str | None = None,
+    blooms: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     fs, Path = _fs(spark, table_path)
     prev = head_version(spark, table_path)
@@ -379,6 +456,9 @@ def _commit_manifest(
     if stats_cols:
         manifest["stats_cols"] = sorted(stats_cols)
         manifest["stats"] = {f: stats.get(f, {}) for f in files if stats and stats.get(f)}
+    if bloom_cols:
+        manifest["bloom_cols"] = sorted(bloom_cols)
+        manifest["blooms"] = {f: blooms.get(f, {}) for f in files if blooms and blooms.get(f)}
     out = fs.create(Path(f"{table_path}/_snapshots/v{version}.json"), True)
     out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     out.close()
@@ -437,10 +517,17 @@ def snapshot_upsert(
     # files the new manifest supersedes at some later collect time
     rewritten = rewritten.localCheckpoint(eager=True)
     cols = man.get("stats_cols")
+    bcols = man.get("bloom_cols")
     new_files, stats = _commit_files(spark, table_path, rewritten, stats_cols=cols)
     stats = {**{f: s for f, s in man.get("stats", {}).items() if f in set(untouched)}, **stats}
+    # untouched files keep their committed blooms; rewritten files rebuild
+    blooms = {
+        **{f: b for f, b in man.get("blooms", {}).items() if f in set(untouched)},
+        **_gather_file_blooms(spark, table_path, new_files, bcols),
+    }
     return _commit_manifest(
-        spark, table_path, untouched + new_files, "upsert", man["schema"], stats, cols
+        spark, table_path, untouched + new_files, "upsert", man["schema"], stats, cols,
+        blooms=blooms, bloom_cols=bcols,
     )
 
 
@@ -641,7 +728,14 @@ def snapshot_scan(
     by test). Files without stats for a predicate column are kept —
     pruning is always conservative. Pays off exactly when the table is
     clustered on the stats columns (`etl/zorder.py` or a sorted write):
-    tight per-file ranges → most files skipped."""
+    tight per-file ranges → most files skipped.
+
+    Equality predicates additionally consult per-(file, column) Bloom
+    filters when the table committed ``bloom_cols`` — the path that
+    prunes point lookups on UNCLUSTERED high-cardinality keys, where
+    every file's [min, max] spans the key and range skipping is
+    useless. False positives only (≈1%): a file is never wrongly
+    dropped, some fpp·files are read for nothing."""
     import functools
     import operator as _op
 
@@ -650,23 +744,51 @@ def snapshot_scan(
         raise ValueError(f"no committed snapshot at {table_path}")
     man = _manifest(spark, table_path, v)
     stats = man.get("stats", {})
+    blooms = man.get("blooms", {})
     ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
     for _, op, _value in predicates:
         if op not in ops:
             raise ValueError(f"unsupported op {op!r} (use =, <, <=, >, >=)")
 
+    # Bloom probes: hash each '=' literal with the SAME Spark xxhash64
+    # the builder used, cast to the column's committed type so the hash
+    # input bytes match the executor-side column hash exactly. One
+    # 1-row job per probed literal — manifest-scale driver work.
+    probe_hash: dict[tuple[str, object], int] = {}
+    if blooms and any(op == "=" for _, op, _ in predicates):
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(man["schema"])
+        fields = {fl.name: fl.dataType for fl in schema.fields}
+        for col, op, value in predicates:
+            if op == "=" and col in fields and (col, value) not in probe_hash:
+                probe_hash[(col, value)] = spark.range(1).select(
+                    F.xxhash64(F.lit(value).cast(fields[col]))
+                ).first()[0]
+
     def may_match(f: str) -> bool:
         for col, op, value in predicates:
             rng = stats.get(f, {}).get(col)
-            if rng is None:
-                continue  # no stats → cannot prune
-            lo, hi = rng
-            if op == "=" and not (lo <= value <= hi):
-                return False
-            if op in ("<", "<=") and not ops[op](lo, value):
-                return False
-            if op in (">", ">=") and not ops[op](hi, value):
-                return False
+            if rng is not None:
+                lo, hi = rng
+                if op == "=" and not (lo <= value <= hi):
+                    return False
+                if op in ("<", "<=") and not ops[op](lo, value):
+                    return False
+                if op in (">", ">=") and not ops[op](hi, value):
+                    return False
+            if op == "=":
+                entry = blooms.get(f, {}).get(col)
+                if entry is not None:
+                    from reactionetl_etl_spark.etl.bloom import (
+                        bloom_may_contain,
+                        decode_bloom,
+                    )
+
+                    m, k, bits = decode_bloom(entry)
+                    if not bloom_may_contain(bits, m, k, probe_hash[(col, value)]):
+                        return False
         return True
 
     files = [f for f in man["files"] if may_match(f)]

@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "snapshot_bloom_pruned_scan",
     "gopher_repetition_signals",
     "html_text_extraction",
     # round-7 FIXED (r6's one driver hash-fail: decimal sums both engines)
@@ -6028,6 +6029,71 @@ def snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("o_orderkey").cast("bigint").alias("max_key"),
                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
             )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "snapshot_bloom_pruned_scan",
+    """
+    SELECT o_orderkey,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey IN (17, 503, 1498)
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    """,
+    tags=("etl", "snapshot", "pruning", "bloom"),
+)
+def snapshot_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (etl/bloom.py + snapshot_scan):
+    orders commit HASH-distributed on o_orderkey — every file's
+    [min, max] spans the whole key range, so min/max stats prune
+    NOTHING — yet each point lookup resolves to ~1 file because every
+    file commits a per-column Bloom filter and the probe hashes the
+    literal with the same Spark xxhash64 the builder used. The builder
+    asserts each lookup reads less than half the files (bloom ACTIVE);
+    the union of three lookups is value-checked against DuckDB's plain
+    IN-filter (bloom SOUND — false positives cost reads, never rows)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_scan,
+        snapshot_scan_file_counts,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    work = _tempfile.mkdtemp(prefix="snap_bloom_")
+    try:
+        table = _os.path.join(work, "orders_snap")
+        snapshot_write(
+            spark, table, orders.repartition(8, "o_orderkey"), bloom_cols=["o_orderkey"]
+        )
+        frames = []
+        for key in (17, 503, 1498):
+            preds = [("o_orderkey", "=", key)]
+            scanned, total = snapshot_scan_file_counts(spark, table, preds)
+            if not scanned * 2 < total:
+                raise AssertionError(f"bloom pruning inactive: {scanned}/{total} files for k={key}")
+            frames.append(snapshot_scan(spark, table, preds))
+        import functools as _functools
+
+        hits = _functools.reduce(lambda a, b: a.unionByName(b), frames)
+        return (
+            hits.groupBy("o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .orderBy("o_orderkey")
             .localCheckpoint(eager=True)
         )
     finally:

@@ -377,3 +377,83 @@ def test_apply_changes_replicates_source_table(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="deleted and upserted"):
         snapshot_apply_changes(spark, rep, bad, ["k"])
+
+
+def test_bloom_file_skipping_point_lookups(spark, tmp_path):
+    """Bloom-filter skipping (etl/bloom.py): the table is hash-
+    distributed on k (UNCLUSTERED — every file's [min, max] spans the
+    whole key range, so min/max stats prune nothing), yet an equality
+    scan touches ~1 file because each file's committed Bloom filter
+    rules the key out everywhere else. Results equal unpruned+filter
+    for EVERY key (no false negatives, by construction); blooms
+    survive append (inherited table property) and upsert (carried for
+    untouched files, rebuilt for rewritten ones)."""
+    from reactionetl_etl_spark.etl.snapshots import (
+        _manifest,
+        head_version,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_scan_file_counts,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "tb")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(2000)], "k int, v string")
+    # hash distribution: min/max useless, bloom is the only prune
+    snapshot_write(spark, t, df.repartition(8, "k"), stats_cols=["k"], bloom_cols=["k"])
+
+    man = _manifest(spark, t, head_version(spark, t))
+    assert man["bloom_cols"] == ["k"]
+    assert len(man["blooms"]) == 8  # every file carries a filter
+
+    scanned, total = snapshot_scan_file_counts(spark, t, [("k", "=", 777)])
+    assert total == 8
+    assert scanned <= 2, f"bloom should prune to ~1 file, read {scanned}"
+    assert {r["v"] for r in snapshot_scan(spark, t, [("k", "=", 777)]).collect()} == {"v777"}
+
+    # no false negatives across a key sample
+    for key in (0, 1, 511, 1024, 1999):
+        got = snapshot_scan(spark, t, [("k", "=", key)]).collect()
+        assert len(got) == 1 and got[0]["v"] == f"v{key}"
+    # absent key: usually zero files read (fpp may rarely admit one)
+    scanned, _ = snapshot_scan_file_counts(spark, t, [("k", "=", 999_999)])
+    assert scanned <= 1
+    assert snapshot_scan(spark, t, [("k", "=", 999_999)]).count() == 0
+
+    # append inherits bloom_cols; new files get filters too
+    extra = spark.createDataFrame([(5000 + i, f"x{i}") for i in range(100)], "k int, v string")
+    snapshot_write(spark, t, extra.repartition(2, "k"), mode="append")
+    man2 = _manifest(spark, t, head_version(spark, t))
+    assert len(man2["blooms"]) == 10
+    assert {r["v"] for r in snapshot_scan(spark, t, [("k", "=", 5001)]).collect()} == {"x1"}
+
+    # upsert: untouched files keep blooms, rewritten files rebuild them
+    snapshot_upsert(spark, t, spark.createDataFrame([(777, "NEW")], "k int, v string"), ["k"])
+    man3 = _manifest(spark, t, head_version(spark, t))
+    assert set(man3["blooms"]) == set(man3["files"])
+    assert {r["v"] for r in snapshot_scan(spark, t, [("k", "=", 777)]).collect()} == {"NEW"}
+    assert snapshot_read(spark, t).count() == 2100
+
+
+def test_bloom_primitives_fpp_and_membership():
+    """etl/bloom.py unit contract: every inserted hash is a member (no
+    false negatives, the correctness-critical half) and the measured
+    false-positive rate stays near the design point."""
+    import numpy as np
+
+    from reactionetl_etl_spark.etl.bloom import (
+        bloom_may_contain,
+        bloom_params,
+        build_bloom,
+    )
+
+    rng = np.random.default_rng(4)
+    inserted = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    m, k = bloom_params(len(inserted), fpp=0.01)
+    bits = build_bloom(inserted, m, k)
+    assert all(bloom_may_contain(bits, m, k, int(h)) for h in inserted[:500])
+    probes = rng.integers(-(2**63), 2**63 - 1, size=4000, dtype=np.int64)
+    fresh = np.setdiff1d(probes, inserted)
+    fp = sum(bloom_may_contain(bits, m, k, int(h)) for h in fresh) / len(fresh)
+    assert fp < 0.03, f"false-positive rate {fp:.4f} far above the 1% design point"
