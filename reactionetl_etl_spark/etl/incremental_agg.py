@@ -100,6 +100,27 @@ def _hist_width(spec: str) -> float | None:
 
 def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) -> DataFrame:
     """One batch's mergeable partial aggregate (plus the row count)."""
+    import warnings
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    # EXACT-TYPE tripwire (see module docstring): a float/double `sum`
+    # measure folds in a batch-dependent order and drifts from a
+    # one-shot recompute in the low bits — the r6 driver failure. Warn
+    # loudly; callers who truly want approximate sums can ignore it.
+    for col, specs in measures.items():
+        if "sum" in specs:
+            try:
+                dt = batch.schema[col].dataType
+            except KeyError:
+                continue
+            if isinstance(dt, (DoubleType, FloatType)):
+                warnings.warn(
+                    f"incremental sum over {col!r} is {dt.simpleString()}: the fold "
+                    "is not bit-exact vs a full recompute — cast to DECIMAL for "
+                    "exact merges (see etl/incremental_agg.py docstring)",
+                    stacklevel=3,
+                )
     aggs = [F.count(F.lit(1)).alias(_ROW_COUNT)]
     hists: list[tuple[str, float]] = []
     for col, specs in measures.items():

@@ -547,3 +547,92 @@ def strip_html(col) -> Column:
     ]:
         x = F.replace(x, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+    span_len: int = 3,
+    salt: str = "t5",
+) -> DataFrame:
+    """T5/UL2-style span-corruption pairs (Raffel et al. 2020 §3.1.4 —
+    public): contiguous token spans are masked out of the input and
+    become the target, each span replaced by a numbered sentinel:
+
+        input : the quick <extra_id_0> over the <extra_id_1> dog
+        target: <extra_id_0> brown fox jumped <extra_id_1> lazy
+
+    Spans are HASH-seeded, not RNG-seeded: token i STARTS a span iff
+    md5(salt:doc:i)'s 32-bit hex prefix falls under mask_rate/span_len
+    (so the expected masked fraction is mask_rate with spans of
+    span_len) — the same retry-stable determinism discipline as
+    `split.hash_split`. Two runs, two sessions, two engines: identical
+    pairs.
+
+    Spark shape: pure per-row column expressions — the mask array via
+    nested HOFs, the sentinel-numbered pair via ONE O(n) aggregate()
+    fold per row. Zero shuffle at any scale. Returns id, n_tokens,
+    n_masked, n_spans, corrupted_text, target_text."""
+    if not 0.0 < mask_rate < 1.0:
+        raise ValueError(f"mask_rate must be in (0,1), got {mask_rate}")
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    thresh = format(int(mask_rate / span_len * 2**32), "08x")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    d = d.withColumn(
+        "__starts",
+        F.expr(
+            f"transform(sequence(1, size(__toks)), i -> "
+            f"substring(md5(concat('{salt}', ':', cast({id_col} as string), ':', i)), 1, 8)"
+            f" < '{thresh}')"
+        ),
+    ).withColumn(
+        "__masked",
+        F.expr(
+            f"transform(sequence(1, size(__toks)), i -> "
+            f"exists(sequence(greatest(1, i - {span_len - 1}), i),"
+            f" j -> element_at(__starts, j)))"
+        ),
+    )
+    d = d.withColumn(
+        "__sstart",
+        F.expr(
+            "transform(sequence(1, size(__toks)), i -> element_at(__masked, i)"
+            " AND (i = 1 OR NOT element_at(__masked, i - 1)))"
+        ),
+    )
+    pair = F.expr(
+        """aggregate(
+             sequence(1, size(__toks)),
+             named_struct('corr', cast(array() as array<string>),
+                          'targ', cast(array() as array<string>),
+                          'k', 0),
+             (acc, i) -> named_struct(
+               'corr', CASE WHEN NOT element_at(__masked, i)
+                              THEN array_append(acc.corr, element_at(__toks, i))
+                            WHEN element_at(__sstart, i)
+                              THEN array_append(acc.corr, concat('<extra_id_', acc.k, '>'))
+                            ELSE acc.corr END,
+               'targ', CASE WHEN element_at(__sstart, i)
+                              THEN array_append(
+                                     array_append(acc.targ, concat('<extra_id_', acc.k, '>')),
+                                     element_at(__toks, i))
+                            WHEN element_at(__masked, i)
+                              THEN array_append(acc.targ, element_at(__toks, i))
+                            ELSE acc.targ END,
+               'k', acc.k + IF(element_at(__sstart, i), 1, 0)),
+             acc -> acc)"""
+    )
+    return d.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.expr("size(filter(__masked, x -> x))").alias("n_masked"),
+        F.expr("size(filter(__sstart, x -> x))").alias("n_spans"),
+        F.array_join(pair["corr"], " ").alias("corrupted_text"),
+        F.array_join(pair["targ"], " ").alias("target_text"),
+    )

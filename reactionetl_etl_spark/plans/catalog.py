@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "span_corruption_pairs",
     "snapshot_bloom_pruned_scan",
     "gopher_repetition_signals",
     "html_text_extraction",
@@ -8582,4 +8583,72 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html").alias("n_chars_html"),
         F.length(txt).alias("n_chars_text"),
         F.md5(txt).alias("text_md5"),
+    )
+
+
+@_q(
+    "span_corruption_pairs",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), arr AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               list_transform(range(1, len(toks) + 1),
+                   i -> substr(md5('t5:' || doc_id || ':' || i), 1, 8) < '0ccccccc') AS starts
+        FROM base
+    ), m AS (
+        SELECT doc_id, toks, n, starts,
+               list_transform(range(1, n + 1),
+                   i -> len(list_filter(range(greatest(1, i - 2), i + 1), j -> starts[j])) > 0) AS masked
+        FROM arr
+    ), s AS (
+        SELECT doc_id, toks, n, masked,
+               list_transform(range(1, n + 1),
+                   i -> masked[i] AND (i = 1 OR NOT masked[i - 1])) AS sstart
+        FROM m
+    ), built AS (
+        SELECT doc_id,
+               n AS n_tokens,
+               len(list_filter(masked, x -> x)) AS n_masked,
+               len(list_filter(sstart, x -> x)) AS n_spans,
+               array_to_string(flatten(list_transform(range(1, n + 1), i ->
+                   CASE WHEN NOT masked[i] THEN [toks[i]]
+                        WHEN sstart[i] THEN ['<extra_id_' ||
+                            CAST(len(list_filter(range(1, i + 1), j -> sstart[j])) - 1 AS VARCHAR) || '>']
+                        ELSE [] END)), ' ') AS corrupted_text,
+               array_to_string(flatten(list_transform(range(1, n + 1), i ->
+                   CASE WHEN sstart[i] THEN ['<extra_id_' ||
+                            CAST(len(list_filter(range(1, i + 1), j -> sstart[j])) - 1 AS VARCHAR) || '>',
+                            toks[i]]
+                        WHEN masked[i] THEN [toks[i]]
+                        ELSE [] END)), ' ') AS target_text
+        FROM s
+    )
+    SELECT doc_id, n_tokens, n_masked, n_spans,
+           md5(coalesce(corrupted_text, '')) AS corrupted_md5,
+           md5(coalesce(target_text, ''))    AS target_md5
+    FROM built
+    """,
+    tags=("text", "training", "llm", "t5"),
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/text.py::span_corruption):
+    hash-seeded contiguous spans masked out of the input, sentinel-
+    numbered targets built by ONE O(n) aggregate() fold per row — and
+    the DuckDB oracle reconstructs the IDENTICAL pairs from the same
+    md5 decisions with O(n^2) list expressions, so the hash match pins
+    span placement, sentinel numbering, and both output texts
+    character-for-character. Zero shuffle: a pure per-row map, the
+    100 TB cost profile of any tokenize pass."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.span_corruption(docs, mask_rate=0.15, span_len=3)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+        F.md5("corrupted_text").alias("corrupted_md5"),
+        F.md5("target_text").alias("target_md5"),
     )

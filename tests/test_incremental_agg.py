@@ -29,8 +29,12 @@ MEASURES = {"o_totalprice": ["sum", "count", "min", "max"]}
 
 
 def _orders(spark, sf_dir):
-    return load_table(spark, sf_dir, "orders").withColumn(
-        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        # exact type for the additive measure — the module contract
+        # (a double sum would trip the fold-drift warning)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)"))
     )
 
 
@@ -238,12 +242,14 @@ def test_hist_measure_merges_exactly_and_bounds_quantiles(spark, tmp_path):
     )
 
     rng = np.random.default_rng(3)
+    from decimal import Decimal as _D
+
     rows = [
-        ("g1" if i % 3 else "g2", float(v), f"d{i % 2}")
+        ("g1" if i % 3 else "g2", _D(str(round(float(v), 4))), f"d{i % 2}")
         for i, v in enumerate(rng.normal(50, 20, 600))
     ]
     batches = [rows[:200], rows[200:400], rows[400:]]
-    schema = "grp string, value double, day string"
+    schema = "grp string, value decimal(12,4), day string"
     state = str(tmp_path / "hist_state")
     measures = {"value": ["hist:5.0", "sum", "count"]}
     for i, b in enumerate(batches):
@@ -271,7 +277,7 @@ def test_hist_measure_merges_exactly_and_bounds_quantiles(spark, tmp_path):
     import math
 
     for (g, d), (p50, p95) in got.items():
-        vals = sorted(v for gg, v, dd in rows if gg == g and dd == d)
+        vals = sorted(float(v) for gg, v, dd in rows if gg == g and dd == d)
         for q, est in ((0.5, p50), (0.95, p95)):
             exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
             assert abs(est - exact) <= 5.0, (g, d, q, est, exact)
@@ -287,10 +293,12 @@ def test_hist_state_survives_null_group_key(spark, tmp_path):
         read_aggregate_view,
     )
 
-    schema = "grp string, value double, day string"
+    from decimal import Decimal as _D
+
+    schema = "grp string, value decimal(12,4), day string"
     batches = [
-        [(None, 10.0, "d0"), ("g1", 20.0, "d0")],
-        [(None, 30.0, "d0"), (None, 12.0, "d1"), ("g1", 40.0, "d1")],
+        [(None, _D("10.0"), "d0"), ("g1", _D("20.0"), "d0")],
+        [(None, _D("30.0"), "d0"), (None, _D("12.0"), "d1"), ("g1", _D("40.0"), "d1")],
     ]
     state = str(tmp_path / "null_key_state")
     measures = {"value": ["hist:10.0", "sum", "count"]}
@@ -310,3 +318,30 @@ def test_hist_state_survives_null_group_key(spark, tmp_path):
     view = read_aggregate_view(spark, state, measures, quantiles={"value": [0.5]})
     p50 = {(r["grp"], r["day"]): r["value__p50"] for r in view.collect()}
     assert p50[(None, "d0")] is not None and abs(p50[(None, "d0")] - 15.0) < 1e-9
+
+
+def test_double_sum_measure_warns(spark, tmp_path):
+    """The exact-type tripwire: summing a DOUBLE measure warns that the
+    fold is not bit-exact vs recompute (the r6 driver-failure class);
+    decimal measures stay silent."""
+    import warnings
+
+    dbl = spark.createDataFrame([("a", 1.5, "d0")], "g string, v double, day string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        merge_aggregate_state(
+            spark, str(tmp_path / "s1"), dbl, ["g", "day"], {"v": ["sum"]}, "day"
+        )
+    assert any("not bit-exact" in str(x.message) for x in w)
+
+    from decimal import Decimal
+
+    dec = spark.createDataFrame(
+        [("a", Decimal("1.50"), "d0")], "g string, v decimal(10,2), day string"
+    )
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        merge_aggregate_state(
+            spark, str(tmp_path / "s2"), dec, ["g", "day"], {"v": ["sum"]}, "day"
+        )
+    assert not any("not bit-exact" in str(x.message) for x in w2)

@@ -1222,3 +1222,36 @@ def test_strip_html_blocks_entities_whitespace(spark):
     # &amp;lt; decodes to the LITERAL '&lt;', not '<' (single-pass order)
     df2 = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], "id long, html string")
     assert df2.select(strip_html("html").alias("t")).first()["t"] == "&lt;"
+
+
+def test_span_corruption_t5_semantics(spark):
+    """Pinned-by-hand span corruption: masks are contiguous, sentinels
+    number left-to-right, input+target partition the tokens exactly,
+    and the pair is deterministic across runs/sessions (hash-seeded)."""
+    from reactionetl_etl_spark.operators.text import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumped over the lazy dog again and again today")],
+        "doc_id long, text string",
+    )
+    kw = dict(mask_rate=0.4, span_len=2)
+    r = span_corruption(df, **kw).first()
+    assert r["n_tokens"] == 13
+    # masked runs are contiguous spans, sentinel ids increment
+    assert r["corrupted_text"] == "the quick brown <extra_id_0> over <extra_id_1> and again today"
+    assert r["target_text"] == "<extra_id_0> fox jumped <extra_id_1> the lazy dog again"
+    assert r["n_masked"] == 6 and r["n_spans"] == 2
+    # input + target together carry every original token exactly once
+    orig = set("the quick brown fox jumped over the lazy dog again and again today".split())
+    rebuilt = [t for t in (r["corrupted_text"] + " " + r["target_text"]).split() if not t.startswith("<extra_id_")]
+    assert sorted(rebuilt) == sorted("the quick brown fox jumped over the lazy dog again and again today".split()), orig
+    # deterministic: identical on a second run
+    r2 = span_corruption(df, **kw).first()
+    assert r2["corrupted_text"] == r["corrupted_text"] and r2["target_text"] == r["target_text"]
+    # parameter validation
+    import pytest
+
+    with pytest.raises(ValueError, match="mask_rate"):
+        span_corruption(df, mask_rate=1.5)
+    with pytest.raises(ValueError, match="span_len"):
+        span_corruption(df, span_len=0)
