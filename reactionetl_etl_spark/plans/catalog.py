@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "dsir_importance_weights",
     "span_corruption_pairs",
     "snapshot_bloom_pruned_scan",
     "gopher_repetition_signals",
@@ -8651,4 +8652,61 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         F.md5("corrupted_text").alias("corrupted_md5"),
         F.md5("target_text").alias("target_md5"),
+    )
+
+
+@_q(
+    "dsir_importance_weights",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(greatest(len(toks) - 1, 1)),
+                      i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS gram
+        FROM tok
+    ), bg AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) % 10000 AS bucket
+        FROM grams
+    ), tc AS (
+        SELECT bucket, count(*) AS tc FROM bg WHERE lang = 'en' GROUP BY 1
+    ), rc AS (
+        SELECT bucket, count(*) AS rc FROM bg GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT sum(tc) FROM tc) AS t_total, (SELECT sum(rc) FROM rc) AS r_total
+    ), ratio AS (
+        SELECT rc.bucket,
+               ln(coalesce(tc.tc, 0) + 0.5) - ln(t_total + 0.5 * 10000)
+             - ln(rc.rc + 0.5) + ln(r_total + 0.5 * 10000) AS log_ratio
+        FROM rc LEFT JOIN tc USING (bucket), tot
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           floor(sum(log_ratio) * 1000000 + 0.5) / 1000000 AS log_weight
+    FROM bg JOIN ratio USING (bucket)
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "training", "llm", "dsir", "sampling"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+    hashed-bigram importance weights of every document against the
+    English-docs target distribution, value-checked against DuckDB
+    computing the identical smoothed log-likelihood ratios from the
+    identical md5 bucket hashes. The feature tables are n_buckets rows
+    regardless of corpus size (broadcast by construction); shuffles key
+    on bucket and doc ids only — text never moves."""
+    from reactionetl_etl_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, docs.filter(F.col("lang") == "en"))
+    return w.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(F.col("log_weight") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "log_weight"
+        ),
     )

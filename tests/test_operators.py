@@ -1255,3 +1255,34 @@ def test_span_corruption_t5_semantics(spark):
         span_corruption(df, mask_rate=1.5)
     with pytest.raises(ValueError, match="span_len"):
         span_corruption(df, span_len=0)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR: documents sharing the target distribution's bigrams score
+    higher log-weights than out-of-distribution documents; weights are
+    deterministic across runs and partitionings."""
+    from reactionetl_etl_spark.operators.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox naps beside the lazy dog"),  # target-like
+            (2, "zzz qqq xxx unrelated tokens entirely different words"),  # OOD
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(corpus, target).collect()}
+    assert w[1] > w[2], w
+    w2 = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(corpus.repartition(5), target.repartition(3)).collect()
+    }
+    assert w == w2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_log_weights(corpus, target, n_buckets=0)
