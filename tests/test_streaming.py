@@ -437,19 +437,21 @@ def test_stream_rollup_matches_batch_and_skips_replay(spark, tmp_path):
     ckpt = str(tmp_path / "rollup_ckpt")
     keys, measures = ["day", "cat"], {"v": ["sum", "count", "min", "max"]}
 
+    from decimal import Decimal as _D
+
     spark.createDataFrame(
-        [(1.0, "d1", "x"), (2.0, "d1", "y"), (3.0, "d2", "x")],
-        "v double, day string, cat string",
+        [(_D("1.0"), "d1", "x"), (_D("2.0"), "d1", "y"), (_D("3.0"), "d2", "x")],
+        "v decimal(10,2), day string, cat string",
     ).coalesce(1).write.mode("append").parquet(src)
 
     def run():
-        stream = spark.readStream.schema("v double, day string, cat string").parquet(src)
+        stream = spark.readStream.schema("v decimal(10,2), day string, cat string").parquet(src)
         q = stream_rollup(stream, state, keys, measures, "day", ckpt)
         q.awaitTermination(120)
 
     run()
     spark.createDataFrame(
-        [(5.0, "d2", "x"), (7.0, "d1", "x")], "v double, day string, cat string"
+        [(_D("5.0"), "d2", "x"), (_D("7.0"), "d1", "x")], "v decimal(10,2), day string, cat string"
     ).coalesce(1).write.mode("append").parquet(src)
     run()
 
@@ -470,7 +472,7 @@ def test_stream_rollup_matches_batch_and_skips_replay(spark, tmp_path):
     before = snap()
     writer = rollup_batch_writer(state, keys, measures, "day")
     writer(
-        spark.createDataFrame([(99.0, "d1", "x")], "v double, day string, cat string"),
+        spark.createDataFrame([(_D("99.0"), "d1", "x")], "v decimal(10,2), day string, cat string"),
         0,
     )
     assert snap() == before
