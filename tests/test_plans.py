@@ -375,3 +375,37 @@ def test_decontaminated_corpus_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "decontaminated_corpus")
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_html_extraction_is_single_scan_zero_exchange(spark, sf_dir):
+    """HTML→text extraction must stay a pure narrow map: one parquet
+    scan, zero Exchange — the 100 TB plan is 'regex over the scan'."""
+    plan = plan_of(spark, sf_dir, "html_text_extraction")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_span_corruption_is_pure_map(spark, sf_dir):
+    """Span-corruption pair construction is per-row HOFs + one fold —
+    no shuffle at any scale, and no Python stage (all JVM exprs)."""
+    plan = plan_of(spark, sf_dir, "span_corruption_pairs")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_top_bigram_is_algebraic_not_windowed(spark, sf_dir):
+    """The per-doc top-bigram pick must plan as a map-side-combinable
+    aggregate (max(struct)) — never a row_number window, whose per-doc
+    sort adds a rangepartitioning-free but sort-heavy stage."""
+    plan = plan_of(spark, sf_dir, "gopher_repetition_signals")
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_max" in plan  # two-phase max(struct)
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """DSIR's per-bucket ratio table is n_buckets rows regardless of
+    corpus size — the corpus-side gram join must be broadcast, never a
+    corpus-wide SortMergeJoin."""
+    plan = plan_of(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
