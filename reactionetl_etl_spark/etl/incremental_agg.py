@@ -98,8 +98,19 @@ def _hist_width(spec: str) -> float | None:
     return None
 
 
-def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) -> DataFrame:
-    """One batch's mergeable partial aggregate (plus the row count)."""
+def _partial(
+    batch: DataFrame,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """One batch's mergeable partial aggregate (plus the row count).
+
+    ``weight_col`` (the CDC-retraction path) makes every additive
+    aggregate SIGNED: rows carry +1 (insert/postimage) or -1
+    (delete/preimage), sums become Σ value·w, counts become Σ w, hist
+    bins become signed counts. Only additive measures retract —
+    min/max and HLL cannot un-see a value, so they raise here."""
     import warnings
 
     from pyspark.sql.types import DoubleType, FloatType
@@ -121,7 +132,11 @@ def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) 
                     "exact merges (see etl/incremental_agg.py docstring)",
                     stacklevel=3,
                 )
-    aggs = [F.count(F.lit(1)).alias(_ROW_COUNT)]
+    w_ = F.col(weight_col) if weight_col is not None else None
+    if weight_col is None:
+        aggs = [F.count(F.lit(1)).alias(_ROW_COUNT)]
+    else:
+        aggs = [F.coalesce(F.sum(w_), F.lit(0)).cast("long").alias(_ROW_COUNT)]
     hists: list[tuple[str, float]] = []
     for col, specs in measures.items():
         for a in specs:
@@ -131,6 +146,26 @@ def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) 
                 continue
             if a not in _MERGE:
                 raise ValueError(f"non-mergeable aggregate {a!r} (avg is read-time)")
+            if weight_col is not None:
+                if a in ("min", "max", "hll"):
+                    raise ValueError(
+                        f"{a!r} cannot retract (a delete can't un-see a value) — "
+                        "CDC-folded rollups support sum/count/hist only; recompute "
+                        "min/max/hll from the base table instead"
+                    )
+                if a == "sum":
+                    agg = F.sum(F.col(col) * w_).alias(f"{col}__sum")
+                else:  # count: non-null values, signed
+                    agg = (
+                        F.coalesce(
+                            F.sum(F.when(F.col(col).isNotNull(), w_).otherwise(F.lit(0))),
+                            F.lit(0),
+                        )
+                        .cast("long")
+                        .alias(f"{col}__count")
+                    )
+                aggs.append(agg)
+                continue
             fn = {"count": F.count, "hll": F.hll_sketch_agg}.get(a, _MERGE[a])
             aggs.append(fn(col).alias(f"{col}__{a}"))
     part = batch.groupBy(*keys).agg(*aggs)
@@ -149,10 +184,15 @@ def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) 
     for col, w in hists:
         # bin counts as map<bin_id, count> — one extra rollup-keyed agg
         # per hist measure over the (tiny) batch; NULLs are not binned
+        bin_count = (
+            F.count(F.lit(1)).alias("__c")
+            if weight_col is None
+            else F.sum(w_).cast("long").alias("__c")
+        )
         h = (
             batch.filter(F.col(col).isNotNull())
             .groupBy(*keys, F.floor(F.col(col) / F.lit(w)).alias("__bin"))
-            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(bin_count)
             .groupBy(*keys)
             .agg(
                 F.map_from_entries(
@@ -166,18 +206,19 @@ def _partial(batch: DataFrame, keys: list[str], measures: dict[str, list[str]]) 
 
 def _merge_hist_maps(merged_src: DataFrame, keys: list[str], hist_col: str) -> DataFrame:
     """Fold rows' bin-count maps into one map per group: explode →
-    sum per bin → re-assemble. Exact — map merge loses nothing."""
+    sum per bin → re-assemble. Exact — map merge loses nothing. Bins
+    whose count nets to ZERO (CDC retraction) are dropped, and a map
+    that nets empty becomes NULL — both so the folded state stays
+    byte-identical to a from-scratch recompute."""
+    m = F.map_from_entries(F.array_sort(F.collect_list(F.struct("__bin", "__c"))))
     return (
         merged_src.select(*keys, F.explode_outer(hist_col).alias("__bin", "__c"))
         .filter(F.col("__bin").isNotNull())
         .groupBy(*keys, "__bin")
         .agg(F.sum("__c").alias("__c"))
+        .filter(F.col("__c") != 0)
         .groupBy(*keys)
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("__bin", "__c")))
-            ).alias(hist_col)
-        )
+        .agg(F.when(F.size(m) > 0, m).alias(hist_col))
     )
 
 
@@ -217,6 +258,24 @@ def merge_aggregate_state(
         return False
 
     part = _partial(batch, keys, measures)
+    _merge_state(spark, state_path, part, keys, measures, partition_col, batch_id)
+    return True
+
+
+def _merge_state(
+    spark: SparkSession,
+    state_path: str,
+    part: DataFrame,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    partition_col: str,
+    batch_id: str | None,
+    drop_empty_groups: bool = False,
+) -> None:
+    """Fold one batch's PARTIAL frame into the persisted state (shared
+    by the append fold and the CDC-retraction fold). ``drop_empty_
+    groups`` removes groups whose row count reaches zero — the fully-
+    deleted-group case the CDC path produces."""
     fs, Path = _fs(spark, state_path)
     # "state exists" = has at least one data partition — the directory
     # alone proves nothing (markers/staging from an empty first batch
@@ -225,8 +284,8 @@ def merge_aggregate_state(
         st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
         for st in fs.listStatus(Path(state_path))
     )
+    touched = [r[0] for r in part.select(partition_col).distinct().collect()]
     if has_data:
-        touched = [r[0] for r in part.select(partition_col).distinct().collect()]
         old = spark.read.parquet(state_path).filter(F.col(partition_col).isin(touched))
         # a caller whose keys/measures drifted from the stored state
         # must fail HERE, loudly — unionByName would otherwise raise a
@@ -253,14 +312,74 @@ def merge_aggregate_state(
             merged = _join_null_safe(merged, _merge_hist_maps(both, keys, hc), keys)
     else:
         merged = part
+    emptied: list = []
+    if drop_empty_groups:
+        merged = merged.filter(F.col(_ROW_COUNT) != 0)
     # never lazily read the table being overwritten at swap time
     merged = merged.localCheckpoint(eager=True)
+    if drop_empty_groups:
+        # a touched partition ALL of whose groups netted to zero has no
+        # rows left in `merged` — overwrite-by-presence would silently
+        # leave its stale files; it must ride the commit as a DELETE
+        survivors = {r[0] for r in merged.select(partition_col).distinct().collect()}
+        emptied = sorted(v for v in touched if v not in survivors)
     staged_overwrite_partitions(
         spark,
         state_path,
         merged,
         partition_col,
+        emptied=emptied,
         markers=[f"_APPLIED_{batch_id}"] if batch_id is not None else [],
+    )
+
+
+def apply_changes_to_rollup(
+    spark: SparkSession,
+    state_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    partition_col: str,
+    batch_id: str | None = None,
+    change_type_col: str = "_change_type",
+) -> bool:
+    """Incremental MATERIALIZED-VIEW maintenance under updates and
+    deletes: fold one CDC batch (the `etl/snapshots.py::
+    snapshot_changes` shape — insert | delete | update_preimage |
+    update_postimage) into the rollup, so the state tracks a MUTATING
+    base table at cost ∝ changes, never ∝ table.
+
+    The algebra: additive measures RETRACT — each change row carries a
+    sign (+1 for insert/update_postimage, −1 for delete/
+    update_preimage) and the same partial-merge machinery folds signed
+    partials; a group whose row count reaches zero leaves the state.
+    Only sum/count/hist qualify (min/max/HLL cannot un-see a value and
+    raise — recompute those from the base table's touched groups).
+    Exactly-once per ``batch_id`` exactly like `merge_aggregate_state`.
+
+    Applying `snapshot_changes(v_i → v_{i+1})` for every commit keeps
+    read_aggregate_view ≡ recompute-over-head at all times — the
+    catalog query `rollup_cdc_maintenance` value-checks exactly that.
+    """
+    if partition_col not in keys:
+        raise ValueError(f"partition_col {partition_col!r} must be one of keys {keys}")
+    if batch_id is not None and batch_already_applied(spark, state_path, batch_id):
+        return False
+    known = ("insert", "delete", "update_preimage", "update_postimage")
+    bad = changes.filter(~F.col(change_type_col).isin(*known)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unknown change type {bad[0][change_type_col]!r} (expected one of {known})"
+        )
+    signed = changes.withColumn(
+        "__w",
+        F.when(F.col(change_type_col).isin("insert", "update_postimage"), F.lit(1))
+        .otherwise(F.lit(-1)),
+    )
+    part = _partial(signed, keys, measures, weight_col="__w")
+    _merge_state(
+        spark, state_path, part, keys, measures, partition_col, batch_id,
+        drop_empty_groups=True,
     )
     return True
 

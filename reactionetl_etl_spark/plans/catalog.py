@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "rollup_cdc_maintenance",
     "dsir_importance_weights",
     "span_corruption_pairs",
     "snapshot_bloom_pruned_scan",
@@ -8710,3 +8711,106 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_weight"
         ),
     )
+
+
+@_q(
+    "rollup_cdc_maintenance",
+    """
+    WITH updates AS (
+        SELECT o_orderkey, floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+               o_orderpriority, o_orderstatus
+        FROM orders WHERE o_orderkey % 101 = 0
+        UNION ALL
+        SELECT o_orderkey + 200000000, round(o_totalprice, 2), o_orderpriority, o_orderstatus
+        FROM orders WHERE o_orderkey % 1009 = 0
+    ), merged AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    ), final AS (
+        SELECT * FROM merged WHERE o_orderstatus <> 'P'
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           count(o_totalprice) AS cnt_price
+    FROM final
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("etl", "incremental", "cdc", "rollup"),
+)
+def rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance under mutation
+    (etl/incremental_agg.py::apply_changes_to_rollup): a rollup seeds
+    from snapshot v1, then tracks the base table through an upsert
+    (price bumps + inserts) and a DELETE purely by folding each
+    version-pair's CDC feed (etl/snapshots.py::snapshot_changes) —
+    signed retraction partials, work ∝ changes, never ∝ table. The
+    finalized view is value-checked against DuckDB recomputing the
+    rollup from the post-change table directly: fold(feeds) ==
+    recompute(head), exactly — decimal sums make the claim bit-exact."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        apply_changes_to_rollup,
+        merge_aggregate_state,
+        read_aggregate_view,
+    )
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    keys = ["o_orderpriority"]
+    measures = {"o_totalprice": ["sum", "count"]}
+    work = _tempfile.mkdtemp(prefix="cdc_rollup_")
+    try:
+        table = _os.path.join(work, "orders_snap")
+        state = _os.path.join(work, "state")
+        v1 = snapshot_write(spark, table, orders.repartition(8, "o_orderkey"))
+        merge_aggregate_state(
+            spark, state, snapshot_read(spark, table), keys, measures,
+            "o_orderpriority", batch_id="seed",
+        )
+        upd = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_totalprice",
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).cast(
+                "decimal(18,2)"
+            ),
+        )
+        ins = orders.filter(F.col("o_orderkey") % 1009 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 200_000_000
+        )
+        v2 = snapshot_upsert(spark, table, upd.unionByName(ins), ["o_orderkey"])
+        v3 = snapshot_delete(spark, table, "o_orderstatus = 'P'")
+        for frm, to in ((v1, v2), (v2, v3)):
+            apply_changes_to_rollup(
+                spark, state, snapshot_changes(spark, table, ["o_orderkey"], frm, to),
+                keys, measures, "o_orderpriority", batch_id=f"cdc-{frm}-{to}",
+            )
+        view = read_aggregate_view(spark, state, measures)
+        return (
+            view.select(
+                "o_orderpriority",
+                F.col("row_count").alias("n_rows"),
+                F.col("o_totalprice__sum").cast("double").alias("sum_price"),
+                F.col("o_totalprice__count").alias("cnt_price"),
+            )
+            .orderBy("o_orderpriority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

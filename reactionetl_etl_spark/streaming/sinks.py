@@ -390,6 +390,43 @@ def stream_apply_changes(
     )
 
 
+def rollup_cdc_batch_writer(
+    state_path: str,
+    keys: list[str],
+    measures: dict[str, list[str]],
+    partition_col: str,
+):
+    """foreachBatch callback maintaining a mergeable rollup from a CDC
+    STREAM (the `sources/pyds.py::SnapshotChangesStreamDataSource`
+    shape): each micro-batch of insert/delete/pre/post change rows
+    folds into the state with signed retraction partials
+    (`etl/incremental_agg.py::apply_changes_to_rollup`) — the streaming
+    form of incremental materialized-view maintenance under mutation.
+    Exactly-once via the same commit-riding `_APPLIED_stream-<id>`
+    marker discipline as `rollup_batch_writer`; only additive measures
+    (sum/count/hist) qualify — min/max/HLL raise at the first batch."""
+    from reactionetl_etl_spark.etl.commit import recover_staged_commits
+    from reactionetl_etl_spark.etl.incremental_agg import apply_changes_to_rollup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_staged_commits(spark, state_path)
+        applied = apply_changes_to_rollup(
+            spark,
+            state_path,
+            batch_df,
+            keys,
+            measures,
+            partition_col,
+            batch_id=f"stream-{batch_id}",
+        )
+        logger.info(
+            "rollup-cdc sink: batch %d %s", batch_id, "folded" if applied else "replay skipped"
+        )
+
+    return write_batch
+
+
 def scd2_enrich_batch_writer(dim_path: str, out_path: str, key_cols: list[str], ts_col: str):
     """foreachBatch callback: enrich each fact micro-batch with the
     SCD2 dimension AS OF each fact's own event time

@@ -345,3 +345,90 @@ def test_double_sum_measure_warns(spark, tmp_path):
             spark, str(tmp_path / "s2"), dec, ["g", "day"], {"v": ["sum"]}, "day"
         )
     assert not any("not bit-exact" in str(x.message) for x in w2)
+
+
+def test_cdc_fold_tracks_mutating_table_exactly(spark, tmp_path):
+    """Incremental view maintenance: seed the rollup from v1, then fold
+    ONLY the CDC feed of an upsert (price updates + inserts + implied
+    deletes via snapshot_delete) — state must equal a from-scratch
+    rollup over the post-change table, including hist bins, with
+    fully-deleted groups absent."""
+    from decimal import Decimal as _D
+
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        _partial,
+        apply_changes_to_rollup,
+        merge_aggregate_state,
+    )
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    rows = [
+        (k, f"d{k % 3}", _D(str((k % 7) + 1)) * 10) for k in range(60)
+    ]
+    base = spark.createDataFrame(rows, "k int, day string, v decimal(12,2)")
+    table = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    keys, measures = ["day"], {"v": ["sum", "count", "hist:20.0"]}
+
+    v1 = snapshot_write(spark, table, base.repartition(4, "k"))
+    merge_aggregate_state(spark, state, snapshot_read(spark, table), keys, measures, "day", batch_id="seed")
+
+    # updates (+10) on k%5, inserts of new keys, then delete day d2 rows
+    upd = base.filter(F.col("k") % 5 == 0).withColumn(
+        "v", (F.col("v") + 10).cast("decimal(12,2)")
+    )
+    ins = spark.createDataFrame(
+        [(1000 + i, "d1", _D("999.50")) for i in range(5)], "k int, day string, v decimal(12,2)"
+    )
+    v2 = snapshot_upsert(spark, table, upd.unionByName(ins), ["k"])
+    v3 = snapshot_delete(spark, table, "day = 'd2'")
+
+    for frm, to in ((v1, v2), (v2, v3)):
+        assert apply_changes_to_rollup(
+            spark, state, snapshot_changes(spark, table, ["k"], frm, to),
+            keys, measures, "day", batch_id=f"cdc-{frm}-{to}",
+        )
+
+    def snap(df):
+        return {
+            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"], dict(r["v__hist"] or {}))
+            for r in df.collect()
+        }
+
+    folded = snap(spark.read.parquet(state))
+    scratch = snap(_partial(snapshot_read(spark, table), keys, measures))
+    assert folded == scratch
+    assert "d2" not in folded  # fully-deleted group left the state
+
+    # replay is exactly-once
+    assert not apply_changes_to_rollup(
+        spark, state, snapshot_changes(spark, table, ["k"], v1, v2),
+        keys, measures, "day", batch_id=f"cdc-{v1}-{v2}",
+    )
+
+
+def test_cdc_fold_rejects_non_retractable_measures(spark, tmp_path):
+    import pytest
+
+    from reactionetl_etl_spark.etl.incremental_agg import apply_changes_to_rollup
+
+    ch = spark.createDataFrame(
+        [(1, "d0", 5.0, "insert")], "k int, day string, v double, _change_type string"
+    )
+    with pytest.raises(ValueError, match="cannot retract"):
+        apply_changes_to_rollup(
+            spark, str(tmp_path / "s"), ch, ["day"], {"v": ["min"]}, "day"
+        )
+    bad = spark.createDataFrame(
+        [(1, "d0", 5.0, "upsert")], "k int, day string, v double, _change_type string"
+    )
+    with pytest.raises(ValueError, match="unknown change type"):
+        apply_changes_to_rollup(
+            spark, str(tmp_path / "s2"), bad, ["day"], {"v": ["sum"]}, "day"
+        )

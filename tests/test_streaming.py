@@ -640,3 +640,77 @@ def test_stream_scd2_enrich_tracks_dim_changes(spark, tmp_path):
     # fid 12 is a LATE fact: arrives after the change but dated before
     # it — point-in-time join still lands it on the old tier
     assert got == {10: "gold", 11: "plat", 12: "gold"}
+
+
+def test_rollup_cdc_stream_tracks_mutating_table(spark, tmp_path):
+    """END-TO-END streaming view maintenance: a CDC stream off a
+    mutating snapshot table (versions as offsets) drives the rollup
+    sink — after each drain the state equals a from-scratch rollup of
+    the table's HEAD, through an upsert and a delete, with no restart
+    and no full rescan."""
+    from decimal import Decimal as _D
+
+    from reactionetl_etl_spark.etl.incremental_agg import _partial
+    from reactionetl_etl_spark.etl.snapshots import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+    from reactionetl_etl_spark.sources.pyds import SnapshotChangesStreamDataSource
+    from reactionetl_etl_spark.streaming.sinks import rollup_cdc_batch_writer
+
+    table = str(tmp_path / "cdc_roll_table")
+    state = str(tmp_path / "cdc_roll_state")
+    ckpt = str(tmp_path / "cdc_roll_ckpt")
+    keys, measures = ["day"], {"v": ["sum", "count"]}
+    base = spark.createDataFrame(
+        [(k, f"d{k % 2}", _D(str(k + 1))) for k in range(10)],
+        "k int, day string, v decimal(10,2)",
+    )
+    snapshot_write(spark, table, base.repartition(2, "k"))
+    spark.dataSource.register(SnapshotChangesStreamDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_changes_stream")
+            .option("path", table)
+            .option("keys", "k")
+            .load()
+            .writeStream.foreachBatch(
+                rollup_cdc_batch_writer(state, keys, measures, "day")
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def folded():
+        return {
+            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"])
+            for r in spark.read.parquet(state).collect()
+        }
+
+    def scratch():
+        return {
+            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"])
+            for r in _partial(snapshot_read(spark, table), keys, measures).collect()
+        }
+
+    drain()  # initial image arrives as inserts
+    assert folded() == scratch()
+
+    snapshot_upsert(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(0, "d0", _D("100.00")), (50, "d0", _D("7.00"))],
+            "k int, day string, v decimal(10,2)",
+        ),
+        ["k"],
+    )
+    snapshot_delete(spark, table, "day = 'd1'")
+    drain()  # net changes fold in; d1 leaves the state entirely
+    assert folded() == scratch()
+    assert "d1" not in folded()
