@@ -271,11 +271,17 @@ def _merge_state(
     partition_col: str,
     batch_id: str | None,
     drop_empty_groups: bool = False,
+    ordered_refresh: DataFrame | None = None,
 ) -> None:
     """Fold one batch's PARTIAL frame into the persisted state (shared
     by the append fold and the CDC-retraction fold). ``drop_empty_
     groups`` removes groups whose row count reaches zero — the fully-
-    deleted-group case the CDC path produces."""
+    deleted-group case the CDC path produces. ``ordered_refresh``
+    (CDC path with min/max/hll) carries AUTHORITATIVE recomputed
+    values for every group of the touched partitions: its columns are
+    dropped from the stored state before the additive merge and joined
+    back after, replacing rather than folding (folding an old min with
+    a recomputed one could never raise it)."""
     fs, Path = _fs(spark, state_path)
     # "state exists" = has at least one data partition — the directory
     # alone proves nothing (markers/staging from an empty first batch
@@ -285,8 +291,15 @@ def _merge_state(
         for st in fs.listStatus(Path(state_path))
     )
     touched = [r[0] for r in part.select(partition_col).distinct().collect()]
+    refresh_cols = (
+        [c for c in ordered_refresh.columns if c not in keys]
+        if ordered_refresh is not None
+        else []
+    )
     if has_data:
         old = spark.read.parquet(state_path).filter(F.col(partition_col).isin(touched))
+        if refresh_cols:
+            old = old.drop(*refresh_cols)
         # a caller whose keys/measures drifted from the stored state
         # must fail HERE, loudly — unionByName would otherwise raise a
         # generic resolution error (or, worse for subset drift, merge a
@@ -312,6 +325,8 @@ def _merge_state(
             merged = _join_null_safe(merged, _merge_hist_maps(both, keys, hc), keys)
     else:
         merged = part
+    if ordered_refresh is not None:
+        merged = _join_null_safe(merged, ordered_refresh, keys)
     emptied: list = []
     if drop_empty_groups:
         merged = merged.filter(F.col(_ROW_COUNT) != 0)
@@ -342,6 +357,7 @@ def apply_changes_to_rollup(
     partition_col: str,
     batch_id: str | None = None,
     change_type_col: str = "_change_type",
+    base: DataFrame | None = None,
 ) -> bool:
     """Incremental MATERIALIZED-VIEW maintenance under updates and
     deletes: fold one CDC batch (the `etl/snapshots.py::
@@ -349,12 +365,18 @@ def apply_changes_to_rollup(
     update_postimage) into the rollup, so the state tracks a MUTATING
     base table at cost ∝ changes, never ∝ table.
 
-    The algebra: additive measures RETRACT — each change row carries a
-    sign (+1 for insert/update_postimage, −1 for delete/
-    update_preimage) and the same partial-merge machinery folds signed
-    partials; a group whose row count reaches zero leaves the state.
-    Only sum/count/hist qualify (min/max/HLL cannot un-see a value and
-    raise — recompute those from the base table's touched groups).
+    The algebra, per measure class (the textbook IVM split):
+    - ADDITIVE (sum/count/hist) measures RETRACT — each change row
+      carries a sign (+1 for insert/update_postimage, −1 for delete/
+      update_preimage) and the same partial-merge machinery folds the
+      signed partials exactly; a group whose row count reaches zero
+      leaves the state (and a fully-emptied partition is deleted).
+    - ORDERED/SKETCH (min/max/hll) measures cannot un-see a value, so
+      they are RECOMPUTED — pass ``base`` (the post-change table, e.g.
+      `snapshot_read` at the new version) and the touched PARTITIONS'
+      groups get fresh values in the same atomic commit; work is
+      ∝ touched base partitions, never ∝ table. Declaring min/max/hll
+      without ``base`` raises.
     Exactly-once per ``batch_id`` exactly like `merge_aggregate_state`.
 
     Applying `snapshot_changes(v_i → v_{i+1})` for every commit keeps
@@ -371,15 +393,40 @@ def apply_changes_to_rollup(
         raise ValueError(
             f"unknown change type {bad[0][change_type_col]!r} (expected one of {known})"
         )
+    recompute_kinds = ("min", "max", "hll")
+    # split: additive = sum/count/hist (retract); recomputed = min/max/hll
+    additive = {}
+    recomputed = {}
+    for c, specs in measures.items():
+        add = [a for a in specs if a not in recompute_kinds]
+        rec = [a for a in specs if a in recompute_kinds]
+        if add:
+            additive[c] = add
+        if rec:
+            recomputed[c] = rec
+    if recomputed and base is None:
+        kinds = sorted({a for specs in recomputed.values() for a in specs})
+        raise ValueError(
+            f"{kinds} cannot retract (a delete can't un-see a value) — pass "
+            "base= (the post-change table) so touched partitions' groups are "
+            "recomputed in the same commit, or drop these measures"
+        )
+    ordered_refresh = None
+    if recomputed:
+        touched_parts = [
+            r[0] for r in changes.select(partition_col).distinct().collect()
+        ]
+        base_touched = base.filter(F.col(partition_col).isin(touched_parts))
+        ordered_refresh = _partial(base_touched, keys, recomputed).drop(_ROW_COUNT)
     signed = changes.withColumn(
         "__w",
         F.when(F.col(change_type_col).isin("insert", "update_postimage"), F.lit(1))
         .otherwise(F.lit(-1)),
     )
-    part = _partial(signed, keys, measures, weight_col="__w")
+    part = _partial(signed, keys, additive, weight_col="__w")
     _merge_state(
-        spark, state_path, part, keys, measures, partition_col, batch_id,
-        drop_empty_groups=True,
+        spark, state_path, part, keys, additive, partition_col, batch_id,
+        drop_empty_groups=True, ordered_refresh=ordered_refresh,
     )
     return True
 

@@ -8734,7 +8734,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n_rows,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           count(o_totalprice) AS cnt_price
+           count(o_totalprice) AS cnt_price,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
     FROM final
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -8775,7 +8777,9 @@ def rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     keys = ["o_orderpriority"]
-    measures = {"o_totalprice": ["sum", "count"]}
+    # min/max exercise the ORDERED-measure path: not retractable, so
+    # the fold recomputes touched partitions' groups from base=
+    measures = {"o_totalprice": ["sum", "count", "min", "max"]}
     work = _tempfile.mkdtemp(prefix="cdc_rollup_")
     try:
         table = _os.path.join(work, "orders_snap")
@@ -8800,6 +8804,7 @@ def rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_changes_to_rollup(
                 spark, state, snapshot_changes(spark, table, ["o_orderkey"], frm, to),
                 keys, measures, "o_orderpriority", batch_id=f"cdc-{frm}-{to}",
+                base=snapshot_read(spark, table, to),
             )
         view = read_aggregate_view(spark, state, measures)
         return (
@@ -8808,6 +8813,8 @@ def rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("row_count").alias("n_rows"),
                 F.col("o_totalprice__sum").cast("double").alias("sum_price"),
                 F.col("o_totalprice__count").alias("cnt_price"),
+                F.col("o_totalprice__min").cast("double").alias("min_price"),
+                F.col("o_totalprice__max").cast("double").alias("max_price"),
             )
             .orderBy("o_orderpriority")
             .localCheckpoint(eager=True)

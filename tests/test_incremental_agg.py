@@ -374,7 +374,8 @@ def test_cdc_fold_tracks_mutating_table_exactly(spark, tmp_path):
     base = spark.createDataFrame(rows, "k int, day string, v decimal(12,2)")
     table = str(tmp_path / "tbl")
     state = str(tmp_path / "state")
-    keys, measures = ["day"], {"v": ["sum", "count", "hist:20.0"]}
+    keys = ["day"]
+    measures = {"v": ["sum", "count", "hist:20.0", "min", "max"]}
 
     v1 = snapshot_write(spark, table, base.repartition(4, "k"))
     merge_aggregate_state(spark, state, snapshot_read(spark, table), keys, measures, "day", batch_id="seed")
@@ -393,11 +394,15 @@ def test_cdc_fold_tracks_mutating_table_exactly(spark, tmp_path):
         assert apply_changes_to_rollup(
             spark, state, snapshot_changes(spark, table, ["k"], frm, to),
             keys, measures, "day", batch_id=f"cdc-{frm}-{to}",
+            base=snapshot_read(spark, table, to),
         )
 
     def snap(df):
         return {
-            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"], dict(r["v__hist"] or {}))
+            r["day"]: (
+                r["__nrows"], r["v__sum"], r["v__count"],
+                dict(r["v__hist"] or {}), r["v__min"], r["v__max"],
+            )
             for r in df.collect()
         }
 
@@ -410,6 +415,7 @@ def test_cdc_fold_tracks_mutating_table_exactly(spark, tmp_path):
     assert not apply_changes_to_rollup(
         spark, state, snapshot_changes(spark, table, ["k"], v1, v2),
         keys, measures, "day", batch_id=f"cdc-{v1}-{v2}",
+        base=snapshot_read(spark, table),
     )
 
 
@@ -424,7 +430,7 @@ def test_cdc_fold_rejects_non_retractable_measures(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot retract"):
         apply_changes_to_rollup(
             spark, str(tmp_path / "s"), ch, ["day"], {"v": ["min"]}, "day"
-        )
+        )  # min without base= — no way to recompute
     bad = spark.createDataFrame(
         [(1, "d0", 5.0, "upsert")], "k int, day string, v double, _change_type string"
     )
