@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "unconverted_clicks_outer_join",
     "rollup_cdc_maintenance",
     "dsir_importance_weights",
     "span_corruption_pairs",
@@ -8821,3 +8822,38 @@ def rollup_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "unconverted_clicks_outer_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("events", "join", "interval", "streaming", "outer"),
+)
+def unconverted_clicks_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (streaming/joins.py::interval_join,
+    how='left_outer') — the question the inner join can't answer:
+    which clicks never converted inside the window (purchase_id NULL).
+    The SAME function runs over two watermarked streams with
+    watermark-driven NULL emission (test_streaming pins stream ≡ batch
+    row for row); here its batch execution is value-checked against
+    DuckDB's plain outer join."""
+    from reactionetl_etl_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ntz")
+    out = interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        on="user_id",
+        upper="30 minutes",
+        how="left_outer",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+    )

@@ -34,14 +34,29 @@ def interval_join(
     upper: str = "30 minutes",
     watermark: str | None = None,
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join rows of the same ``on`` key where the right event
-    falls in (left_ts, left_ts + upper] — "a purchase within 30
-    minutes after a click". Right columns get ``suffix`` on collision.
+    """Join rows of the same ``on`` key where the right event falls in
+    (left_ts, left_ts + upper] — "a purchase within 30 minutes after a
+    click". Right columns get ``suffix`` on collision.
+
+    ``how`` ∈ inner | left_outer | right_outer | full_outer. The outer
+    variants answer the question inner joins can't: WHICH clicks never
+    converted. Streaming outer semantics are watermark-driven — an
+    unmatched row emits its NULL-padded result only once the watermark
+    passes its join window (before that, a match could still arrive),
+    so results trail the inner join by up to watermark + interval; a
+    finite AvailableNow drain flushes rows whose window closed, and
+    the parity test pushes the watermark past everything with a
+    far-future sentinel event, the standard finite-stream idiom.
 
     Streaming inputs need ``watermark`` (applied to both sides) or
-    Spark rejects the plan as unbounded-state.
+    Spark rejects the plan as unbounded-state — for OUTER joins that
+    is a hard analysis error, not just unbounded growth.
     """
+    allowed = ("inner", "left_outer", "right_outer", "full_outer")
+    if how not in allowed:
+        raise ValueError(f"how must be one of {allowed}, got {how!r}")
     renames = {
         c: (c + suffix if c in left.columns else c)
         for c in right.columns
@@ -61,4 +76,4 @@ def interval_join(
         & (F.col(rts) > F.col(left_ts))
         & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner").drop(rkey)
+    return l.join(r, cond, how).drop(rkey)

@@ -714,3 +714,60 @@ def test_rollup_cdc_stream_tracks_mutating_table(spark, tmp_path):
     drain()  # net changes fold in; d1 leaves the state entirely
     assert folded() == scratch()
     assert "d1" not in folded()
+
+
+def test_interval_left_outer_join_stream_batch_parity(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: clicks with no purchase
+    inside the window emit NULL-padded exactly once, and the streaming
+    result (watermark-driven emission, flushed past end-of-data by a
+    far-future sentinel) equals the batch outer join row for row."""
+    import datetime as _dt
+
+    from reactionetl_etl_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts_ntz")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    batch = interval_join(clicks_b, purch_b, on="user_id", upper="30 minutes", how="left_outer")
+    expected = {(r["event_id"], r["event_id_r"]) for r in batch.collect()}
+    n_unmatched = sum(1 for _, rid in expected if rid is None)
+    assert n_unmatched > 0  # the interesting rows exist
+
+    # sentinel far past every real event pushes the watermark over all
+    # join windows so pending unmatched rows flush before the drain ends
+    flush_ts = ev.agg(F.max("ts_ntz")).first()[0] + _dt.timedelta(days=365)
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "click", flush_ts), (-2, -1, "purchase", flush_ts)],
+        ev.schema,
+    )
+    src = str(tmp_path / "ivo_src")
+    ev.unionByName(sentinel).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    joined = interval_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        on="user_id",
+        upper="30 minutes",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    q = (
+        joined.select("event_id", "event_id_r")
+        .writeStream.format("memory")
+        .queryName("ivo_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ivo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT * FROM ivo_test WHERE event_id >= 0").collect()
+    }
+    assert got == expected
+
+    import pytest
+
+    with pytest.raises(ValueError, match="how must be"):
+        interval_join(clicks_b, purch_b, on="user_id", how="anti")
