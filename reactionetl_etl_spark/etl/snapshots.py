@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 from reactionetl_etl_spark.etl.commit import _fs
 
 
+class ConcurrentSnapshotWrite(RuntimeError):
+    """Another writer committed the version this commit targeted.
+    Nothing corrupted: the data files staged by the loser are orphaned
+    (vacuum collects them); re-read the head and retry the operation."""
+
+
 def _read_small(fs, Path, spark: SparkSession, path: str) -> str | None:
     p = Path(path)
     if not fs.exists(p):
@@ -459,10 +465,41 @@ def _commit_manifest(
     if bloom_cols:
         manifest["bloom_cols"] = sorted(bloom_cols)
         manifest["blooms"] = {f: blooms.get(f, {}) for f in files if blooms and blooms.get(f)}
-    out = fs.create(Path(f"{table_path}/_snapshots/v{version}.json"), True)
+    # CREATE-EXCLUSIVE manifest write (optimistic concurrency): two
+    # writers that both read head v race to commit v+1 — an
+    # overwrite=True create would let the second silently CLOBBER the
+    # first's manifest while both writers report success (a lost
+    # update). With overwrite=False the filesystem arbitrates. On
+    # losing the slot there are two cases, told apart by the marker:
+    # - v{n}.committed EXISTS → a rival genuinely COMMITTED this
+    #   version: raise ConcurrentSnapshotWrite (re-read the head,
+    #   redo the work against the winner's files, retry).
+    # - no marker → the occupant is a CRASHED writer's orphan (the
+    #   documented supersede-the-orphan recovery case): delete it and
+    #   take the slot; if the exclusive create loses AGAIN a live
+    #   racer just appeared — raise. A live writer between its two
+    #   creates is indistinguishable from a crash for that instant;
+    #   the winner of the marker race owns the version (the same
+    #   best-effort window every rename-based table format accepts
+    #   off compare-and-swap object stores).
+    json_path = Path(f"{table_path}/_snapshots/v{version}.json")
+    marker_path = Path(f"{table_path}/_snapshots/v{version}.committed")
+    out = None
+    for attempt in (1, 2):
+        try:
+            out = fs.create(json_path, False)
+            break
+        except Exception as e:  # noqa: BLE001 — py4j wraps FileAlreadyExists
+            if fs.exists(marker_path) or attempt == 2:
+                raise ConcurrentSnapshotWrite(
+                    f"version v{version} at {table_path} was committed by "
+                    "another writer after this commit started — re-read the "
+                    "head and retry"
+                ) from e
+            fs.delete(json_path, False)  # uncommitted orphan: supersede
     out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     out.close()
-    fs.create(Path(f"{table_path}/_snapshots/v{version}.committed"), True).close()
+    fs.create(marker_path, True).close()
     return version
 
 

@@ -457,3 +457,51 @@ def test_bloom_primitives_fpp_and_membership():
     fresh = np.setdiff1d(probes, inserted)
     fp = sum(bloom_may_contain(bits, m, k, int(h)) for h in fresh) / len(fresh)
     assert fp < 0.03, f"false-positive rate {fp:.4f} far above the 1% design point"
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: a writer whose head read went stale (a
+    rival fully committed the version it targets, simulated by pinning
+    head_version to the stale value) raises ConcurrentSnapshotWrite
+    instead of silently clobbering the winner's manifest; an
+    UNCOMMITTED occupant (crashed writer, no marker) is still
+    superseded per the crash-recovery contract; and the normal retry
+    (fresh head read) succeeds."""
+    import json as _json
+    import os
+
+    import pytest
+
+    import reactionetl_etl_spark.etl.snapshots as S
+
+    t = str(tmp_path / "cc")
+    S.snapshot_write(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"))
+
+    # rival commits v2 FULLY (manifest + marker)
+    racer = {"version": 2, "mode": "append", "files": [], "schema":
+             spark.createDataFrame([(1, "a")], "k int, v string").schema.jsonValue()}
+    with open(os.path.join(t, "_snapshots", "v2.json"), "w") as fh:
+        fh.write(_json.dumps(racer))
+    open(os.path.join(t, "_snapshots", "v2.committed"), "w").close()
+
+    # our writer's head read is stale at 1 → it targets the taken v2
+    real_head = S.head_version
+    monkeypatch.setattr(S, "head_version", lambda sp, p: 1)
+    with pytest.raises(S.ConcurrentSnapshotWrite, match="another"):
+        S.snapshot_write(
+            spark, t, spark.createDataFrame([(2, "b")], "k int, v string"), mode="append"
+        )
+    # the winner's manifest body was not clobbered
+    with open(os.path.join(t, "_snapshots", "v2.json")) as fh:
+        assert _json.load(fh)["files"] == []
+    monkeypatch.setattr(S, "head_version", real_head)
+
+    # an UNCOMMITTED occupant is a crash orphan: superseded, not fatal
+    with open(os.path.join(t, "_snapshots", "v3.json"), "w") as fh:
+        fh.write('{"version": 3, "mode": "append", "files": ["data/nope.parquet"]}')
+    v = S.snapshot_write(
+        spark, t, spark.createDataFrame([(2, "b")], "k int, v string"), mode="append"
+    )
+    assert v == 3 and S.head_version(spark, t) == 3
+    # racer's v2 had no files; the append carried none forward + ours
+    assert S.snapshot_read(spark, t).count() == 1
