@@ -103,13 +103,29 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    changed = -1
     for _ in range(max_iter):
         # neighbor labels flow along edges: node a hears b's label
         msgs = sym.join(labels, on=sym.b == labels.node, how="inner").select(
             F.col("a").alias("node"), F.col("comp")
         )
+        stepped = labels.unionByName(msgs).groupBy("node").agg(
+            F.min("comp").alias("comp")
+        )
+        # POINTER HALVING (path compression): v's label jumps to its
+        # label's label — min-propagation alone moves a label one hop
+        # per round, O(diameter) rounds, and a long-chain graph past
+        # small_graph_max would exhaust max_iter; with the jump, chains
+        # collapse in O(log diameter) rounds (max_iter=20 covers
+        # diameter ~2^20). One extra comp-keyed join per round; labels
+        # only ever DECREASE toward the true min, so convergence and
+        # determinism are unchanged.
+        jump = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("__comp2")
+        )
         new_labels = (
-            labels.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+            stepped.join(jump, on="comp", how="left")
+            .select("node", F.coalesce("__comp2", "comp").alias("comp"))
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -120,6 +136,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silently-unconverged result would hand callers WRONG
+        # components; with halving this needs diameter > 2^max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter is astronomically large); raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -1286,3 +1286,27 @@ def test_dsir_weights_favor_target_like_docs(spark):
 
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_log_weights(corpus, target, n_buckets=0)
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """A 1,500-node path graph through the DISTRIBUTED loop
+    (small_graph_max=None): plain min-propagation would need ~1,500
+    rounds (one hop per round) and silently time out at max_iter — the
+    pointer-halving jump collapses the chain within the default 20
+    rounds, and every node labels with the chain's minimum."""
+    from reactionetl_etl_spark.operators.graph import connected_components
+
+    n = 1500
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(9000, 9001)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "id_a", "id_b", small_graph_max=None
+        ).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert got[9000] == 9000 and got[9001] == 9000
+    assert len(got) == n + 2
