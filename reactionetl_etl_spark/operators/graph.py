@@ -6,17 +6,19 @@ docs are all one document" — so one keeper survives per CLUSTER, not
 per pair (pairwise keeper-selection double-drops when A~B and B~C but
 A!~C).
 
-Algorithm: iterative min-label propagation, all DataFrame ops:
+Algorithm: iterative min-label propagation with POINTER HALVING, all
+DataFrame ops:
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+    label(v) ← min over neighbors u of label(u)   (one-hop flow)
+    label(v) ← label(label(v))                    (path compression)
 
-repeated until a fixed point. Each iteration is one shuffle (join on
-the edge key + a groupBy-min); iterations needed = graph diameter.
-Near-dup clusters are cliques/short chains (diameter ≤ ~3), so this
-converges in 2-4 rounds at any corpus size. For adversarial
-long-chain graphs, the large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce", SOCC'14 — public) halves the
-diameter per round; not needed for dedup-shaped graphs.
+repeated until a fixed point. Each iteration is two keyed shuffles
+(edge-key join + groupBy-min, then a comp-keyed jump join); the jump
+halves remaining chain lengths, so rounds needed = O(log diameter) —
+the same convergence class as Kiveris et al.'s large-star/small-star
+("Connected Components in MapReduce", SOCC'14 — public) with a
+simpler per-round plan. Near-dup clusters (diameter ≤ ~3) converge in
+2-3 rounds; even a diameter-10⁶ adversarial chain needs ~20.
 
 Driver involvement is one convergence count per iteration (a scalar).
 Labels are EAGERLY localCheckpoint'ed per round: a persist() would
