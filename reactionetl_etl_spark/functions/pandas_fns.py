@@ -23,3 +23,33 @@ def l2_norm(v: pd.Series) -> pd.Series:
     return v.map(
         lambda arr: float(np.sqrt(np.sum(np.square(np.asarray(arr, dtype="float64")))))
     )
+
+
+def bloom_membership_udf(broadcast_bits, m: int, k: int):
+    """Factory: a vectorized Bloom-membership test over an int64 hash
+    column (the `etl/bloom.py` double-hashing scheme). Lives here, not
+    in the caller's module, because pandas_udf needs REAL type hints
+    and `from __future__ import annotations` (which the operator
+    modules use) turns them into unresolvable strings — the exact trap
+    this module's header documents. ``broadcast_bits`` is an
+    `sc.broadcast` of the filter bytes so the bitset ships once per
+    executor, not once per task closure."""
+    m_ = np.uint64(m)
+    k_ = int(k)
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        arr = np.frombuffer(broadcast_bits.value, dtype=np.uint8)
+        hv = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        h1 = hv % m_
+        h2 = ((hv >> np.uint64(33)) | np.uint64(1)) % m_
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k_):
+            idx = (h1 + np.uint64(i) * h2) % m_
+            ok &= (
+                arr[(idx >> np.uint64(3)).astype(np.int64)]
+                & (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8)
+            ) != 0
+        return pd.Series(ok)
+
+    return might_contain

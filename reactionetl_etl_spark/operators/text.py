@@ -636,3 +636,61 @@ def span_corruption(
         F.array_join(pair["corr"], " ").alias("corrupted_text"),
         F.array_join(pair["targ"], " ").alias("target_text"),
     )
+
+
+def ngram_contamination_bloom(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    fpp: float = 0.005,
+    max_eval_grams: int = 50_000_000,
+) -> DataFrame:
+    """`ngram_contamination`, third scale regime: BLOOM pre-filter +
+    exact verify. The broadcast path ships the eval suite's full
+    distinct gram STRINGS to every executor (~tens of bytes per gram);
+    the shuffle path moves the whole corpus' gram hashes. In between
+    sits the classic filter-then-verify split: a Bloom filter over the
+    eval grams costs ~1.2 bytes/gram at 0.5% fpp — 20-50x smaller than
+    the string set — so suites far past the string-broadcast threshold
+    still probe map-side; the rare bloom HITS (true matches + fpp of
+    the corpus grams) then exact-join the eval grams, which removes
+    every false positive, making the result IDENTICAL to the other two
+    paths (the oracle does not change).
+
+    Spark shape: one bounded driver collect of eval gram hashes
+    (`max_eval_grams` guards it — a suite past that belongs on the
+    shuffle path), a vectorized numpy membership test via @pandas_udf
+    over the corpus gram stream (Arrow-batched, zero shuffle), and the
+    existing matched-rows-only aggregation."""
+    import numpy as np
+
+    from reactionetl_etl_spark.etl.bloom import bloom_params, build_bloom
+    from reactionetl_etl_spark.functions.pandas_fns import bloom_membership_udf
+
+    ev = (
+        token_ngrams(eval_set, text_col, k)
+        .select(F.col(id_col).alias("eval_id"), "gram")
+        .distinct()
+    )
+    hashes = ev.select(F.xxhash64("gram")).limit(max_eval_grams + 1).collect()
+    if len(hashes) > max_eval_grams:
+        raise ValueError(
+            f"eval suite exceeds max_eval_grams={max_eval_grams} distinct grams — "
+            "use ngram_contamination(broadcast_eval=False) (the shuffle path)"
+        )
+    m, kh = bloom_params(len(hashes), fpp)
+    bits = build_bloom(np.array([r[0] for r in hashes], dtype=np.int64), m, kh)
+    bc = train.sparkSession.sparkContext.broadcast(bits)
+    might_contain = bloom_membership_udf(bc, m, kh)
+
+    tr = token_ngrams(train, text_col, k).select(
+        F.col(id_col).alias("train_id"), "gram"
+    )
+    candidates = tr.filter(might_contain(F.xxhash64("gram")))
+    return (
+        candidates.join(F.broadcast(ev), on="gram")  # exact verify kills fps
+        .groupBy("train_id", "eval_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )

@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "contamination_check_bloom",
     "unconverted_clicks_outer_join",
     "rollup_cdc_maintenance",
     "dsir_importance_weights",
@@ -8857,3 +8858,44 @@ def unconverted_clicks_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("click_id"),
         F.col("event_id_r").alias("purchase_id"),
     )
+
+
+@_q(
+    "contamination_check_bloom",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
+    ), ev AS (
+        SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
+    ), tr AS (
+        SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 97 <> 0
+    )
+    SELECT train_id, eval_id, count(DISTINCT gram) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id
+    """,
+    tags=("text", "contamination", "llm", "bloom"),
+)
+def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination sweep through the BLOOM pre-filter regime
+    (operators/text.py::ngram_contamination_bloom): eval grams compress
+    to a ~1.2-byte/gram Bloom filter (20-50x smaller than the string
+    broadcast), the corpus gram stream is membership-tested by a
+    vectorized numpy @pandas_udf, and the rare hits exact-verify
+    against the gram set — false positives cost a lookup, never a row,
+    so the result (and this oracle) is IDENTICAL to the broadcast and
+    shuffle paths. The regime for eval suites too big to broadcast as
+    strings but not worth a corpus-wide shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return TX.ngram_contamination_bloom(tr, ev, "text", "doc_id", k=4)

@@ -1310,3 +1310,26 @@ def test_connected_components_long_chain_distributed(spark):
     assert all(got[i] == 0 for i in range(n))
     assert got[9000] == 9000 and got[9001] == 9000
     assert len(got) == n + 2
+
+
+def test_contamination_bloom_path_identical_to_other_regimes(spark, sf_dir):
+    """All three contamination scale regimes (string broadcast, hash
+    shuffle, bloom prefilter + exact verify) return IDENTICAL pairs —
+    false positives cost lookups, never rows — and the bloom path's
+    eval-size guard raises past max_eval_grams."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 40 == 0)
+    tr = docs.filter(F.col("doc_id") % 40 != 0)
+
+    def pairs(df):
+        return {(r["train_id"], r["eval_id"]): r["n_shared"] for r in df.collect()}
+
+    a = pairs(TX.ngram_contamination(tr, ev, "text", "doc_id"))
+    b = pairs(TX.ngram_contamination(tr, ev, "text", "doc_id", broadcast_eval=False))
+    c = pairs(TX.ngram_contamination_bloom(tr, ev, "text", "doc_id"))
+    assert a == b == c and len(a) > 0
+
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        TX.ngram_contamination_bloom(tr, ev, "text", "doc_id", max_eval_grams=3)
