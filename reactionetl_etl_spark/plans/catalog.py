@@ -8884,6 +8884,7 @@ def unconverted_clicks_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY train_id, eval_id
     """,
     tags=("text", "contamination", "llm", "bloom"),
+    bench=True,
 )
 def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The contamination sweep through the BLOOM pre-filter regime
