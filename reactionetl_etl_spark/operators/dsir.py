@@ -91,3 +91,71 @@ def dsir_log_weights(
             ),
         )
     )
+
+
+def write_dsir_model(
+    corpus: DataFrame,
+    target: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    smoothing: float = 0.5,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the per-bucket log-likelihood-ratio table (plus the
+    unseen-bucket default as a bucket=-1 sentinel row) — the trained
+    DSIR model. The sign-once discipline every persisted index here
+    follows: the target/raw distributions are estimated ONCE at build
+    time, then any stream of new documents scores against the stored
+    n_buckets-row table without touching either corpus again."""
+    tg = _bucketed_grams(target, id_col, text_col, n_buckets)
+    rg = _bucketed_grams(corpus, id_col, text_col, n_buckets)
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    rc = rg.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    t_total = tc.agg(F.sum("tc")).first()[0] or 0
+    r_total = rc.agg(F.sum("rc")).first()[0] or 0
+    t_den = math.log(t_total + smoothing * n_buckets)
+    r_den = math.log(r_total + smoothing * n_buckets)
+    ratio = tc.join(rc, on="bucket", how="full_outer").select(
+        "bucket",
+        (
+            F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(smoothing))
+            - F.lit(t_den)
+            - F.log(F.coalesce(F.col("rc"), F.lit(0)) + F.lit(smoothing))
+            + F.lit(r_den)
+        ).alias("log_ratio"),
+    )
+    default = corpus.sparkSession.createDataFrame(
+        [(-1, r_den - t_den)], "bucket bigint, log_ratio double"
+    )
+    ratio.unionByName(default).write.mode(mode).parquet(path)
+
+
+def score_with_dsir_model(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Score NEW documents against a persisted DSIR model — one gram
+    explode joined to the broadcast n_buckets-row table, doc-keyed
+    sum. ``n_buckets`` must match the model's build value (the bucket
+    hash is part of the model contract). Scores for documents whose
+    grams all existed at build time equal `dsir_log_weights` exactly;
+    genuinely new grams fall back to the model's unseen-bucket row."""
+    g = _bucketed_grams(df, id_col, text_col, n_buckets)
+    default = model.filter(F.col("bucket") == -1).select(
+        F.col("log_ratio").alias("__default")
+    )
+    real = model.filter(F.col("bucket") != -1)
+    return (
+        g.join(F.broadcast(real), on="bucket", how="left")
+        .join(F.broadcast(default))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("log_ratio"), F.col("__default"))).alias("log_weight"),
+        )
+    )

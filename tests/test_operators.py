@@ -1333,3 +1333,43 @@ def test_contamination_bloom_path_identical_to_other_regimes(spark, sf_dir):
 
     with pytest.raises(ValueError, match="max_eval_grams"):
         TX.ngram_contamination_bloom(tr, ev, "text", "doc_id", max_eval_grams=3)
+
+
+def test_dsir_persisted_model_matches_in_plan_scoring(spark, tmp_path):
+    """Sign-once discipline: scores from the persisted ratio table
+    equal dsir_log_weights computed in-plan, and an unseen-gram doc
+    scores through the model's default-bucket fallback."""
+    from reactionetl_etl_spark.operators.dsir import (
+        dsir_log_weights,
+        score_with_dsir_model,
+        write_dsir_model,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(4)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox naps beside the lazy dog"),
+         (2, "zzz qqq xxx unrelated tokens entirely different words")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "dsir_model")
+    write_dsir_model(corpus, target, path)
+    model = spark.read.parquet(path)
+    probe = {
+        r["doc_id"]: (r["n_bigrams"], round(r["log_weight"], 9))
+        for r in score_with_dsir_model(corpus, model).collect()
+    }
+    inplan = {
+        r["doc_id"]: (r["n_bigrams"], round(r["log_weight"], 9))
+        for r in dsir_log_weights(corpus, target).collect()
+    }
+    assert probe == inplan
+
+    new = spark.createDataFrame(
+        [(9, "wholly novel bigrams never seen anywhere before now")],
+        "doc_id long, text string",
+    )
+    got = score_with_dsir_model(new, model).collect()[0]
+    assert got["n_bigrams"] > 0 and got["log_weight"] is not None
