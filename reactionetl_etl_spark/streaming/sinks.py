@@ -395,6 +395,7 @@ def rollup_cdc_batch_writer(
     keys: list[str],
     measures: dict[str, list[str]],
     partition_col: str,
+    base_table_path: str | None = None,
 ):
     """foreachBatch callback maintaining a mergeable rollup from a CDC
     STREAM (the `sources/pyds.py::SnapshotChangesStreamDataSource`
@@ -403,14 +404,24 @@ def rollup_cdc_batch_writer(
     (`etl/incremental_agg.py::apply_changes_to_rollup`) — the streaming
     form of incremental materialized-view maintenance under mutation.
     Exactly-once via the same commit-riding `_APPLIED_stream-<id>`
-    marker discipline as `rollup_batch_writer`; only additive measures
-    (sum/count/hist) qualify — min/max/HLL raise at the first batch."""
+    marker discipline as `rollup_batch_writer`. Additive measures
+    (sum/count/hist) retract; for min/max/HLL pass ``base_table_path``
+    (the snapshot table the feed describes) — each batch recomputes the
+    touched partitions' groups from the table's CURRENT head, which is
+    correct even when the stream collapsed several commits into one
+    batch (the head is the final state those changes lead to)."""
     from reactionetl_etl_spark.etl.commit import recover_staged_commits
     from reactionetl_etl_spark.etl.incremental_agg import apply_changes_to_rollup
+    from reactionetl_etl_spark.etl.snapshots import snapshot_read
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         recover_staged_commits(spark, state_path)
+        base = (
+            snapshot_read(spark, base_table_path)
+            if base_table_path is not None
+            else None
+        )
         applied = apply_changes_to_rollup(
             spark,
             state_path,
@@ -419,6 +430,7 @@ def rollup_cdc_batch_writer(
             measures,
             partition_col,
             batch_id=f"stream-{batch_id}",
+            base=base,
         )
         logger.info(
             "rollup-cdc sink: batch %d %s", batch_id, "folded" if applied else "replay skipped"

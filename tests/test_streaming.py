@@ -663,7 +663,8 @@ def test_rollup_cdc_stream_tracks_mutating_table(spark, tmp_path):
     table = str(tmp_path / "cdc_roll_table")
     state = str(tmp_path / "cdc_roll_state")
     ckpt = str(tmp_path / "cdc_roll_ckpt")
-    keys, measures = ["day"], {"v": ["sum", "count"]}
+    keys = ["day"]
+    measures = {"v": ["sum", "count", "min", "max"]}  # min/max via base recompute
     base = spark.createDataFrame(
         [(k, f"d{k % 2}", _D(str(k + 1))) for k in range(10)],
         "k int, day string, v decimal(10,2)",
@@ -678,7 +679,7 @@ def test_rollup_cdc_stream_tracks_mutating_table(spark, tmp_path):
             .option("keys", "k")
             .load()
             .writeStream.foreachBatch(
-                rollup_cdc_batch_writer(state, keys, measures, "day")
+                rollup_cdc_batch_writer(state, keys, measures, "day", base_table_path=table)
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -688,13 +689,13 @@ def test_rollup_cdc_stream_tracks_mutating_table(spark, tmp_path):
 
     def folded():
         return {
-            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"])
+            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"], r["v__min"], r["v__max"])
             for r in spark.read.parquet(state).collect()
         }
 
     def scratch():
         return {
-            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"])
+            r["day"]: (r["__nrows"], r["v__sum"], r["v__count"], r["v__min"], r["v__max"])
             for r in _partial(snapshot_read(spark, table), keys, measures).collect()
         }
 
