@@ -68,6 +68,9 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "pca_explained_variance",
+    "pca_doc_projection",
+    "zipf_slope_fit",
     "contamination_check_bloom",
     "unconverted_clicks_outer_join",
     "rollup_cdc_maintenance",
@@ -8900,3 +8903,115 @@ def contamination_check_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
     return TX.ngram_contamination_bloom(tr, ev, "text", "doc_id", k=4)
+
+
+@_q(
+    "zipf_slope_fit",
+    """
+    WITH w AS (
+        SELECT word, count(*) AS n FROM (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+            FROM documents
+        )
+        GROUP BY word
+    ), top AS (
+        SELECT word, n FROM w ORDER BY n DESC, word ASC LIMIT 200
+    ), r AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM top
+    )
+    SELECT round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+           round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_intercept,
+           round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS fit_r2,
+           count(*) AS n_types
+    FROM r
+    """,
+    tags=("text", "agg", "regression", "llm"),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: log-frequency
+    regressed on log-rank for the top-200 word types (a natural-corpus
+    slope sits near -1; a synthetic or degenerate corpus drifts off it
+    — a cheap distribution-health probe for training data). The
+    vocabulary aggregation combines map-side at distinct-word
+    cardinality; ranking happens AFTER the distributed top-k bounds the
+    set to 200 rows, so the row_number window is single-partition over
+    a constant-size input, never over the vocabulary. regr_slope /
+    regr_intercept / regr_r2 are JVM-side declarative aggregates on
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(D.normalize_text("text"), " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    top = R.topk(counts, [F.col("n").desc(), F.col("word").asc()], 200)
+    ranked = top.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("word").asc()))
+        .alias("rank"),
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_rank = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_n, ln_rank), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_rank), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_rank), 4).alias("fit_r2"),
+        F.count("*").alias("n_types"),
+    )
+
+
+@_q(
+    "pca_explained_variance",
+    None,  # replaced by a PINNED VALUES oracle (driver hashes it): eigensolve is not SQL-expressible
+    tags=("embeddings", "linalg", "pca", "llm"),
+)
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA eigenspectrum of the corpus embeddings (component,
+    eigenvalue, variance ratio) — the knob-setting probe for
+    embedding-space curation (how many dims carry signal before
+    SemDeDup / ANN indexing / drift monitoring run on reduced vectors).
+    One distributed pass folds each Arrow batch into O(d^2) exact
+    FIXED-POINT Gram partials (operators/linalg.py::gram_partials);
+    a DECIMAL(38,0) merge makes the covariance bit-identical under any
+    partitioning, so the driver-side eigensolve — and this pinned
+    oracle — is deterministic by construction. Nothing row-scale
+    touches the driver."""
+    from reactionetl_etl_spark.operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = LA.fit_pca(emb, "embedding", dim=64, k=8)
+    rows = [
+        (i + 1, round(ev, 8), round(ev / model.total_variance, 6))
+        for i, ev in enumerate(model.eigenvalues)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_ratio double"
+    )
+
+
+@_q(
+    "pca_doc_projection",
+    None,  # replaced by a PINNED VALUES oracle (driver hashes it): eigensolve is not SQL-expressible
+    tags=("embeddings", "linalg", "pca", "llm"),
+)
+def pca_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding projected onto the top-2 principal components —
+    the 2-D map feeding cluster visualization and embedding-drift
+    dashboards. Model fit is the exact fixed-point Gram pass (see
+    pca_explained_variance); the projection itself is a pure Catalyst
+    expression per component (dot fold minus a folded mean constant,
+    operators/linalg.py::project_expr) — JVM whole-stage codegen, no
+    Python, no shuffle. Output rounded to 6dp; deterministic because
+    the model is bit-stable and per-row arithmetic is
+    partitioning-independent."""
+    from reactionetl_etl_spark.operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = LA.fit_pca(emb, "embedding", dim=64, k=2)
+    proj = LA.pca_project(emb.select("vec_id", "label", "embedding"), "embedding", model)
+    return proj.select(
+        "vec_id",
+        "label",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )
