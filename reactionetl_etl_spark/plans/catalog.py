@@ -68,6 +68,8 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "quality_classifier_scores",
+    "quality_classifier_eval",
     "pca_explained_variance",
     "pca_doc_projection",
     "zipf_slope_fit",
@@ -9014,4 +9016,113 @@ def pca_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round("pc1", 6).alias("pc1"),
         F.round("pc2", 6).alias("pc2"),
+    )
+
+
+def _quality_labels(docs: DataFrame) -> DataFrame:
+    """Gopher-rule keep verdicts as 0/1 training labels (the
+    quality_filter_verdicts rule set, distilled)."""
+    norm = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    nt = F.size(norm)
+    uq = F.size(F.array_distinct(norm)).cast("double") / F.greatest(nt, F.lit(1))
+    ml = F.aggregate(norm, F.lit(0.0), lambda a, x: a + F.length(x)) / F.greatest(
+        nt, F.lit(1)
+    )
+    keep = (nt >= 20) & (uq >= 0.3) & (ml >= 3.0) & (ml <= 10.0)
+    return docs.select("doc_id", keep.cast("int").alias("y"))
+
+
+_CLF_MODEL_CACHE: dict[str, dict] = {}
+
+
+def _quality_classifier_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Train-once memo for the two classifier queries: 12 rounds of
+    class-balanced full-batch GD on the 80% hash-split train fold.
+    Deterministic (decimal gradient folds), so memoization only saves
+    time — it cannot change any result."""
+    from reactionetl_etl_spark.operators import classifier as C
+    from reactionetl_etl_spark.operators.split import split_bucket
+
+    key = sf_dir.rstrip("/")
+    if key not in _CLF_MODEL_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        train = docs.filter(split_bucket(F.col("doc_id")) % 5 != 0)
+        _CLF_MODEL_CACHE[key] = C.train_text_classifier(
+            train, _quality_labels(docs), iters=12, lr=8.0
+        )
+    return _CLF_MODEL_CACHE[key]
+
+
+@_q(
+    "quality_classifier_scores",
+    None,  # replaced by a PINNED VALUES oracle (driver hashes it): iterative GD is not SQL-expressible
+    tags=("text", "quality", "classifier", "llm"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality classifier, trained IN Spark and scored on
+    the HELD-OUT 20% fold: logistic regression over hashed term
+    frequencies + doc-stat features, distilling the Gopher rule
+    verdicts into a single broadcastable weight table
+    (operators/classifier.py). Training is 12 rounds of one
+    map-side-combinable aggregate each; every cross-row sum is DECIMAL,
+    so the model — and this pinned oracle — is bit-identical under any
+    partitioning. Scoring the fold is one broadcast join + doc-keyed
+    sum."""
+    from reactionetl_etl_spark.operators import classifier as C
+    from reactionetl_etl_spark.operators.split import split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _quality_classifier_model(spark, sf_dir)
+    test = docs.filter(split_bucket(F.col("doc_id")) % 5 == 0)
+    scored = C.score_text(test, w).join(_quality_labels(docs), on="doc_id")
+    return scored.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= 0.5).cast("int").alias("pred"),
+    )
+
+
+@_q(
+    "quality_classifier_eval",
+    None,  # replaced by a PINNED VALUES oracle (driver hashes it): iterative GD is not SQL-expressible
+    tags=("text", "quality", "classifier", "llm"),
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained quality classifier: per-fold
+    true-positive / true-negative rates, balanced accuracy, and mean
+    scores per class — the numbers a curation run reads before trusting
+    the classifier's keep threshold. Same memoized model as
+    quality_classifier_scores (decimal-fold determinism makes the memo
+    purely a time saver)."""
+    from reactionetl_etl_spark.operators import classifier as C
+    from reactionetl_etl_spark.operators.split import split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _quality_classifier_model(spark, sf_dir)
+    fold = F.when(split_bucket(F.col("doc_id")) % 5 == 0, "test").otherwise("train")
+    scored = (
+        C.score_text(docs, w)
+        .join(_quality_labels(docs), on="doc_id")
+        .join(docs.select("doc_id", fold.alias("fold")), on="doc_id")
+    )
+    agg = scored.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(F.when(F.col("y") == 1, (F.col("score") >= 0.5).cast("double"))), 6
+        ).alias("tpr"),
+        F.round(
+            F.avg(F.when(F.col("y") == 0, (F.col("score") < 0.5).cast("double"))), 6
+        ).alias("tnr"),
+        F.round(F.avg(F.when(F.col("y") == 1, F.col("score"))), 6).alias("mean_pos_score"),
+        F.round(F.avg(F.when(F.col("y") == 0, F.col("score"))), 6).alias("mean_neg_score"),
+    )
+    return agg.select(
+        "fold",
+        "n",
+        "tpr",
+        "tnr",
+        F.round((F.col("tpr") + F.col("tnr")) / 2.0, 6).alias("balanced_acc"),
+        "mean_pos_score",
+        "mean_neg_score",
     )
