@@ -8995,6 +8995,7 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pca_doc_projection",
     None,  # replaced by a PINNED VALUES oracle (driver hashes it): eigensolve is not SQL-expressible
     tags=("embeddings", "linalg", "pca", "llm"),
+    bench=True,
 )
 def pca_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every embedding projected onto the top-2 principal components —

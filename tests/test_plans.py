@@ -409,3 +409,70 @@ def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     corpus-wide SortMergeJoin."""
     plan = plan_of(spark, sf_dir, "dsir_importance_weights")
     assert "BroadcastHashJoin" in plan
+
+
+def test_zipf_rank_window_is_topk_bounded(spark, sf_dir):
+    """The Zipf rank window may be single-partition ONLY because the
+    distributed top-k bounds its input to 200 rows first — the plan
+    must show TakeOrderedAndProject feeding it, and exactly one
+    SinglePartition exchange (over the bounded set, never the
+    vocabulary)."""
+    plan = plan_of(spark, sf_dir, "zipf_slope_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_pca_projection_is_pure_expression(spark, sf_dir):
+    """Projection onto fitted components must stay a narrow map: no
+    Exchange, no Python stage — components are literal arrays folded
+    JVM-side."""
+    from reactionetl_etl_spark.operators.linalg import PCAModel, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = PCAModel(
+        mean=[0.0] * 64,
+        components=[[1.0 / 8.0] * 64, [-1.0 / 8.0] * 64],
+        eigenvalues=[1.0, 0.5],
+        total_variance=4.0,
+    )
+    plan = (
+        pca_project(emb.select("vec_id", "embedding"), "embedding", model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_gram_partials_are_one_arrow_stage(spark, sf_dir):
+    """The Gram pass is ONE Arrow-batched python stage over the scan;
+    the partial merge exchanges only (i, j)-keyed metadata rows."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.linalg import gram_partials
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    merged = (
+        gram_partials(emb, "embedding", 64)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("total"))
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # (i, j) partial merge only
+
+
+def test_classifier_scoring_broadcasts_weights(spark, sf_dir):
+    """Scoring must broadcast the weight table (n_buckets+4 rows by
+    construction) and shuffle only on doc ids — never a SortMergeJoin
+    against the corpus, never a cartesian."""
+    from decimal import Decimal
+
+    from reactionetl_etl_spark.operators.classifier import score_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {b: Decimal("0.01") for b in range(-1, 35)}
+    plan = score_text(docs, w)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
