@@ -481,3 +481,55 @@ def stream_scd2_enrich(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def classifier_score_batch_writer(
+    model_path: str,
+    scores_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch callback: score each micro-batch of documents with
+    a PERSISTED quality-classifier weight table
+    (operators/classifier.py::score_with_classifier_model) and append
+    (id, score, batch_id) to ``scores_path`` — curation filtering at
+    ingest time, without the training corpus anywhere in sight. The
+    weight table is n_buckets+4 rows: read per batch (cheap, and
+    re-reading picks up a re-signed model between batches), broadcast
+    into the scoring join. On foreachBatch retry the append is
+    at-least-once — rows carry batch_id so consumers dedup replays."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.classifier import (
+        score_with_classifier_model,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_with_classifier_model(batch_df, model_path, id_col, text_col)
+        scored.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            scores_path
+        )
+
+    return write_batch
+
+
+def stream_score_with_classifier(
+    stream_df: DataFrame,
+    model_path: str,
+    scores_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming quality scoring: documents arrive as a stream, each
+    micro-batch is scored against the persisted classifier model.
+    AvailableNow trigger — drain the backlog and stop, the same
+    incremental cadence as the file-ingestion pipeline."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            classifier_score_batch_writer(model_path, scores_path, text_col, id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

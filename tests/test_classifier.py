@@ -80,3 +80,27 @@ def test_bias_only_doc_scores_defined(spark, model):
     df = spark.createDataFrame([(1, "qqqqzz wwkkjj")], "doc_id long, text string")
     out = score_text(df, model).collect()
     assert len(out) == 1 and 0.0 < out[0]["score"] < 1.0
+
+
+def test_stream_scoring_matches_batch(spark, docs, labels, model, tmp_path):
+    """Streaming foreachBatch scoring with the persisted model must
+    equal batch scoring row-for-row (stream ≡ batch, the suite-wide
+    parity convention)."""
+    from reactionetl_etl_spark.streaming.sinks import stream_score_with_classifier
+
+    model_path = str(tmp_path / "model")
+    src = str(tmp_path / "src")
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    write_classifier_model(model, model_path, spark)
+    docs.select("doc_id", "text").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = stream_score_with_classifier(stream, model_path, scores, ckpt)
+    q.awaitTermination()
+
+    streamed = {
+        r["doc_id"]: r["score"] for r in spark.read.parquet(scores).collect()
+    }
+    batch = {r["doc_id"]: r["score"] for r in score_text(docs, model).collect()}
+    assert streamed == batch
