@@ -173,3 +173,29 @@ def pca_project(
     for idx in range(len(model.components)):
         out = out.withColumn(f"{prefix}{idx + 1}", project_expr(vec_col, model, idx))
     return out
+
+
+def mahalanobis_exprs(
+    vec_col: str | Column, model: PCAModel, eps: float = 1e-12
+) -> tuple[Column, Column]:
+    """(subspace Mahalanobis², residual leverage) as pure expressions.
+
+    The first term is Σ_j proj_j² / λ_j over the model's k components —
+    the squared Mahalanobis distance within the retained subspace
+    (large ⇒ extreme along directions the corpus actually varies in).
+    The second is the centered norm² MINUS the explained Σ proj_j² —
+    energy orthogonal to the subspace (large ⇒ the vector lives off
+    the corpus manifold entirely; classic PCA outlier residual).
+    Both are per-row folds over literal arrays: JVM-side, no shuffle,
+    deterministic — composing the bit-stable model keeps pinned
+    oracles stable."""
+    v = as_double_array(vec_col)
+    mu = F.array(*[F.lit(float(x)) for x in model.mean])
+    centered_sq = dot(F.zip_with(v, mu, lambda x, m: x - m), F.zip_with(v, mu, lambda x, m: x - m))
+    maha = F.lit(0.0)
+    explained = F.lit(0.0)
+    for idx, ev in enumerate(model.eigenvalues):
+        p = project_expr(vec_col, model, idx)
+        maha = maha + (p * p) / F.lit(float(ev) + eps)
+        explained = explained + p * p
+    return maha, centered_sq - explained

@@ -68,6 +68,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
     "pca_explained_variance",
@@ -9127,3 +9128,34 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_pos_score",
         "mean_neg_score",
     )
+
+
+@_q(
+    "embedding_outlier_mahalanobis",
+    None,  # replaced by a PINNED VALUES oracle (driver hashes it): eigensolve is not SQL-expressible
+    tags=("embeddings", "linalg", "pca", "outlier", "llm"),
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier sweep: squared Mahalanobis distance in
+    the top-16 PCA subspace plus the off-subspace residual energy, top
+    20 rows by combined score — the standard curation probe for
+    embeddings that are extreme along real corpus directions (bad
+    encodes, adversarial inputs) vs off-manifold entirely. Model fit is
+    the exact fixed-point Gram pass; both scores are per-row JVM folds
+    over literal arrays (operators/linalg.py::mahalanobis_exprs) — so
+    the only shuffle is the bounded top-k."""
+    from reactionetl_etl_spark.operators import linalg as LA
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = LA.fit_pca(emb, "embedding", dim=64, k=16)
+    maha, resid = LA.mahalanobis_exprs("embedding", model)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.round(maha, 6).alias("maha_sq"),
+        F.round(resid, 6).alias("residual"),
+        F.round(maha + resid / F.lit(max(model.eigenvalues[-1], 1e-12)), 6).alias(
+            "combined"
+        ),
+    )
+    return R.topk(scored, [F.col("combined").desc(), F.col("vec_id").asc()], 20)

@@ -93,3 +93,26 @@ def test_pca_project_expression_matches_numpy(spark, emb):
     want = (M - np.array(model.mean)) @ C
     got = out[["pc1", "pc2"]].to_numpy()
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_mahalanobis_matches_numpy(spark, emb):
+    """Subspace Mahalanobis + residual must equal the straightforward
+    numpy computation over the same model."""
+    from reactionetl_etl_spark.operators.linalg import mahalanobis_exprs
+
+    model = fit_pca(emb, "embedding", DIM, k=8)
+    maha_c, resid_c = mahalanobis_exprs("embedding", model)
+    got = (
+        emb.select("vec_id", maha_c.alias("m"), resid_c.alias("r"))
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    C = np.array(model.components).T
+    X = M - np.array(model.mean)
+    P = X @ C
+    maha = (P**2 / (np.array(model.eigenvalues) + 1e-12)).sum(axis=1)
+    resid = (X**2).sum(axis=1) - (P**2).sum(axis=1)
+    assert np.allclose(got["m"].to_numpy(), maha, atol=1e-8)
+    assert np.allclose(got["r"].to_numpy(), resid, atol=1e-8)
