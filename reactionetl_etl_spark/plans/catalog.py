@@ -9159,3 +9159,131 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     return R.topk(scored, [F.col("combined").desc(), F.col("vec_id").asc()], 20)
+
+
+@_q(
+    "trigram_perplexity_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), tot AS (
+        SELECT sum(c1) AS total FROM uni
+    ), bg AS (
+        SELECT p[1] AS w1, p[2] AS w2, count(*) AS c2
+        FROM toks, UNNEST(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(p)
+        WHERE len(t) >= 2
+        GROUP BY 1, 2
+    ), tg AS (
+        SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3
+        FROM toks, UNNEST(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS u(p)
+        WHERE len(t) >= 3
+    ), tgc AS (
+        SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3
+    ), model AS (
+        SELECT tgc.w1, tgc.w2, tgc.w3,
+               ln(0.6 * tgc.c123 / b12.c2
+                  + 0.3 * b23.c2 / u2.c1
+                  + 0.1 * u3.c1 / tot.total) AS lp
+        FROM tgc
+        JOIN bg b12 ON tgc.w1 = b12.w1 AND tgc.w2 = b12.w2
+        JOIN bg b23 ON tgc.w2 = b23.w1 AND tgc.w3 = b23.w2
+        JOIN uni u2 ON tgc.w2 = u2.w
+        JOIN uni u3 ON tgc.w3 = u3.w
+        CROSS JOIN tot
+    )
+    SELECT tg.doc_id,
+           count(*) AS n_trigrams,
+           round(avg(lp), 6) AS mean_logprob,
+           round(exp(-avg(lp)), 4) AS perplexity
+    FROM tg JOIN model ON tg.w1 = model.w1 AND tg.w2 = model.w2 AND tg.w3 = model.w3
+    GROUP BY tg.doc_id
+    """,
+    tags=("text", "lm", "quality", "llm"),
+)
+def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, one rung up from
+    bigram_logprob_scores: an INTERPOLATED trigram LM (0.6·trigram +
+    0.3·bigram + 0.1·unigram MLE terms — Jelinek-Mercer smoothing with
+    fixed lambdas) trained on the corpus itself, scoring every doc's
+    mean log-prob and perplexity. Count tables are
+    vocabulary-bounded, never corpus-bounded; the model assembly joins
+    n-gram tables on their keys (map-side-combined counts), and the
+    scoring join is keyed on the trigram. Self-scoring keeps every
+    term positive, so the inner joins lose nothing; held-out scoring
+    would left-join with the lower-order fallbacks only."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    base = docs.select("doc_id", F.split(norm, " ").alias("t"))
+
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1")).first()[0]
+
+    bg = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    tg = (
+        base.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 2),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2, t[i + 2] AS w3))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+    )
+    tgc = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+
+    b12 = bg.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c12"))
+    b23 = bg.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c23")
+    )
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cu2"))
+    u3 = uni.select(F.col("w").alias("w3"), F.col("c1").alias("cu3"))
+    model = (
+        tgc.join(b12, ["w1", "w2"])
+        .join(b23, ["w2", "w3"])
+        .join(u2, "w2")
+        .join(u3, "w3")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.log(
+                0.6 * F.col("c123") / F.col("c12")
+                + 0.3 * F.col("c23") / F.col("cu2")
+                + 0.1 * F.col("cu3") / F.lit(float(total))
+            ).alias("lp"),
+        )
+    )
+    return (
+        tg.join(model, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+        )
+    )
