@@ -68,6 +68,8 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # deterministic and reads nothing from the environment.
 _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
+    "trigram_perplexity_scores",
+    "part_triangle_clustering",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9286,4 +9288,88 @@ def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("mean_logprob"),
             F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
         )
+    )
+
+
+@_q(
+    "part_triangle_clustering",
+    """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tri AS (
+        SELECT ab.pa AS u, ab.pb AS v, bc.pb AS w
+        FROM co ab
+        JOIN co bc ON bc.pa = ab.pb
+        JOIN co ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+    ), pern AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ), tc AS (
+        SELECT node, count(*) AS n_triangles FROM pern GROUP BY 1
+    ), deg AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT pa AS node FROM co UNION ALL SELECT pb FROM co)
+        GROUP BY 1
+    )
+    SELECT d.node AS part, d.degree,
+           coalesce(tc.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               floor(2.0 * coalesce(tc.n_triangles, 0)
+                     / (d.degree * (d.degree - 1)) * 1000000 + 0.5) / 1000000
+           ELSE CAST(0.0 AS DOUBLE) END AS clustering6
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    """,
+    tags=("graph", "analytics", "triangle"),
+)
+def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient per part over
+    the co-purchase graph (parts sharing >=2 orders) — the
+    community-density probe on the same edge set PageRank ranks.
+    Degree-ordered wedge generation (operators/graph.py::
+    triangle_counts) keeps the heavy intermediate at O(m^1.5) total
+    and immune to hub skew; the DuckDB oracle counts the SAME
+    triangles via a canonical three-way edge join (u<v<w), so every
+    per-node count is value-pinned cross-engine. Clustering
+    coefficient = 2T / (deg*(deg-1)), sixth-decimal floor-rounded
+    identically on both sides."""
+    from reactionetl_etl_spark.operators.graph import triangle_counts
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    counts = triangle_counts(co, src="pa", dst="pb")
+    cc6 = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            2.0
+            * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - 1))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000,
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        F.col("node").alias("part"),
+        "degree",
+        "n_triangles",
+        cc6.alias("clustering6"),
     )

@@ -1373,3 +1373,38 @@ def test_dsir_persisted_model_matches_in_plan_scoring(spark, tmp_path):
     )
     got = score_with_dsir_model(new, model).collect()[0]
     assert got["n_bigrams"] > 0 and got["log_weight"] is not None
+
+
+def test_triangle_counts_known_graph(spark):
+    """Degree-ordered triangle counting on a controlled graph: K4 glued
+    to a triangle plus a star hub — every node's triangle count and the
+    hub's zero match hand counts; duplicate/reversed/self-loop edges
+    are canonicalized away."""
+    from reactionetl_etl_spark.operators.graph import triangle_counts
+
+    edges = [
+        # K4 on {1,2,3,4}: 4 triangles, each node in 3
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # extra triangle {4,5,6}
+        (4, 5), (5, 6), (6, 4),
+        # star hub 100 with leaves (no triangles among them)
+        (100, 7), (100, 8), (100, 9), (100, 10),
+        # noise: reversed duplicate, exact duplicate, self-loop
+        (2, 1), (3, 4), (7, 7),
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got[1] == (3, 3)
+    assert got[2] == (3, 3)
+    assert got[3] == (3, 3)
+    assert got[4] == (5, 4)  # 3 K4 triangles + {4,5,6}
+    assert got[5] == (2, 1)
+    assert got[6] == (2, 1)
+    assert got[100] == (4, 0)
+    for leaf in (7, 8, 9, 10):
+        assert got[leaf] == (1, 0)
+    # total triangle count: each triangle counted at 3 nodes
+    assert sum(t for _, t in got.values()) == 3 * 5
