@@ -211,3 +211,52 @@ def binned_interval_overlap_join(
         F.greatest(F.col(left_lo), F.col(right_lo)) / F.lit(w)
     ).cast("long")
     return a.join(b, on="__bin", how="inner").filter(overlap & canonical).drop("__bin")
+
+
+def skyline_2d(
+    df: DataFrame,
+    maximize: str,
+    minimize: str,
+) -> DataFrame:
+    """Pareto frontier over two criteria: rows not dominated by any
+    other row (dominator: ``maximize`` >= AND ``minimize`` <= with at
+    least one strict). The multi-objective selection primitive —
+    best-tradeoff suppliers by (revenue, defect rate), best checkpoint
+    by (quality, cost) — without scoring weights.
+
+    A naive skyline is a NOT EXISTS self-join (O(n²), what the DuckDB
+    oracle runs); for 2-D the frontier is computable in ONE global sort
+    instead: ordered by ``maximize`` DESC, a row survives iff its
+    ``minimize`` value is strictly below every strictly-better row's
+    minimum, i.e. below the running min over the preceding maximize
+    groups. Spark has no GROUPS window frame, so the running min is
+    computed on the per-group mins (one groupBy on ``maximize``, frame
+    shifted one ROW to exclude the own group) and joined back — three
+    narrow shuffles total (group agg, tiny window, key join), no
+    self-join, no O(n²) term at any scale. The window over distinct
+    ``maximize`` values is single-partition but group-count-sized —
+    bounded by distinct metric values, not input rows; for
+    measure-valued metrics consider pre-bucketing if distincts are
+    fact-sized.
+
+    Equal-on-both-criteria rows do not dominate each other: all of
+    them survive, matching the NOT EXISTS formulation exactly.
+    """
+    grp = df.groupBy(maximize).agg(F.min(minimize).alias("__gmin"))
+    w = Window.orderBy(F.col(maximize).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_grp = grp.select(
+        maximize,
+        "__gmin",
+        F.min("__gmin").over(w).alias("__prev_min"),
+    )
+    out = df.join(frontier_grp, on=maximize)
+    keep = (
+        # not dominated by a strictly-better `maximize` row
+        F.col("__prev_min").isNull() | (F.col(minimize) < F.col("__prev_min"))
+    ) & (
+        # not dominated within the same `maximize` group
+        F.col(minimize) <= F.col("__gmin")
+    )
+    return out.filter(keep).drop("__gmin", "__prev_min")

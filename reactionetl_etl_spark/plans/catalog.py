@@ -70,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
+    "knn_label_predict",
+    "supplier_pareto_frontier",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9372,4 +9374,137 @@ def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         "n_triangles",
         cc6.alias("clustering6"),
+    )
+
+
+@_q(
+    "knn_label_predict",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+               label AS true_label
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), nn AS (
+        SELECT query_id, vec_id, label FROM (
+            SELECT q.query_id, e.vec_id, e.label,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+                                e.vec_id ASC) AS rn
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    ), votes AS (
+        SELECT query_id, label, count(*) AS votes FROM nn GROUP BY 1, 2
+    ), pred AS (
+        SELECT query_id, label AS pred_label, votes FROM (
+            SELECT votes.*,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, q.true_label, p.pred_label, p.votes,
+           CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END AS correct
+    FROM pred p JOIN q ON q.query_id = p.query_id
+    """,
+    tags=("similarity", "classification", "llm"),
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label prediction: leave-one-out evaluation of
+    the embedding space's label consistency — every 10th vector is
+    scored against the full corpus (one scan, broadcast query batch,
+    WindowGroupLimit top-10), neighbours vote by label, ties broken by
+    (votes DESC, label ASC). The label-audit primitive for
+    weak-supervision pipelines: a low `correct` rate over a sample
+    flags mislabeled or entangled regions before training. Vote
+    counting is one groupBy on (query, label) — neighbour lists never
+    leave the executors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("true_label"),
+    )
+    nn = S.cosine_topk_batch(
+        q.select("query_id", "embedding"), emb, k=10
+    )
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    return pred.join(q.select("query_id", "true_label"), "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+    )
+
+
+@_q(
+    "supplier_pareto_frontier",
+    """
+    WITH m AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               floor(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
+                     / count(*) * 1000000 + 0.5) / 1000000 AS return_rate6
+        FROM lineitem GROUP BY 1
+    )
+    SELECT m.suppkey, s.s_name, m.revenue, m.return_rate6
+    FROM m JOIN supplier s ON s.s_suppkey = m.suppkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m t
+        WHERE t.revenue >= m.revenue AND t.return_rate6 <= m.return_rate6
+          AND (t.revenue > m.revenue OR t.return_rate6 < m.return_rate6)
+    )
+    """,
+    tags=("analytics", "skyline", "window"),
+)
+def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal suppliers on (revenue UP, returned-line rate
+    DOWN) — multi-objective selection with no scoring weights, via
+    operators/relational.py::skyline_2d (single-sort 2-D skyline;
+    running min over strictly-better revenue groups, no self-join).
+    The DuckDB oracle is the textbook O(n²) NOT-EXISTS dominance
+    check, so the window formulation's survivors are value-pinned
+    against the naive definition. Revenue folds in DECIMAL(18,2) on
+    both engines (order-independent sums — the r6 incremental-rollup
+    lesson) and is cast to double only at output."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    m = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("return_rate6"),
+    )
+    sky = R.skyline_2d(m, maximize="revenue", minimize="return_rate6")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return sky.join(F.broadcast(sup), "suppkey").select(
+        "suppkey", "s_name", "revenue", "return_rate6"
     )

@@ -1408,3 +1408,33 @@ def test_triangle_counts_known_graph(spark):
         assert got[leaf] == (1, 0)
     # total triangle count: each triangle counted at 3 nodes
     assert sum(t for _, t in got.values()) == 3 * 5
+
+
+def test_skyline_2d_matches_naive_dominance(spark):
+    """Single-sort 2-D skyline equals the O(n^2) dominance definition
+    on a point set with duplicate coordinates, same-maximize groups,
+    and a dominated diagonal."""
+    from reactionetl_etl_spark.operators.relational import skyline_2d
+
+    pts = [
+        ("a", 10.0, 0.5),
+        ("b", 10.0, 0.3),   # dominates a within the same maximize group
+        ("b2", 10.0, 0.3),  # exact duplicate of b: both survive
+        ("c", 8.0, 0.2),    # survives: lower max but strictly lower min
+        ("d", 8.0, 0.4),    # dominated by b (10 > 8, 0.3 < 0.4)
+        ("e", 12.0, 0.9),   # survives: best maximize
+        ("f", 7.0, 0.2),    # dominated by c (8 > 7, 0.2 == 0.2)
+        ("g", 5.0, 0.1),    # survives: best minimize
+    ]
+    df = spark.createDataFrame(pts, "id string, score double, cost double")
+    got = {r["id"] for r in skyline_2d(df, "score", "cost").collect()}
+
+    naive = {
+        i
+        for i, s, c in pts
+        if not any(
+            (s2 >= s and c2 <= c and (s2 > s or c2 < c))
+            for _, s2, c2 in pts
+        )
+    }
+    assert got == naive == {"b", "b2", "c", "e", "g"}
