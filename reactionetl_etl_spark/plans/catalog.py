@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_triangle_clustering",
     "knn_label_predict",
     "supplier_pareto_frontier",
+    "lineitem_correlation_matrix",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9508,3 +9509,112 @@ def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sky.join(F.broadcast(sup), "suppkey").select(
         "suppkey", "s_name", "revenue", "return_rate6"
     )
+
+
+@_q(
+    "lineitem_correlation_matrix",
+    """
+    WITH s AS (
+        SELECT count(*) AS n,
+               sum(CAST(l_quantity      AS DECIMAL(18,2))) AS sq,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS se,
+               sum(CAST(l_discount      AS DECIMAL(18,2))) AS sd,
+               sum(CAST(l_tax           AS DECIMAL(18,2))) AS st,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS see,
+               sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+               sum(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS stt,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqe,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sqd,
+               sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sqt,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sed,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS set_,
+               sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS sdt
+        FROM lineitem
+    ), pairs AS (
+        SELECT 'quantity' AS x, 'extendedprice' AS y,
+               CAST(sq AS DOUBLE) AS sx, CAST(se AS DOUBLE) AS sy,
+               CAST(sqq AS DOUBLE) AS sxx, CAST(see AS DOUBLE) AS syy,
+               CAST(sqe AS DOUBLE) AS sxy, n FROM s
+        UNION ALL
+        SELECT 'quantity', 'discount',
+               CAST(sq AS DOUBLE), CAST(sd AS DOUBLE),
+               CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE),
+               CAST(sqd AS DOUBLE), n FROM s
+        UNION ALL
+        SELECT 'quantity', 'tax',
+               CAST(sq AS DOUBLE), CAST(st AS DOUBLE),
+               CAST(sqq AS DOUBLE), CAST(stt AS DOUBLE),
+               CAST(sqt AS DOUBLE), n FROM s
+        UNION ALL
+        SELECT 'extendedprice', 'discount',
+               CAST(se AS DOUBLE), CAST(sd AS DOUBLE),
+               CAST(see AS DOUBLE), CAST(sdd AS DOUBLE),
+               CAST(sed AS DOUBLE), n FROM s
+        UNION ALL
+        SELECT 'extendedprice', 'tax',
+               CAST(se AS DOUBLE), CAST(st AS DOUBLE),
+               CAST(see AS DOUBLE), CAST(stt AS DOUBLE),
+               CAST(set_ AS DOUBLE), n FROM s
+        UNION ALL
+        SELECT 'discount', 'tax',
+               CAST(sd AS DOUBLE), CAST(st AS DOUBLE),
+               CAST(sdd AS DOUBLE), CAST(stt AS DOUBLE),
+               CAST(sdt AS DOUBLE), n FROM s
+    )
+    SELECT x, y,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+               AS pearson_r
+    FROM pairs
+    """,
+    tags=("stats", "analytics"),
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation across the four lineitem measures
+    in ONE aggregation pass (15 algebraic power sums -> 6 pairs), not
+    6 corr() passes. Every power sum folds in DECIMAL (products of
+    DECIMAL(18,2) are exact, decimal addition is order-independent),
+    so both engines reduce to IDENTICAL scalars and the final
+    double-precision correlation arithmetic is bit-deterministic —
+    corr() over doubles would drift in the low bits with partition
+    order. The matrix assembly is a driver-free unpivot of one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cols = {
+        "quantity": dec("l_quantity"),
+        "extendedprice": dec("l_extendedprice"),
+        "discount": dec("l_discount"),
+        "tax": dec("l_tax"),
+    }
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for nm in names:
+        aggs.append(F.sum(cols[nm]).alias(f"s_{nm}"))
+        aggs.append(F.sum(cols[nm] * cols[nm]).alias(f"s_{nm}_{nm}"))
+    for i, xn in enumerate(names):
+        for yn in names[i + 1 :]:
+            aggs.append(F.sum(cols[xn] * cols[yn]).alias(f"s_{xn}_{yn}"))
+    s = li.agg(*aggs)
+
+    pair_structs = []
+    for i, xn in enumerate(names):
+        for yn in names[i + 1 :]:
+            pair_structs.append(
+                F.struct(
+                    F.lit(xn).alias("x"),
+                    F.lit(yn).alias("y"),
+                    F.col(f"s_{xn}").cast("double").alias("sx"),
+                    F.col(f"s_{yn}").cast("double").alias("sy"),
+                    F.col(f"s_{xn}_{xn}").cast("double").alias("sxx"),
+                    F.col(f"s_{yn}_{yn}").cast("double").alias("syy"),
+                    F.col(f"s_{xn}_{yn}").cast("double").alias("sxy"),
+                    F.col("n").alias("n"),
+                )
+            )
+    pairs = s.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select("x", "y", F.round(r, 9).alias("pearson_r"))
