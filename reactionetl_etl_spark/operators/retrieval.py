@@ -191,3 +191,113 @@ def probe_posting_index(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rm3_expand_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    models + query interpolation — public IR literature): run BM25,
+    treat the top ``fb_docs`` results as pseudo-relevant, estimate a
+    relevance model P(t|R) = Σ_d w(d)·tf(t,d)/dl(d) with w(d) the
+    score-normalized document weight, interpolate with the uniform
+    original query (``alpha``·RM + (1-``alpha``)·orig), keep the top
+    ``fb_terms`` terms, and re-score the corpus with the WEIGHTED
+    expanded query. Recall-rescue for short queries: documents using
+    co-occurring vocabulary rank even when they miss original terms.
+
+    Spark shape: the feedback pass is `bm25_topk`; the relevance model
+    aggregates ONLY the feedback docs' tokens (an equi-join of the
+    token stream against the fb_docs-sized id set — broadcast, so the
+    corpus never shuffles); the rescoring pass joins the token stream
+    against the fb_terms-sized weighted term table, again broadcast.
+    Both heavy scans stay filter-shaped, never vocabulary-wide.
+    Every weight is floor-rounded at 6 decimals AT each decision point
+    (doc weights, P(t|R), interpolated weights, final score), so both
+    engines select identical feedback sets, identical expansion terms,
+    and identical final ranks — drift cannot compound across stages."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    import math
+
+    terms = sorted({t.lower() for t in query_terms})
+
+    def _f6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    fb = bm25_topk(
+        docs, terms, k=fb_docs, id_col=id_col, text_col=text_col, k1=k1, b=b
+    ).select(id_col, "bm25")
+    wsum = fb.agg(F.sum("bm25").alias("__ws"))
+    w = fb.crossJoin(F.broadcast(wsum)).select(
+        F.col(id_col), _f6(F.col("bm25") / F.col("__ws")).alias("w")
+    )
+
+    toks = docs.select(F.col(id_col), F.explode(_terms(F.col(text_col))).alias("term"))
+    dl = docs.select(F.col(id_col), F.size(_terms(F.col(text_col))).alias("dl"))
+
+    fb_tf = (
+        toks.join(F.broadcast(w.select(id_col)), id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p_rm = (
+        fb_tf.join(F.broadcast(w), id_col)
+        .join(dl, id_col)
+        .groupBy("term")
+        .agg(_f6(F.sum(F.col("w") * F.col("tf") / F.col("dl"))).alias("p_rm"))
+    )
+    p_orig_val = math.floor(1.0 / len(terms) * 1_000_000 + 0.5) / 1_000_000
+    orig = docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).withColumn("p_orig", F.lit(p_orig_val))
+    combined = (
+        p_rm.join(orig, "term", "full")
+        .select(
+            "term",
+            _f6(
+                F.lit(alpha) * F.coalesce("p_rm", F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.coalesce("p_orig", F.lit(0.0))
+            ).alias("wq"),
+        )
+    )
+    exp_terms = combined.orderBy(F.col("wq").desc(), F.col("term").asc()).limit(
+        fb_terms
+    )
+
+    hits = (
+        toks.join(F.broadcast(exp_terms.select("term")), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df_t = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = F.col("wq") * idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (
+        hits.join(F.broadcast(exp_terms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            _f6(F.sum(contrib)).alias("rm3_score"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(F.col("rm3_score").desc(), F.col(id_col).asc()).limit(k)

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_label_predict",
     "supplier_pareto_frontier",
     "lineitem_correlation_matrix",
+    "rm3_expanded_search",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9618,3 +9619,92 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return pairs.select("x", "y", F.round(r, 9).alias("pearson_r"))
+
+
+@_q(
+    "rm3_expanded_search",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, len(toks) AS dl FROM tok
+    ), t AS (
+        SELECT doc_id, unnest(toks) AS term FROM tok
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), hits1 AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ), dft1 AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits1 GROUP BY 1
+    ), base AS (
+        SELECT doc_id,
+               floor(sum(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               ) * 1000000 + 0.5) / 1000000 AS bm25
+        FROM hits1 JOIN dft1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    ), fb AS (
+        SELECT doc_id, bm25 FROM base ORDER BY bm25 DESC, doc_id LIMIT 10
+    ), ws AS (
+        SELECT sum(bm25) AS ws FROM fb
+    ), w AS (
+        SELECT doc_id, floor(bm25 / ws * 1000000 + 0.5) / 1000000 AS w
+        FROM fb CROSS JOIN ws
+    ), fbtf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM t JOIN w ON w.doc_id = t.doc_id GROUP BY 1, 2
+    ), prm AS (
+        SELECT term,
+               floor(sum(w.w * fbtf.tf * 1.0 / dl.dl) * 1000000 + 0.5) / 1000000
+                   AS p_rm
+        FROM fbtf JOIN w ON w.doc_id = fbtf.doc_id
+                JOIN dl ON dl.doc_id = fbtf.doc_id
+        GROUP BY 1
+    ), orig AS (
+        SELECT unnest(['merge', 'spark', 'window']) AS term,
+               floor(1.0 / 3 * 1000000 + 0.5) / 1000000 AS p_orig
+    ), comb AS (
+        SELECT coalesce(prm.term, orig.term) AS term,
+               floor((0.5 * coalesce(p_rm, 0) + 0.5 * coalesce(p_orig, 0))
+                     * 1000000 + 0.5) / 1000000 AS wq
+        FROM prm FULL JOIN orig ON prm.term = orig.term
+    ), expt AS (
+        SELECT term, wq FROM comb ORDER BY wq DESC, term ASC LIMIT 10
+    ), hits2 AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term IN (SELECT term FROM expt) GROUP BY 1, 2
+    ), dft2 AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM hits2 GROUP BY 1
+    )
+    SELECT doc_id,
+           floor(sum(
+               wq * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 1000000 + 0.5) / 1000000 AS rm3_score,
+           count(*) AS n_hit_terms
+    FROM hits2 JOIN expt USING (term) JOIN dft2 USING (term)
+               JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY rm3_score DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "llm"),
+)
+def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback search
+    (operators/retrieval.py::rm3_expand_topk): BM25 top-10 as
+    pseudo-relevant set -> score-weighted relevance model over their
+    vocabulary -> 0.5/0.5 interpolation with the uniform original
+    query -> top-10 weighted terms re-score the corpus. The oracle
+    replays every stage in SQL with the same floor-6 rounding at each
+    decision point, pinning feedback set, expansion vocabulary, and
+    final ranking cross-engine."""
+    from reactionetl_etl_spark.operators.retrieval import rm3_expand_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return rm3_expand_topk(
+        docs, ["spark", "merge", "window"], k=10, fb_docs=10, fb_terms=10
+    )

@@ -1438,3 +1438,27 @@ def test_skyline_2d_matches_naive_dominance(spark):
         )
     }
     assert got == naive == {"b", "b2", "c", "e", "g"}
+
+
+def test_rm3_expansion_rescues_cooccurring_doc(spark):
+    """RM3 semantics on a controlled corpus: a doc that shares NO
+    original query term but uses the feedback docs' co-occurring
+    vocabulary enters the expanded ranking; weights interpolate the
+    original query so original-term docs still rank."""
+    from reactionetl_etl_spark.operators.retrieval import rm3_expand_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark cluster engine cluster tuning"),
+            (2, "spark cluster sizing cluster notes"),
+            (3, "cluster cluster cluster handbook text"),  # no 'spark'
+            (4, "gardening tulips soil water sun"),
+            (5, "spark plugs for my car engine"),
+        ],
+        "doc_id int, text string",
+    )
+    out = rm3_expand_topk(docs, ["spark"], k=5, fb_docs=2, fb_terms=4).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 in ids  # rescued purely via expansion ('cluster')
+    assert 4 not in ids  # unrelated doc stays out
+    assert set(ids) >= {1, 2}  # original-term docs still present
