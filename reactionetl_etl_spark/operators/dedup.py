@@ -436,3 +436,99 @@ def probe_minhash_index(
         .select("new_id", "index_id", "est_jaccard")
         .dropDuplicates(["new_id", "index_id"])
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    tau: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard >= ``tau`` via
+    frequency-ordered prefix filtering (the PPJoin family — Xiao et
+    al., "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08 — public literature). MinHash/SimHash produce candidates
+    probabilistically; this join is exact with NO false negatives, at
+    the cost that ``tau`` must be high enough for the prefix filter to
+    bite.
+
+    Principle: order every doc's distinct tokens by ascending global
+    frequency (ties by token); two sets with Jaccard >= tau must share
+    at least one token within each other's first
+    |d| - ceil(tau*|d|) + 1 tokens. So candidates = equi-join on
+    PREFIX tokens only — and because the ordering puts the RAREST
+    tokens in prefixes, join buckets are df-bounded for exactly the
+    tokens most likely to be in one, the opposite skew profile of a
+    naive token join. A length filter (|b| >= ceil(tau*|a|)) prunes
+    before verification; verification re-joins the two full sorted
+    arrays and computes exact overlap with a set intersection.
+
+    Shuffles: token-frequency groupBy, per-doc sort groupBy, prefix
+    explode + equi-join on (token), pair distinct, two id-keyed joins
+    for verification. Candidate count is sum of per-prefix-token df²
+    — bounded because prefixes hold rare tokens; no quadratic term on
+    frequent tokens ever forms.
+
+    Output: (id_a, id_b, jaccard4) with id_a < id_b, jaccard
+    floor-rounded at 4 decimals, only pairs >= ``tau``."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias(
+            "token"
+        ),
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        toks.join(freq, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("token")))
+            ).alias("__o")
+        )
+        .select(
+            "id",
+            F.expr("transform(__o, x -> x.token)").alias("toks"),
+            F.size("__o").alias("len"),
+        )
+    )
+    prefix_len = (
+        F.col("len") - F.ceil(F.lit(tau) * F.col("len")).cast("int") + F.lit(1)
+    )
+    pref = ordered.select(
+        "id",
+        "len",
+        F.explode(F.slice("toks", 1, prefix_len)).alias("token"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: |b| in [ceil(tau*|a|), |a|/tau] is implied
+            # by symmetry; one side suffices since a<b is id-, not
+            # size-ordered — apply both bounds explicitly
+            & (F.col("b.len") * F.lit(tau) <= F.col("a.len"))
+            & (F.col("a.len") * F.lit(tau) <= F.col("b.len")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / uni
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(jac >= F.lit(tau))
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(jac * 10_000 + F.lit(0.5)) / 10_000).alias("jaccard4"),
+        )
+    )

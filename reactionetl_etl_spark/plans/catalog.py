@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "supplier_pareto_frontier",
     "lineitem_correlation_matrix",
     "rm3_expanded_search",
+    "jaccard_prefix_join_pairs",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9708,3 +9709,52 @@ def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rm3_expand_topk(
         docs, ["spark", "merge", "window"], k=10, fb_docs=10, fb_terms=10
     )
+
+
+@_q(
+    "jaccard_prefix_join_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS token
+        FROM documents
+    ), freq AS (
+        SELECT token, count(*) AS df FROM toks GROUP BY 1
+    ), ordered AS (
+        SELECT id, list(token ORDER BY df, token) AS toks, count(*) AS len
+        FROM toks JOIN freq USING (token) GROUP BY id
+    ), pref AS (
+        SELECT id, len,
+               unnest(toks[1 : len - CAST(ceil(0.8 * len) AS INT) + 1]) AS token
+        FROM ordered
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN pref b
+          ON a.token = b.token AND a.id < b.id
+         AND b.len * 0.8 <= a.len AND a.len * 0.8 <= b.len
+    ), verified AS (
+        SELECT id_a, id_b,
+               len(list_filter(ta.toks, t -> list_contains(tb.toks, t))) AS inter,
+               ta.len AS la, tb.len AS lb
+        FROM cand
+        JOIN ordered ta ON ta.id = cand.id_a
+        JOIN ordered tb ON tb.id = cand.id_b
+    )
+    SELECT id_a, id_b,
+           floor(inter * 1.0 / (la + lb - inter) * 10000 + 0.5) / 10000 AS jaccard4
+    FROM verified
+    WHERE inter * 1.0 / (la + lb - inter) >= 0.8
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def jaccard_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 0.8 via frequency-ordered prefix
+    filtering (operators/dedup.py::jaccard_prefix_join, PPJoin
+    family) — the no-false-negative counterpart to MinHash LSH: every
+    qualifying pair is guaranteed found, candidates restricted to
+    docs sharing a RARE-token prefix. The oracle replays the same
+    ordering, prefix slice, length filter, and exact verification in
+    DuckDB list algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.jaccard_prefix_join(docs, tau=0.8)

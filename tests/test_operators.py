@@ -1462,3 +1462,44 @@ def test_rm3_expansion_rescues_cooccurring_doc(spark):
     assert 3 in ids  # rescued purely via expansion ('cluster')
     assert 4 not in ids  # unrelated doc stays out
     assert set(ids) >= {1, 2}  # original-term docs still present
+
+
+def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
+    """Prefix-filtered similarity join finds EXACTLY the naive
+    all-pairs Jaccard >= tau set (no false negatives from the filter,
+    no false positives from verification) on a corpus with rare and
+    frequent tokens and varied lengths."""
+    from reactionetl_etl_spark.operators.dedup import jaccard_prefix_join
+
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",
+        3: "alpha beta gamma delta epsilon",  # dup of 1
+        4: "omega psi chi phi upsilon",
+        5: "alpha omega psi chi phi upsilon",  # near-dup of 4
+        6: "completely different words here now",
+        7: "alpha beta",  # short: shares frequent tokens only
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    tau = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard4"]
+        for r in jaccard_prefix_join(docs, tau=tau).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    ids = sorted(texts)
+    naive = {
+        (a, b): jac(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if jac(a, b) >= tau
+    }
+    assert set(got) == set(naive)
+    import math
+
+    for pair, j in naive.items():
+        assert got[pair] == math.floor(j * 10_000 + 0.5) / 10_000
