@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_correlation_matrix",
     "rm3_expanded_search",
     "jaccard_prefix_join_pairs",
+    "nation_revenue_trend",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9758,3 +9759,92 @@ def jaccard_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB list algebra."""
     docs = _t(spark, sf_dir, "documents")
     return D.jaccard_prefix_join(docs, tau=0.8)
+
+
+@_q(
+    "nation_revenue_trend",
+    """
+    WITH monthly AS (
+        SELECT n_name,
+               (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS t,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY 1, 2
+    ), sums AS (
+        SELECT n_name,
+               count(*) AS n_months,
+               sum(t) AS st,
+               CAST(sum(rev) AS DECIMAL(28,2)) AS sy,
+               sum(t * t) AS stt,
+               CAST(sum(t * rev) AS DECIMAL(28,2)) AS sty
+        FROM monthly GROUP BY 1
+    ), fit AS (
+        SELECT n_name, n_months,
+               round(CAST(CAST(n_months AS DECIMAL(4,0)) * sty
+                          - CAST(st AS DECIMAL(6,0)) * sy AS DOUBLE)
+                     / CAST(nullif(n_months * stt - st * st, 0) AS DOUBLE), 4)
+                   AS slope4,
+               CAST(sy AS DOUBLE) AS sy_d, CAST(st AS DOUBLE) AS st_d
+        FROM sums
+    )
+    SELECT n_name, n_months, slope4,
+           round((sy_d - slope4 * st_d) / n_months, 2) AS intercept2
+    FROM fit
+    """,
+    tags=("stats", "timeseries", "analytics"),
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: OLS slope/intercept of monthly order
+    revenue against a month index, GROUPED — one fact pass builds the
+    (nation, month) rollup, then per-nation moment sums. Every moment
+    folds exactly: the month index is integer (denominator arithmetic
+    stays in int64), revenue folds in DECIMAL, so both engines reduce
+    to identical scalars and the closed-form slope is ONE double
+    division — no regr_slope() double-accumulation drift. The
+    window/agg work after the first rollup touches nation-count-sized
+    data only."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = (F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", t.alias("t"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    sums = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("t").alias("st"),
+        F.sum("rev").cast("decimal(28,2)").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("rev")).cast("decimal(28,2)").alias("sty"),
+    )
+    num = (
+        F.col("n_months").cast("decimal(4,0)") * F.col("sty")
+        - F.col("st").cast("decimal(6,0)") * F.col("sy")
+    ).cast("double")
+    den = F.nullif(
+        F.col("n_months") * F.col("stt") - F.col("st") * F.col("st"), F.lit(0)
+    ).cast("double")
+    fit = sums.select(
+        "n_name",
+        "n_months",
+        F.round(num / den, 4).alias("slope4"),
+        F.col("sy").cast("double").alias("sy_d"),
+        F.col("st").cast("double").alias("st_d"),
+    )
+    return fit.select(
+        "n_name",
+        "n_months",
+        "slope4",
+        F.round(
+            (F.col("sy_d") - F.col("slope4") * F.col("st_d")) / F.col("n_months"), 2
+        ).alias("intercept2"),
+    )
