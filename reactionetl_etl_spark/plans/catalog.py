@@ -9211,6 +9211,7 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
     GROUP BY tg.doc_id
     """,
     tags=("text", "lm", "quality", "llm"),
+    bench=True,
 )
 def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering, one rung up from

@@ -476,3 +476,46 @@ def test_classifier_scoring_broadcasts_weights(spark, sf_dir):
     plan = score_text(docs, w)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_no_cartesian_all_keyed(spark, sf_dir):
+    """Triangle counting never plans a cartesian product — every join
+    (wedge self-join, closing pair join, degree joins) is hash-keyed."""
+    plan = plan_of(spark, sf_dir, "part_triangle_clustering")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """2-D skyline is the single-sort formulation: one window over the
+    per-group mins plus one key join back — never the O(n^2) dominance
+    self-join (no nested-loop operator in the plan)."""
+    plan = plan_of(spark, sf_dir, "supplier_pareto_frontier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_rm3_feedback_and_term_joins_broadcast(spark, sf_dir):
+    """RM3's corpus-side scans join against the fb-doc id set and the
+    expansion-term table via BROADCAST joins only — the corpus is never
+    hash-exchanged to meet a 10-row table."""
+    plan = plan_of(spark, sf_dir, "rm3_expanded_search")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_correlation_matrix_single_aggregate_pass(spark, sf_dir):
+    """The 4x4 correlation matrix is ONE aggregation over lineitem (15
+    power sums) unpivoted row-free — exactly one exchange pair for the
+    global agg, no per-pair scans."""
+    plan = plan_of(spark, sf_dir, "lineitem_correlation_matrix")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_prefix_join_candidates_are_equi_join(spark, sf_dir):
+    """The PPJoin candidate stage is a hash equi-join on the prefix
+    token — never a cartesian pair enumeration."""
+    plan = plan_of(spark, sf_dir, "jaccard_prefix_join_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
