@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "rm3_expanded_search",
     "jaccard_prefix_join_pairs",
     "nation_revenue_trend",
+    "events_cusum_alarms",
+    "orders_benford_deviation",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9848,4 +9850,140 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sy_d") - F.col("slope4") * F.col("st_d")) / F.col("n_months"), 2
         ).alias("intercept2"),
+    )
+
+
+@_q(
+    "events_cusum_alarms",
+    """
+    WITH v AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS vd,
+               CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY user_id) AS mu
+        FROM events
+    ), p AS (
+        SELECT user_id, ts, event_id,
+               sum(vd - mu - 5.0) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+        FROM v
+    ), s AS (
+        SELECT user_id,
+               psum - least(0.0, min(psum) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        FROM p
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN cusum > 400.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+           round(max(cusum), 6) AS max_cusum6,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+    tags=("events", "anomaly", "timeseries", "window"),
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page's test): S_t =
+    max(0, S_{t-1} + x_t - mu - slack), alarms where S_t crosses h.
+    The recurrence LOOKS stateful, but folds exactly into two window
+    passes via S_t = P_t - min(0, running-min of P) with P the prefix
+    sum of deviations — so it stays in whole-stage codegen instead of
+    applyInPandas, and the per-row order pins the float summation
+    order on BOTH engines (window running sums are sequential by
+    definition). The baseline mean folds in DECIMAL and divides once,
+    so deviations are bit-identical cross-engine and alarm-threshold
+    comparisons cannot flicker."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    v6 = F.col("value").cast("decimal(18,6)")
+    vd = v6.cast("double")
+    mu = F.sum(v6).over(wp).cast("double") / F.count(F.lit(1)).over(wp)
+    p = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (vd - mu - F.lit(5.0)).alias("d"),
+    ).select(
+        "user_id", "ts", "event_id", F.sum("d").over(wo).alias("psum")
+    )
+    cusum = F.col("psum") - F.least(F.lit(0.0), F.min("psum").over(wo))
+    s = p.select("user_id", "ts", "event_id", cusum.alias("cusum"))
+    return s.groupBy("user_id").agg(
+        F.sum(F.when(F.col("cusum") > 400.0, 1).otherwise(0)).alias("n_alarms"),
+        F.round(F.max("cusum"), 6).alias("max_cusum6"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "orders_benford_deviation",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+        SELECT digit, count(*) AS n FROM digits GROUP BY 1
+    ), tot AS (
+        SELECT sum(n) AS total FROM counts
+    ), expected AS (
+        SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
+               unnest([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+                       0.066947, 0.057992, 0.051153, 0.045757]) AS exp_share6
+    )
+    SELECT e.digit,
+           coalesce(c.n, 0) AS n,
+           floor(coalesce(c.n, 0) * 1.0 / t.total * 1000000 + 0.5) / 1000000
+               AS obs_share6,
+           e.exp_share6,
+           round(floor(coalesce(c.n, 0) * 1.0 / t.total * 1000000 + 0.5) / 1000000
+                 - e.exp_share6, 6) AS excess6
+    FROM expected e LEFT JOIN counts c ON c.digit = e.digit CROSS JOIN tot t
+    """,
+    tags=("quality", "stats", "validation"),
+)
+def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed vs expected
+    leading-digit shares — the classic fabricated-data / unit-mixing
+    tripwire for ingested numeric columns. The leading digit comes
+    from integer string extraction (floor -> bigint -> first char),
+    never log10 (libm log implementations differ across engines in the
+    last bit; integer formatting cannot). Expected shares are pinned
+    6-decimal literals on both sides. One map-side-combined count by
+    digit; everything after is 9 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    benford = [
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757),
+    ]
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(benford, "digit int, exp_share6 double")
+    obs = F.floor(
+        F.coalesce("n", F.lit(0)) * F.lit(1.0) / F.col("total") * 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            obs.alias("obs_share6"),
+            "exp_share6",
+            F.round(obs - F.col("exp_share6"), 6).alias("excess6"),
+        )
     )
