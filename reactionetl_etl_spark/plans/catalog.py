@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "nation_revenue_trend",
     "events_cusum_alarms",
     "orders_benford_deviation",
+    "incremental_join_materialize",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -9987,3 +9988,71 @@ def orders_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs - F.col("exp_share6"), 6).alias("excess6"),
         )
     )
+
+
+@_q(
+    "incremental_join_materialize",
+    """
+    SELECT o_orderkey, o_custkey AS custkey, o_totalprice, o_orderpriority,
+           c_name, c_mktsegment
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    """,
+    tags=("etl", "incremental", "join"),
+)
+def incremental_join_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally materialized fact ⋈ dim (etl/incremental_join.py):
+    orders arrive as three date-sliced batches and customers as two
+    key-range batches, INTERLEAVED (c0, o0, o1, c1, o2); each merge
+    applies the delta rule ΔM = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR and appends one
+    batch partition. The final stored table is value-checked against
+    DuckDB's one-shot join of everything — proving the fold is exact
+    whatever order the sides grow in, at per-batch cost ∝ delta."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.incremental_join import (
+        merge_join_state,
+        read_join_view,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderdate",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    o_batches = [
+        orders.filter(F.col("o_orderdate") < "1997-01-01"),
+        orders.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1999-06-15")
+        ),
+        orders.filter(F.col("o_orderdate") >= "1999-06-15"),
+    ]
+    o_batches = [b.drop("o_orderdate") for b in o_batches]
+    split_key = 750
+    c_batches = [
+        cust.filter(F.col("custkey") < split_key),
+        cust.filter(F.col("custkey") >= split_key),
+    ]
+    work = _tempfile.mkdtemp(prefix="inc_join_")
+    try:
+        state = f"{work}/state"
+        merge_join_state(spark, state, "custkey", "c0", delta_right=c_batches[0])
+        merge_join_state(spark, state, "custkey", "o0", delta_left=o_batches[0])
+        merge_join_state(spark, state, "custkey", "o1", delta_left=o_batches[1])
+        merge_join_state(spark, state, "custkey", "c1", delta_right=c_batches[1])
+        merge_join_state(spark, state, "custkey", "o2", delta_left=o_batches[2])
+        out = read_join_view(spark, state).select(
+            "o_orderkey", "custkey", "o_totalprice", "o_orderpriority",
+            "c_name", "c_mktsegment",
+        )
+        # the state dir dies with the builder: detach from the files
+        rows = out.localCheckpoint(eager=True)
+        return rows
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
