@@ -533,3 +533,56 @@ def stream_score_with_classifier(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def join_maintenance_batch_writer(state_path: str, key: str, side: str):
+    """foreachBatch callback maintaining a materialized equi-join
+    (etl/incremental_join.py) as ONE side streams in: each micro-batch
+    is that side's delta, folded with the delta rule against the other
+    side's accumulator. Exactly-once like the rollup sink: the batch
+    id becomes the merge's ``_APPLIED_stream-<side>-<id>`` marker, so a
+    foreachBatch replay is detected and skipped instead of emitting
+    duplicate join rows.
+
+    The join state is a single-writer rename-based layout — when BOTH
+    sides stream, drain them alternately (AvailableNow triggers, as the
+    batch twin does with its interleaved batches), don't run two
+    always-on writers concurrently against one state path."""
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    from reactionetl_etl_spark.etl.incremental_join import merge_join_state
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kwargs = {f"delta_{side}": batch_df}
+        applied = merge_join_state(
+            batch_df.sparkSession,
+            state_path,
+            key,
+            f"stream-{side}-{batch_id}",
+            **kwargs,
+        )
+        logger.info(
+            "join sink [%s]: batch %d %s",
+            side, batch_id, "merged" if applied else "replay skipped",
+        )
+
+    return write_batch
+
+
+def stream_join_maintenance(
+    stream_df: DataFrame,
+    state_path: str,
+    key: str,
+    side: str,
+    checkpoint_dir: str,
+):
+    """Run one side's stream into the incremental-join sink
+    (AvailableNow-friendly); returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            join_maintenance_batch_writer(state_path, key, side)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -772,3 +772,51 @@ def test_interval_left_outer_join_stream_batch_parity(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="how must be"):
         interval_join(clicks_b, purch_b, on="user_id", how="anti")
+
+
+def test_stream_join_maintenance_matches_batch_join(spark, tmp_path):
+    """Both join sides stream in (drained alternately); the maintained
+    join equals a one-shot batch join of everything, and a foreachBatch
+    replay is skipped via the merge marker."""
+    from reactionetl_etl_spark.etl.incremental_join import read_join_view
+    from reactionetl_etl_spark.streaming.sinks import (
+        join_maintenance_batch_writer,
+        stream_join_maintenance,
+    )
+
+    lsrc = str(tmp_path / "lsrc")
+    rsrc = str(tmp_path / "rsrc")
+    state = str(tmp_path / "state")
+    lckpt = str(tmp_path / "lckpt")
+    rckpt = str(tmp_path / "rckpt")
+
+    def drain(src, side, ckpt, schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_join_maintenance(stream, state, "k", side, ckpt)
+        q.awaitTermination(120)
+
+    lschema, rschema = "k int, lval string", "k int, rval string"
+    spark.createDataFrame([(1, "a"), (2, "b")], lschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(lsrc)
+    drain(lsrc, "left", lckpt, lschema)
+    spark.createDataFrame([(1, "x"), (3, "y")], rschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rsrc)
+    drain(rsrc, "right", rckpt, rschema)
+    spark.createDataFrame([(3, "c")], lschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(lsrc)
+    drain(lsrc, "left", lckpt, lschema)
+
+    got = sorted(
+        (r["k"], r["lval"], r["rval"]) for r in read_join_view(spark, state).collect()
+    )
+    assert got == [(1, "a", "x"), (3, "c", "y")]
+
+    # at-least-once replay of an already-committed batch id: no-op
+    w = join_maintenance_batch_writer(state, "k", "left")
+    w(spark.createDataFrame([(1, "a")], lschema), 0)
+    assert sorted(
+        (r["k"], r["lval"], r["rval"]) for r in read_join_view(spark, state).collect()
+    ) == got
