@@ -229,6 +229,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 10,
     directed: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` power iterations of PageRank —
     centrality over an edge list (co-purchase affinity, citation,
@@ -246,6 +247,14 @@ def pagerank(
     At 100 TB the edge frame is the big side and it is scanned once
     per iteration, hash-partitioned on the join key; ranks are
     node-sized. ``directed=False`` symmetrizes the edges first.
+
+    ``seeds`` (a 1-column DataFrame of node ids) switches to
+    PERSONALIZED PageRank: the teleport mass lands only on the seed
+    set (uniformly), so ranks measure proximity TO the seeds — the
+    "more like these" primitive (expand a curated doc set, find parts
+    that co-purchase with a seed basket). Same recurrence, same
+    per-iteration shape; the seed flag is one broadcast-sized join on
+    the node table. Seed nodes absent from the graph are ignored.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
@@ -257,9 +266,30 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    if seeds is not None:
+        seed_nodes = (
+            nodes.join(
+                F.broadcast(seeds.toDF("node").select("node").distinct()), "node"
+            ).localCheckpoint(eager=True)
+        )
+        n_seed = seed_nodes.count()
+        if n_seed == 0:
+            raise ValueError("no seed node appears in the graph")
+        flagged = nodes.join(
+            F.broadcast(seed_nodes.withColumn("__seed", F.lit(True))), "node", "left"
+        ).select("node", F.coalesce("__seed", F.lit(False)).alias("__seed"))
+        init = F.when(F.col("__seed"), F.lit(1.0 / n_seed)).otherwise(F.lit(0.0))
+        teleport = F.when(
+            F.col("__seed"), F.lit((1.0 - damping) / n_seed)
+        ).otherwise(F.lit(0.0))
+    else:
+        n = nodes.count()
+        flagged = nodes.withColumn("__seed", F.lit(True))
+        init = F.lit(1.0 / n)
+        teleport = F.lit((1.0 - damping) / n)
+    flagged = flagged.localCheckpoint(eager=True)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = flagged.select("node", init.alias("rank"))
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "s"), on="s")
@@ -269,11 +299,11 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, on="node", how="left")
+            flagged.join(contrib, on="node", how="left")
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    teleport
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )

@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_cusum_alarms",
     "orders_benford_deviation",
     "incremental_join_materialize",
+    "personalized_pagerank_parts",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10056,3 +10057,93 @@ def incremental_join_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return rows
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "personalized_pagerank_parts",
+    """
+    WITH RECURSIVE lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+        SELECT pa AS s, pb AS d FROM co UNION SELECT pb, pa FROM co
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), seeds AS (
+        SELECT node FROM nodes ORDER BY node LIMIT 3
+    ), ns AS (
+        SELECT count(*) AS s FROM seeds
+    ), deg AS (
+        SELECT s, count(*) AS deg FROM e GROUP BY 1
+    ), pr AS (
+        SELECT node,
+               CASE WHEN node IN (SELECT node FROM seeds)
+                    THEN CAST(1.0 / (SELECT s FROM ns) AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS rank,
+               0 AS it
+        FROM nodes
+        UNION ALL
+        SELECT node, rank, it FROM (
+            SELECT n.node,
+                   CASE WHEN n.node IN (SELECT node FROM seeds)
+                        THEN (1 - 0.85) / (SELECT s FROM ns)
+                        ELSE 0.0 END
+                       + 0.85 * coalesce(s.inflow, 0) AS rank,
+                   max(s.it1) OVER () AS it
+            FROM nodes n LEFT JOIN (
+                SELECT e.d AS node, sum(p.rank / dg.deg) AS inflow,
+                       max(p.it) + 1 AS it1
+                FROM pr p JOIN e ON e.s = p.node JOIN deg dg ON dg.s = p.node
+                GROUP BY e.d
+            ) s ON s.node = n.node
+        ) WHERE it <= 10
+    )
+    SELECT node AS part, floor(rank * 1000000 + 0.5) / 1000000 AS rank6
+    FROM pr WHERE it = 10
+    ORDER BY rank6 DESC, part LIMIT 20
+    """,
+    tags=("graph", "iterative", "analytics"),
+)
+def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank: teleport mass lands only on a seed set
+    (the 3 smallest part ids in the co-purchase graph — deterministic),
+    so ranks measure proximity to the seeds — the "more parts like this
+    basket" primitive, vs the global centrality its sibling
+    `part_copurchase_pagerank` computes. Same per-iteration shape (one
+    edge-keyed shuffle), seed flag is one broadcast join; oracled
+    against a DuckDB RECURSIVE CTE running the identical seeded
+    recurrence."""
+    from reactionetl_etl_spark.operators.graph import pagerank
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    nodes = (
+        co.select(F.col("pa").alias("node"))
+        .unionByName(co.select(F.col("pb").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(3)
+    ranks = pagerank(co, src="pa", dst="pb", damping=0.85, n_iter=10, seeds=seeds)
+    r6 = F.floor(F.col("rank") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        ranks.select(F.col("node").alias("part"), r6.alias("rank6"))
+        .orderBy(F.col("rank6").desc(), "part")
+        .limit(20)
+    )

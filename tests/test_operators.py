@@ -1503,3 +1503,47 @@ def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
 
     for pair, j in naive.items():
         assert got[pair] == math.floor(j * 10_000 + 0.5) / 10_000
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
+    """Seeded teleport: ranks measure proximity to the seed set — the
+    seed's community out-ranks a far component, total mass stays
+    bounded, and numpy agrees with the distributed recurrence."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.graph import pagerank
+
+    # two disconnected triangles; seed lives in the first
+    edge_list = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(edge_list, "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iter=15, seeds=seeds).collect()
+    }
+    assert min(got[v] for v in (0, 1, 2)) > max(got[v] for v in (10, 11, 12))
+    assert got[10] == got[11] == got[12] == 0.0  # unreachable from the seed
+
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in edge_list:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    p0 = np.zeros(n)
+    p0[idx[0]] = 1.0
+    r = p0.copy()
+    for _ in range(15):
+        r = 0.15 * p0 + 0.85 * (adj / deg[:, None]).T @ r
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-12
+
+
+def test_personalized_pagerank_rejects_unknown_seeds(spark):
+    from reactionetl_etl_spark.operators.graph import pagerank
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    with _pytest.raises(ValueError, match="no seed node"):
+        pagerank(edges, seeds=spark.createDataFrame([(99,)], "node int"))
