@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "orders_benford_deviation",
     "incremental_join_materialize",
     "personalized_pagerank_parts",
+    "part_neighbor_jaccard",
+    "copurchase_assortativity",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10146,4 +10148,173 @@ def personalized_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select(F.col("node").alias("part"), r6.alias("rank6"))
         .orderBy(F.col("rank6").desc(), "part")
         .limit(20)
+    )
+
+
+@_q(
+    "part_neighbor_jaccard",
+    """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+        SELECT pa AS u, pb AS v FROM co UNION SELECT pb, pa FROM co
+    ), deg AS (
+        SELECT u, count(*) AS deg FROM e GROUP BY 1
+    ), common AS (
+        SELECT x.u AS a, y.u AS b, count(*) AS c
+        FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
+        GROUP BY 1, 2
+    )
+    SELECT a, b, c AS common_neighbors,
+           floor(c * 1.0 / (da.deg + db.deg - c) * 1000000 + 0.5) / 1000000
+               AS jaccard6
+    FROM common
+    JOIN deg da ON da.u = a
+    JOIN deg db ON db.u = b
+    ORDER BY jaccard6 DESC, a, b LIMIT 20
+    """,
+    tags=("graph", "similarity", "analytics"),
+)
+def part_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering primitive: neighborhood
+    Jaccard over the co-purchase graph — two parts are similar when
+    their co-purchase NEIGHBOR SETS overlap, even if they never share
+    an order themselves. Common-neighbor counts come from one
+    adjacency self-join keyed on the shared neighbor (a hub neighbor
+    genuinely relates its deg² pairs — the fan-out IS the metric);
+    degrees broadcast back; top-20 with full tie-breaks."""
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    x = e.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = e.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    common = (
+        x.join(y, ["w"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("db"))
+    jac = F.floor(
+        F.col("c") * F.lit(1.0) / (F.col("da") + F.col("db") - F.col("c")) * 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000
+    return (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select("a", "b", F.col("c").alias("common_neighbors"), jac.alias("jaccard6"))
+        .orderBy(F.col("jaccard6").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@_q(
+    "copurchase_assortativity",
+    """
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+        SELECT pa AS u, pb AS v FROM co UNION SELECT pb, pa FROM co
+    ), deg AS (
+        SELECT u, count(*) AS deg FROM e GROUP BY 1
+    ), de AS (
+        SELECT du.deg AS x, dv.deg AS y
+        FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ), s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM de
+    )
+    SELECT n AS n_directed_edges,
+           round((n * sxy - sx * sy) * 1.0
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 9)
+               AS assortativity
+    FROM s
+    """,
+    tags=("graph", "stats", "analytics"),
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman's r):
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — do popular parts co-purchase with popular parts? Every
+    moment sum is INTEGER (degrees are counts), so both engines reduce
+    to identical exact scalars and the final correlation is one
+    deterministic double expression — the same exact-moments
+    discipline as `lineitem_correlation_matrix`, with zero decimals
+    needed."""
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).distinct()
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    de = (
+        e.join(F.broadcast(deg.select(F.col("u"), F.col("deg").alias("x"))), "u")
+        .join(
+            F.broadcast(
+                deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
+            ),
+            "v",
+        )
+        .select("x", "y")
+    )
+    s = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * F.lit(1.0)
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.lit(1.0)
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"), F.round(r, 9).alias("assortativity")
     )
