@@ -9232,7 +9232,13 @@ def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     would left-join with the lower-order fallbacks only."""
     docs = _t(spark, sf_dir, "documents")
     norm = D.normalize_text("text")
-    base = docs.select("doc_id", F.split(norm, " ").alias("t"))
+    # tokenize ONCE: five consumers (uni/bi counts, trigram counts,
+    # trigram scoring stream) would otherwise each re-scan + re-split
+    # the corpus — 6 file scans in the executed plan; the checkpoint
+    # collapses them to one materialized (doc_id, tokens) table
+    base = docs.select("doc_id", F.split(norm, " ").alias("t")).localCheckpoint(
+        eager=True
+    )
 
     uni = (
         base.select(F.explode("t").alias("w"))
