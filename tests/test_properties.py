@@ -281,3 +281,105 @@ def test_asof_join_direction_tolerance_matches_pandas(
         (r.k, r.ts): None if pd.isna(r.payload) else r.payload for r in expected.itertuples()
     }
     assert got_pairs == want_pairs
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_matches_naive_dominance(spark, pts):
+    """skyline_2d == the O(n^2) dominance definition on random integer
+    point sets (duplicates and total ties included)."""
+    from reactionetl_etl_spark.operators.relational import skyline_2d
+
+    rows = [(i, float(a), float(b)) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, score double, cost double")
+    got = {r["id"] for r in skyline_2d(df, "score", "cost").collect()}
+    naive = {
+        i
+        for i, s, c in rows
+        if not any(
+            s2 >= s and c2 <= c and (s2 > s or c2 < c) for _, s2, c2 in rows
+        )
+    }
+    assert got == naive
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_naive_enumeration(spark, edges):
+    """Degree-ordered triangle counting == brute-force triple
+    enumeration on random graphs (self-loops and duplicate edges
+    included in the input)."""
+    from itertools import combinations
+
+    from reactionetl_etl_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src int, dst int") if edges else None
+    if df is None:
+        return
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    adj = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in adj for x in e})
+    deg = {v: sum(1 for e in adj if v in e) for v in nodes}
+    tri = {v: 0 for v in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in adj) and ((b, c) in adj) and ((a, c) in adj):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    assert got == {v: (deg[v], tri[v]) for v in nodes}
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    tau=st.sampled_from([0.4, 0.6, 0.8]),
+)
+@settings(**SETTINGS)
+def test_jaccard_prefix_join_never_misses_pairs(spark, texts, tau):
+    """The prefix filter admits EVERY pair with Jaccard >= tau (the
+    exactness guarantee), and admits nothing below tau, on random
+    small-vocabulary corpora."""
+    from reactionetl_etl_spark.operators.dedup import jaccard_prefix_join
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]) for r in jaccard_prefix_join(docs, tau=tau).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    ids = sorted(sets)
+    naive = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= tau
+    }
+    assert got == naive
