@@ -53,3 +53,26 @@ def bloom_membership_udf(broadcast_bits, m: int, k: int):
         return pd.Series(ok)
 
     return might_contain
+
+
+@pandas_udf("double")
+def trimmed_mean_micro6(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (custom UDAF): 10%-trimmed mean — drop
+    the floor(0.1·n) smallest AND largest values, average the rest.
+    The robust-location aggregate Catalyst has no builtin for; each
+    group's values arrive as ONE Arrow batch, partial aggregation does
+    not apply (trimming is holistic — same class as exact medians).
+
+    Cross-engine exactness: values are quantized to integer
+    MICRO-UNITS (floor(v·1e6 + 0.5), int64) before summing, so the
+    fold is order-independent and the single final division is the
+    only float op — a numpy float sum would pairwise-accumulate in an
+    order an oracle can't replicate."""
+    a = np.sort(np.asarray(v.dropna(), dtype="float64"))
+    n = a.size
+    if n == 0:
+        return None
+    k = int(np.floor(0.1 * n))
+    kept = a[k : n - k] if n - 2 * k > 0 else a
+    micro = np.floor(kept * 1_000_000 + 0.5).astype("int64")
+    return float(int(micro.sum()) / 1_000_000 / len(kept))

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "personalized_pagerank_parts",
     "part_neighbor_jaccard",
     "copurchase_assortativity",
+    "events_trimmed_mean_udaf",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10323,4 +10324,58 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_directed_edges"), F.round(r, 9).alias("assortativity")
+    )
+
+
+@_q(
+    "events_trimmed_mean_udaf",
+    """
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, micro,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY micro) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM q
+    ), kept AS (
+        SELECT event_type, micro, n,
+               CAST(floor(0.1 * n) AS BIGINT) AS k
+        FROM ranked
+        WHERE rn > floor(0.1 * n) AND rn <= n - floor(0.1 * n)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           sum(micro) * 1.0 / 1000000 / count(*) AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+    tags=("events", "udf", "agg", "robust"),
+)
+def events_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (§2.12): a GROUPED_AGG pandas UDF computing
+    the 10%-trimmed mean of event values per type — the holistic
+    robust aggregate (trimming needs the whole group; partials don't
+    apply, same class as exact medians). One shuffle on the group key,
+    each group crosses to Python as a single Arrow batch. Internally
+    integer-micro-unit exact, so DuckDB's window formulation of the
+    SAME trim (sort, drop floor(0.1·n) per tail, integer sum, one
+    division) hash-matches. n_kept comes from an ordinary JVM count —
+    only the holistic part pays the Python toll."""
+    from reactionetl_etl_spark.functions.pandas_fns import trimmed_mean_micro6
+
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg() — the plain count rides a separate (group-key-sized)
+    # aggregation joined back, so only the holistic part pays Python
+    trim_k = F.floor(0.1 * F.count(F.lit(1))).cast("long")
+    n_kept = ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) - 2 * trim_k).alias("n_kept")
+    )
+    tm = ev.groupBy("event_type").agg(
+        trimmed_mean_micro6("value").alias("trimmed_mean")
+    )
+    return n_kept.join(tm, "event_type").select(
+        "event_type", "n_kept", "trimmed_mean"
     )
