@@ -124,3 +124,76 @@ def asof_join(
         *[expr.alias(c) for c, expr in carry.items()],
     )
     return carried.filter(F.col("__tag") == l_tag).drop("__tag")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+):
+    """The SAME as-of semantics via the cogrouped-map surface:
+    `left.groupBy(key).cogroup(right.groupBy(key)).applyInPandas` hands
+    each key's two slices to one pandas `merge_asof` (backward, exact
+    matches allowed — l.ts >= r.ts).
+
+    This is the API-surface twin of :func:`asof_join`, not its
+    replacement: the union+carry-forward formulation stays JVM-side
+    and is the hot path; cogroup earns its Arrow crossing when the
+    per-key merge logic outgrows what a window can say (multi-column
+    nearest-neighbor tolerances, per-key model lookups). The oracle
+    gate proves the two agree on the catalog query.
+
+    Scale shape: one shuffle of each side on the key (exactly the
+    co-partitioning a JVM join would do), then per-key pandas. Same
+    caveats as every grouped map: a single key's rows must fit one
+    task; determinism requires (ts) to totally order the right side
+    within a key (ties would take insertion order, which task retries
+    don't preserve)."""
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    )
+    # the right ts is RENAMED Spark-side: when both sides derive from
+    # one source frame, left_ts and right_ts can be the SAME attribute
+    # (identical expr id) and the cogroup's analyzer dedup silently
+    # drops the right copy — the pandas side would then KeyError
+    right_sel = right.select(
+        on, F.col(right_ts).alias("__rts"), *payload_cols
+    )
+    payload_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in right_sel.schema.fields
+        if f.name in payload_cols
+    )
+    schema = f"{out_fields}, {payload_fields}"
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=left_cols + payload_cols)
+        l = l.sort_values(left_ts, kind="mergesort")
+        if len(r) == 0:
+            out = l.copy()
+            for c in payload_cols:
+                out[c] = None
+            return out[left_cols + payload_cols]
+        r = r.sort_values("__rts", kind="mergesort")
+        out = pd.merge_asof(
+            l,
+            r[["__rts"] + payload_cols],
+            left_on=left_ts,
+            right_on="__rts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[left_cols + payload_cols]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right_sel.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "part_neighbor_jaccard",
     "copurchase_assortativity",
     "events_trimmed_mean_udaf",
+    "asof_cogroup_pandas",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10379,3 +10380,46 @@ def events_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_kept.join(tm, "event_type").select(
         "event_type", "n_kept", "trimmed_mean"
     )
+
+
+@_q(
+    "asof_cogroup_pandas",
+    """
+    SELECT c.event_id,
+           c.user_id,
+           round(p.value, 2) AS purchase_value,
+           CAST(p.ts AS VARCHAR) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "asof", "events", "udf"),
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-map surface (§2.12): the as-of join re-expressed
+    as `cogroup(...).applyInPandas` running one pandas merge_asof per
+    user — API twin of the JVM union+carry-forward `asof_join`, proved
+    equivalent by sharing `asof_click_to_purchase`'s DuckDB ASOF-JOIN
+    oracle verbatim. One key-shuffle per side (the same
+    co-partitioning a join pays), then Arrow both ways."""
+    from reactionetl_etl_spark.operators.asof import asof_join_cogroup
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ntz"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_ntz",
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_ntz").cast("string").alias("purchase_ts"),
+    )
+    joined = asof_join_cogroup(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_ntz",
+        right_ts="ts_ntz",
+        payload_cols=["purchase_value", "purchase_ts"],
+    )
+    return joined.select("event_id", "user_id", "purchase_value", "purchase_ts")
