@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "copurchase_assortativity",
     "events_trimmed_mean_udaf",
     "asof_cogroup_pandas",
+    "tfidf_cosine_pairs",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10423,3 +10424,99 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["purchase_value", "purchase_ts"],
     )
     return joined.select("event_id", "user_id", "purchase_value", "purchase_ts")
+
+
+@_q(
+    "tfidf_cosine_pairs",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE length(term) >= 3 GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    sparse AS (
+        SELECT doc_id, term,
+               CAST(floor(tf.tf * n.n_docs / df.df * 1000 + 0.5) AS BIGINT) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf.tf * n.n_docs / df.df DESC, term ASC
+        ) <= 5
+    ), nrm AS (
+        SELECT doc_id, sum(w * w) AS n2 FROM sparse GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(a.w * b.w) AS dot, count(*) AS shared_terms
+        FROM sparse a JOIN sparse b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared_terms,
+           floor(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000 + 0.5) / 1000000
+               AS cosine6
+    FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+    ORDER BY cosine6 DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("text", "tfidf", "similarity", "llm"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse LEXICAL doc-doc similarity: TF-IDF vectors sparsified to
+    each doc's top-5 terms, then cosine via a term-keyed sparse dot
+    product — the no-embeddings similarity path (and the classic
+    sparse-vector join shape: work ∝ Σ per-term posting², bounded by
+    the sparsification). Weights quantize to integer MILLI-units
+    before any sum, so norms and dot products fold exactly in int64
+    whatever the partition order; idf stays the engine's rational
+    (tf·N/df) convention — no logarithms, no libm divergence. Top-20
+    pairs, full tie-breaks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    rat = F.col("tf") * F.col("n_docs") / F.col("df")
+    w = F.floor(rat * 1000 + F.lit(0.5)).cast("long")
+    wnd = Window.partitionBy("doc_id").orderBy(rat.desc(), F.col("term").asc())
+    sparse = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__rn", F.row_number().over(wnd))
+        .filter(F.col("__rn") <= 5)
+        .select("doc_id", "term", w.alias("w"))
+    )
+    nrm = sparse.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = sparse.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = sparse.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos6 = (
+        F.floor(
+            F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")) * 1_000_000 + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", "shared_terms", cos6.alias("cosine6"))
+        .orderBy(F.col("cosine6").desc(), "id_a", "id_b")
+        .limit(20)
+    )
