@@ -9871,65 +9871,78 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
         SELECT user_id, ts, event_id,
-               CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS vd,
-               CAST(sum(CAST(value AS DECIMAL(18,6)))
-                        OVER (PARTITION BY user_id) AS DOUBLE)
-                   / count(*) OVER (PARTITION BY user_id) AS mu
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id) AS sm
         FROM events
     ), p AS (
-        SELECT user_id, ts, event_id,
-               sum(vd - mu - 5.0) OVER (
+        SELECT user_id, ts, event_id, n,
+               sum(n * vm - sm - n * 5000000) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
         FROM v
     ), s AS (
-        SELECT user_id,
-               psum - least(0.0, min(psum) OVER (
+        SELECT user_id, n,
+               psum - least(CAST(0 AS BIGINT), min(psum) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus
         FROM p
     )
     SELECT user_id,
-           CAST(sum(CASE WHEN cusum > 400.0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN cus > 400000000 * n THEN 1 ELSE 0 END) AS BIGINT)
                AS n_alarms,
-           round(max(cusum), 6) AS max_cusum6,
+           floor(max(cus) * 1.0 / n + 0.5) / 1000000 AS max_cusum6,
            CAST(count(*) AS BIGINT) AS n_events
-    FROM s GROUP BY user_id
+    FROM s GROUP BY user_id, n
     """,
     tags=("events", "anomaly", "timeseries", "window"),
 )
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detection per user (Page's test): S_t =
-    max(0, S_{t-1} + x_t - mu - slack), alarms where S_t crosses h.
-    The recurrence LOOKS stateful, but folds exactly into two window
-    passes via S_t = P_t - min(0, running-min of P) with P the prefix
-    sum of deviations — so it stays in whole-stage codegen instead of
-    applyInPandas, and the per-row order pins the float summation
-    order on BOTH engines (window running sums are sequential by
-    definition). The baseline mean folds in DECIMAL and divides once,
-    so deviations are bit-identical cross-engine and alarm-threshold
-    comparisons cannot flicker."""
+    max(0, S_{t-1} + x_t - mu - slack), alarms where S_t crosses h
+    (slack=5, h=400). The recurrence LOOKS stateful, but folds exactly
+    into two window passes via S_t = P_t - min(0, running-min of P)
+    with P the prefix sum of deviations — whole-stage codegen, no
+    applyInPandas.
+
+    Exactness: the whole computation is INTEGER. Deviations are
+    multiplied through by each user's row count n (d' = n·x - Σx -
+    n·slack, in micro-units), so prefix sums, running minima, the
+    threshold comparison (S' > h·n), and the max all fold in int64 —
+    immune to the engines' different windowed-sum accumulation ORDERS
+    (DuckDB runs segment-tree partial sums, Spark sequential: the
+    float version of this query drifted one ulp at sf0.1 and
+    round(...,6) landed on opposite sides). Output rounding is the
+    floor(x+0.5) convention on max(cus)/n — one exact-int division —
+    because round() itself differs cross-engine at half-ulp
+    boundaries (the r7 sf0.1 gate caught exactly that)."""
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    vm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
     wp = Window.partitionBy("user_id")
     wo = wp.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    v6 = F.col("value").cast("decimal(18,6)")
-    vd = v6.cast("double")
-    mu = F.sum(v6).over(wp).cast("double") / F.count(F.lit(1)).over(wp)
-    p = ev.select(
+    v = ev.select(
         "user_id",
         "ts",
         "event_id",
-        (vd - mu - F.lit(5.0)).alias("d"),
-    ).select(
-        "user_id", "ts", "event_id", F.sum("d").over(wo).alias("psum")
+        vm.alias("vm"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn("sm", F.sum("vm").over(wp))
+    d = F.col("n") * F.col("vm") - F.col("sm") - F.col("n") * F.lit(5_000_000)
+    p = v.select(
+        "user_id", "ts", "event_id", "n", F.sum(d).over(wo).alias("psum")
     )
-    cusum = F.col("psum") - F.least(F.lit(0.0), F.min("psum").over(wo))
-    s = p.select("user_id", "ts", "event_id", cusum.alias("cusum"))
-    return s.groupBy("user_id").agg(
-        F.sum(F.when(F.col("cusum") > 400.0, 1).otherwise(0)).alias("n_alarms"),
-        F.round(F.max("cusum"), 6).alias("max_cusum6"),
+    cus = F.col("psum") - F.least(F.lit(0).cast("long"), F.min("psum").over(wo))
+    s = p.select("user_id", "n", cus.alias("cus"))
+    return s.groupBy("user_id", "n").agg(
+        F.sum(
+            F.when(F.col("cus") > F.lit(400_000_000) * F.col("n"), 1).otherwise(0)
+        ).alias("n_alarms"),
+        (
+            F.floor(F.max("cus") * F.lit(1.0) / F.col("n") + F.lit(0.5)) / 1_000_000
+        ).alias("max_cusum6"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).drop("n")
 
 
 @_q(
