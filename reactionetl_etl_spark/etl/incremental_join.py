@@ -98,6 +98,12 @@ def merge_join_state(
     """
     if delta_left is None and delta_right is None:
         raise ValueError("at least one of delta_left/delta_right is required")
+    if batch_id.isdigit():
+        # the id becomes a `batch=<id>` partition VALUE: an all-digit id
+        # type-infers to INT under a vanilla reader session (ours pins
+        # partition values to string) and the exclude-filter comparison
+        # would then depend on session config — refuse the ambiguity
+        raise ValueError(f"batch_id must not be all digits, got {batch_id!r}")
     for side, d in (("left", delta_left), ("right", delta_right)):
         if d is not None and key not in d.columns:
             raise ValueError(f"delta_{side} lacks join key {key!r}")

@@ -93,3 +93,14 @@ def test_first_single_sided_batch_produces_no_pairs(spark, tmp_path):
         read_join_view(spark, state)
     assert merge_join_state(spark, state, "k", "b1", delta_right=_r(spark, [(1, "x")]))
     assert _collect(spark, state) == [(1, "a", "x")]
+
+
+def test_all_digit_batch_id_rejected(spark, tmp_path):
+    """An all-digit batch id would type-infer to INT as a partition
+    value under a vanilla reader session, making the in-flight
+    exclude-filter session-dependent — refused up front."""
+    with pytest.raises(ValueError, match="all digits"):
+        merge_join_state(
+            spark, str(tmp_path / "s"), "k", "3",
+            delta_left=_l(spark, [(1, "a")]),
+        )
