@@ -10499,13 +10499,16 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rat = F.col("tf") * F.col("n_docs") / F.col("df")
     w = F.floor(rat * 1000 + F.lit(0.5)).cast("long")
     wnd = Window.partitionBy("doc_id").orderBy(rat.desc(), F.col("term").asc())
+    # materialize ONCE: four consumers (both join sides + two norm
+    # lookups) would each replay the tokenize + tf + top-5 pipeline —
+    # 4 corpus scans; the checkpoint collapses them to one
     sparse = (
         tf.join(F.broadcast(dfr), "term")
         .crossJoin(F.broadcast(n))
         .withColumn("__rn", F.row_number().over(wnd))
         .filter(F.col("__rn") <= 5)
         .select("doc_id", "term", w.alias("w"))
-    )
+    ).localCheckpoint(eager=True)
     nrm = sparse.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a = sparse.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
     b = sparse.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))

@@ -519,3 +519,40 @@ def test_prefix_join_candidates_are_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "jaccard_prefix_join_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_stays_in_codegen_no_python(spark, sf_dir):
+    """CUSUM's recurrence folds into windows: the plan has NO Python
+    stage and exactly one source scan — the point of the prefix-sum
+    identity over an applyInPandas fold."""
+    plan = plan_of(spark, sf_dir, "events_cusum_alarms")
+    assert "Pandas" not in plan and "PythonUDF" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_trimmed_mean_is_grouped_agg_pandas(spark, sf_dir):
+    """The trimmed mean exercises the GROUPED_AGG pandas UDF surface;
+    the plain count stays a JVM hash aggregate."""
+    plan = plan_of(spark, sf_dir, "events_trimmed_mean_udaf")
+    assert "ArrowAggregatePython" in plan  # Spark 4 grouped-agg operator name
+    assert "HashAggregate" in plan
+
+
+def test_asof_cogroup_is_cogrouped_map(spark, sf_dir):
+    """The cogroup as-of join plans as FlatMapCoGroupsInPandas over the
+    two key-shuffled sides — no join fallback, no cartesian."""
+    plan = plan_of(spark, sf_dir, "asof_cogroup_pandas")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_cosine_pairs_keyed_join_topk(spark, sf_dir):
+    """The sparse dot product is a term-keyed equi-join (never a pair
+    enumeration) and the final top-20 is TakeOrderedAndProject. The
+    only nested-loop is the 1-row corpus-count scalar attach — a
+    data-scale NLJ would show up as a second one."""
+    plan = plan_of(spark, sf_dir, "tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # checkpointed sparse
+    assert "Scan parquet" not in plan  # vectors materialized once
+    assert "TakeOrderedAndProject" in plan
