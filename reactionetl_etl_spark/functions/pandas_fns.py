@@ -76,3 +76,16 @@ def trimmed_mean_micro6(v: pd.Series) -> float:
     kept = a[k : n - k] if n - 2 * k > 0 else a
     micro = np.floor(kept * 1_000_000 + 0.5).astype("int64")
     return float(int(micro.sum()) / 1_000_000 / len(kept))
+
+
+@pandas_udf("int")
+def zlib_len(text: pd.Series) -> pd.Series:
+    """Deflate-compressed byte length of a text column (zlib level 6)
+    — the numerator of the compression-ratio quality signal
+    (Gopher/RefinedWeb family: highly compressible text is repetitive
+    boilerplate; incompressible text is noise). stdlib zlib at a FIXED
+    level is deterministic for a given input, so the derived signals
+    pin as a value contract."""
+    import zlib
+
+    return text.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))

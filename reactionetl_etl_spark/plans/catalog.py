@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_trimmed_mean_udaf",
     "asof_cogroup_pandas",
     "tfidf_cosine_pairs",
+    "doc_compression_by_source",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10535,4 +10536,46 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "shared_terms", cos6.alias("cosine6"))
         .orderBy(F.col("cosine6").desc(), "id_a", "id_b")
         .limit(20)
+    )
+
+
+@_q(
+    "doc_compression_by_source",
+    None,  # pinned VALUES oracle (plans/pinned.py) — zlib is not ANSI SQL
+    tags=("text", "quality", "llm"),
+)
+def doc_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal, profiled per (lang, source):
+    deflate(text)/raw bytes — repetitive boilerplate compresses far
+    below natural text, noise barely compresses (the Gopher/RefinedWeb
+    compressibility filter family). The zlib length crosses to Python
+    as one Arrow-vectorized scalar UDF; every derived number is
+    INTEGER arithmetic (byte counts, floor-scaled ratios, exact sums)
+    plus one division, so the output pins as a VALUES contract.
+    Group aggregate keeps the answer O(langs × sources)."""
+    from reactionetl_etl_spark.functions.pandas_fns import zlib_len
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.octet_length("text").alias("raw"),
+        zlib_len("text").alias("comp"),
+    ).withColumn(
+        "ratio6",
+        F.floor(F.col("comp") * F.lit(1_000_000).cast("long") / F.col("raw"))
+        / 1_000_000,
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("raw").alias("raw_bytes"),
+        F.sum("comp").alias("compressed_bytes"),
+        (
+            F.floor(
+                F.sum("comp") * F.lit(1_000_000).cast("long") / F.sum("raw")
+            )
+            / 1_000_000
+        ).alias("avg_ratio6"),
+        F.min("ratio6").alias("min_ratio6"),
+        F.max("ratio6").alias("max_ratio6"),
     )
