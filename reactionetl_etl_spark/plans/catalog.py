@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_cogroup_pandas",
     "tfidf_cosine_pairs",
     "doc_compression_by_source",
+    "customer_spend_balance_spearman",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10578,4 +10579,73 @@ def doc_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_ratio6"),
         F.min("ratio6").alias("min_ratio6"),
         F.max("ratio6").alias("max_ratio6"),
+    )
+
+
+@_q(
+    "customer_spend_balance_spearman",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT c.c_custkey AS custkey,
+               row_number() OVER (ORDER BY spend DESC, c.c_custkey) AS rx,
+               row_number() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS ry
+        FROM customer c JOIN spend ON spend.custkey = c.c_custkey
+    ), s AS (
+        SELECT count(*) AS n, sum((rx - ry) * (rx - ry)) AS sd2 FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(1.0 - 6.0 * sd2 / (n * (CAST(n AS BIGINT) * n - 1)), 9)
+               AS spearman_rho
+    FROM s
+    """,
+    tags=("stats", "rank", "analytics"),
+)
+def customer_spend_balance_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between customer lifetime spend and
+    account balance — the distribution-free association measure, done
+    the way it scales: both rankings come from the DISTRIBUTED global
+    rank (operators/rank.py — per-partition counts + prefix sums, no
+    single-partition sort), tie-broken by custkey so each is a total
+    order; rho = 1 − 6Σd²/(n(n²−1)) then folds from INTEGER sums —
+    exact scalars, one double expression at the end. (Σd² is int64-
+    safe to ~10⁶ rows per this formula's n³ bound; past that, cast
+    the squares to DECIMAL — the formula is unchanged.) The spend sum
+    folds in DECIMAL so the spend ORDER itself is engine-exact."""
+    from reactionetl_etl_spark.operators.rank import global_order_ranks
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    base = cust.join(spend, cust.c_custkey == spend.custkey).select(
+        "c_custkey", "spend", "c_acctbal"
+    )
+    rx = global_order_ranks(
+        base,
+        rank_exprs=[F.col("spend")],
+        rank_desc=[True],
+        tie_exprs=[F.col("c_custkey")],
+        tie_desc=[False],
+    ).select("c_custkey", F.col("global_row_number").alias("rx"))
+    ry = global_order_ranks(
+        base,
+        rank_exprs=[F.col("c_acctbal")],
+        rank_desc=[True],
+        tie_exprs=[F.col("c_custkey")],
+        tie_desc=[False],
+    ).select("c_custkey", F.col("global_row_number").alias("ry"))
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    s = rx.join(ry, "c_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d2).alias("sd2")
+    )
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("sd2") / (
+        F.col("n") * (F.col("n").cast("long") * F.col("n") - 1)
+    )
+    return s.select(
+        F.col("n").alias("n_customers"), F.round(rho, 9).alias("spearman_rho")
     )
