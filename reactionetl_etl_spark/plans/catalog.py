@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "doc_compression_by_source",
     "customer_spend_balance_spearman",
+    "event_trigram_paths",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10648,4 +10649,50 @@ def customer_spend_balance_spearman(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return s.select(
         F.col("n").alias("n_customers"), F.round(rho, 9).alias("spearman_rho")
+    )
+
+
+@_q(
+    "event_trigram_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS t3,
+               lag(event_type, 1) OVER w AS t2,
+               lag(event_type, 2) OVER w AS t1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           count(*) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t1 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    tags=("events", "sequence", "window", "analytics"),
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavior paths: sliding trigrams over each user's
+    event sequence (two lag windows, user-partitioned — state bounded
+    by one user's history) counted globally with distinct-user
+    support. The sequence-mining primitive one step past the pairwise
+    transition matrix; path cardinality is |types|³, so the aggregate
+    is map-side combined to a bounded table."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    path = F.concat_ws(">", "t1", "t2", "t3")
+    return (
+        seq.groupBy(path.alias("path"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
     )
