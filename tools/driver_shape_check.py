@@ -46,6 +46,9 @@ _DEFAULT = [
     "events_trimmed_mean_udaf",
     "asof_cogroup_pandas",
     "tfidf_cosine_pairs",
+    "doc_compression_by_source",
+    "customer_spend_balance_spearman",
+    "event_trigram_paths",
 ]
 
 
