@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "doc_compression_by_source",
     "customer_spend_balance_spearman",
     "event_trigram_paths",
+    "segment_overlap_hll",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10695,4 +10696,63 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
+    )
+
+
+@_q(
+    "segment_overlap_hll",
+    None,  # pinned VALUES oracle — Datasketches HLL is not ANSI SQL
+    tags=("sketch", "events", "agg"),
+)
+def segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: audience overlap between event-type
+    segments estimated from mergeable HLL sketches via
+    inclusion-exclusion (|A∩B| ≈ est(A)+est(B)−est(A∪B)) — the
+    warehouse answer when segment sketches are PRE-AGGREGATED state
+    (the incremental-rollup module stores exactly these) and the raw
+    user lists are long gone. One pass builds a sketch per segment;
+    pair estimates are driver-free sketch merges on a |types|²-sized
+    table; the exact overlap (one self-join on user) rides alongside
+    so the estimate's error is a driver-visible number. HLL register
+    folds are max()-based — order-independent — so every estimate is
+    deterministic and the whole output pins as a VALUES contract."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("nd"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("nd").alias("nd_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("nd").alias("nd_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_overlap = F.greatest(
+        F.lit(0.0), F.round(est_a + est_b - est_union, 2)
+    )
+    ex = ev.distinct()
+    xa = ex.select(F.col("event_type").alias("type_a"), "user_id")
+    xb = ex.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        xa.join(xb, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_overlap", F.lit(0).cast("long")).alias("exact_overlap"),
+            est_overlap.alias("est_overlap"),
+        )
     )
