@@ -84,8 +84,10 @@ def zlib_len(text: pd.Series) -> pd.Series:
     — the numerator of the compression-ratio quality signal
     (Gopher/RefinedWeb family: highly compressible text is repetitive
     boilerplate; incompressible text is noise). stdlib zlib at a FIXED
-    level is deterministic for a given input, so the derived signals
-    pin as a value contract."""
+    level is deterministic for a given input AND a given zlib build
+    (the container pins one — a zlib upgrade would shift lengths and
+    trip the pinned contract loudly, which is the desired failure
+    mode), so the derived signals pin as a value contract."""
     import zlib
 
     return text.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
