@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "customer_spend_balance_spearman",
     "event_trigram_paths",
     "segment_overlap_hll",
+    "loo_target_encoding",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10755,4 +10756,55 @@ def segment_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_overlap", F.lit(0).cast("long")).alias("exact_overlap"),
             est_overlap.alias("est_overlap"),
         )
+    )
+
+
+@_q(
+    "loo_target_encoding",
+    """
+    WITH j AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), s AS (
+        SELECT segment, CAST(sum(y) AS DECIMAL(28,2)) AS sy, count(*) AS n
+        FROM j GROUP BY 1
+    )
+    SELECT j.o_orderkey, j.segment,
+           CASE WHEN s.n > 1 THEN
+               round(CAST(s.sy - j.y AS DOUBLE) / (s.n - 1), 4)
+           END AS loo_mean4
+    FROM j JOIN s ON s.segment = j.segment
+    """,
+    tags=("ml", "features", "agg"),
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature for training pipelines: each order's segment encodes as
+    the mean order total of OTHER orders in the segment,
+    (Σy − y_i)/(n − 1), so a row never sees its own target. One
+    group-sized aggregate broadcast back onto the fact rows; the
+    target folds in DECIMAL, making the per-row encodings exact
+    scalars finished by one double division (deterministic
+    cross-engine — a double sum here would drift per partition
+    order across 15k rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    s = j.groupBy("segment").agg(
+        F.sum("y").cast("decimal(28,2)").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        F.round(
+            (F.col("sy") - F.col("y")).cast("double") / (F.col("n") - 1), 4
+        ),
+    )
+    return j.join(F.broadcast(s), "segment").select(
+        "o_orderkey", "segment", loo.alias("loo_mean4")
     )
