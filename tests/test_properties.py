@@ -383,3 +383,62 @@ def test_jaccard_prefix_join_never_misses_pairs(spark, texts, tau):
         if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= tau
     }
     assert got == naive
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 99)), min_size=0, max_size=12
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(100, 199)), min_size=0, max_size=12
+    ),
+    cuts=st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    order=st.booleans(),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_join_any_interleaving_equals_one_shot(
+    spark, tmp_path_factory, left_rows, right_rows, cuts, order
+):
+    """Delta-rule join maintenance: for RANDOM row sets, batch split
+    points, and side orderings, the folded state equals the one-shot
+    join of everything."""
+    from reactionetl_etl_spark.etl.incremental_join import (
+        merge_join_state,
+        read_join_view,
+    )
+
+    tmp = tmp_path_factory.mktemp("ivm")
+    state = str(tmp / "s")
+
+    def df(rows, col):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows] or [(None, None)], f"k int, {col} int"
+        ).filter(F.col("k").isNotNull())
+
+    lcut = min(cuts[0], len(left_rows))
+    rcut = min(cuts[1], len(right_rows))
+    batches = [
+        ("lA", dict(delta_left=df(left_rows[:lcut], "lv"))),
+        ("rA", dict(delta_right=df(right_rows[:rcut], "rv"))),
+        ("lB", dict(delta_left=df(left_rows[lcut:], "lv"))),
+        ("rB", dict(delta_right=df(right_rows[rcut:], "rv"))),
+    ]
+    if order:
+        batches = [batches[1], batches[3], batches[0], batches[2]]
+    for bid, kw in batches:
+        merge_join_state(spark, state, "k", bid, **kw)
+
+    want = sorted(
+        (k1, lv, rv)
+        for k1, lv in left_rows
+        for k2, rv in right_rows
+        if k1 == k2
+    )
+    try:
+        got = sorted(
+            (r["k"], r["lv"], r["rv"]) for r in read_join_view(spark, state).collect()
+        )
+    except ValueError:
+        got = []  # no pairs ever formed
+    assert got == want
