@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_trigram_paths",
     "segment_overlap_hll",
     "loo_target_encoding",
+    "customer_rank_kendall",
     "embedding_outlier_mahalanobis",
     "quality_classifier_scores",
     "quality_classifier_eval",
@@ -10807,4 +10808,64 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.join(F.broadcast(s), "segment").select(
         "o_orderkey", "segment", loo.alias("loo_mean4")
+    )
+
+
+@_q(
+    "customer_rank_kendall",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT row_number() OVER (ORDER BY spend DESC, c.c_custkey) AS rx,
+               row_number() OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS ry
+        FROM customer c JOIN spend ON spend.custkey = c.c_custkey
+    ), d AS (
+        SELECT count(*) AS n_discordant
+        FROM ranked a JOIN ranked b ON a.rx < b.rx AND a.ry > b.ry
+    ), c AS (SELECT count(*) AS n FROM ranked)
+    SELECT n, n_discordant,
+           floor((1.0 - 4.0 * n_discordant / (n * (n - 1.0)))
+                 * 1000000000 + 0.5) / 1000000000 AS tau9
+    FROM c CROSS JOIN d
+    """,
+    tags=("stats", "rank", "analytics"),
+)
+def customer_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-a between spend rank and balance rank —
+    computed by the DISTRIBUTED decomposition (operators/rank.py::
+    kendall_tau_distinct: B×B histogram prefix sums for cross-bucket
+    pairs + bucketed mergesort inversion counts, D = G+X+Y−C) and
+    value-pinned against the textbook O(n²) discordant-pair self-join
+    the oracle runs. Same rankings as the Spearman sibling (decimal
+    spend sums, custkey tie-breaks), so the two association measures
+    are directly comparable."""
+    from reactionetl_etl_spark.operators.rank import (
+        global_order_ranks,
+        kendall_tau_distinct,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    base = cust.join(spend, cust.c_custkey == spend.custkey).select(
+        "c_custkey", "spend", "c_acctbal"
+    )
+    rx = global_order_ranks(
+        base, [F.col("spend")], [True], [F.col("c_custkey")], [False]
+    ).select("c_custkey", F.col("global_row_number").alias("rx"))
+    ry = global_order_ranks(
+        base, [F.col("c_acctbal")], [True], [F.col("c_custkey")], [False]
+    ).select("c_custkey", F.col("global_row_number").alias("ry"))
+    tau = kendall_tau_distinct(rx.join(ry, "c_custkey"), "rx", "ry", n_buckets=16)
+    return tau.select(
+        "n",
+        "n_discordant",
+        (F.floor(F.col("tau") * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
+            "tau9"
+        ),
     )

@@ -1547,3 +1547,32 @@ def test_personalized_pagerank_rejects_unknown_seeds(spark):
     edges = spark.createDataFrame([(0, 1)], "src int, dst int")
     with _pytest.raises(ValueError, match="no seed node"):
         pagerank(edges, seeds=spark.createDataFrame([(99,)], "node int"))
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """Distributed Kendall tau (histogram + bucketed inversion counts)
+    equals the O(n^2) discordant-pair definition on random distinct
+    permutations, across bucket counts that force multi-bucket and
+    single-bucket paths."""
+    import random
+
+    from reactionetl_etl_spark.operators.rank import kendall_tau_distinct
+
+    rng = random.Random(7)
+    n = 97
+    ry = list(range(1, n + 1))
+    rng.shuffle(ry)
+    rows = [(i + 1, ry[i]) for i in range(n)]
+    disc = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if rows[i][1] > rows[j][1]  # rx already ascending
+    )
+    want_tau = 1.0 - 4.0 * disc / (n * (n - 1.0))
+    df = spark.createDataFrame(rows, "rx int, ry int")
+    for b in (1, 4, 16, 200):
+        got = kendall_tau_distinct(df, "rx", "ry", n_buckets=b).collect()[0]
+        assert got["n"] == n
+        assert got["n_discordant"] == disc, (b, got["n_discordant"], disc)
+        assert abs(got["tau"] - want_tau) < 1e-15
