@@ -306,17 +306,12 @@ def kendall_tau_distinct(
             mid = m // 2
             cl, left = count(arr[:mid])
             cr, right = count(arr[mid:])
-            merged = np.empty(m, dtype=arr.dtype)
-            inv = cl + cr
-            i = j = k = 0
-            # vectorized merge: for each left element, inversions +=
-            # number of right elements smaller than it
-            pos = np.searchsorted(right, left, side="left")
-            inv += int(pos.sum())
-            merged = np.concatenate(
-                (np.sort(np.concatenate((left, right))),)
-            )
-            return inv, merged
+            # vectorized cross-count: each left element (earlier in x
+            # order) pairs discordantly with every SMALLER right
+            # element; `right` is sorted, so one searchsorted gives
+            # all counts at once
+            inv = cl + cr + int(np.searchsorted(right, left, side="left").sum())
+            return inv, np.sort(np.concatenate((left, right)))
 
         total, _ = count(y)
         return pd.DataFrame({"inv": [total]})
