@@ -13,6 +13,7 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 SETTINGS = dict(
@@ -442,3 +443,36 @@ def test_incremental_join_any_interleaving_equals_one_shot(
     except ValueError:
         got = []  # no pairs ever formed
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    slack=st.sampled_from([0, 5, 20]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cusum_window_identity_matches_recurrence(spark, vals, slack):
+    """The windowed formulation S_t = P_t − min(0, running-min P) used
+    by `events_cusum_alarms` equals the direct CUSUM recurrence
+    S_t = max(0, S_{t−1} + d_t) on random integer series (integer
+    deviations, so no float question)."""
+    n = len(vals)
+    total = sum(vals)
+    # integer multiply-through-by-n deviations, as the query computes
+    devs = [n * v - total - n * slack for v in vals]
+
+    s, direct = 0, []
+    for d in devs:
+        s = max(0, s + d)
+        direct.append(s)
+
+    rows = [(i, devs[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "i int, d long")
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        df.withColumn("p", F.sum("d").over(w))
+        .withColumn("s", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w)))
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["s"] for r in out] == direct
