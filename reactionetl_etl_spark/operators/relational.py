@@ -241,6 +241,9 @@ def skyline_2d(
 
     Equal-on-both-criteria rows do not dominate each other: all of
     them survive, matching the NOT EXISTS formulation exactly.
+    Criteria must be non-NULL (dominance over NULL is undefined —
+    filter or impute first; NULLs would sort last in the running-min
+    window and silently skew survivorship).
     """
     grp = df.groupBy(maximize).agg(F.min(minimize).alias("__gmin"))
     w = Window.orderBy(F.col(maximize).desc()).rowsBetween(
