@@ -178,12 +178,16 @@ def triangle_counts(
     All keys are node ids or node pairs — nothing is ever keyed on a
     partition-unbounded value. Deterministic: no RNG, ties in the
     degree order broken by node id."""
+    # checkpoint the canonical edge set FIRST: it feeds the degree
+    # count, two rank joins, and (via `oriented`) the wedge stages —
+    # without it the caller's edge-derivation plan (often a fact
+    # self-join) replays once per consumer
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

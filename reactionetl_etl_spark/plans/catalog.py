@@ -10231,9 +10231,14 @@ def part_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
     )
-    e = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    ).distinct()
+    # checkpoint: the symmetric adjacency feeds degree + both join
+    # sides; unchecked, the lineitem self-join behind `co` replays per
+    # consumer (the triangle_counts lesson)
+    e = (
+        co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+            co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        ).distinct()
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     x = e.select(F.col("u").alias("a"), F.col("v").alias("w"))
     y = e.select(F.col("u").alias("b"), F.col("v").alias("w"))
@@ -10312,9 +10317,14 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
     )
-    e = co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    ).distinct()
+    # checkpoint: the symmetric adjacency feeds degree + both join
+    # sides; unchecked, the lineitem self-join behind `co` replays per
+    # consumer (the triangle_counts lesson)
+    e = (
+        co.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+            co.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        ).distinct()
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     de = (
         e.join(F.broadcast(deg.select(F.col("u"), F.col("deg").alias("x"))), "u")
