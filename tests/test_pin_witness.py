@@ -1,0 +1,320 @@
+"""Non-circular witnesses for pinned VALUES oracles (verdict-r7 item 2).
+
+A pin frozen from the engine's own output (tools/pin_oracle.py) proves
+determinism, not first-run correctness. Each test here recomputes the
+pinned values through an INDEPENDENT path — feature formulas, codecs
+and recall arithmetic re-derived from the published file-format /
+signal-processing specs in test-local code, never by calling the
+engine function whose output the pin froze — and compares against the
+pin itself (parsed by running the pinned VALUES SQL through DuckDB).
+
+Pure-python witnesses (audio, resize) read the sf0.01 fixtures the
+pins encode directly, so they run at ANY suite scale — no Spark
+session, no skip. The ANN witness exercises the live pipeline at the
+suite's scale instead (the pin's sf0.01 numbers then rest on a
+pipeline whose exact baseline and recall arithmetic are independently
+verified here, plus pin determinism).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import zlib
+
+import duckdb
+import numpy as np
+import pytest
+
+from reactionetl_etl_spark.plans.catalog import all_queries
+
+SF001 = "/root/testdata/sf0.01"  # the scale every pin encodes
+
+
+def _pin_df(name: str):
+    oracle = all_queries()[name].oracle
+    assert oracle and "PINNED VALUES oracle" in oracle, f"{name} is not pinned"
+    return duckdb.execute(oracle).fetchdf()
+
+
+# ---------------------------------------------------------------------------
+# audio_spectral_profile: recompute every pinned row from the signal
+# definition alone — synthesize the planted tone, quantize through the
+# PCM16 grid (round(x*32767)/32768, the spec-level int16 round-trip),
+# window with the textbook Hann formula, rFFT, and apply the standard
+# feature definitions (dominant bin, centroid, flatness, ZCR) written
+# fresh here. No engine encode/decode/feature code is imported.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_spectral_pin_witness():
+    pin = _pin_df("audio_spectral_profile").set_index("media_id")
+    assert len(pin) == 200
+    rate, n = 8000, 2000
+    t = np.arange(n) / rate
+    k = np.arange(n)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / (n - 1))  # textbook Hann
+    for mid in range(200):
+        row = pin.loc[mid]
+        assert int(row["sample_rate"]) == rate and int(row["n_samples"]) == n
+        freq = 200.0 + float(mid % 20) * 150.0
+        x = np.sin(2 * np.pi * freq * t)
+        # PCM16 quantization grid: encode rounds to int16/32767, decode
+        # normalizes by 32768 (RIFF/WAVE spec round-trip, one-step loss)
+        x = np.clip(np.round(x * 32767.0), -32768, 32767) / 32768.0
+        # zero-crossing rate: fraction of adjacent sample pairs whose
+        # sign bit flips (np.signbit: -0.0 and negatives are True)
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x)))))
+        spec = np.abs(np.fft.rfft(x * hann))
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        mag, f = spec[1:], freqs[1:]  # DC excluded from tone features
+        total = mag.sum()
+        centroid = float((f * mag).sum() / total)
+        dominant = float(f[int(np.argmax(mag))])
+        power = mag**2
+        flatness = float(np.exp(np.mean(np.log(power + 1e-30))) / (power.mean() + 1e-30))
+        # pins carry round(x, 2) / round(x, 6) of these — compare at
+        # half the rounding grid (+ float slack), independent of either
+        # engine's rounding mode
+        assert abs(dominant - row["dominant_freq_hz"]) <= 0.005 + 1e-9, mid
+        assert abs(centroid - row["spectral_centroid_hz"]) <= 0.005 + 1e-9, mid
+        assert abs(flatness - row["spectral_flatness"]) <= 5e-7 + 1e-12, mid
+        assert abs(zcr - row["zero_crossing_rate"]) <= 5e-7 + 1e-12, mid
+
+
+# ---------------------------------------------------------------------------
+# multimodal_resize_pixels: rebuild every pinned content_md5 byte for
+# byte with test-local codec code — the 32×32 fixture image from the
+# sf0.01 document text, a center-sampled nearest-neighbour resample to
+# 8×8 written fresh, and BMP / PPM / PNG serializers written here from
+# the file-format specs. Where a spec leaves freedom the engine made a
+# conventional choice this witness restates (BMP 72-DPI resolution
+# fields; PNG filter 0 + zlib level 6) — the pixel bytes, row order,
+# padding and chunk framing are all derived from the specs directly.
+# ---------------------------------------------------------------------------
+
+
+def _nn_resample(arr: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(dst_h) + 0.5) * h / dst_h), h - 1).astype(int)
+    cols = np.minimum(((np.arange(dst_w) + 0.5) * w / dst_w), w - 1).astype(int)
+    return arr[rows][:, cols]
+
+
+def _bmp_bytes(arr: np.ndarray) -> bytes:
+    # BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp BI_RGB: bottom-up rows,
+    # BGR order, each row padded to a 4-byte boundary (Windows BMP spec)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = arr[y, x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    fh = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return fh + ih + bytes(rows)
+
+
+def _ppm_bytes(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    # PNG spec: 8-bit truecolor, filter byte 0 per scanline, one IDAT;
+    # CRC over chunk type+data (ISO/IEC 15948 §5.3)
+    h, w = arr.shape[:2]
+    raw = bytearray()
+    for y in range(h):
+        raw += b"\x00" + arr[y].astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_resize_pixels_pin_witness():
+    pin = _pin_df("multimodal_resize_pixels").set_index("media_id")
+    assert len(pin) == 500
+    docs = duckdb.execute(
+        f"SELECT doc_id, text FROM '{SF001}/documents.parquet' ORDER BY doc_id"
+    ).fetchdf()
+    encoders = [_bmp_bytes, _png_bytes, _ppm_bytes]  # doc_id % 3 cycle
+    need = 32 * 32 * 3
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        row = pin.loc[doc_id]
+        assert (row["src_width"], row["src_height"]) == (32, 32)
+        assert (row["dst_width"], row["dst_height"]) == (8, 8)
+        b = text.encode("utf-8") or b"\x00"
+        b = (b * (need // len(b) + 1))[:need]
+        arr = np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3)
+        payload = encoders[int(doc_id) % 3](_nn_resample(arr, 8, 8))
+        assert hashlib.md5(payload).hexdigest() == row["content_md5"], doc_id
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report: witness the two things the pin asserts — that the
+# "exact" baseline really is the exact cosine top-k, and that each
+# recall number is |approx ∩ exact| / |exact| with the report's
+# truncation. The baseline is re-derived with a numpy brute force over
+# the raw parquet (boundary-tie tolerant); the recall arithmetic is
+# re-done in plain python over the collected id sets. Runs the live
+# pipeline at the suite's scale; the pin adds sf0.01 determinism on top
+# of the semantics verified here.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_arithmetic_witness(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_cosine_topk_batch,
+        lsh_cosine_topk_batch,
+    )
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    k, n_q = 10, 20
+    q_idx = np.where(ids < n_q)[0]
+
+    qs = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        cosine_topk_batch(qs, emb, k=k)
+        .select("query_id", "vec_id", "cosine_sim")
+        .toPandas()
+    )
+    exact_sets: dict[int, set[int]] = {}
+    for qi in q_idx:
+        qid = int(ids[qi])
+        sims = M @ M[qi]
+        sims[qi] = -np.inf  # exclude_self, as the report configures
+        order = np.argsort(-sims)
+        kth = sims[order[k - 1]]
+        # the engine ranks on cosine rounded to 6 decimals — boundary
+        # comparisons get half that grid as slack
+        grid = 5e-7 + 1e-9
+        got = exact[exact["query_id"] == qid]
+        assert len(got) == k, qid
+        got_ids = set(int(v) for v in got["vec_id"])
+        exact_sets[qid] = got_ids
+        by_id = {int(ids[j]): sims[j] for j in range(len(ids)) if j != qi}
+        # every returned neighbour scores >= the true kth (tie slack);
+        # everything strictly above the kth score must be returned
+        assert all(by_id[v] >= kth - grid for v in got_ids), qid
+        must = {v for v, s in by_id.items() if s > kth + grid}
+        assert must <= got_ids, qid
+        # and the reported cosine matches the numpy one per row
+        for v, s in zip(got["vec_id"], got["cosine_sim"]):
+            assert abs(by_id[int(v)] - s) <= grid, qid
+
+    n_exact = sum(len(s) for s in exact_sets.values())
+    for name, df, scan in [
+        (
+            "lsh_b8_r1",
+            lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=1),
+            9 / 256,
+        ),
+        (
+            "ivf_probe4",
+            ivf_cosine_topk_batch(qs, emb, dim=64, k=k, n_cells=16, n_probe=4),
+            4 / 16,
+        ),
+    ]:
+        got = df.select("query_id", "vec_id").toPandas()
+        hits = sum(
+            1
+            for qid, vid in zip(got["query_id"], got["vec_id"])
+            if int(vid) in exact_sets.get(int(qid), set())
+        )
+        recall = int(hits * 10000 / n_exact) / 10000.0  # report's truncation
+        assert 0.0 <= recall <= 1.0
+        # scan_fraction is static arithmetic; restate it
+        assert scan == {"lsh_b8_r1": 9 / 256, "ivf_probe4": 0.25}[name]
+
+
+def test_ann_recall_report_matches_recomputation(spark, sf_dir):
+    """Run the report builder itself and re-derive each recall from the
+    collected id sets — the join-count arithmetic checked in python."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.pq import (
+        pq_cosine_topk,
+        pq_encode,
+        train_pq_codebook,
+    )
+    from reactionetl_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_cosine_topk_batch,
+        lsh_cosine_topk_batch,
+    )
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    report = {
+        r["method"]: r
+        for r in all_queries()["ann_recall_report"].builder(spark, sf_dir).collect()
+    }
+    assert set(report) == {"lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "pq_rerank"}
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in cosine_topk_batch(qs, emb, k=k).select("query_id", "vec_id").collect()
+    }
+    book = train_pq_codebook(emb, dim=64, m=8, k=16)
+    coded = pq_encode(emb, book)
+    approx = {
+        "lsh_b8_r1": lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=1),
+        "lsh_b8_r2": lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=2),
+        "ivf_probe4": ivf_cosine_topk_batch(qs, emb, dim=64, k=k, n_cells=16, n_probe=4),
+        "pq_rerank": pq_cosine_topk(qs, coded, book, k=k, refine=8).filter(
+            F.col("vec_id") != F.col("query_id")
+        ),
+    }
+    for method, df in approx.items():
+        got = {
+            (int(r["query_id"]), int(r["vec_id"]))
+            for r in df.select("query_id", "vec_id").collect()
+        }
+        hits = len(got & exact)
+        want = int(hits * 10000 / len(exact)) / 10000.0
+        assert report[method]["recall"] == pytest.approx(want, abs=1e-12), method
+    assert report["lsh_b8_r1"]["scan_fraction"] == pytest.approx(
+        int(9 / 256 * 10000 + 0.5) / 10000.0
+    )
+    assert report["lsh_b8_r2"]["scan_fraction"] == pytest.approx(
+        int(37 / 256 * 10000 + 0.5) / 10000.0
+    )
+    assert report["ivf_probe4"]["scan_fraction"] == 0.25
+    assert report["pq_rerank"]["scan_fraction"] == 1.0
+
+
+def test_pin_witness_fixture_present():
+    # the pure-python witnesses above hard-depend on the sf0.01 fixture
+    # the pins encode; fail loudly (not silently-pass) if it moves
+    assert os.path.exists(f"{SF001}/documents.parquet")
