@@ -443,6 +443,7 @@ def jaccard_prefix_join(
     tau: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs token-set Jaccard >= ``tau`` via
     frequency-ordered prefix filtering (the PPJoin family — Xiao et
@@ -468,6 +469,16 @@ def jaccard_prefix_join(
     for verification. Candidate count is sum of per-prefix-token df²
     — bounded because prefixes hold rare tokens; no quadratic term on
     frequent tokens ever forms.
+
+    On a DEGENERATE corpus (tiny shared vocabulary, near-uniform
+    texts) the RESULT itself is quadratic — no algorithm fixes that,
+    the output is the problem. ``max_pairs`` guards it: when set, a
+    cheap pre-flight estimate sums C(prefix_df, 2) over the prefix
+    token histogram (an upper bound on candidate pairs, one scalar
+    aggregation over data this join builds anyway) and raises
+    ValueError when the bound exceeds ``max_pairs`` — so a 100 TB run
+    on a degenerate corpus fails loudly up front instead of writing a
+    quadratic output. Default None keeps the plan lazy and unchanged.
 
     Output: (id_a, id_b, jaccard4) with id_a < id_b, jaccard
     floor-rounded at 4 decimals, only pairs >= ``tau``."""
@@ -502,6 +513,27 @@ def jaccard_prefix_join(
         "len",
         F.explode(F.slice("toks", 1, prefix_len)).alias("token"),
     )
+    if max_pairs is not None:
+        # upper bound on candidates: every unordered pair within each
+        # prefix-token bucket. One scalar agg over `pref`; rare-token
+        # prefixes keep these dfs small on natural vocabularies, so a
+        # blown bound is a real degenerate-corpus signal, not noise.
+        est = (
+            pref.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("pdf"))
+            .select(
+                F.sum(F.col("pdf") * (F.col("pdf") - 1) / 2).alias("bound")
+            )
+            .collect()[0]["bound"]
+        )
+        est = int(est or 0)
+        if est > max_pairs:
+            raise ValueError(
+                f"jaccard_prefix_join: candidate-pair upper bound {est} exceeds "
+                f"max_pairs={max_pairs} — the corpus vocabulary is too uniform "
+                f"for tau={tau} (the OUTPUT would be near-quadratic); raise tau, "
+                "pre-dedup with minhash_lsh, or raise max_pairs explicitly"
+            )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

@@ -9070,7 +9070,17 @@ def _quality_classifier_model(spark: SparkSession, sf_dir: str) -> dict:
     """Train-once memo for the two classifier queries: 12 rounds of
     class-balanced full-batch GD on the 80% hash-split train fold.
     Deterministic (decimal gradient folds), so memoization only saves
-    time — it cannot change any result."""
+    time — it cannot change any result.
+
+    GATE-TIME BUDGET KNOB: wall time here is iters x one-aggregate job
+    latency (~2 s/round on local[32] at sf0.01 => ~25 s total, paid
+    once for both classifier queries). `iters` and `lr` are the levers
+    (train_text_classifier defaults: 10 / 4.0; this catalog entry pins
+    12 / 8.0). CAVEAT: both queries carry PINNED VALUES oracles frozen
+    from THIS configuration — changing either knob changes the model
+    bit-for-bit and requires re-pinning via tools/pin_oracle.py, so
+    treat (iters=12, lr=8.0) as part of the query contract, not a
+    tuning surface."""
     from reactionetl_etl_spark.operators import classifier as C
     from reactionetl_etl_spark.operators.split import split_bucket
 

@@ -1505,6 +1505,32 @@ def test_jaccard_prefix_join_exact_vs_bruteforce(spark):
         assert got[pair] == math.floor(j * 10_000 + 0.5) / 10_000
 
 
+def test_jaccard_prefix_join_max_pairs_guard(spark):
+    """A degenerate corpus (every doc drawn from a 3-word vocabulary)
+    makes the RESULT quadratic; with max_pairs set, the pre-flight
+    candidate bound raises instead of silently writing O(n^2) pairs.
+    A natural corpus under the same cap passes through unchanged."""
+    import pytest
+
+    from reactionetl_etl_spark.operators.dedup import jaccard_prefix_join
+
+    degenerate = spark.createDataFrame(
+        [(i, "red green blue") for i in range(60)], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="candidate-pair upper bound"):
+        jaccard_prefix_join(degenerate, tau=0.8, max_pairs=100)
+
+    natural = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c shared") for i in range(60)],
+        "doc_id int, text string",
+    )
+    # distinct rare prefixes: the bound stays under the cap and the
+    # guarded call returns the same rows as the unguarded one
+    guarded = jaccard_prefix_join(natural, tau=0.8, max_pairs=100).collect()
+    plain = jaccard_prefix_join(natural, tau=0.8).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, plain))
+
+
 def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
     """Seeded teleport: ranks measure proximity to the seed set — the
     seed's community out-ranks a far component, total mass stays
