@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from reactionetl_etl_spark.functions.vectors import as_double_array, dot
+from reactionetl_etl_spark.functions.vectors import as_double_array, dot, lit_double_array
 
 _PARTIAL_SCHEMA = "i int, j int, partial string"
 
@@ -160,7 +160,7 @@ def project_expr(vec_col: str | Column, model: PCAModel, component: int) -> Colu
     comp = model.components[component]
     const = float(np.dot(model.mean, comp))
     v = as_double_array(vec_col)
-    c = F.array(*[F.lit(float(x)) for x in comp])
+    c = lit_double_array(comp)
     return dot(v, c) - F.lit(const)
 
 
@@ -190,7 +190,7 @@ def mahalanobis_exprs(
     deterministic — composing the bit-stable model keeps pinned
     oracles stable."""
     v = as_double_array(vec_col)
-    mu = F.array(*[F.lit(float(x)) for x in model.mean])
+    mu = lit_double_array(model.mean)
     centered_sq = dot(F.zip_with(v, mu, lambda x, m: x - m), F.zip_with(v, mu, lambda x, m: x - m))
     maha = F.lit(0.0)
     explained = F.lit(0.0)

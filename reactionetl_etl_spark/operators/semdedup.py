@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reactionetl_etl_spark.functions.vectors import dot
+from reactionetl_etl_spark.functions.vectors import dot, lit_double_array
 from reactionetl_etl_spark.operators.graph import connected_components
 from reactionetl_etl_spark.operators.similarity import (
     _coarse_centroids,
@@ -110,18 +110,24 @@ def semantic_dedup(
     # so every downstream cosine collapses to a plain dot product — the
     # pair predicate then runs ONE array fold per candidate instead of
     # cosine's three (dot + two norms), which is where the per-pair
-    # cost lives at bench scale
-    v = F.expr(
-        f"transform(cast({vec_col} as array<double>), x ->"
-        f" x / sqrt(aggregate(cast({vec_col} as array<double>),"
-        f" cast(0.0 as double), (a, y) -> a + y * y)))"
+    # cost lives at bench scale. The norm fold is hoisted into its own
+    # column: inlined inside the transform lambda it re-runs per
+    # ELEMENT (dim× redundant — measured ~1 s of the assignment
+    # checkpoint at bench scale). x / sqrt(S) with the same sequential
+    # fold for S is arithmetic-identical either way, so the pinned
+    # outputs are unchanged.
+    norm = F.expr(
+        f"sqrt(aggregate(cast({vec_col} as array<double>),"
+        f" cast(0.0 as double), (a, y) -> a + y * y))"
     )
-    norm_scores = [dot(F.col("__v"), F.array(*[F.lit(w) for w in c])) for c in centroids]
+    v = F.expr(f"transform(cast({vec_col} as array<double>), x -> x / __n)")
+    norm_scores = [dot(F.col("__v"), lit_double_array(c)) for c in centroids]
     scores = F.array(*norm_scores)
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     centroid_sim = F.round(F.array_max(scores), 6)
     celled = (
-        embeddings.select(F.col(id_col).alias("__id"), v.alias("__v"))
+        embeddings.select(F.col(id_col).alias("__id"), norm.alias("__n"), F.col(vec_col))
+        .select(F.col("__id"), v.alias("__v"))
         .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
         # reused by the pair join (both sides) and the final verdict
         # join; checkpoint so the scan + normalize + argmax run once

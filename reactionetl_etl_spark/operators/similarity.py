@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reactionetl_etl_spark.functions.vectors import as_double_array, cosine_similarity, dot
+from reactionetl_etl_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    dot,
+    lit_double_array,
+)
 
 
 def cosine_topk(
@@ -84,7 +89,7 @@ def with_lsh_bucket(
     v = as_double_array(vec_col)
     bit_cols = []
     for i, plane in enumerate(_hyperplanes(dim, bits)):
-        plane_col = F.array(*[F.lit(w) for w in plane])
+        plane_col = lit_double_array(plane)
         bit_cols.append(F.when(dot(v, plane_col) > 0.0, F.lit(1 << i)).otherwise(F.lit(0)))
     bucket = bit_cols[0]
     for c in bit_cols[1:]:
@@ -237,7 +242,7 @@ def with_ivf_cell(
     v = as_double_array(vec_col)
     # argmax as array ops: a when-chain fold would nest each step's
     # expression inside the next TWICE (value + otherwise) — 2^n blowup
-    scores = F.array(*[dot(v, F.array(*[F.lit(w) for w in c])) for c in cents])
+    scores = F.array(*[dot(v, lit_double_array(c)) for c in cents])
     cell = F.array_position(scores, F.array_max(scores)) - 1
     return embeddings.withColumn(out_col, cell.cast("int"))
 
@@ -268,7 +273,7 @@ def ivf_cosine_topk(
     celled = with_ivf_cell(embeddings, dim, n_cells, vec_col, centroids=centroids)
     cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
     qv = as_double_array(vec_col)
-    cell_scores = F.array(*[dot(qv, F.array(*[F.lit(w) for w in c])) for c in cents])
+    cell_scores = F.array(*[dot(qv, lit_double_array(c)) for c in cents])
     # top-n_probe cell ids for the query, as an array column
     probe_cells = F.expr(
         f"transform(slice(array_sort(zip_with(c_scores, sequence(0, {len(cents) - 1}),"
@@ -445,7 +450,7 @@ def ivf_cosine_topk_batch(
 
     qv = query_vec_col or vec_col
     qvec = as_double_array(qv)
-    cell_scores = F.array(*[dot(qvec, F.array(*[F.lit(w) for w in c])) for c in cents])
+    cell_scores = F.array(*[dot(qvec, lit_double_array(c)) for c in cents])
     probe_cells = F.expr(
         f"transform(slice(array_sort(zip_with(__cscores, sequence(0, {len(cents) - 1}),"
         f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
@@ -600,7 +605,7 @@ def probe_ivf_index(
     qv = query_vec_col or vec_col
     qvec = as_double_array(qv)
     cell_scores = F.array(
-        *[dot(qvec, F.array(*[F.lit(w) for w in c])) for c in centroids]
+        *[dot(qvec, lit_double_array(c)) for c in centroids]
     )
     probe_cells = F.expr(
         f"transform(slice(array_sort(zip_with(__cscores, sequence(0, {len(centroids) - 1}),"

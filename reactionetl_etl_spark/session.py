@@ -40,6 +40,12 @@ _DEFAULTS = {
     # (pinned by test_runtime_bloom_filter_prunes_fact_side)
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Python call-site capture for DataFrame error context costs ~3
+    # py4j round-trips per DataFrame op (a conf.get + origin set/clear)
+    # — measured ~30-40% of plan-construction time on multi-op builders.
+    # A batch engine takes the error message without the Python line
+    # origin; debugging sessions can flip it back on per-run.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
