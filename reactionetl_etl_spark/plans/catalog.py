@@ -93,7 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_mad_anomalies",
     "stratified_sample_events",  # rows-only by design; keep it sampled
     # round-8 NEW queries (driver has never seen these)
-    # -- appended below as they land --
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "lang_source_chi2",
+    "quality_auc_mannwhitney",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -9370,6 +9373,7 @@ def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM deg d LEFT JOIN tc ON tc.node = d.node
     """,
     tags=("graph", "analytics", "triangle"),
+    bench=True,  # the graph family's representative (verdict-r7 item 7)
 )
 def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficient per part over
@@ -10894,4 +10898,295 @@ def customer_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("tau") * 1_000_000_000 + F.lit(0.5)) / 1_000_000_000).alias(
             "tau9"
         ),
+    )
+
+
+# ── round-8: product-analytics + statistics completions ────────────────
+
+
+@_q(
+    "event_funnel_steps",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ), counts AS (
+        SELECT 1 AS step_no, 'view' AS step, (SELECT count(*) FROM v) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    )
+    SELECT step_no, step, n_users,
+           floor(n_users * 1.0 / first_value(n_users)
+                     OVER (ORDER BY step_no) * 1000000 + 0.5) / 1000000
+               AS conv_from_first
+    FROM counts
+    """,
+    tags=("events", "analytics", "funnel"),
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED funnel view → click → purchase: a user counts at step k
+    only with an event strictly after their step-(k-1) time (the
+    product-analytics funnel, not three independent counts). Shape:
+    one conditional-min aggregate per step, each a keyed shuffle on
+    user_id; the step-(k-1) times ride along as the join's build side.
+    All three aggregates share the user_id partitioning, so AQE plans
+    the chain without re-shuffles; counts are metadata-sized (3 rows).
+    Scales: work per step ∝ events of that type, never a cross join."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ntz").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ntz") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ntz").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ntz") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ntz").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("step_no"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    # 3-row frame: the first_value window over it is metadata-sized
+    w = Window.orderBy("step_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conv = F.floor(
+        F.col("n_users") / F.first("n_users").over(w) * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    return counts.select("step_no", "step", "n_users", conv.alias("conv_from_first"))
+
+
+@_q(
+    "user_retention_cohorts",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first_day AS (
+        SELECT user_id, min(d) AS d0 FROM ud GROUP BY 1
+    ), act AS (
+        SELECT ud.user_id,
+               CAST(date_trunc('week', f.d0) AS VARCHAR) AS cohort_week,
+               CAST(floor(date_diff('day', f.d0, ud.d) / 7) AS INTEGER) AS week_offset
+        FROM ud JOIN first_day f ON f.user_id = ud.user_id
+    ), ret AS (
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_active FROM act GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, n_active,
+           floor(n_active * 1.0 / first_value(n_active) OVER (
+                     PARTITION BY cohort_week ORDER BY week_offset)
+                 * 1000000 + 0.5) / 1000000 AS retention
+    FROM ret
+    """,
+    tags=("events", "analytics", "retention"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic weekly retention triangle: users cohorted by the ISO
+    week of their FIRST active day; each later active day lands in a
+    week offset relative to that first day; retention is the cohort's
+    week-k distinct actives over its week-0 actives. Shape: distinct
+    (user, day) pairs → one min-aggregate per user → fan back over the
+    pairs (keyed join on user_id, co-partitioned with the aggregate) →
+    distinct-count per (cohort, offset). The retention window runs
+    over the cohort×offset grid — metadata-sized regardless of user
+    count. Scales: everything shuffles on user_id or the tiny grid."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.col("ts_ntz").cast("date").alias("d")).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ud.join(first_day, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("d0")).cast("date").cast("string").alias("cohort_week"),
+        F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).cast("int").alias("week_offset"),
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    retention = F.floor(
+        F.col("n_active") / F.first("n_active").over(w) * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    return ret.select("cohort_week", "week_offset", "n_active", retention.alias("retention"))
+
+
+@_q(
+    "lang_source_chi2",
+    """
+    WITH obs AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ), rl AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+    cs AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    grid AS (
+        SELECT rl.lang, cs.source, rl.r, cs.c, n.n,
+               coalesce(obs.o, 0) AS o
+        FROM rl CROSS JOIN cs CROSS JOIN n
+        LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source
+    ), cells AS (
+        SELECT CAST(floor(
+                   (o * n - r * c) * (o * n - r * c) * 1000000.0 / (n * r * c)
+                   + 0.5) AS BIGINT) AS chi2_scaled
+        FROM grid
+    )
+    SELECT (SELECT count(*) FROM rl) AS n_langs,
+           (SELECT count(*) FROM cs) AS n_sources,
+           ((SELECT count(*) FROM rl) - 1) * ((SELECT count(*) FROM cs) - 1) AS dof,
+           sum(chi2_scaled) / 1000000.0 AS chi2
+    FROM cells
+    """,
+    tags=("stats", "text", "analytics"),
+)
+def lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared test of independence between document lang
+    and source (is the language mix uniform across crawl sources?).
+    Exactness discipline: each cell's (O-E)²/E is algebraically
+    (O·N - r·c)² / (N·r·c) — an exact-integer numerator squared (fits
+    a double far below 2^53 at any local scale) over one IEEE division,
+    scaled to micro-units and floored to a BIGINT, so the cross-engine
+    sum is integer arithmetic with no float-order sensitivity. Zero
+    cells contribute E (the full grid is row-totals × col-totals —
+    #langs × #sources rows, metadata-sized). Scales: three aggregates
+    over the corpus + a tiny grid join."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rl = docs.groupBy("lang").agg(F.count("*").alias("r"))
+    cs = docs.groupBy("source").agg(F.count("*").alias("c"))
+    n = docs.agg(F.count("*").alias("n"))
+    grid = (
+        rl.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+    cell = F.floor(
+        num * num * F.lit(1_000_000.0) / (F.col("n") * F.col("r") * F.col("c"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    cells = grid.select(cell.alias("chi2_scaled"))
+    n_langs = rl.agg(F.count("*").alias("n_langs"))
+    n_sources = cs.agg(F.count("*").alias("n_sources"))
+    return (
+        cells.agg((F.sum("chi2_scaled") / F.lit(1_000_000.0)).alias("chi2"))
+        .crossJoin(F.broadcast(n_langs))
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+@_q(
+    "quality_auc_mannwhitney",
+    """
+    WITH lab AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), by_score AS (
+        SELECT score, sum(y) AS p_v, sum(1 - y) AS n_v
+        FROM lab GROUP BY 1
+    ), cum AS (
+        SELECT score, p_v, n_v,
+               coalesce(sum(n_v) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM by_score
+    ), tot AS (
+        SELECT CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum(1 - y) AS BIGINT) AS neg FROM lab
+    )
+    SELECT tot.pos AS n_pos, tot.neg AS n_neg,
+           floor(sum(p_v * (2 * neg_below + n_v)) * 1.0
+                 / (2.0 * tot.pos * tot.neg) * 1000000000 + 0.5) / 1000000000
+               AS auc9
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.pos, tot.neg
+    """,
+    tags=("stats", "eval", "analytics"),
+)
+def quality_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a score column against a binary label via the
+    Mann-Whitney rank-sum identity, with the standard 0.5 credit for
+    ties — here doc length (n_chars) as a predictor of lang='en'
+    (the evaluation operator is the point; any score/label pair
+    plugs in). Integer-exact end to end: group by distinct score
+    value (bounded by the score's value range, not the corpus),
+    2U = Σ p_v·(2·neg_below + n_v) is pure integer arithmetic, and
+    the only division is one IEEE op at the end. The cumulative
+    negatives-below uses the distributed prefix-sum (operators/
+    rank.py::global_running_sum), NOT a single-partition window."""
+    from reactionetl_etl_spark.operators.rank import global_running_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    by_score = lab.groupBy("score").agg(
+        F.sum("y").alias("p_v"), F.sum(F.lit(1) - F.col("y")).alias("n_v")
+    )
+    cum = global_running_sum(
+        by_score,
+        order_exprs=[F.col("score")],
+        order_desc=[False],
+        value_col="n_v",
+        out_col="neg_below",
+        exclusive=True,
+    )
+    tot = lab.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+    )
+    u2 = F.sum(F.col("p_v") * (2 * F.col("neg_below") + F.col("n_v")))
+    return (
+        cum.agg(u2.alias("u2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                F.floor(
+                    F.col("u2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                    * 1_000_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000_000
+            ).alias("auc9"),
+        )
     )

@@ -33,15 +33,35 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
 }
 
+# Non-benched queries whose scaling still needs a measured curve: one
+# representative per operator family added in r7 (verdict-r7 item 6).
+# The classifier trains once per (scale, params) via its memo, so its
+# warm runs measure scoring; the COLD first run at each scale carries
+# the training cost — reported in the same row as cold_.
+EXTRA_QUERIES = (
+    "customer_rank_kendall",  # exact O(n log n) rank-sort Kendall tau
+    "customer_spend_balance_spearman",
+    "quality_classifier_scores",  # in-Spark LR training + scoring
+    "jaccard_prefix_join_pairs",  # PPJoin — output-bound on this corpus
+)
+
 
 def main() -> int:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only = set(sys.argv[2:])
     spark = get_spark("scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    benched = {n: s for n, s in all_queries().items() if s.bench}
+    qs = all_queries()
+    benched = {n: s for n, s in qs.items() if s.bench}
+    for n in EXTRA_QUERIES:
+        benched[n] = qs[n]
+    if only:
+        benched = {n: s for n, s in benched.items() if n in only}
     out: dict[str, dict[str, float]] = {}
+    cold: dict[str, dict[str, float]] = {}
     for name, spec in sorted(benched.items()):
         out[name] = {}
+        cold[name] = {}
         for sf, d in SF_DIRS.items():
             times = []
             for _ in range(runs):
@@ -50,6 +70,7 @@ def main() -> int:
                 times.append(time.monotonic() - t0)
             # warm median: drop the first (compilation-heavy) run
             out[name][sf] = round(statistics.median(times[1:] or times), 3)
+            cold[name][sf] = round(times[0], 3)
     print("| query | sf0.001 | sf0.01 | sf0.1 | t(0.1)/t(0.001) for 100x data |")
     print("|---|---|---|---|---|")
     for name, row in sorted(out.items()):
@@ -57,7 +78,7 @@ def main() -> int:
         print(
             f"| {name} | {row['0.001']} | {row['0.01']} | {row['0.1']} | {ratio}x |"
         )
-    print(json.dumps({"metric": "scaling_curve", "runs": runs, "queries": out}))
+    print(json.dumps({"metric": "scaling_curve", "runs": runs, "queries": out, "cold": cold}))
     return 0
 
 
