@@ -314,3 +314,115 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    source=None,
+) -> DataFrame:
+    """(node, hops) — unweighted shortest-path distance from ``source``
+    to every node within ``max_hops`` (undirected BFS). ``source``
+    defaults to the smallest node id in the graph, so the query is
+    deterministic and scale-independent without hard-coding an id.
+
+    Spark shape: classic frontier expansion — per level, one keyed join
+    of the (tiny) frontier against the symmetrized edge set, an
+    anti-join against the visited set, one eager checkpoint (the
+    `connected_components` lineage lesson). Level count is bounded by
+    ``max_hops``, so the plan never unrolls past a constant depth; the
+    edge set is scanned once per level, hash-partitioned on the join
+    key — the same per-iteration cost envelope as PageRank. Frontier
+    and visited sets are node-sized, never edge-sized.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if source is None:
+        source = sym.agg(F.min("s")).collect()[0][0]  # scalar probe
+    visited = (
+        sym.select(F.col("s").alias("node"))
+        .filter(F.col("node") == source)
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, core_degree) for the k-core: the maximal subgraph where
+    every node keeps degree >= k after iteratively peeling lower-degree
+    nodes — the standard dense-community filter (spam rings in dup
+    graphs, staple baskets in co-purchase graphs).
+
+    Spark shape: per round, one degree aggregate + two semi-joins that
+    drop edges touching a peeled node, checkpointed so each round's
+    plan is one join deep. Each round strictly shrinks the edge set or
+    terminates, and in practice peeling converges in a handful of
+    rounds (peeling a chain one link per round is the pathological
+    case — ``max_iter`` guards it with a loud raise, the
+    `connected_components` discipline). Everything shuffles on node
+    ids; no driver-side data beyond the per-round edge count.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return (
+                e.select(F.col("u").alias("node"))
+                .unionByName(e.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+            )
+        e, n_edges = e2, n2
+    raise RuntimeError(
+        f"k_core did not converge in {max_iter} peeling rounds; "
+        "raise max_iter (chain-like graphs peel one layer per round)"
+    )

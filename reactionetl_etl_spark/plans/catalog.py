@@ -97,6 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "lang_source_chi2",
     "quality_auc_mannwhitney",
+    "copurchase_bfs_hops",
+    "copurchase_kcore",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11189,4 +11191,87 @@ def quality_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1_000_000_000
             ).alias("auc9"),
         )
+    )
+
+
+@_q(
+    "copurchase_bfs_hops",
+    """
+    WITH RECURSIVE lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+        SELECT pa AS s, pb AS d FROM co UNION SELECT pb, pa FROM co
+    ), src AS (SELECT min(s) AS s FROM sym),
+    walk(node, hops) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT sym.d, walk.hops + 1 FROM walk JOIN sym ON sym.s = walk.node
+        WHERE walk.hops < 3
+    )
+    SELECT node AS part, CAST(min(hops) AS INTEGER) AS hops
+    FROM walk GROUP BY 1
+    """,
+    tags=("graph", "iterative", "bfs"),
+)
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path hops (BFS, <=3 levels) from the
+    smallest part id in the co-purchase graph — the neighborhood-
+    expansion primitive ("what's within two baskets of this part").
+    Spark runs frontier expansion (operators/graph.py::bfs_hops): one
+    frontier-vs-edges keyed join + visited anti-join per level,
+    checkpointed, frontier always node-sized; the oracle re-derives
+    the same distances with a DuckDB RECURSIVE CTE. Source defaults
+    to min(node) so the query is deterministic at every scale."""
+    from reactionetl_etl_spark.operators.graph import bfs_hops
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    out = bfs_hops(co, src="pa", dst="pb", max_hops=3)
+    return out.select(F.col("node").alias("part"), F.col("hops"))
+
+
+@_q("copurchase_kcore", None, tags=("graph", "iterative", "kcore"))
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.py::k_core):
+    iteratively peel parts with fewer than 3 qualifying co-purchase
+    partners until the remaining subgraph is stable — the dense-
+    community filter (staple baskets; in dup graphs, template spam
+    rings). Per round: one degree aggregate + two semi-joins,
+    checkpointed; rounds bounded with a loud raise. Not SQL-expressible
+    (fixpoint with per-round aggregates), so the sf0.01 output is
+    pinned; tests/test_operators.py carries the non-circular witness
+    (naive python peeling on the collected edge set must agree)."""
+    from reactionetl_etl_spark.operators.graph import k_core
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    return k_core(co, k=3, src="pa", dst="pb").select(
+        F.col("node").alias("part"), "core_degree"
     )

@@ -1602,3 +1602,90 @@ def test_kendall_tau_matches_bruteforce(spark):
         assert got["n"] == n
         assert got["n_discordant"] == disc, (b, got["n_discordant"], disc)
         assert abs(got["tau"] - want_tau) < 1e-15
+
+
+def test_bfs_hops_matches_naive_bfs(spark):
+    """bfs_hops equals a textbook python BFS on a hand-built graph with
+    a cycle, a long tail past max_hops, and a disconnected island (the
+    island must be absent, not at some sentinel distance)."""
+    from collections import deque
+
+    from reactionetl_etl_spark.operators.graph import bfs_hops
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),        # triangle at the source
+        (3, 4), (4, 5), (5, 6), (6, 7),  # tail: 7 is 4 hops out
+        (10, 11),                        # disconnected island
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, q = {1: 0}, deque([1])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in want and want[u] < 3:
+                want[v] = want[u] + 1
+                q.append(v)
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, max_hops=3).collect()}
+    assert got == want  # source=min(node)=1; 7 and the island excluded
+    assert 7 not in got and 10 not in got
+
+
+def test_kcore_matches_naive_peeling(spark, sf_dir):
+    """Non-circular witness for the pinned copurchase_kcore query: the
+    distributed peel must agree node-for-node (and degree-for-degree)
+    with textbook sequential peeling over the same collected edge set."""
+    from reactionetl_etl_spark.plans.catalog import get_query
+
+    lp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from pyspark.sql import functions as F
+
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    E = {(min(r["pa"], r["pb"]), max(r["pa"], r["pb"])) for r in co.collect()}
+    k = 2  # sf0.001's graph is sparse; k=3 would trivially empty it
+    while True:
+        deg: dict = {}
+        for u, v in E:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        E2 = {(u, v) for u, v in E if u in keep and v in keep}
+        if len(E2) == len(E):
+            break
+        E = E2
+    want = dict(deg) if E else {}
+
+    from reactionetl_etl_spark.operators.graph import k_core
+
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(co, k=k, src="pa", dst="pb").collect()
+    }
+    assert got == want
+
+
+def test_kcore_empty_core_returns_empty(spark):
+    """A graph whose every node has degree < k peels to nothing and the
+    operator returns an empty frame rather than looping or raising."""
+    from reactionetl_etl_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    assert k_core(chain, k=3).count() == 0
