@@ -1712,3 +1712,55 @@ def image_neardup_pairs(
 
     sig = image_dhash(df, id_col, binary_col).filter(F.col("dhash").isNotNull())
     return hamming_candidates(sig, id_col, "dhash", max_hamming, max_bucket)
+
+
+VIDEO_GRAY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("gray", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def video_frame_gray(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Per decoded video frame, the row-major INTEGER grayscale plane
+    (ITU-601 luma from the decoded RGB: (299R+587G+114B)//1000 —
+    integer arithmetic, so downstream comparisons are exactly
+    reproducible across engines and partitionings). One Arrow-batched
+    1→N expansion like `sample_y4m_frames`, but emitting analyzable
+    pixels instead of a re-encoded image: the substrate for
+    JVM-side frame analytics (scene-cut detection, motion energy)
+    where the heavy per-pixel reduction stays in Catalyst HOFs and
+    Python only decodes."""
+    import numpy as np
+
+    def to_gray(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_GRAY_SCHEMA.fields}
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                frames = _y4m_frames(bytes(payload), max_frames=max_frames)
+                for idx, fr in enumerate(frames):
+                    g = (
+                        299 * fr[:, :, 0].astype(np.int64)
+                        + 587 * fr[:, :, 1].astype(np.int64)
+                        + 114 * fr[:, :, 2].astype(np.int64)
+                    ) // 1000
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(idx)
+                    out["height"].append(fr.shape[0])
+                    out["width"].append(fr.shape[1])
+                    out["gray"].append([int(x) for x in g.ravel()])
+            pdf_out = pd.DataFrame(out)
+            for c in ("frame_index", "width", "height"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return df.mapInPandas(to_gray, VIDEO_GRAY_SCHEMA)

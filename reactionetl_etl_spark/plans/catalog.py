@@ -99,6 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     "quality_auc_mannwhitney",
     "copurchase_bfs_hops",
     "copurchase_kcore",
+    "video_scene_cuts",
+    "bpe_encode_tokens",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -7258,10 +7260,7 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent straight-line Python BPE in `test_bpe.py`, including
     the overlapping-occurrence ('aaa' under a+a) greedy semantics.
     Returns the learned merge table in rank order."""
-    from reactionetl_etl_spark.operators.bpe import train_bpe_merges
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    merges = train_bpe_merges(docs, "text", n_merges=8)
+    merges = _bpe_corpus_merges(spark, sf_dir)  # train-once memo
     return spark.createDataFrame(
         [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
         "merge_rank int, left string, right string, n bigint",
@@ -11274,4 +11273,125 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return k_core(co, k=3, src="pa", dst="pb").select(
         F.col("node").alias("part"), "core_degree"
+    )
+
+
+@_q("video_scene_cuts", None, tags=("multimodal", "video", "analytics"))
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over decoded video: per consecutive frame
+    pair, the mean absolute grayscale pixel delta; a cut is a delta
+    above threshold. Clips are synthesized executor-side (6-frame 8x4
+    Y4M; docs with doc_id%3==0 carry a hard luma jump at frame 3,
+    others drift gently), decoded by the stdlib Y4M parser into
+    INTEGER gray planes (multimodal.video_frame_gray — the only Python
+    stage), then the per-pixel reduction runs as a Catalyst HOF over a
+    lag window partitioned by media_id: abs-diff fold / n_pixels. All
+    integer until one final division, so the pinned contract is exact.
+    At 100 TB the same plan shape holds: decode is a narrow Arrow map,
+    the window shuffles once on media_id, frames never leave the JVM
+    after decode."""
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import video_frame_gray
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .filter(F.col("media_id") < 60)
+    )
+
+    def to_y4m(batches):
+        w, h = 8, 4
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                base = 30 + (mid * 17) % 60
+                clip = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+                for k in range(6):
+                    luma = base + k  # gentle drift
+                    if k >= 3 and mid % 3 == 0:
+                        luma += 120  # hard scene change
+                    clip += (
+                        b"FRAME\n"
+                        + bytes([min(luma, 235)]) * (w * h)
+                        + bytes([128]) * ((w // 2) * (h // 2)) * 2
+                    )
+                ids.append(mid)
+                blobs.append(clip)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    clips = docs.mapInPandas(to_y4m, "media_id long, content binary")
+    frames = video_frame_gray(clips)
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    prev = F.lag("gray").over(w)
+    sad = F.aggregate(
+        F.zip_with(F.col("gray"), prev, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    mad6 = F.floor(sad / F.size("gray") * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        frames.select(
+            "media_id",
+            "frame_index",
+            prev.isNotNull().alias("__has_prev"),
+            mad6.alias("mad6"),
+        )
+        .filter(F.col("__has_prev"))
+        .select(
+            "media_id",
+            "frame_index",
+            "mad6",
+            (F.col("mad6") >= 40.0).alias("is_cut"),
+        )
+    )
+
+
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _bpe_corpus_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train-once memo for the BPE queries: the same 8 merges
+    `bpe_learned_merges` pins, trained on the same deterministic
+    quarter-sample. Training is deterministic (count-desc pair-asc
+    tie-breaks), so memoization only saves the 8 counting rounds when
+    both BPE queries run in one session — it cannot change results."""
+    key = sf_dir.rstrip("/")
+    if key not in _BPE_MERGE_CACHE:
+        from reactionetl_etl_spark.operators.bpe import train_bpe_merges
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+        _BPE_MERGE_CACHE[key] = train_bpe_merges(docs, "text", n_merges=8)
+    return _BPE_MERGE_CACHE[key]
+
+
+@_q("bpe_encode_tokens", None, tags=("text", "tokenizer", "bpe"))
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained tokenizer — the serving half of the BPE
+    pair (`bpe_learned_merges` is the trainer): every 10th document is
+    encoded by replaying the learned merge list (operators/bpe.py::
+    apply_bpe_merges, one Arrow-batched greedy pass, merges broadcast
+    inside the function — KBs), yielding per-doc token count, the
+    whitespace-word count it compressed from, and the first 8 tokens
+    as a spot-checkable prefix. Deterministic end to end (deterministic
+    trainer + greedy leftmost encode), pinned at sf0.01; test_bpe.py
+    carries the independent straight-line Python BPE the operator is
+    checked against. At scale: train on a bounded sample, encode is
+    one narrow pass over the corpus."""
+    from reactionetl_etl_spark.operators.bpe import apply_bpe_merges
+
+    merges = _bpe_corpus_merges(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text"
+    )
+    enc = apply_bpe_merges(docs, merges, "text", out_col="toks")
+    n_words = F.size(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    )
+    return enc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size("toks").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("toks", 1, 8)).alias("first_tokens"),
     )

@@ -103,3 +103,59 @@ def test_apply_bpe_encodes_like_reference(spark):
 def test_train_bpe_min_count_stops_early(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")  # every pair unique
     assert train_bpe_merges(df, "text", n_merges=5, min_count=2) == []
+
+
+def test_bpe_encode_tokens_query_witness(spark):
+    """Non-circular witness for the pinned bpe_encode_tokens query: for
+    the sampled docs, n_tokens and the first-8-token prefix recomputed
+    with the straight-line reference encoder (driven by the SAME
+    trained merges, themselves reference-checked above) must agree
+    with the catalog query's output on the real corpus fixture."""
+    from reactionetl_etl_spark.plans.catalog import get_query
+
+    sfd = "/root/testdata/sf0.001"
+    rows = {
+        r["doc_id"]: r
+        for r in get_query("bpe_encode_tokens").builder(spark, sfd).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sfd}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .collect()
+    }
+    assert set(rows) == set(docs)
+
+    corpus = [
+        r["text"]
+        for r in spark.read.parquet(f"{sfd}/documents.parquet")
+        .filter(F.col("doc_id") % 4 == 0)
+        .collect()
+    ]
+    mlist = [(a, b) for a, b, _ in _ref_bpe(corpus, 8)]
+
+    def ref_encode(text):
+        toks = []
+        for w in " ".join(text.lower().split()).split(" "):
+            if not w:
+                continue
+            s = list(w)
+            for a, b in mlist:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            toks.extend(s)
+        return toks
+
+    for did, text in docs.items():
+        toks = ref_encode(text)
+        r = rows[did]
+        assert r["n_tokens"] == len(toks), did
+        assert r["first_tokens"] == " ".join(toks[:8]), did
+        assert r["n_words"] == len(" ".join(text.lower().split()).split(" ")), did

@@ -1067,3 +1067,54 @@ def test_image_dhash_container_invariant_and_perturbation_tolerant(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_video_scene_cuts_witness_numpy(spark):
+    """Non-circular witness for the pinned video_scene_cuts query: the
+    mean-abs-delta per frame pair recomputed in numpy from the SAME
+    y4m bytes (decoded with the module's parser, but the reduction done
+    independently) must agree, and cuts must appear exactly where the
+    synthesizer injected the luma jump."""
+    import math
+
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import _y4m_frames
+    from reactionetl_etl_spark.plans.catalog import get_query
+
+    rows = (
+        get_query("video_scene_cuts")
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    got = {(r["media_id"], r["frame_index"]): (r["mad6"], r["is_cut"]) for r in rows}
+
+    w, h = 8, 4
+    for mid in range(0, 60, 7):  # sampled media ids
+        base = 30 + (mid * 17) % 60
+        clip = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)
+        for k in range(6):
+            luma = base + k
+            if k >= 3 and mid % 3 == 0:
+                luma += 120
+            clip += (
+                b"FRAME\n"
+                + bytes([min(luma, 235)]) * (w * h)
+                + bytes([128]) * ((w // 2) * (h // 2)) * 2
+            )
+        frames = _y4m_frames(clip)
+        grays = [
+            (
+                299 * f[:, :, 0].astype(np.int64)
+                + 587 * f[:, :, 1].astype(np.int64)
+                + 114 * f[:, :, 2].astype(np.int64)
+            )
+            // 1000
+            for f in frames
+        ]
+        for k in range(1, 6):
+            sad = int(np.abs(grays[k] - grays[k - 1]).sum())
+            mad6 = math.floor(sad / (w * h) * 1_000_000 + 0.5) / 1_000_000
+            want_cut = mad6 >= 40.0
+            assert got[(mid, k)] == (mad6, want_cut), (mid, k, got[(mid, k)], mad6)
+            assert want_cut == (k == 3 and mid % 3 == 0)
