@@ -53,6 +53,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
     def deco(fn: Builder) -> Builder:
+        # a duplicate name would SILENTLY shadow the earlier query (dict
+        # overwrite) — the earlier builder/oracle would vanish from the
+        # driver's catalog with every check still green (r8 near-miss:
+        # a new retention query almost replaced the r2 cohort matrix)
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         # None → look for a large pinned VALUES oracle (plans/pinned.py)
         # before falling back to a rows-only check
         o = oracle if oracle is not None else PINNED_ORACLES.get(name)
@@ -94,7 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_sample_events",  # rows-only by design; keep it sampled
     # round-8 NEW queries (driver has never seen these)
     "event_funnel_steps",
-    "user_retention_cohorts",
+    "weekly_retention_triangle",
     "lang_source_chi2",
     "quality_auc_mannwhitney",
     "copurchase_bfs_hops",
@@ -10987,7 +10993,7 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "user_retention_cohorts",
+    "weekly_retention_triangle",
     """
     WITH ud AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
@@ -11010,7 +11016,7 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("events", "analytics", "retention"),
 )
-def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def weekly_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic weekly retention triangle: users cohorted by the ISO
     week of their FIRST active day; each later active day lands in a
     week offset relative to that first day; retention is the cohort's
