@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore",
     "video_scene_cuts",
     "bpe_encode_tokens",
+    "event_value_welch_ttest",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11400,4 +11401,100 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.alias("n_words"),
         F.size("toks").alias("n_tokens"),
         F.concat_ws(" ", F.slice("toks", 1, 8)).alias("first_tokens"),
+    )
+
+
+@_q(
+    "event_value_welch_ttest",
+    """
+    WITH m AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL
+    ), s AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(v) AS DOUBLE) AS sv,
+               CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS svv
+        FROM m GROUP BY 1
+    ), g AS (
+        SELECT
+            max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+            max(CASE WHEN event_type = 'click' THEN sv END) AS s1,
+            max(CASE WHEN event_type = 'click' THEN svv END) AS ss1,
+            max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+            max(CASE WHEN event_type = 'purchase' THEN sv END) AS s2,
+            max(CASE WHEN event_type = 'purchase' THEN svv END) AS ss2
+        FROM s
+    )
+    SELECT n1, n2,
+           floor((s1 / n1 - s2 / n2) / 1000000 * 1000000 + 0.5) / 1000000
+               AS mean_diff6,
+           floor(
+               (s1 / n1 - s2 / n2)
+               / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                      + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+               * 1000000 + 0.5) / 1000000 AS t6,
+           floor(
+               (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+               * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                  + ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+               / ((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                  * (((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                  + (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                    * (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1))
+               * 1000 + 0.5) / 1000 AS welch_dof3
+    FROM g
+    """,
+    tags=("stats", "events", "analytics"),
+)
+def event_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations
+    (click vs purchase values) — the A/B-testing primitive. Exactness
+    discipline: values quantize to integer micro-units, so the moment
+    sums are exact (Σv as BIGINT→DOUBLE, Σv² in DECIMAL(38,0) — the
+    squares overflow int64); mean/variance/t/dof then derive from those
+    exact scalars through MIRRORED double expressions, so both engines
+    execute identical IEEE op sequences. One groupBy over the filtered
+    events; output is a single row. Scales: moments combine map-side,
+    the t arithmetic is O(1)."""
+    m = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    s = m.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).cast("double").alias("svv"),
+    )
+    g = s.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("sv"))).alias("s1"),
+        F.max(F.when(F.col("event_type") == "click", F.col("svv"))).alias("ss1"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sv"))).alias("s2"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("svv"))).alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    se1 = ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1  # var1 / n1, micro² units
+    se2 = ((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2
+    diff = s1 / n1 - s2 / n2
+    t = diff / F.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    return g.select(
+        "n1",
+        "n2",
+        (F.floor(diff / 1_000_000 * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "mean_diff6"
+        ),
+        (F.floor(t * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("t6"),
+        (F.floor(dof * 1_000 + F.lit(0.5)) / 1_000).alias("welch_dof3"),
     )
