@@ -10940,6 +10940,7 @@ def customer_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts
     """,
     tags=("events", "analytics", "funnel"),
+    bench=True,  # the product-analytics family's representative
 )
 def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDERED funnel view → click → purchase: a user counts at step k
