@@ -17,6 +17,10 @@ Format notes (scale posture):
     read (never inferSchema at scale — it double-scans the data).
   - json:    line-delimited (Spark's default), schema explicit on read
     for the same reason.
+  - xml:     Spark 4's NATIVE XML source (no external package) — the
+    B2B/legacy-feed interchange format; `row_tag` names the repeating
+    element. Explicit schema on read (inference double-scans, and XML
+    inference additionally parses every attribute).
 
 Writers coalesce nothing: output file count = partition count, which
 the caller controls (`df.repartition(n)` upstream). A `single_file`
@@ -28,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "orc", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 
 def _check_format(fmt: str) -> None:
@@ -60,6 +64,8 @@ def write_files(
         w = w.option("compression", compression)
     if fmt == "csv":
         w = w.option("header", True)
+    if fmt == "xml":
+        w = w.option("rowTag", "row")
     w.format(fmt).save(path)
 
 
@@ -97,7 +103,7 @@ def read_files(
     ``glob`` maps to pathGlobFilter (§2.1 S5 suffix filtering).
     """
     _check_format(fmt)
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(f"{fmt} read requires an explicit schema at scale")
     r = spark.read
     if schema is not None:
@@ -106,4 +112,6 @@ def read_files(
         r = r.option("pathGlobFilter", glob)
     if fmt == "csv":
         r = r.option("header", True)
+    if fmt == "xml":
+        r = r.option("rowTag", "row")
     return r.format(fmt).load(path)

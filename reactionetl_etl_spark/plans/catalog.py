@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "video_scene_cuts",
     "bpe_encode_tokens",
     "event_value_welch_ttest",
+    "events_xml_extract",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11407,6 +11408,7 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "event_value_welch_ttest",
+    "events_xml_extract",
     """
     WITH m AS (
         SELECT event_type,
@@ -11498,4 +11500,50 @@ def event_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.floor(t * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("t6"),
         (F.floor(dof * 1_000 + F.lit(0.5)) / 1_000).alias("welch_dof3"),
+    )
+
+
+@_q(
+    "events_xml_extract",
+    """
+    WITH x AS (
+        SELECT '<e><t>' || event_type || '</t><v>'
+                   || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                   || '</v></e>' AS doc
+        FROM events WHERE value IS NOT NULL
+    ), p AS (
+        SELECT regexp_extract(doc, '<t>(.*)</t>', 1) AS t,
+               CAST(regexp_extract(doc, '<v>(-?[0-9]+)</v>', 1) AS BIGINT) AS v
+        FROM x
+    )
+    SELECT t AS event_type, count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_cents
+    FROM p GROUP BY 1
+    """,
+    tags=("xml", "functions", "events"),
+)
+def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion at the FUNCTION level: event rows serialized as
+    XML documents (the shape a legacy B2B feed delivers), parsed back
+    with Spark 4's native `from_xml` into a struct, grouped on the
+    extracted fields. Values ride as integer cents so the post-parse
+    aggregate is exact. The DuckDB oracle parses the identical strings
+    with anchored regexps — both engines must recover the same fields
+    from the same documents. (File-level XML read/write lives in
+    io/files.py with a round-trip test; this query keeps the parse on
+    the query surface.) Zero shuffle beyond the final small groupBy."""
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    doc = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = ev.select(
+        F.from_xml(doc, "t STRING, v BIGINT").alias("p")
+    )
+    return parsed.groupBy(F.col("p.t").alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("p.v").cast("long").alias("sum_cents"),
     )

@@ -129,7 +129,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json", "xml"])
 def test_file_format_roundtrip(spark, sf_dir, tmp_path, fmt):
     """write_files/read_files round-trip every supported format with
     values intact (nation is small and has int/string/text columns)."""
