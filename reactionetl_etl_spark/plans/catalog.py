@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_encode_tokens",
     "event_value_welch_ttest",
     "events_xml_extract",
+    "customer_top2_orders_lateral",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11408,7 +11409,6 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "event_value_welch_ttest",
-    "events_xml_extract",
     """
     WITH m AS (
         SELECT event_type,
@@ -11546,4 +11546,47 @@ def events_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("p.t").alias("event_type")).agg(
         F.count("*").alias("n"),
         F.sum("p.v").cast("long").alias("sum_cents"),
+    )
+
+
+@_q(
+    "customer_top2_orders_lateral",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) o
+    WHERE c.c_custkey < 200
+    """,
+    tags=("join", "lateral", "sql"),
+)
+def customer_top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-row-driven-subquery JOIN
+    surface (Spark 3.2+ / DuckDB both speak the identical syntax, so
+    the two engines run structurally the same statement). Catalyst
+    decorrelates the per-customer top-2 into a window-ranked join, so
+    the executed plan is the same WindowGroupLimit shape the explicit
+    window formulation gets — the test is that the SQL surface exists
+    and decorrelation preserves LIMIT-with-ties-broken semantics.
+    Deterministic: the inner ORDER BY carries a unique tie-break."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey < 200
+        """
     )
