@@ -476,3 +476,122 @@ def test_cusum_window_identity_matches_recurrence(spark, vals, slack):
         .collect()
     )
     assert [r["s"] for r in out] == direct
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_bfs_hops_matches_textbook_bfs_random_graphs(spark, edges):
+    """bfs_hops == textbook BFS from min(node) on arbitrary small
+    graphs: self-loops, parallel edges, disconnected pieces, cycles."""
+    from collections import deque
+
+    from reactionetl_etl_spark.operators.graph import bfs_hops
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    adj: dict = {}
+    for a, b in clean:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    want, q = {src: 0}, deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in want and want[u] < 3:
+                want[v] = want[u] + 1
+                q.append(v)
+    df = spark.createDataFrame(clean, "src int, dst int")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, max_hops=3).collect()}
+    assert got == want
+
+
+@given(edges=edges_strategy, k=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_kcore_matches_textbook_peeling_random_graphs(spark, edges, k):
+    """k_core == sequential peeling on arbitrary small graphs, for the
+    k values the catalog uses and beyond."""
+    from reactionetl_etl_spark.operators.graph import k_core
+
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not E:
+        return
+    cur = set(E)
+    while True:
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {}
+    for u, v in cur:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(sorted(E), "src int, dst int")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(df, k=k, max_iter=60).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # score (small range → ties)
+            st.booleans(),  # label
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_auc_rank_sum_matches_naive_pair_counting(spark, rows):
+    """The Mann-Whitney AUC formulation equals the definitional pair
+    count (P(pos > neg) + 0.5·P(pos == neg)) on random tied data."""
+    import math
+
+    from reactionetl_etl_spark.operators.rank import global_running_sum
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        return
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(
+        [(s, 1 if y else 0) for s, y in rows], "score int, y int"
+    )
+    by_score = df.groupBy("score").agg(
+        F.sum("y").alias("p_v"), F.sum(F.lit(1) - F.col("y")).alias("n_v")
+    )
+    cum = global_running_sum(
+        by_score,
+        order_exprs=[F.col("score")],
+        order_desc=[False],
+        value_col="n_v",
+        out_col="neg_below",
+        exclusive=True,
+    )
+    u2 = cum.agg(
+        F.sum(F.col("p_v") * (2 * F.col("neg_below") + F.col("n_v"))).alias("u2")
+    ).collect()[0]["u2"]
+    got = u2 / (2.0 * len(pos) * len(neg))
+    assert math.isclose(got, want, rel_tol=0, abs_tol=1e-12)
