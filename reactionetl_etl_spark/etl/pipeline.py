@@ -153,9 +153,28 @@ class ReactionLake:
     # -- the run ----------------------------------------------------------
 
     def run_once(
-        self, spark: SparkSession, incoming_root: str, now: datetime | None = None
+        self,
+        spark: SparkSession,
+        incoming_root: str,
+        now: datetime | None = None,
+        enrich_inline: bool = True,
     ) -> RunResult:
-        """Process every not-yet-processed file under incoming/<day>/."""
+        """Process every not-yet-processed file under incoming/<day>/.
+
+        ``enrich_inline`` (default): fact rows pick up their dim's
+        simulation_num DURING the fact write — the metadata JSONs are
+        cleansed first, and the fact append runs through the same
+        broadcast update-join (`enrich_fact`, J1) that
+        `materialize_enrichment` uses. The reference's main() also ends
+        every invocation with facts enriched (clean → load →
+        update_fact_simulations in one run); inlining reaches the same
+        end state without writing the fact table twice — at 512
+        bench files the separate enrichment rewrite was ~4 s of a 13 s
+        ingest. Facts whose metadata hasn't arrived stay NULL and
+        `materialize_enrichment` remains the late-metadata gap-filler
+        (the staged atomic partition-swap path, exercised by the
+        late-dim tests). ``enrich_inline=False`` restores the strict
+        load-then-rewrite sequence."""
         now = now or datetime.now(timezone.utc).replace(tzinfo=None)
         # one nonce per run_once call: etl_ids stay deterministic WITHIN
         # a run (audit + manifest writes of the same status frame agree)
@@ -177,113 +196,12 @@ class ReactionLake:
         # audit trail through driver memory. The only driver-side
         # remnants are the file listing itself (metadata) and one
         # 1-row tally aggregate per branch for RunResult.
-        status_frames: list[DataFrame] = []
+        csv_st = json_st = None
         fact_loaded = dim_loaded = quarantined_files = 0
 
-        # ---- reaction CSVs → fact_sim (EP2 + W2) ----
-        csv_result = None
-        if csvs:
-            result = csv_result = cleanse_incoming_csvs(spark, csvs)
-            fact_new = result.clean.withColumns(
-                {
-                    # deterministic row id: stable under at-least-once replay
-                    "row_id": F.xxhash64("simulation_id", "rxn_time", "source_file"),
-                    "simulation_num": F.lit(None).cast("int"),
-                }
-            ).select(
-                "row_id",
-                "simulation_id",
-                "simulation_num",
-                "ca",
-                "cb",
-                "cc",
-                "cd",
-                "temperature",
-                "t_sensor",
-                "rxn_time",
-                "source_file",
-                "day",
-            )
-            fact_new.write.mode("append").partitionBy("day").parquet(self.fact_path)
-
-            files_df = spark.createDataFrame(
-                [(f.path, f.day) for f in csvs], "path string, day string"
-            )
-            ok_counts = fact_new.groupBy("source_file").agg(F.count("*").alias("n_ok")).select(
-                _strip_scheme_col(F.col("source_file")).alias("path"), "n_ok"
-            )
-            bad_counts = (
-                result.quarantined.groupBy("source_file")
-                .agg(F.count("*").alias("n_bad"))
-                .select(_strip_scheme_col(F.col("source_file")).alias("path"), "n_bad")
-            )
-            rejected_df = spark.createDataFrame(
-                [(rf.path, why) for rf, why in result.rejected_files],
-                "path string, reject_reason string",
-            )
-            n_bad_expr = F.col("n_bad") > 0
-            fully_bad = n_bad_expr & (F.col("n_ok") == 0)
-            st = (
-                files_df.join(ok_counts, "path", "left")
-                .join(bad_counts, "path", "left")
-                .join(rejected_df, "path", "left")
-                .withColumns(
-                    {"n_ok": F.coalesce("n_ok", F.lit(0)), "n_bad": F.coalesce("n_bad", F.lit(0))}
-                )
-                .withColumn(
-                    "status",
-                    F.when(F.col("reject_reason").isNotNull() | fully_bad, "quarantined").otherwise(
-                        "success"
-                    ),
-                )
-                .withColumn(
-                    "error_message",
-                    F.when(F.col("reject_reason").isNotNull(), F.col("reject_reason"))
-                    .when(fully_bad, F.concat(F.col("n_bad").cast("string"), F.lit(" malformed rows")))
-                    .when(n_bad_expr, F.concat(F.col("n_bad").cast("string"), F.lit(" rows quarantined"))),
-                )
-                .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
-                .withColumn("simulation_id", _filename_key(F.col("path"), r"^reaction(.+)\.csv$"))
-                .withColumn("etl_type", F.lit("reaction"))
-                .withColumn("records_inserted", F.col("n_ok").cast("int"))
-                # Eager lineage break (files-sized frame): the audit and
-                # manifest writes must not re-evaluate this plan after
-                # csv_result.release() drops the cleanse persists.
-                # repartition (NOT coalesce — coalesce would drag the
-                # whole upstream cleanse down to one task) keeps the
-                # checkpointed frame at one partition per ~100k files so
-                # the downstream jobs (audit, manifest, tally) don't
-                # each schedule near-empty tasks.
-                .repartition(max(1, len(csvs) // 100_000))
-                .localCheckpoint(eager=True)
-            )
-            status_frames.append(st)
-            tally = st.agg(
-                F.sum(F.when(F.col("status") == "success", F.col("n_ok")).otherwise(F.lit(0))).alias("ok"),
-                F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
-                F.sum("n_bad").alias("bad_rows"),
-            ).first()
-            fact_loaded += int(tally["ok"] or 0)
-            quarantined_files += int(tally["q"] or 0)
-            if tally["bad_rows"]:
-                result.quarantined.write.mode("append").parquet(self.quarantine_path)
-            if result.rejected_files:
-                rej = spark.createDataFrame(
-                    [
-                        (None, why, rf.path, rf.day)
-                        for rf, why in result.rejected_files
-                    ],
-                    "payload string, reason string, source_file string, day string",
-                )
-                rej.write.mode("append").parquet(self.quarantine_path)
-            log.info(
-                "ingested %d reaction files: %d rows loaded, %d files quarantined",
-                len(csvs), fact_loaded, int(tally["q"] or 0),
-            )
-            if tally["q"]:
-                log.warning("quarantined %d reaction files (see audit/quarantine tables)", int(tally["q"]))
-
         # ---- metadata JSONs → dim_rxn (V3 + W3 + X4) ----
+        # Dims are processed BEFORE the facts so the fact append can
+        # pick up this batch's simulation_nums inline (enrich_inline).
         if jsons:
             result = cleanse_metadata_jsons(spark, jsons)
             existing_dim = self.dim(spark)
@@ -326,7 +244,7 @@ class ReactionLake:
                 .distinct()
                 .withColumn("__bad", F.lit(True))
             )
-            st = (
+            json_st = (
                 files_df.join(loaded, "path", "left")
                 .join(bad, "path", "left")
                 .withColumn("status", F.when(F.col("__bad"), "quarantined").otherwise(F.lit("success")))
@@ -357,10 +275,9 @@ class ReactionLake:
                 .repartition(max(1, len(jsons) // 100_000))
                 .localCheckpoint(eager=True)
             )
-            status_frames.append(st)
             dim_new.write.mode("append").parquet(self.dim_path)
             dim_new.unpersist()
-            tally = st.agg(
+            tally = json_st.agg(
                 F.sum("records_inserted").alias("loaded"),
                 F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
             ).first()
@@ -371,7 +288,119 @@ class ReactionLake:
                 log.warning("quarantined %d metadata files (validation failed)", int(tally["q"]))
             log.info("metadata: %d files, %d dim rows loaded", len(jsons), int(tally["loaded"] or 0))
 
+        # ---- reaction CSVs → fact_sim (EP2 + W2; + inline J1) ----
+        csv_result = None
+        if csvs:
+            result = csv_result = cleanse_incoming_csvs(spark, csvs)
+            fact_cols = [
+                "row_id",
+                "simulation_id",
+                "simulation_num",
+                "ca",
+                "cb",
+                "cc",
+                "cd",
+                "temperature",
+                "t_sensor",
+                "rxn_time",
+                "source_file",
+                "day",
+            ]
+            fact_new = result.clean.withColumns(
+                {
+                    # deterministic row id: stable under at-least-once replay
+                    "row_id": F.xxhash64("simulation_id", "rxn_time", "source_file"),
+                    "simulation_num": F.lit(None).cast("int"),
+                }
+            ).select(*fact_cols)
+            if enrich_inline:
+                # the dim read AFTER the JSON append sees this batch's
+                # rows; facts with absent metadata stay NULL for the
+                # materialize_enrichment gap-filler
+                dim_now = self.dim(spark)
+                if dim_now is not None:
+                    fact_new = enrich_fact(fact_new, dim_now).select(*fact_cols)
+            fact_new.write.mode("append").partitionBy("day").parquet(self.fact_path)
+
+            files_df = spark.createDataFrame(
+                [(f.path, f.day) for f in csvs], "path string, day string"
+            )
+            ok_counts = fact_new.groupBy("source_file").agg(F.count("*").alias("n_ok")).select(
+                _strip_scheme_col(F.col("source_file")).alias("path"), "n_ok"
+            )
+            bad_counts = (
+                result.quarantined.groupBy("source_file")
+                .agg(F.count("*").alias("n_bad"))
+                .select(_strip_scheme_col(F.col("source_file")).alias("path"), "n_bad")
+            )
+            rejected_df = spark.createDataFrame(
+                [(rf.path, why) for rf, why in result.rejected_files],
+                "path string, reject_reason string",
+            )
+            n_bad_expr = F.col("n_bad") > 0
+            fully_bad = n_bad_expr & (F.col("n_ok") == 0)
+            csv_st = (
+                files_df.join(ok_counts, "path", "left")
+                .join(bad_counts, "path", "left")
+                .join(rejected_df, "path", "left")
+                .withColumns(
+                    {"n_ok": F.coalesce("n_ok", F.lit(0)), "n_bad": F.coalesce("n_bad", F.lit(0))}
+                )
+                .withColumn(
+                    "status",
+                    F.when(F.col("reject_reason").isNotNull() | fully_bad, "quarantined").otherwise(
+                        "success"
+                    ),
+                )
+                .withColumn(
+                    "error_message",
+                    F.when(F.col("reject_reason").isNotNull(), F.col("reject_reason"))
+                    .when(fully_bad, F.concat(F.col("n_bad").cast("string"), F.lit(" malformed rows")))
+                    .when(n_bad_expr, F.concat(F.col("n_bad").cast("string"), F.lit(" rows quarantined"))),
+                )
+                .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
+                .withColumn("simulation_id", _filename_key(F.col("path"), r"^reaction(.+)\.csv$"))
+                .withColumn("etl_type", F.lit("reaction"))
+                .withColumn("records_inserted", F.col("n_ok").cast("int"))
+                # Eager lineage break (files-sized frame): the audit and
+                # manifest writes must not re-evaluate this plan after
+                # csv_result.release() drops the cleanse persists.
+                # repartition (NOT coalesce — coalesce would drag the
+                # whole upstream cleanse down to one task) keeps the
+                # checkpointed frame at one partition per ~100k files so
+                # the downstream jobs (audit, manifest, tally) don't
+                # each schedule near-empty tasks.
+                .repartition(max(1, len(csvs) // 100_000))
+                .localCheckpoint(eager=True)
+            )
+            tally = csv_st.agg(
+                F.sum(F.when(F.col("status") == "success", F.col("n_ok")).otherwise(F.lit(0))).alias("ok"),
+                F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
+                F.sum("n_bad").alias("bad_rows"),
+            ).first()
+            fact_loaded += int(tally["ok"] or 0)
+            quarantined_files += int(tally["q"] or 0)
+            if tally["bad_rows"]:
+                result.quarantined.write.mode("append").parquet(self.quarantine_path)
+            if result.rejected_files:
+                rej = spark.createDataFrame(
+                    [
+                        (None, why, rf.path, rf.day)
+                        for rf, why in result.rejected_files
+                    ],
+                    "payload string, reason string, source_file string, day string",
+                )
+                rej.write.mode("append").parquet(self.quarantine_path)
+            log.info(
+                "ingested %d reaction files: %d rows loaded, %d files quarantined",
+                len(csvs), fact_loaded, int(tally["q"] or 0),
+            )
+            if tally["q"]:
+                log.warning("quarantined %d reaction files (see audit/quarantine tables)", int(tally["q"]))
+
         # ---- audit + manifest appends (DataFrame-native, W4/W5) ----
+        # csv-first union order matches the pre-r8 audit row layout
+        status_frames = [st for st in (csv_st, json_st) if st is not None]
         if status_frames:
             st_all = status_frames[0]
             for other in status_frames[1:]:

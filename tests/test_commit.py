@@ -130,7 +130,8 @@ def test_enrichment_uses_staged_commit_end_to_end(spark, tmp_path):
         write_reaction_csv(day_dir, n, 20)
         write_metadata_json(day_dir, n)
     lake = ReactionLake(str(tmp_path / "lake"))
-    lake.run_once(spark, incoming)
+    # strict load-then-rewrite so the staged path has real gaps to fill
+    lake.run_once(spark, incoming, enrich_inline=False)
     n = lake.materialize_enrichment(spark)
     assert n > 0
     fact = lake.fact(spark)

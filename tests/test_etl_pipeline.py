@@ -106,26 +106,69 @@ def test_dim_contents_and_sequence(spark, lake):
     assert sim_uuid(6) not in loaded_ids and sim_uuid(7) not in loaded_ids
 
 
-def test_enrichment_view_and_materialization(spark, lake):
-    """EP3: every fact row with metadata gets its dim's simulation_num;
-    rows without metadata stay NULL; fact row count never changes."""
+def test_enrichment_inline_and_materialization_noop(spark, lake):
+    """EP3: with the default enrich_inline, every fact row whose
+    metadata arrived in the batch lands ALREADY enriched; rows without
+    metadata stay NULL; materialize_enrichment then has nothing to do
+    (sim 5's facts stay NULL — its metadata never arrives, so its day
+    would be rewritten to the same NULLs, which counts as 0)."""
     before = lake.fact(spark).count()
     view = lake.fact_enriched(spark)
     assert view.count() == before
 
-    n = lake.materialize_enrichment(spark)
-    assert n == 3 * N_ROWS  # sims 1-3 enriched; sim 5 has no metadata
     fact = lake.fact(spark)
-    assert fact.count() == before  # J1 property: row count preserved
     matched = fact.filter(F.col("simulation_num").isNotNull())
-    assert matched.count() == 3 * N_ROWS
+    assert matched.count() == 3 * N_ROWS  # enriched AT WRITE time
     pairs = {
         (r["simulation_id"], r["simulation_num"])
         for r in matched.select("simulation_id", "simulation_num").distinct().collect()
     }
     assert pairs == {(sim_uuid(1), 1), (sim_uuid(2), 2), (sim_uuid(3), 3)}
-    # idempotent: second materialization enriches nothing new
-    assert lake.materialize_enrichment(spark) == 0
+    assert lake.materialize_enrichment(spark) == 0  # nothing left to fill
+    assert lake.fact(spark).count() == before  # J1: row count preserved
+
+
+def test_materialize_enrichment_fills_late_metadata(spark, incoming, tmp_path_factory):
+    """W6 staged-rewrite path on its production scenario: facts arrive
+    BEFORE their metadata (enrich_inline finds no dim row), the next
+    run loads the metadata, and materialize_enrichment back-fills the
+    earlier facts via the atomic partition swap."""
+    import shutil
+
+    root = tmp_path_factory.mktemp("late_incoming")
+    d1 = str(root / "2026-02-01")
+    csv_path = write_reaction_csv(d1, 11, N_ROWS)
+    lk = ReactionLake(str(tmp_path_factory.mktemp("late_lake")))
+    lk.run_once(spark, str(root), now=T0)
+    fact = lk.fact(spark)
+    assert fact.filter(F.col("simulation_num").isNotNull()).count() == 0
+
+    write_metadata_json(d1, 11, "2026-02-01")
+    lk.run_once(spark, str(root), now=T0)
+    # metadata landed, but the earlier facts are still NULL …
+    assert (
+        lk.fact(spark).filter(F.col("simulation_num").isNotNull()).count() == 0
+    )
+    # … until the gap-filling rewrite runs
+    assert lk.materialize_enrichment(spark) == N_ROWS
+    enriched = lk.fact(spark).filter(F.col("simulation_num").isNotNull())
+    assert enriched.count() == N_ROWS
+    assert lk.materialize_enrichment(spark) == 0  # idempotent
+
+
+def test_enrich_inline_false_defers_to_materialization(
+    spark, incoming, tmp_path_factory
+):
+    """The strict load-then-rewrite sequence is still available
+    (enrich_inline=False) and converges to the same state."""
+    root, _ = incoming
+    lk = ReactionLake(str(tmp_path_factory.mktemp("strict_lake")))
+    lk.run_once(spark, str(root), now=T0, enrich_inline=False)
+    fact = lk.fact(spark)
+    assert fact.filter(F.col("simulation_num").isNotNull()).count() == 0
+    assert lk.materialize_enrichment(spark) == 3 * N_ROWS
+    matched = lk.fact(spark).filter(F.col("simulation_num").isNotNull())
+    assert matched.count() == 3 * N_ROWS
 
 
 def test_quarantine_contents(spark, lake):
@@ -185,8 +228,11 @@ def test_incremental_new_file_only(spark, lake, incoming):
     dim = lake.dim(spark)
     assert dim.agg(F.max("simulation_num")).first()[0] == 4
     assert dim.select("simulation_num").distinct().count() == 4
-    # enrichment picks up only the new day
-    assert lake.materialize_enrichment(spark) == N_ROWS
+    # the new day's facts arrive enriched inline (same-batch metadata),
+    # so the gap-filling rewrite has nothing to do
+    new_day = lake.fact(spark).filter(F.col("day") == "2026-01-07")
+    assert new_day.filter(F.col("simulation_num").isNotNull()).count() == N_ROWS
+    assert lake.materialize_enrichment(spark) == 0
 
 
 def test_duplicate_metadata_skipped(spark, lake, incoming, tmp_path_factory):
