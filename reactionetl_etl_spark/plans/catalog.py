@@ -10948,52 +10948,65 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDERED funnel view → click → purchase: a user counts at step k
     only with an event strictly after their step-(k-1) time (the
     product-analytics funnel, not three independent counts). Shape:
-    one conditional-min aggregate per step, each a keyed shuffle on
-    user_id; the step-(k-1) times ride along as the join's build side.
-    All three aggregates share the user_id partitioning, so AQE plans
-    the chain without re-shuffles; counts are metadata-sized (3 rows).
-    Scales: work per step ∝ events of that type, never a cross join."""
-    ev = load_events(spark, sf_dir)
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ntz").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_ntz") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ntz").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_ntz") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ntz").alias("t3"))
-    )
-    counts = (
-        v.agg(F.count("*").alias("n_users")).select(
-            F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users"
+    ONE events scan + ONE user_id shuffle; the sequential step
+    dependency (t2 = first click after t1, t3 = first purchase after
+    t2) is three stacked whole-partition windows over the SAME
+    partitioning — Catalyst plans a single Exchange with three Window
+    operators (the first draft's per-step aggregate+join chain
+    re-scanned events six times; PLANS.md caught it). The step counts
+    then fold in one distinct-count aggregate and unpivot to 3 rows.
+    Scales: work ∝ events, window state ∝ one user's rows."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ntz")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts_ntz"))).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_ntz") > F.col("t1")),
+            F.col("ts_ntz"),
         )
-        .unionByName(
-            c.agg(F.count("*").alias("n_users")).select(
-                F.lit(2).alias("step_no"), F.lit("click").alias("step"), "n_users"
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_ntz") > F.col("t2")),
+            F.col("ts_ntz"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    totals = staged.agg(
+        F.countDistinct(F.when(F.col("t1").isNotNull(), F.col("user_id"))).alias("n1"),
+        F.countDistinct(F.when(F.col("t2").isNotNull(), F.col("user_id"))).alias("n2"),
+        F.countDistinct(F.when(F.col("t3").isNotNull(), F.col("user_id"))).alias("n3"),
+    )
+    steps = totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step_no"),
+                    F.lit("view").alias("step"),
+                    F.col("n1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step_no"),
+                    F.lit("click").alias("step"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step_no"),
+                    F.lit("purchase").alias("step"),
+                    F.col("n3").alias("n_users"),
+                ),
             )
-        )
-        .unionByName(
-            p.agg(F.count("*").alias("n_users")).select(
-                F.lit(3).alias("step_no"), F.lit("purchase").alias("step"), "n_users"
-            )
-        )
+        ).alias("s"),
+        F.col("n1"),
     )
-    # 3-row frame: the first_value window over it is metadata-sized
-    w = Window.orderBy("step_no").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     conv = F.floor(
-        F.col("n_users") / F.first("n_users").over(w) * 1_000_000 + F.lit(0.5)
+        F.col("s.n_users") / F.col("n1") * 1_000_000 + F.lit(0.5)
     ) / 1_000_000
-    return counts.select("step_no", "step", "n_users", conv.alias("conv_from_first"))
+    return steps.select(
+        "s.step_no", "s.step", "s.n_users", conv.alias("conv_from_first")
+    )
 
 
 @_q(

@@ -556,3 +556,15 @@ def test_tfidf_cosine_pairs_keyed_join_topk(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # checkpointed sparse
     assert "Scan parquet" not in plan  # vectors materialized once
     assert "TakeOrderedAndProject" in plan
+
+
+def test_event_funnel_single_scan_single_user_shuffle(spark, sf_dir):
+    """The ordered funnel must stay one events scan + stacked windows
+    over one user_id partitioning — the per-step aggregate+join chain
+    this replaced re-scanned the fact six times (PLANS.md r8). The
+    distinct-count fold adds its own bounded aggregate exchanges, so
+    the pin is on scan count and window count, plus no join at all."""
+    plan = plan_of(spark, sf_dir, "event_funnel_steps")
+    assert plan.count("Scan parquet") <= 1, "events must be scanned once"
+    assert plan.count("Window") >= 3  # the three stacked step windows
+    assert "Join" not in plan
