@@ -1764,3 +1764,73 @@ def video_frame_gray(
             yield pdf_out
 
     return df.mapInPandas(to_gray, VIDEO_GRAY_SCHEMA)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Perceptual DCT-hash (classic pHash): payload → `decode_pixels`
+    → ITU-R 601 luma → 32×32 resample → 2-D DCT-II → the 8×8
+    low-frequency block (DC dropped) thresholded at its MEDIAN → 63
+    bits packed into one BIGINT. The median threshold makes the hash
+    invariant to GLOBAL brightness/contrast changes (every coefficient
+    scales together), which the gradient-based dHash is only
+    approximately robust to — the two hashes are complementary dedup
+    signals, same as a multi-signal text-dedup ladder. Deterministic:
+    numpy float64 DCT on identical bytes. Undecodable payloads get
+    NULL. Arrow-batched mapInPandas; zero shuffle."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # 32-point DCT-II basis (orthonormal), computed once per task
+        k = np.arange(32)
+        D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 64) * np.sqrt(2.0 / 32)
+        D[0] *= 1 / np.sqrt(2)
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
+                arr = decode_pixels(bytes(payload))
+                if arr is None:
+                    ids.append(mid)
+                    hashes.append(None)
+                    continue
+                luma = (
+                    0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+                )
+                g = resample_nearest(luma, 32, 32).astype(np.float64)
+                coef = D @ g @ D.T
+                block = coef[:8, :8].reshape(-1)[1:]  # drop DC
+                med = np.median(block)
+                bits = (block > med).astype(np.uint64)
+                h = np.uint64(0)
+                for i, b in enumerate(bits):
+                    h |= b << np.uint64(i)
+                ids.append(mid)
+                hashes.append(int(h.view(np.int64)))
+            yield pd.DataFrame({id_col: ids, out_col: hashes})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        hash_batches, f"{id_col} long, {out_col} long"
+    )
+
+
+def image_neardup_pairs_phash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    max_hamming: int = 4,
+    max_bucket: int | None = 1024,
+) -> DataFrame:
+    """`image_neardup_pairs` with the DCT pHash signal: catches
+    brightness/contrast-shifted copies dHash's gradient bits can miss,
+    at the identical scale shape — one decode pass, 64-bit keys, the
+    pigeonhole chunked equi-join (never a cross product)."""
+    from reactionetl_etl_spark.operators.dedup import hamming_candidates
+
+    sig = image_phash(df, id_col, binary_col).filter(F.col("phash").isNotNull())
+    return hamming_candidates(sig, id_col, "phash", max_hamming, max_bucket)

@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_value_welch_ttest",
     "events_xml_extract",
     "customer_top2_orders_lateral",
+    "image_neardup_phash",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11603,3 +11604,65 @@ def customer_top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+@_q("image_neardup_phash", None, tags=("multimodal", "dedup", "phash"))
+def image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup sweep with the DCT pHash signal
+    (multimodal.image_phash): every 10th document's image is its
+    predecessor's pixels plus deterministic HIGH-FREQUENCY noise (±6
+    per pixel, position-keyed) shipped in a different container. That
+    perturbation flips many of dHash's per-pixel gradient bits but
+    barely moves the 8×8 low-frequency DCT block, so this catches the
+    noisy-rescan / re-sharpened duplicate class the gradient hash
+    misses — the two hashes are complementary rungs of the visual
+    dedup ladder. Same scale shape as the dHash sweep: one decode
+    pass, 64-bit keys, pigeonhole Hamming join. Pinned; planted-pair
+    recall and the noise-robustness contrast are pinned by
+    test_multimodal.py."""
+    import pandas as pd
+
+    from reactionetl_etl_spark.operators.multimodal import image_neardup_pairs_phash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    )
+    base = docs.alias("d").join(
+        docs.selectExpr("doc_id + 1 AS doc_id", "raw AS prev_raw").alias("p"),
+        on="doc_id",
+        how="left",
+    )
+
+    def to_image(batches):
+        import numpy as np
+
+        from reactionetl_etl_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        encoders = [encode_bmp, encode_png, encode_ppm]
+        need = 32 * 32 * 3
+        i = np.arange(32)[:, None, None]
+        j = np.arange(32)[None, :, None]
+        c = np.arange(3)[None, None, :]
+        noise = (((i * 31 + j * 17 + c * 7) % 5) - 2) * 3  # ±6, high-freq
+        for pdf in batches:
+            ids, blobs = [], []
+            for did, raw, prev in zip(pdf["doc_id"], pdf["raw"], pdf["prev_raw"]):
+                planted = int(did) % 10 == 9 and prev is not None
+                src = prev if planted else raw
+                b = bytes(src) or b"\x00"
+                b = (b * (need // len(b) + 1))[:need]
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(32, 32, 3)
+                if planted:
+                    arr = np.clip(arr.astype(np.int32) + noise, 0, 255).astype(
+                        np.uint8
+                    )
+                ids.append(did)
+                blobs.append(encoders[int(did) % 3](arr))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    imgs = base.mapInPandas(to_image, "media_id long, content binary")
+    return image_neardup_pairs_phash(imgs, max_hamming=4).orderBy("id_a", "id_b")

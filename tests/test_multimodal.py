@@ -1118,3 +1118,57 @@ def test_video_scene_cuts_witness_numpy(spark):
             want_cut = mad6 >= 40.0
             assert got[(mid, k)] == (mad6, want_cut), (mid, k, got[(mid, k)], mad6)
             assert want_cut == (k == 3 and mid % 3 == 0)
+
+
+def test_phash_robust_to_high_freq_noise_where_dhash_is_not(spark):
+    """The complementarity claim behind image_neardup_phash: a ±6
+    per-pixel high-frequency perturbation leaves the DCT low-band hash
+    within the Hamming budget while flipping many gradient bits. Also
+    pins affine invariance (contrast scale + brightness shift move
+    ZERO pHash bits — every coefficient and the median scale
+    together)."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+        image_phash,
+    )
+
+    # LOW-FREQUENCY base: an 8×8 random pattern upsampled 4× — all its
+    # energy sits exactly in the DCT block pHash keeps (strong, stable
+    # coefficients), while pixels are FLAT inside each 4×4 tile, so ±6
+    # high-frequency noise flips many of dHash's equal-neighbour
+    # gradient comparisons. This is the smooth-region/photographic case
+    # where the two hashes genuinely diverge; on high-variance random
+    # pixels dHash happens to survive the same noise.
+    rng = np.random.default_rng(11)
+    coarse = rng.integers(40, 215, size=(8, 8), dtype=np.uint8)
+    base = np.repeat(np.repeat(coarse, 4, axis=0), 4, axis=1)[
+        :, :, None
+    ] * np.ones((1, 1, 3), dtype=np.uint8)
+    i = np.arange(32)[:, None, None]
+    j = np.arange(32)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    noise = (((i * 31 + j * 17 + c * 7) % 5) - 2) * 3
+    noisy = np.clip(base.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+    affine = np.clip(base.astype(np.float64) * 1.25 + 10, 0, 255).astype(np.uint8)
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_bmp(base))),
+            (1, bytearray(encode_bmp(noisy))),
+            (2, bytearray(encode_bmp(affine))),
+        ],
+        "media_id long, content binary",
+    )
+    ph = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    dh = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(ph[0], ph[1]) <= 4  # pHash: noisy copy stays near
+    assert ham(dh[0], dh[1]) > 4  # dHash: gradient bits flipped
+    # affine (contrast+brightness): pHash exactly invariant
+    assert ham(ph[0], ph[2]) == 0
