@@ -426,3 +426,58 @@ def k_core(
         f"k_core did not converge in {max_iter} peeling rounds; "
         "raise max_iter (chain-like graphs peel one layer per round)"
     )
+
+
+def bellman_ford_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 3,
+    source=None,
+) -> DataFrame:
+    """(node, cost) — cheapest path cost from ``source`` to every node
+    reachable within ``max_hops`` edges (undirected, non-negative
+    integer weights → integer-exact, no float accumulation). The
+    weighted sibling of :func:`bfs_hops`: per round, every known
+    distance relaxes across the edge set (one keyed join + one min
+    aggregate), Bellman-Ford with a bounded round count — the plan
+    never unrolls past ``max_hops`` joins and the distance table stays
+    node-sized. ``source`` defaults to the smallest node id.
+
+    Semantics note: this is cheapest-within-k-hops, not global
+    shortest-path — at 100 TB the hop bound is the point (neighborhood
+    costs around a seed), and unbounded Bellman-Ford is just
+    ``max_hops = |V|-1`` on the same loop.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"), F.col(weight).alias("w")
+            )
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if source is None:
+        source = sym.agg(F.min("s")).collect()[0][0]
+    dist = (
+        sym.select(F.col("s").alias("node"))
+        .filter(F.col("node") == source)
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(sym, dist.node == sym.s)
+            .select(F.col("d").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist

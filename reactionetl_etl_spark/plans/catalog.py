@@ -111,6 +111,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_xml_extract",
     "customer_top2_orders_lateral",
     "image_neardup_phash",
+    "copurchase_cheapest_path",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11666,3 +11667,57 @@ def image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = base.mapInPandas(to_image, "media_id long, content binary")
     return image_neardup_pairs_phash(imgs, max_hamming=4).orderBy("id_a", "id_b")
+
+
+@_q(
+    "copurchase_cheapest_path",
+    """
+    WITH RECURSIVE lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               GREATEST(1, 11 - count(*)) AS w
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+        SELECT pa AS s, pb AS d, w FROM co
+        UNION ALL SELECT pb, pa, w FROM co
+    ), src AS (SELECT min(s) AS s FROM sym),
+    walk(node, cost, depth) AS (
+        SELECT s, CAST(0 AS BIGINT), 0 FROM src
+        UNION
+        SELECT sym.d, walk.cost + sym.w, walk.depth + 1
+        FROM walk JOIN sym ON sym.s = walk.node WHERE walk.depth < 3
+    )
+    SELECT node AS part, CAST(min(cost) AS BIGINT) AS cost
+    FROM walk GROUP BY 1
+    """,
+    tags=("graph", "iterative", "shortest-path"),
+)
+def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cheapest-path costs (Bellman-Ford, ≤3 relaxation
+    rounds) from the smallest part in the co-purchase graph, edge cost
+    = GREATEST(1, 11 − shared_orders) so strong affinities are cheap —
+    the weighted sibling of `copurchase_bfs_hops` (graph.py::
+    bellman_ford_hops: per round one keyed join + one min aggregate,
+    distance table node-sized, integer costs → exact cross-engine).
+    Oracled against a DuckDB RECURSIVE CTE enumerating the same
+    bounded-depth relaxations."""
+    from reactionetl_etl_spark.operators.graph import bellman_ford_hops
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb", F.greatest(F.lit(1), F.lit(11) - F.col("n")).alias("w"))
+    )
+    out = bellman_ford_hops(co, src="pa", dst="pb", weight="w", max_hops=3)
+    return out.select(F.col("node").alias("part"), F.col("cost"))

@@ -1689,3 +1689,39 @@ def test_kcore_empty_core_returns_empty(spark):
 
     chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
     assert k_core(chain, k=3).count() == 0
+
+
+def test_bellman_ford_matches_naive_dijkstra(spark):
+    """bellman_ford_hops == textbook bounded-hop relaxation on a graph
+    where the cheapest route is NOT the fewest-hop route (two cheap
+    edges beat one expensive one), plus an unreachable island."""
+    from reactionetl_etl_spark.operators.graph import bellman_ford_hops
+
+    edges = [
+        (1, 2, 10),  # direct but expensive
+        (1, 3, 1), (3, 2, 2),  # detour: cost 3 < 10
+        (2, 4, 1), (4, 5, 1), (5, 6, 1),  # 6 is 4 hops from... 1-3-2-4-5 = 4 edges to 5
+        (8, 9, 1),  # island
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    got = {r["node"]: r["cost"] for r in bellman_ford_hops(df, max_hops=3).collect()}
+    # naive: all paths of <=3 edges from node 1
+    adj: dict = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    best = {1: 0}
+    frontier = {1: 0}
+    for _ in range(3):
+        nxt: dict = {}
+        for u, cu in frontier.items():
+            for v, w in adj[u]:
+                c = cu + w
+                if c < best.get(v, 1 << 60):
+                    best[v] = c
+                    nxt[v] = c
+        # relaxation also shortens already-known nodes
+        frontier = {**{u: best[u] for u in best}, **nxt}
+    assert got == best
+    assert 8 not in got and 9 not in got
+    assert got[2] == 3  # detour beats the direct edge
