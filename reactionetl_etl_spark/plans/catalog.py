@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "customer_top2_orders_lateral",
     "image_neardup_phash",
     "copurchase_cheapest_path",
+    "purchase_hits_scores",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11721,3 +11722,84 @@ def copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bellman_ford_hops(co, src="pa", dst="pb", weight="w", max_hops=3)
     return out.select(F.col("node").alias("part"), F.col("cost"))
+
+
+@_q(
+    "purchase_hits_scores",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), hits(iter, kind, id, score) AS (
+        SELECT 0, 'h', c, CAST(1 AS BIGINT) FROM (SELECT DISTINCT c FROM e)
+        UNION ALL
+        SELECT 0, 'a', p, CAST(1 AS BIGINT) FROM (SELECT DISTINCT p FROM e)
+        UNION ALL
+        SELECT iter + 1, nxt.kind, nxt.id, nxt.score FROM (
+            SELECT hits.iter, 'h' AS kind, e.c AS id,
+                   CAST(sum(hits.score) AS BIGINT) AS score
+            FROM hits JOIN e ON hits.kind = 'a' AND hits.id = e.p
+            GROUP BY 1, 3
+            UNION ALL
+            SELECT hits.iter, 'a', e.p, CAST(sum(hits.score) AS BIGINT)
+            FROM hits JOIN e ON hits.kind = 'h' AND hits.id = e.c
+            GROUP BY 1, 3
+        ) nxt(iter, kind, id, score)
+        WHERE nxt.iter < 4
+    ), final AS (
+        SELECT kind, id, score,
+               row_number() OVER (PARTITION BY kind
+                                  ORDER BY score DESC, id) AS rn
+        FROM hits WHERE iter = 4
+    )
+    SELECT kind, id, score FROM final WHERE rn <= 10
+    """,
+    tags=("graph", "iterative", "hits", "bipartite"),
+)
+def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    bipartite purchase graph customer→part: hubs are broad buyers,
+    authorities are parts bought by strong hubs. Simultaneous (Jacobi)
+    updates — h ← A·a_prev, a ← Aᵀ·h_prev — so the recurrence is one
+    keyed join + sum per side per round, expressible as a RECURSIVE
+    CTE on the oracle side. Scores start at 1 and stay EXACT INTEGERS
+    (sums of integers, far below 2^53), so 4 unnormalized rounds are
+    bit-identical cross-engine with no normalization step to drift.
+    Top-10 per side, tie-broken by id. Spark shape: per round two
+    edge-keyed joins + map-side-combined sums, score tables node-sized,
+    checkpointed — PageRank's cost envelope on a bipartite graph."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", F.col("l_partkey").alias("p"))
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("c", "p")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("c").distinct().withColumn("score", F.lit(1).cast("long"))
+    a = e.select("p").distinct().withColumn("score", F.lit(1).cast("long"))
+    for _ in range(4):
+        h_new = (
+            e.join(a.withColumnRenamed("score", "__as"), on="p")
+            .groupBy("c")
+            .agg(F.sum("__as").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        a_new = (
+            e.join(h.withColumnRenamed("score", "__hs"), on="c")
+            .groupBy("p")
+            .agg(F.sum("__hs").alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        h, a = h_new, a_new
+    both = h.select(
+        F.lit("h").alias("kind"), F.col("c").alias("id"), "score"
+    ).unionByName(a.select(F.lit("a").alias("kind"), F.col("p").alias("id"), "score"))
+    w = Window.partitionBy("kind").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("kind", "id", "score")
+    )

@@ -1725,3 +1725,48 @@ def test_bellman_ford_matches_naive_dijkstra(spark):
     assert got == best
     assert 8 not in got and 9 not in got
     assert got[2] == 3  # detour beats the direct edge
+
+
+def test_hits_matches_numpy_power_iteration(spark, sf_dir):
+    """The catalog HITS query equals dense numpy h←A·a / a←Aᵀ·h
+    simultaneous updates (4 rounds, integer-exact) on the real
+    bipartite purchase graph at test scale."""
+    import numpy as np
+
+    from reactionetl_etl_spark.plans.catalog import get_query
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    cs = sorted({r["o_custkey"] for r in e})
+    ps = sorted({r["l_partkey"] for r in e})
+    ci = {c: i for i, c in enumerate(cs)}
+    pi = {p: i for i, p in enumerate(ps)}
+    A = np.zeros((len(cs), len(ps)), dtype=np.int64)
+    for r in e:
+        A[ci[r["o_custkey"]], pi[r["l_partkey"]]] = 1
+    h = np.ones(len(cs), dtype=np.int64)
+    a = np.ones(len(ps), dtype=np.int64)
+    for _ in range(4):
+        h, a = A @ a, A.T @ h
+    want_h = sorted(zip(-h, cs))[:10]
+    want_a = sorted(zip(-a, ps))[:10]
+
+    rows = get_query("purchase_hits_scores").builder(spark, sf_dir).collect()
+    got_h = sorted(
+        (-r["score"], r["id"]) for r in rows if r["kind"] == "h"
+    )
+    got_a = sorted(
+        (-r["score"], r["id"]) for r in rows if r["kind"] == "a"
+    )
+    assert got_h == [(s, i) for s, i in want_h]
+    assert got_a == [(s, i) for s, i in want_a]
