@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "image_neardup_phash",
     "copurchase_cheapest_path",
     "purchase_hits_scores",
+    "doc_readability_scores",
     # round-7 NEW queries
     "trigram_perplexity_scores",
     "part_triangle_clustering",
@@ -11802,4 +11803,82 @@ def purchase_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         both.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 10)
         .select("kind", "id", "score")
+    )
+
+
+@_q(
+    "doc_readability_scores",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    ), agg AS (
+        SELECT doc_id,
+               count(*) AS n_words,
+               CAST(sum(GREATEST(1, len(regexp_extract_all(word, '[aeiouy]+'))))
+                    AS BIGINT) AS n_syllables
+        FROM w WHERE word <> '' GROUP BY 1
+    ), sent AS (
+        SELECT doc_id,
+               GREATEST(1, len(list_filter(
+                   string_split(regexp_replace(text, '[.!?]+', '.', 'g'), '.'),
+                   x -> trim(x) <> ''))) AS n_sentences
+        FROM documents
+    )
+    SELECT agg.doc_id, n_words, n_syllables, n_sentences,
+           floor((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                          - 84.6 * (n_syllables * 1.0 / n_words))
+                 * 10000 + 0.5) / 10000 AS flesch4
+    FROM agg JOIN sent ON sent.doc_id = agg.doc_id
+    """,
+    tags=("text", "quality", "readability"),
+)
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (joins stopword ratio / Gopher signals / perplexity
+    in the filtering toolbox). Syllables via the standard vowel-group
+    heuristic (GREATEST(1, count of [aeiouy]+ runs) per word — the
+    same regex subset both engines execute identically), sentences by
+    terminal-punctuation splits floored at 1. All counts are exact
+    integers; the Flesch formula is one mirrored IEEE expression, so
+    the 4-dp floor matches cross-engine. Zero shuffle beyond the
+    per-doc aggregate — scan-bound at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))),
+    )
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(F.regexp_replace("text", r"[.!?]+", "."), r"\."),
+                lambda x: F.trim(x) != "",
+            )
+        ),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        syll.alias("n_syllables"),
+        sentences.cast("long").alias("n_sentences"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") * F.lit(1.0) / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") * F.lit(1.0) / F.col("n_words"))
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        (F.floor(flesch * 10_000 + F.lit(0.5)) / 10_000).alias("flesch4"),
     )
