@@ -3713,28 +3713,59 @@ def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("stratified_sample_events", None, tags=("sampling",))
+@_q(
+    "stratified_sample_events",
+    """
+    WITH fr AS (
+        SELECT event_type,
+               CASE WHEN row_number() OVER (ORDER BY event_type) % 2 = 1
+                    THEN 0.5 ELSE 0.1 END AS p
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_id, e.event_type, e.user_id
+    FROM events e JOIN fr USING (event_type)
+    WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < fr.p
+    """,
+    tags=("sampling", "deterministic"),
+)
 def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified (per-event-type) sampling with a fixed seed —
-    training-data pipelines downsample dominant classes this way.
-    Bernoulli per row, no shuffle. Rows-only check: the sampling
-    algorithm is engine-defined, so no cross-engine oracle exists."""
+    """Stratified (per-event-type) sampling — training-data pipelines
+    downsample dominant classes this way. Deterministic Bernoulli: the
+    keep/drop decision is u = first-8-hex-digits of md5(event_id) as a
+    uniform [0,1) variate vs the class rate (same engine-neutral
+    variate as `weighted_sample_hash`), so the selected SET is
+    identical on every run / retry / engine — which is what gives this
+    query a computed cross-engine oracle (Spark's seeded `sampleBy`
+    remains available for rate-only guarantees, but its output is
+    engine-defined and was the catalog's one rows-only check, r8
+    verdict item 3). Per-class rates join in via a broadcast of the
+    tiny distinct-class table; the variate is a pure row-local
+    expression — one broadcast hash join, zero extra shuffle."""
     ev = load_events(spark, sf_dir)
-    # sampleBy takes a driver-side fraction map, so the class list must
-    # be driver-sized by contract — bounded here so a high-cardinality
-    # column fails loudly instead of collecting millions of classes.
-    types = [
-        r["event_type"] for r in ev.select("event_type").distinct().limit(1001).collect()
-    ]
-    if len(types) > 1000:
+    # Per-class rates need a driver-sized class list by contract —
+    # bounded so a high-cardinality column fails loudly instead of
+    # silently single-partition-windowing millions of classes.
+    if ev.select("event_type").distinct().limit(1001).count() > 1000:
         raise ValueError(
             "stratified sampling is for LOW-cardinality class columns; "
-            ">1000 distinct event_type values collected — use a hash-split "
+            ">1000 distinct event_type values found — use a hash-split "
             "(operators/split.py) or per-class filters at this cardinality"
         )
-    fractions = {t: (0.5 if i % 2 == 0 else 0.1) for i, t in enumerate(sorted(types))}
-    return ev.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "event_type", "user_id"
+    w = Window.orderBy("event_type")
+    fr = ev.select("event_type").distinct().select(
+        "event_type",
+        F.when(F.row_number().over(w) % 2 == 1, F.lit(0.5))
+        .otherwise(F.lit(0.1))
+        .alias("p"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        ev.join(F.broadcast(fr), "event_type")
+        .filter(u < F.col("p"))
+        .select("event_id", "event_type", "user_id")
     )
 
 
