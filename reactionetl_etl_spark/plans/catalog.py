@@ -68,195 +68,259 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
     return deco
 
 
-# Queries listed first in `all_queries()` iteration order: recently fixed or
-# newly added entries whose results changed and should be exercised before the
-# long-stable tail. This is a committed, static list — ordering is
-# deterministic and reads nothing from the environment.
+# Queries listed first in `all_queries()` iteration order — the driver's
+# ~50-query value-hash window samples from the head. Regenerated each
+# round by `tools/verify_ledger.py` (r8 verdict item 1), which derives
+# from the in-repo CORRECTNESS_r0*.json history + git:
+#   rank 0  never driver-value-verified (new this round)
+#   rank 1  own catalog block / pinned oracle / operator module changed
+#           since the query's last green driver row (direct churn)
+#   rank 2  shared infra (sources/tables.py, session.py) changed since
+#           the last green row (indirect churn)
+#   rank 3  no churn — oldest-verified first
+# This is a committed, static list — ordering is deterministic and
+# reads nothing from the environment. Regenerate + paste with:
+#     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
-    # Never value-hashed by the driver across r1-r7 (rows-only checks
-    # predate their pinned VALUES oracles, or the 50-query window ran
-    # out). These 21 go first so CORRECTNESS_r08 closes the gap to
-    # 224/224 ever-value-verified. (verdict-r7 item 1)
-    "minhash_neardup_pairs",
-    "simhash_neardup_pairs",
-    "lsh_cosine_topk",
-    "lsh_cosine_topk_batch",
-    "ivf_cosine_topk",
-    "ivf_cosine_topk_batch",
-    "embedding_neardup_lsh",
-    "image_neardup_dhash",
-    "semdedup_prune",
-    "ann_recall_report",
-    "incremental_neardup_probe",
-    "approx_distinct_users",
-    "catalog_columns",
-    "audio_spectral_profile",
-    "video_frame_sample",
-    "mjpeg_avi_frame_sample",
-    "multimodal_feature_extract",
-    "multimodal_resize_pixels",
-    "multimodal_corpus_build",
-    "events_mad_anomalies",
-    "stratified_sample_events",  # rows-only by design; keep it sampled
-    # round-8 NEW queries (driver has never seen these)
-    "event_funnel_steps",
-    "weekly_retention_triangle",
-    "lang_source_chi2",
-    "quality_auc_mannwhitney",
-    "copurchase_bfs_hops",
-    "copurchase_kcore",
-    "video_scene_cuts",
-    "bpe_encode_tokens",
-    "event_value_welch_ttest",
-    "events_xml_extract",
-    "customer_top2_orders_lateral",
-    "image_neardup_phash",
-    "copurchase_cheapest_path",
-    "purchase_hits_scores",
-    "doc_readability_scores",
-    # round-7 NEW queries
-    "trigram_perplexity_scores",
-    "part_triangle_clustering",
-    "knn_label_predict",
-    "supplier_pareto_frontier",
-    "lineitem_correlation_matrix",
-    "rm3_expanded_search",
-    "jaccard_prefix_join_pairs",
-    "nation_revenue_trend",
-    "events_cusum_alarms",
-    "orders_benford_deviation",
-    "incremental_join_materialize",
-    "personalized_pagerank_parts",
-    "part_neighbor_jaccard",
-    "copurchase_assortativity",
-    "events_trimmed_mean_udaf",
-    "asof_cogroup_pandas",
-    "tfidf_cosine_pairs",
-    "doc_compression_by_source",
-    "customer_spend_balance_spearman",
-    "event_trigram_paths",
-    "segment_overlap_hll",
-    "loo_target_encoding",
-    "customer_rank_kendall",
-    "embedding_outlier_mahalanobis",
-    "quality_classifier_scores",
-    "quality_classifier_eval",
-    "pca_explained_variance",
-    "pca_doc_projection",
-    "zipf_slope_fit",
-    "contamination_check_bloom",
-    "unconverted_clicks_outer_join",
-    "rollup_cdc_maintenance",
-    "dsir_importance_weights",
-    "span_corruption_pairs",
-    "snapshot_bloom_pruned_scan",
-    "gopher_repetition_signals",
-    "html_text_extraction",
-    # round-7 FIXED (r6's one driver hash-fail: decimal sums both engines)
-    "incremental_agg_rollup",
-    # never driver-sampled across r1-r6 (green locally; the driver has
-    # never hashed these 13 — spend the window here first)
-    "bpe_learned_merges",
-    "fuzzy_name_pairs",
-    "word_window_udtf",
-    "events_variant_stats",
-    "recursive_month_spine",
-    "training_corpus_build",
-    "pq_cosine_topk_batch",
-    "bigram_logprob_scores",
-    "sentence_stats",
-    "top_docs_per_lang",
-    "vocab_coverage_topk",
-    "revenue_yoy_growth",
-    # round-7 newly VALUE-oracled (pinned VALUES oracles replaced
-    # rows-only checks — the driver has never hashed these)
-    # round-6 NEW queries (driver-checked r6; keep ahead of the stable tail)
-    "decontaminated_corpus",
-    "domain_cap_sample",
-    "repeated_span_extents",
-    "doc_char_stats",
-    "cut_duplicated_spans",
-    "snapshot_change_feed",
-    "incremental_quantile_rollup",
-    "events_linear_interpolation",
-    "part_pair_affinity",
-    "part_copurchase_pagerank",
-    "dau_wau_mau",
-    "bm25_search_topk",
-    "hybrid_search_rrf",
-    "bm25_index_probe",
-    "session_overlap_pairs",
-    "curriculum_order",
-    "events_seasonal_anomalies",
-    "corpus_drift_kl",
-    "snapshot_time_travel",
-    "snapshot_cow_upsert",
-    "snapshot_pruned_scan",
-    "scd2_customer_history",
-    "orders_scd2_temporal_join",
-    "orders_expectations_report",
-    "event_transition_matrix",
-    "hard_negatives_topk",
-    "user_event_sequences",
-    "corpus_profile",
-    "cross_doc_dup_rate",
-    "mixture_resample_uniform",
-    "leakage_safe_split",
-    "totalprice_winsorized_by_segment",
-    "orders_time_split_embargo",
-    "upsert_keyed_parity",
-    "token_budget_packing",
-    "weighted_sample_hash",
-    "token_pair_stats",
-    "frequent_tokens_exact",
-    "embedding_quantize_error",
-    "quality_filter_verdicts",
-    "canonical_doc_per_cluster",
-    "nation_market_share",
-    "product_type_profit",
-    # round-6 behavior changes: LSH multi-probe (recall fix), PNG
-    # decode (pixel path), staged atomic commit + adaptive dense
-    # sequence (ETL), as-of direction/tolerance params
-    "ingest_rowcount",
-    "dense_sequence_customer",
-    "asof_click_to_purchase",
-    # stalest tail: last driver-checked in round 1…
-    "customer_balance_extremes",
+    "stratified_sample_events",
     "dedup_exact_documents",
     "dedup_fingerprint_md5",
     "disjunctive_brand_revenue",
-    "part_measures_unpivot",
-    # …then round 2 (the driver's ~50/round window reaches through
-    # here; remaining r2 names queue behind and r4/r5-checked entries
-    # come last via registry order)
     "click_purchase_interval_join",
     "cosine_topk_bruteforce",
-    "customer_order_distribution",
     "doc_fingerprint_rolling",
-    "doc_length_band_filter",
     "doc_quality_scores",
     "embedding_l2_norm_pandas",
     "embedding_neardup_pairs",
     "events_sessionization",
     "events_tumbling_windows",
-    "global_sales_opportunity",
     "grouping_sets_revenue",
-    "intra_doc_repetition",
     "lang_id_heuristic",
     "lang_mixture_weights",
+    "orders_above_customer_avg",
+    "pii_redaction_stats",
+    "text_stats_by_lang",
+    "train_val_test_split",
+    "asof_click_to_purchase",
+    "contamination_check_4gram",
+    "events_zscore_grouped_pandas",
+    "ngram_jaccard_pairs",
+    "price_rank_ntile",
+    "regex_token_totals",
+    "returned_items_top_customers",
+    "revenue_by_nation_sql",
+    "top_words_explode",
+    "contamination_check_shuffle",
+    "corpus_deterministic_shuffle",
+    "cosine_topk_batch_exact",
+    "dense_sequence_customer",
+    "doc_chunking_overlap",
+    "duplicate_clusters",
+    "enrich_orders_customer",
+    "ngram_containment_pairs",
+    "quantity_band_range_join_binned",
+    "shipping_priority_top10",
+    "top10_orders_global",
+    "top_order_per_customer",
+    "totalprice_percent_rank",
+    "bm25_index_probe",
+    "bm25_search_topk",
+    "canonical_doc_per_cluster",
+    "corpus_drift_kl",
+    "cross_doc_dup_rate",
+    "curriculum_order",
+    "cut_duplicated_spans",
+    "decontaminated_corpus",
+    "embedding_quantize_error",
+    "events_linear_interpolation",
+    "frequent_tokens_exact",
+    "hard_negatives_topk",
+    "hybrid_search_rrf",
+    "incremental_quantile_rollup",
+    "orders_expectations_report",
+    "orders_scd2_temporal_join",
+    "part_copurchase_pagerank",
+    "quality_filter_verdicts",
+    "repeated_span_extents",
+    "scd2_customer_history",
+    "session_overlap_pairs",
+    "snapshot_change_feed",
+    "snapshot_cow_upsert",
+    "snapshot_pruned_scan",
+    "snapshot_time_travel",
+    "token_budget_packing",
+    "token_pair_stats",
+    "upsert_keyed_parity",
+    "bigram_logprob_scores",
+    "bpe_learned_merges",
+    "customer_rank_kendall",
+    "pca_doc_projection",
+    "vocab_coverage_topk",
+    "zipf_slope_fit",
+    "customer_balance_extremes",
+    "part_measures_unpivot",
+    "customer_order_distribution",
+    "doc_length_band_filter",
+    "global_sales_opportunity",
+    "intra_doc_repetition",
     "large_volume_customers",
     "latest_order_per_nation",
     "min_cost_supplier_per_part",
-    "orders_above_customer_avg",
     "orders_moving_avg_range_frame",
-    "pii_redaction_stats",
     "quantity_band_range_join",
     "sole_late_supplier",
-    "text_stats_by_lang",
     "tfidf_top_terms",
     "top_parts_by_revenue_share",
     "top_revenue_supplier",
-    "train_val_test_split",
+    "cube_status_priority",
+    "custkey_except",
+    "custkey_intersect",
+    "embedding_centroid_by_label",
+    "events_hourly_by_type",
+    "events_json_extract",
+    "events_json_struct",
+    "lineitem_stats_by_flag",
+    "monthly_order_stats",
+    "nation_acctbal_having",
+    "order_gaps_lag_lead",
+    "orders_pivot_priority",
+    "part_string_functions",
+    "promo_revenue_pct",
+    "quantity_percentiles",
+    "returnflag_priority_matrix",
+    "rollup_returnflag_status",
+    "salted_join_orders_customer",
+    "small_quantity_revenue",
+    "totalprice_buckets",
+    "volume_between_nations",
+    "agg_max_bounds",
+    "conform_rename_part",
+    "custkey_union",
+    "customers_with_orders",
+    "customers_without_orders",
+    "distinct_segments",
+    "doc_unicode_stats",
+    "events_approx_distinct_check",
+    "events_dedup_earliest",
+    "events_ewma_final",
+    "events_funnel_3step",
+    "events_hourly_gapfill",
+    "events_sliding_window",
+    "events_trailing_hour_sum",
+    "events_value_histogram",
+    "filter_scan_pushdown",
+    "ingest_rowcount",
+    "key_extract_regexp",
+    "lineitem_regression_stats",
+    "local_supplier_volume",
+    "nation_acctbal_concat",
+    "order_priority_check",
+    "orders_approx_percentile_check",
+    "orders_column_profile",
+    "orders_count_if_share",
+    "orders_date_arithmetic",
+    "orders_lag_defaults",
+    "part_bool_bit_aggs",
+    "pricing_summary",
+    "priority_mode_by_month",
+    "revenue_forecast",
+    "revenue_grouping_sets",
+    "running_total_per_customer",
+    "user_retention_cohorts",
+    "corpus_profile",
+    "dau_wau_mau",
+    "doc_char_stats",
+    "domain_cap_sample",
+    "event_transition_matrix",
+    "events_seasonal_anomalies",
+    "leakage_safe_split",
+    "mixture_resample_uniform",
+    "nation_market_share",
+    "orders_time_split_embargo",
+    "part_pair_affinity",
+    "product_type_profit",
+    "totalprice_winsorized_by_segment",
+    "user_event_sequences",
+    "weighted_sample_hash",
+    "asof_cogroup_pandas",
+    "contamination_check_bloom",
+    "customer_spend_balance_spearman",
+    "doc_compression_by_source",
+    "dsir_importance_weights",
+    "embedding_outlier_mahalanobis",
+    "event_trigram_paths",
+    "events_trimmed_mean_udaf",
+    "events_variant_stats",
+    "fuzzy_name_pairs",
+    "gopher_repetition_signals",
+    "html_text_extraction",
+    "incremental_agg_rollup",
+    "loo_target_encoding",
+    "pca_explained_variance",
+    "pq_cosine_topk_batch",
+    "quality_classifier_eval",
+    "quality_classifier_scores",
+    "recursive_month_spine",
+    "revenue_yoy_growth",
+    "rollup_cdc_maintenance",
+    "segment_overlap_hll",
+    "sentence_stats",
+    "snapshot_bloom_pruned_scan",
+    "span_corruption_pairs",
+    "tfidf_cosine_pairs",
+    "top_docs_per_lang",
+    "training_corpus_build",
+    "unconverted_clicks_outer_join",
+    "word_window_udtf",
+    "ann_recall_report",
+    "approx_distinct_users",
+    "audio_spectral_profile",
+    "bpe_encode_tokens",
+    "catalog_columns",
+    "copurchase_assortativity",
+    "copurchase_bfs_hops",
+    "copurchase_cheapest_path",
+    "copurchase_kcore",
+    "customer_top2_orders_lateral",
+    "doc_readability_scores",
+    "embedding_neardup_lsh",
+    "event_funnel_steps",
+    "event_value_welch_ttest",
+    "events_cusum_alarms",
+    "events_mad_anomalies",
+    "events_xml_extract",
+    "image_neardup_dhash",
+    "image_neardup_phash",
+    "incremental_join_materialize",
+    "incremental_neardup_probe",
+    "ivf_cosine_topk",
+    "ivf_cosine_topk_batch",
+    "jaccard_prefix_join_pairs",
+    "knn_label_predict",
+    "lang_source_chi2",
+    "lineitem_correlation_matrix",
+    "lsh_cosine_topk",
+    "lsh_cosine_topk_batch",
+    "minhash_neardup_pairs",
+    "mjpeg_avi_frame_sample",
+    "multimodal_corpus_build",
+    "multimodal_feature_extract",
+    "multimodal_resize_pixels",
+    "nation_revenue_trend",
+    "orders_benford_deviation",
+    "part_neighbor_jaccard",
+    "part_triangle_clustering",
+    "personalized_pagerank_parts",
+    "purchase_hits_scores",
+    "quality_auc_mannwhitney",
+    "rm3_expanded_search",
+    "semdedup_prune",
+    "simhash_neardup_pairs",
+    "supplier_pareto_frontier",
+    "trigram_perplexity_scores",
+    "video_frame_sample",
+    "video_scene_cuts",
+    "weekly_retention_triangle",
 )
 
 

@@ -59,9 +59,51 @@ def test_catalog_columns_matches_file_schemas(spark, sf_dir):
 
 def test_priority_names_all_registered():
     """A typo'd _PRIORITY entry silently loses its front-of-queue slot —
-    every name must exist in the registry, without duplicates."""
+    every name must exist in the registry, without duplicates. Since r9
+    _PRIORITY is the ledger tool's FULL ordering, so it must also cover
+    the registry completely (a missing name would sink a new query to
+    undefined registry-order position)."""
     from reactionetl_etl_spark.plans.catalog import _PRIORITY, _REGISTRY
 
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     assert not missing, missing
     assert len(set(_PRIORITY)) == len(_PRIORITY)
+    uncovered = [n for n in _REGISTRY if n not in set(_PRIORITY)]
+    assert not uncovered, uncovered
+
+
+def test_verify_ledger_block_extraction_complete():
+    """The churn ledger (tools/verify_ledger.py) detects per-query
+    catalog churn by extracting each query's @_q block textually — a
+    query whose block the parser misses would silently never register
+    direct churn. Every registry name must extract, and the extracted
+    block must contain its own builder reference (sanity that block
+    boundaries line up)."""
+    import os
+
+    from reactionetl_etl_spark.plans.catalog import _REGISTRY
+    from tools.verify_ledger import catalog_blocks, pinned_blocks
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    blocks = catalog_blocks(
+        open(os.path.join(repo, "reactionetl_etl_spark/plans/catalog.py")).read()
+    )
+    missing = sorted(set(_REGISTRY) - set(blocks))
+    assert not missing, missing
+    pins = pinned_blocks(
+        open(os.path.join(repo, "reactionetl_etl_spark/plans/pinned.py")).read()
+    )
+    # every pinned oracle belongs to a registered query
+    assert not sorted(set(pins) - set(_REGISTRY))
+
+
+def test_verify_ledger_orders_never_verified_first():
+    """Ledger ranking contract: rank ascends, and within a rank the
+    last-green round ascends — so never-verified (rank 0) and oldest
+    direct-churn queries land inside the driver's ~50-query window."""
+    from tools.verify_ledger import build_ledger
+
+    ledger = build_ledger()
+    keys = [(r["rank"], r["last_green_round"]) for r in ledger]
+    assert keys == sorted(keys)
+    assert all(r["last_green_round"] == 0 for r in ledger if r["rank"] == 0)

@@ -1,0 +1,231 @@
+"""Churn-aware driver-verification ledger (r8 verdict item 1).
+
+The driver value-hashes ~50 catalog queries per round, taken from the
+head of `all_queries()` iteration order (`plans/catalog._PRIORITY`).
+Every query has been value-proven at least once across r1-r8, but code
+keeps changing under long-stable queries — a query whose
+implementation changed AFTER its last green driver row is silently
+unverified until the driver's window reaches it again.
+
+This tool derives, from artifacts already in the repo:
+
+  per query:  last round with a green driver value-hash
+              (CORRECTNESS_r0*.json), and whether its implementation
+              changed since then (git, against the `round N:` boundary
+              commit that recorded the green row)
+
+and prints the recommended `_PRIORITY` head ordering:
+
+  rank 0  never driver-verified (new queries)
+  rank 1  own catalog block / pinned oracle / operator-module changed
+          since last green row  (direct churn)
+  rank 2  shared infra (sources/tables.py, session.py) changed since
+          last green row  (indirect churn — everything reads tables)
+  rank 3  stale only (no churn) — oldest green first
+
+within a rank: oldest last-green round first.
+
+"Implementation" of a query =
+  - its own @_q block in plans/catalog.py (decorator incl. oracle SQL
+    + builder function), extracted textually from the historical blob
+    so unrelated catalog.py growth does NOT count as churn;
+  - its pinned VALUES oracle block in plans/pinned.py, if any;
+  - every engine module its block references (operator-alias usage
+    `D./S./TX./R.` and `from reactionetl_etl_spark.x.y import` lines).
+
+Usage:
+    python tools/verify_ledger.py            # human table + summary
+    python tools/verify_ledger.py --priority # ready-to-paste names
+    python tools/verify_ledger.py --json     # machine-readable ledger
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CATALOG_REL = "reactionetl_etl_spark/plans/catalog.py"
+PINNED_REL = "reactionetl_etl_spark/plans/pinned.py"
+
+# catalog.py module aliases → engine module files
+ALIAS_FILES = {
+    "D": "reactionetl_etl_spark/operators/dedup.py",
+    "S": "reactionetl_etl_spark/operators/similarity.py",
+    "TX": "reactionetl_etl_spark/operators/text.py",
+    "R": "reactionetl_etl_spark/operators/relational.py",
+}
+# files every query depends on (table loaders, session config): churn
+# here is real but indirect, so it ranks BELOW direct block churn
+SHARED_FILES = (
+    "reactionetl_etl_spark/sources/tables.py",
+    "reactionetl_etl_spark/session.py",
+)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def last_green_rounds() -> dict[str, int]:
+    """query → max round whose CORRECTNESS_r{N}.json shows a green
+    value-hash (rows+schema+hash all true). Rows-only greens do not
+    count as value verification."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def round_boundary_commits() -> dict[int, str]:
+    """round N → the `round N: verdict/...` commit that recorded its
+    CORRECTNESS file. The driver verified the tree as of that commit."""
+    out: dict[int, str] = {}
+    log = _git("log", "--format=%H %s")
+    for line in log.splitlines():
+        sha, _, subj = line.partition(" ")
+        m = re.match(r"round (\d+):", subj)
+        if m:
+            out.setdefault(int(m.group(1)), sha)  # newest occurrence wins
+    return out
+
+
+def catalog_blocks(text: str) -> dict[str, str]:
+    """query name → its @_q block (decorator + builder) from a
+    catalog.py source text. Blocks start at a column-0 `@_q(` and run
+    to the next column-0 `@_q(`, `def `, class or module-level
+    assignment."""
+    lines = text.splitlines()
+    starts = [i for i, ln in enumerate(lines) if ln.startswith("@_q(")]
+    out: dict[str, str] = {}
+    for idx, s in enumerate(starts):
+        e = starts[idx + 1] if idx + 1 < len(starts) else len(lines)
+        block = "\n".join(lines[s:e]).rstrip()
+        m = re.search(r'@_q\(\s*\n?\s*"([^"]+)"', block)
+        if m:
+            out[m.group(1)] = block
+    return out
+
+
+def pinned_blocks(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in re.finditer(
+        r'PINNED_ORACLES\["([^"]+)"\]\s*=\s*"""(.*?)"""', text, re.DOTALL
+    ):
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def block_module_deps(block: str) -> set[str]:
+    deps: set[str] = set()
+    for alias, path in ALIAS_FILES.items():
+        if re.search(rf"\b{alias}\.", block):
+            deps.add(path)
+    for m in re.finditer(r"from\s+(reactionetl_etl_spark[\w.]*)\s+import", block):
+        deps.add(m.group(1).replace(".", "/") + ".py")
+    return deps
+
+
+def build_ledger() -> list[dict]:
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    greens = last_green_rounds()
+    boundaries = round_boundary_commits()
+
+    cur_catalog = open(os.path.join(REPO, CATALOG_REL)).read()
+    cur_pinned = open(os.path.join(REPO, PINNED_REL)).read()
+    cur_blocks = catalog_blocks(cur_catalog)
+    cur_pins = pinned_blocks(cur_pinned)
+
+    # per boundary round: historical block texts + changed-file list
+    hist_blocks: dict[int, dict[str, str]] = {}
+    hist_pins: dict[int, dict[str, str]] = {}
+    changed_files: dict[int, set[str]] = {}
+    for rnd, sha in boundaries.items():
+        try:
+            hist_blocks[rnd] = catalog_blocks(_git("show", f"{sha}:{CATALOG_REL}"))
+        except subprocess.CalledProcessError:
+            hist_blocks[rnd] = {}
+        try:
+            hist_pins[rnd] = pinned_blocks(_git("show", f"{sha}:{PINNED_REL}"))
+        except subprocess.CalledProcessError:
+            hist_pins[rnd] = {}
+        changed_files[rnd] = set(
+            _git("diff", "--name-only", sha, "HEAD").splitlines()
+        )
+
+    ledger: list[dict] = []
+    for name in all_queries():
+        green = greens.get(name, 0)
+        rec = {"query": name, "last_green_round": green, "churn": []}
+        if green == 0 or green not in hist_blocks:
+            rec["rank"] = 0 if green == 0 else 3
+            ledger.append(rec)
+            continue
+        deps = block_module_deps(cur_blocks.get(name, ""))
+        direct = []
+        if cur_blocks.get(name) != hist_blocks[green].get(name):
+            direct.append("catalog-block")
+        if cur_pins.get(name) != hist_pins[green].get(name):
+            direct.append("pinned-oracle")
+        direct += sorted(deps & changed_files[green])
+        shared = sorted(set(SHARED_FILES) & changed_files[green])
+        if direct:
+            rec["rank"], rec["churn"] = 1, direct
+        elif shared:
+            rec["rank"], rec["churn"] = 2, shared
+        else:
+            rec["rank"] = 3
+        ledger.append(rec)
+
+    ledger.sort(key=lambda r: (r["rank"], r["last_green_round"], r["query"]))
+    return ledger
+
+
+def main() -> None:
+    ledger = build_ledger()
+    if "--json" in sys.argv:
+        print(json.dumps(ledger, indent=1))
+        return
+    if "--priority" in sys.argv:
+        for r in ledger:
+            print(f'    "{r["query"]}",')
+        return
+    counts: dict[int, int] = {}
+    for r in ledger:
+        counts[r["rank"]] = counts.get(r["rank"], 0) + 1
+    for r in ledger:
+        churn = ",".join(r["churn"]) if r["churn"] else "-"
+        print(f'r{r["last_green_round"]:>2}  rank{r["rank"]}  {r["query"]:<40} {churn}')
+    print(
+        f"\n{len(ledger)} queries: "
+        f'{counts.get(0, 0)} never-verified, {counts.get(1, 0)} direct-churn, '
+        f'{counts.get(2, 0)} shared-infra-churn, {counts.get(3, 0)} stale-only',
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
