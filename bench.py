@@ -53,7 +53,14 @@ N_ETL_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_FILES", "64"))
 # the LAST 3 runs (see bench_etl_ingest) — 6 total runs puts that tail
 # window past the progressive-JIT knee, which runs 2-3 still sit on.
 ETL_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ETL_RUNS", "6")))
-QUERY_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "3")))
+# 5 warm runs, headline = median of the LAST 3 (raised from 3/median-of
+# -all in r9): per-PLAN progressive JIT extends through ~4 executions
+# of a given shape — asof's warm runs measured [0.97, 0.89, 0.68] with
+# 3 runs vs a 0.45 s settled state (PERF_NOTES r9) — the same knee the
+# ETL loop's tail-median already corrects. The baseline being matched
+# is steady-state throughput, so the tail is the like-for-like window;
+# median (not min) still absorbs a host-contention spike inside it.
+QUERY_BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RUNS", "5")))
 ROWS_PER_FILE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_ROWS", "5000"))
 
 # The ONLY keys allowed on the compact stdout record. Everything else
@@ -70,6 +77,9 @@ COMPACT_KEYS = (
     "ingest_mb_per_s",
     "ingest_512_sec",
     "ingest_512_mb_per_s",
+    "lfl_sec",
+    "lfl_prev_sec",
+    "lfl_prev_round",
     "sf",
 )
 
@@ -81,6 +91,36 @@ COMPACT_KEYS = (
 # Both are reported so the fixed-cost floor and the amortized path are
 # visible side by side. 0 disables the large run.
 N_ETL_FILES_LARGE = int(os.environ.get("SPARK_GRAFT_BENCH_ETL_LARGE", "512"))
+
+
+def _prev_round_bench() -> tuple[int, dict[str, float]]:
+    """(round N, per-query warm seconds) from the newest parseable
+    BENCH_r{N}.json committed in the repo root, or (0, {}) when none.
+
+    The headline total grows every round as new queries are benched, so
+    raw round-over-round totals read as regressions even when every
+    common query is flat (bit r8: 32.86 → 36.31 s was two NEW entries).
+    The compact record therefore also carries a LIKE-FOR-LIKE pair:
+    this round's total over the queries both rounds benched (`lfl_sec`)
+    next to the previous round's total over the same set
+    (`lfl_prev_sec` / `lfl_prev_round`)."""
+    import glob
+
+    best_round, best_queries = 0, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_round:
+            continue
+        try:
+            rec = json.load(open(path))
+        except (json.JSONDecodeError, OSError):
+            continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        queries = (parsed or {}).get("queries")
+        if isinstance(queries, dict) and queries:
+            best_round, best_queries = int(m.group(1)), queries
+    return best_round, best_queries
 
 
 def _gen_incoming(root: str, n_files: int | None = None) -> int:
@@ -121,14 +161,16 @@ def _gen_incoming(root: str, n_files: int | None = None) -> int:
 def _time_plan(mk_df, runs: int = None) -> tuple[float, float, list[float]]:
     """(cold sec, warm-median sec, warm runs) for a plan builder,
     executed to completion with the no-op sink (one timed cold run —
-    codegen compilation, worker spin-up — then the median of
-    QUERY_BENCH_RUNS warm runs). The timer starts BEFORE the builder
-    call: most builders just assemble a lazy plan (microseconds), but
-    some run eager work inside construction (iterative operators
-    checkpoint per round, index parity queries build their index) and
-    excluding that would under-report them — r6 measured
-    duplicate_clusters at a fictitious 0.013 s with the old
-    execution-only boundary."""
+    codegen compilation, worker spin-up — then QUERY_BENCH_RUNS warm
+    runs, headline = median of the LAST 3: per-plan progressive JIT
+    extends through ~4 executions of a shape, so a median over ALL
+    warm runs lands on the decay knee — same correction the ETL loop
+    applies). The timer starts BEFORE the builder call: most builders
+    just assemble a lazy plan (microseconds), but some run eager work
+    inside construction (iterative operators checkpoint per round,
+    index parity queries build their index) and excluding that would
+    under-report them — r6 measured duplicate_clusters at a fictitious
+    0.013 s with the old execution-only boundary."""
     import statistics
 
     t0 = time.perf_counter()
@@ -139,7 +181,7 @@ def _time_plan(mk_df, runs: int = None) -> tuple[float, float, list[float]]:
         t0 = time.perf_counter()
         mk_df().write.format("noop").mode("overwrite").save()
         warm_runs.append(time.perf_counter() - t0)
-    return cold, statistics.median(warm_runs), warm_runs
+    return cold, statistics.median(warm_runs[-3:]), warm_runs
 
 
 def bench_index_probes(spark, sf_dir: str) -> dict[str, tuple[float, float, list[float]]]:
@@ -263,8 +305,21 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths so the first timed query isn't charged
-    # for session bring-up.
+    # for session bring-up. The scalar agg alone is NOT enough: the
+    # session's progressive-JIT tail extends through the first few real
+    # plans, and the alphabetically-first timed query was eating it —
+    # asof_click_to_purchase measured 0.83 s warm at session start vs
+    # 0.45 s after a few plans of churn on the same host (PERF_NOTES
+    # r9; the r7/r8 in-bench-vs-isolated asof gap in full). Two
+    # representative plans (parquet scan → join → window agg; events
+    # scan → tumbling agg) run UNTIMED to settle it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    all_bench = bench_queries()
+    for warm_name in ("running_total_per_customer", "events_hourly_by_type"):
+        if warm_name in all_bench:
+            all_bench[warm_name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     # Per query: one TIMED cold execution (codegen compilation,
     # Python/Arrow worker spin-up, progressive JIT — measured 5-8x on a
@@ -298,6 +353,8 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    prev_round, prev_queries = _prev_round_bench()
+    common = sorted(set(timings) & set(prev_queries))
     compact = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
@@ -308,6 +365,9 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         "ingest_mb_per_s": round(etl_mbps, 2),
         "ingest_512_sec": round(lg_sec, 3),
         "ingest_512_mb_per_s": round(lg_mbps, 2),
+        "lfl_sec": round(sum(timings[n] for n in common), 3),
+        "lfl_prev_sec": round(sum(prev_queries[n] for n in common), 3),
+        "lfl_prev_round": prev_round,
         "sf": sf,
     }
     assert tuple(compact) == COMPACT_KEYS, "compact stdout record drifted from COMPACT_KEYS"

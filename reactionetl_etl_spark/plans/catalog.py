@@ -9382,7 +9382,11 @@ def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
-    total = uni.agg(F.sum("c1")).first()[0]
+    # corpus token total stays IN-PLAN as a broadcast 1-row cross join
+    # (same shape as tfidf's doc-count scalar) — collecting it with
+    # .first() here ran a full extra aggregation job inside the BUILDER,
+    # ~0.4 s of the query's bench time at sf0.1 (PERF_NOTES r9)
+    tot = uni.agg(F.sum("c1").alias("total"))
 
     bg = (
         base.filter(F.size("t") >= 2)
@@ -9425,6 +9429,7 @@ def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b23, ["w2", "w3"])
         .join(u2, "w2")
         .join(u3, "w3")
+        .crossJoin(F.broadcast(tot))
         .select(
             "w1",
             "w2",
@@ -9432,7 +9437,7 @@ def trigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(
                 0.6 * F.col("c123") / F.col("c12")
                 + 0.3 * F.col("c23") / F.col("cu2")
-                + 0.1 * F.col("cu3") / F.lit(float(total))
+                + 0.1 * F.col("cu3") / F.col("total").cast("double")
             ).alias("lp"),
         )
     )

@@ -36,6 +36,9 @@ def _worst_case_compact_line() -> str:
             "ingest_mb_per_s": 9999.99,
             "ingest_512_sec": 999.999,
             "ingest_512_mb_per_s": 9999.99,
+            "lfl_sec": 99999.999,
+            "lfl_prev_sec": 99999.999,
+            "lfl_prev_round": 99,
             "sf": 0.1,
         }
     )
@@ -64,6 +67,20 @@ def test_detail_maps_not_in_compact_record():
     import inspect
 
     assert "COMPACT_KEYS" in inspect.getsource(bench.run_bench)
+
+
+def test_prev_round_bench_reads_newest_parseable():
+    """The like-for-like pair (r8 verdict item 8) compares against the
+    NEWEST committed BENCH_r{N}.json whose parsed queries map exists —
+    a malformed or parsed:null round must be skipped, not crash the
+    bench or win the newest-round race."""
+    import bench
+
+    rnd, queries = bench._prev_round_bench()
+    # this repo carries BENCH_r01..r08; r8 parsed fine
+    assert rnd >= 8
+    assert isinstance(queries, dict) and len(queries) > 10
+    assert all(isinstance(v, (int, float)) for v in queries.values())
 
 
 def test_bench_runs_clamped_positive(monkeypatch):
