@@ -111,14 +111,27 @@ def main() -> int:
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
-        if "PINNED VALUES oracle" in spec.oracle and not sf_dir.rstrip("/").endswith("sf0.01"):
+        oracle = spec.oracle
+        if "PINNED VALUES oracle" in oracle and not sf_dir.rstrip("/").endswith("sf0.01"):
             # pinned constant tables encode sf0.01 outputs (the driver's
             # correctness scale) — at any other scale they are wrong by
-            # construction, so degrade to the rows-only check
-            print(f"rows  {name}: {len(sdf)} rows (pin is sf0.01-only)")
-            continue
+            # construction. The cheapest deterministic pinned queries
+            # also carry sf0.1 pins (plans/pinned_sf0_1.py, r8 verdict
+            # item 6) so the 10× gate run proves values, not just
+            # counts; everything else degrades to the rows-only check.
+            sf01_pin = None
+            if sf_dir.rstrip("/").endswith("sf0.1"):
+                from reactionetl_etl_spark.plans.pinned_sf0_1 import (
+                    PINNED_ORACLES_SF0_1,
+                )
+
+                sf01_pin = PINNED_ORACLES_SF0_1.get(name)
+            if sf01_pin is None:
+                print(f"rows  {name}: {len(sdf)} rows (pin is sf0.01-only)")
+                continue
+            oracle = sf01_pin
         try:
-            odf = con.execute(spec.oracle).fetchdf()
+            odf = con.execute(oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")

@@ -88,10 +88,11 @@ def pin(name: str, sf_dir: str) -> str:
     # quoted identifiers: column names like `left`/`right` are reserved
     cols = ", ".join(f'"{c}"' for c in sa.columns)
     body = ",\n".join(rows)
+    scale = os.path.basename(sf_dir.rstrip("/"))
     return (
-        f"    -- PINNED VALUES oracle (tools/pin_oracle.py @ {os.path.basename(sf_dir)}):\n"
-        f"    -- deterministic output frozen as the value contract; the driver's\n"
-        f"    -- correctness gate runs at sf0.01 only, which this pin encodes.\n"
+        f"    -- PINNED VALUES oracle (tools/pin_oracle.py @ {scale}):\n"
+        f"    -- deterministic output frozen as the value contract; valid at\n"
+        f"    -- {scale} ONLY (the gate matches pins to the scale under check).\n"
         f"    SELECT * FROM (VALUES\n{body}\n    ) AS t({cols})\n"
     )
 

@@ -43,6 +43,14 @@ EXTRA_QUERIES = (
     "customer_spend_balance_spearman",
     "quality_classifier_scores",  # in-Spark LR training + scoring
     "jaccard_prefix_join_pairs",  # PPJoin — output-bound on this corpus
+    # r8 operator families (verdict-r8 item 5): iterative graph +
+    # product-analytics shapes, one representative each
+    "copurchase_bfs_hops",  # per-level keyed join + anti-join
+    "copurchase_kcore",  # iterative peel, shrinking edge set
+    "copurchase_cheapest_path",  # Bellman-Ford rounds
+    "purchase_hits_scores",  # HITS fixed-round power iteration
+    "event_funnel_steps",  # stacked windows over one events scan
+    "weekly_retention_triangle",  # cohort grid agg
 )
 
 
