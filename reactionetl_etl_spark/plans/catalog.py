@@ -82,7 +82,13 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
+    "dominant_part_suppliers",
+    "ks_test_click_purchase",
+    "mixture_temperature_resample",
+    "part_value_concentration",
+    "retrieval_ndcg_eval",
     "stratified_sample_events",
+    "supplier_attr_counts",
     "dedup_exact_documents",
     "dedup_fingerprint_md5",
     "disjunctive_brand_revenue",
@@ -157,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "pca_doc_projection",
     "vocab_coverage_topk",
     "zipf_slope_fit",
+    "trigram_perplexity_scores",
     "customer_balance_extremes",
     "part_measures_unpivot",
     "customer_order_distribution",
@@ -317,7 +324,6 @@ _PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "simhash_neardup_pairs",
     "supplier_pareto_frontier",
-    "trigram_perplexity_scores",
     "video_frame_sample",
     "video_scene_cuts",
     "weekly_retention_triangle",
@@ -11981,4 +11987,395 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         "n_sentences",
         (F.floor(flesch * 10_000 + F.lit(0.5)) / 10_000).alias("flesch4"),
+    )
+
+
+@_q(
+    "part_value_concentration",
+    """
+    WITH pv AS (
+        SELECT l_partkey AS partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS v4
+        FROM lineitem
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(v4) AS BIGINT) AS t4,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM pv
+    )
+    SELECT partkey, v4 / 10000.0 AS supply_value
+    FROM pv CROSS JOIN tot
+    WHERE v4 * n_parts * 2 > 3 * t4
+    """,
+    tags=("agg", "scalar-subquery", "tpch"),
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shape (testdata has no partsupp, so supply value comes
+    from lineitem): parts whose discounted revenue exceeds 1.5x the
+    MEAN part value — the group-vs-global-scalar HAVING pattern, with
+    a scale-invariant threshold (a fixed global-share cut returns an
+    ever-thinner slice as the part count grows).
+    Exact end to end: prices/discounts carry 2 decimals, so
+    cents × (100 − pct) is an integer in 10⁻⁴ currency units; the
+    threshold compare is the cross-multiplied integer `v4·2000 > t4`
+    (no division), and the only IEEE op is the final display division,
+    mirrored in the oracle. The global total rides in as a broadcast
+    1-row cross join — one shuffle (the partkey agg) total. At 100 TB
+    the BIGINT micro-unit sum needs DECIMAL(38,0) headroom; the ANSI
+    overflow raise (not a wrap) is the guard."""
+    l = _t(spark, sf_dir, "lineitem")
+    e_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d_pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    pv = (
+        l.select(
+            F.col("l_partkey").alias("partkey"),
+            (e_cents * (F.lit(100) - d_pct)).alias("item_v4"),
+        )
+        .groupBy("partkey")
+        .agg(F.sum("item_v4").alias("v4"))
+    )
+    tot = pv.agg(
+        F.sum("v4").alias("t4"), F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("v4") * F.col("n_parts") * 2 > 3 * F.col("t4"))
+        .select("partkey", (F.col("v4") / F.lit(10000.0)).alias("supply_value"))
+    )
+
+
+@_q(
+    "supplier_attr_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "distinct", "anti-join", "tpch"),
+)
+def supplier_attr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shape: how many DISTINCT suppliers serve each
+    surviving (brand, type, size) bucket, excluding suspect suppliers
+    (negative balance standing in for the complaint-comment filter;
+    testdata has no partsupp, so supply pairs come from lineitem).
+    The NOT IN compiles to a broadcast anti-join (s_suppkey is
+    non-null, so NOT IN ≡ anti); part filters push into the part scan
+    and the part side broadcasts; count(DISTINCT) is the two-level
+    partial-distinct aggregate on (attrs, suppkey) — no row explosion,
+    one real shuffle."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22])
+    )
+    suspect = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(suspect),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "dominant_part_suppliers",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND l_shipdate >= TIMESTAMP '2000-01-01'
+        GROUP BY 1, 2
+    ), wt AS (
+        SELECT suppkey, qty,
+               CAST(sum(qty) OVER (PARTITION BY partkey) AS BIGINT) AS total
+        FROM ps
+    )
+    SELECT DISTINCT s_name, s_nationkey
+    FROM wt JOIN supplier ON s_suppkey = suppkey
+    WHERE qty * 2 > total
+    """,
+    tags=("window", "semi-join", "tpch"),
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shape (availqty recast onto lineitem): suppliers who
+    shipped MORE THAN HALF of a 'small%' part's recent total — the
+    nested grouped-share pattern (per-(part,supplier) agg, per-part
+    window total, threshold semi-join into the dim). Quantities are
+    integers, the share compare is cross-multiplied (`qty·2 > total`,
+    no division) — exact. Spark shape: name/date filters push into the
+    scans, one shuffle on (partkey, suppkey), the part-total window
+    reuses the partkey partitioning AQE leaves behind, supplier
+    broadcasts. DISTINCT output is supplier-sized."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    ps = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("partkey", "suppkey")
+        .agg(F.sum("q").alias("qty"))
+    )
+    wt = ps.withColumn("total", F.sum("qty").over(Window.partitionBy("partkey")))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        wt.filter(F.col("qty") * 2 > F.col("total"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_nationkey")
+        .distinct()
+    )
+
+
+@_q(
+    "ks_test_click_purchase",
+    """
+    WITH pts AS (
+        SELECT value AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c2
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), g AS (
+        SELECT x, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM pts GROUP BY x
+    ), tot AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS big_n1, CAST(sum(n2) AS BIGINT) AS big_n2
+        FROM g
+    ), cum AS (
+        SELECT CAST(sum(n1 * big_n2 - n2 * big_n1) OVER (ORDER BY x) AS BIGINT)
+               AS d_cum
+        FROM g CROSS JOIN tot
+    )
+    SELECT big_n1 AS n_click, big_n2 AS n_purchase,
+           CAST(max(abs(d_cum)) AS BIGINT) AS d_num,
+           floor(max(abs(d_cum)) * 1.0 / (big_n1 * big_n2) * 1000000 + 0.5)
+               / 1000000 AS ks_stat6
+    FROM cum CROSS JOIN tot
+    GROUP BY big_n1, big_n2
+    """,
+    tags=("stats", "hypothesis-test", "exact"),
+)
+def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic comparing the
+    `value` distributions of click vs purchase events — the standard
+    distribution-drift / A-B test companion to the chi-squared and
+    Welch rows. Integer-exact: group by distinct value, and since
+    D = max|F₁(x) − F₂(x)| = max|A(x)·N₂ − B(x)·N₁| / (N₁·N₂), the
+    per-value increment n₁·N₂ − n₂·N₁ is a pure integer whose ONE
+    distributed prefix sum (operators/rank.py::global_running_sum —
+    not a single-partition window) yields the unscaled curve; the only
+    IEEE op is the final division, floored at 6 dp identically in the
+    oracle. Tables are O(distinct values); at >2³¹ samples per side
+    the N₁·N₂ product needs DECIMAL headroom (ANSI raises loudly)."""
+    from reactionetl_etl_spark.operators.rank import global_running_sum
+
+    ev = load_events(spark, sf_dir)
+    pts = ev.filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("value").alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c2"),
+    )
+    g = pts.groupBy("x").agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    tot = g.agg(
+        F.sum("n1").cast("long").alias("big_n1"),
+        F.sum("n2").cast("long").alias("big_n2"),
+    )
+    delta = g.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "big_n1",
+        "big_n2",
+        (F.col("n1") * F.col("big_n2") - F.col("n2") * F.col("big_n1")).alias("d"),
+    )
+    cum = global_running_sum(
+        delta,
+        order_exprs=[F.col("x")],
+        order_desc=[False],
+        value_col="d",
+        out_col="d_cum",
+    )
+    return (
+        cum.groupBy("big_n1", "big_n2")
+        .agg(F.max(F.abs("d_cum")).alias("d_num"))
+        .select(
+            F.col("big_n1").alias("n_click"),
+            F.col("big_n2").alias("n_purchase"),
+            "d_num",
+            (
+                F.floor(
+                    F.col("d_num")
+                    / (F.col("big_n1") * F.col("big_n2"))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("ks_stat6"),
+        )
+    )
+
+
+@_q(
+    "mixture_temperature_resample",
+    """
+    WITH tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS big_n FROM documents
+    ), rates AS (
+        SELECT lang,
+               least(1.0, 0.3 * sqrt(big_n * 1.0 / count(*))) AS keep_rate
+        FROM documents CROSS JOIN tot
+        GROUP BY lang, big_n
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < keep_rate
+    """,
+    tags=("sampling", "mixture", "llm", "deterministic"),
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (the multilingual-corpus
+    counterpart of `mixture_resample_uniform`): keep rate per language
+    ∝ (corpus share)^(−1/2), capped at 1 — the α=0.5 temperature
+    sampling that upsamples rare languages relative to their raw share
+    (mT5/XLM-R style). The rate is a pure function of two INTEGER
+    counts (`0.3·√(N/n_l)`: one division, one correctly-rounded sqrt,
+    one multiply — bit-identical across engines, no cross-group float
+    summation to drift), and selection is the engine-neutral
+    md5-variate Bernoulli, so the selected SET is exactly reproducible
+    anywhere. One broadcast of the per-lang rate table; zero extra
+    shuffle over the corpus scan."""
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    rates = (
+        docs.crossJoin(F.broadcast(tot))
+        .groupBy("lang", "big_n")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0),
+                F.lit(0.3)
+                * F.sqrt(F.col("big_n") * F.lit(1.0) / F.col("n_l")),
+            ).alias("keep_rate"),
+        )
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "lang")
+    )
+
+
+@_q(
+    "retrieval_ndcg_eval",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), t AS (
+        SELECT doc_id, unnest(toks) AS term FROM tok
+    ), hits AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS tf_total,
+               CAST(count(DISTINCT term) AS BIGINT) AS gain
+        FROM t WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY doc_id
+    ), sys10 AS (
+        SELECT row_number() OVER (ORDER BY tf_total DESC, doc_id) AS rn, gain
+        FROM hits ORDER BY tf_total DESC, doc_id LIMIT 10
+    ), ideal10 AS (
+        SELECT row_number() OVER (ORDER BY gain DESC, doc_id) AS rn, gain
+        FROM hits ORDER BY gain DESC, doc_id LIMIT 10
+    ), dcg AS (
+        SELECT sum((power(2.0, gain) - 1.0) / (ln(rn + 1.0) / ln(2.0))) AS dcg10
+        FROM sys10
+    ), idcg AS (
+        SELECT sum((power(2.0, gain) - 1.0) / (ln(rn + 1.0) / ln(2.0))) AS idcg10
+        FROM ideal10
+    )
+    SELECT floor(dcg10 * 1000000 + 0.5) / 1000000 AS dcg6,
+           floor(idcg10 * 1000000 + 0.5) / 1000000 AS idcg6,
+           floor(dcg10 / idcg10 * 1000000 + 0.5) / 1000000 AS ndcg6
+    FROM dcg CROSS JOIN idcg
+    """,
+    tags=("retrieval", "eval", "llm"),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a term-frequency ranking against graded relevance =
+    distinct query terms matched (0-3) — the ranking-quality eval that
+    complements the recall-based `ann_recall_report` (a TF ranking
+    rewards repetition; NDCG scores how much that hurts coverage-graded
+    relevance). Both the system and ideal orderings are TOP-10 via
+    distributed TakeOrdered with full (score, doc_id) tie-breaks — the
+    rank-assignment window then runs over ten rows, never over the
+    candidate set; candidates are the 3-term posting-list union, tables
+    O(matching docs). The exponential-gain DCG discount is a mirrored
+    IEEE expression (ln quotients), floored at 6 dp on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    hits = (
+        t.filter(F.col("term").isin("spark", "merge", "window"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.count_distinct("term").alias("gain"),
+        )
+    )
+    w_sys = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    w_ideal = Window.orderBy(F.desc("gain"), F.asc("doc_id"))
+    sys10 = (
+        hits.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(10)
+        .select(F.row_number().over(w_sys).alias("rn"), "gain")
+    )
+    ideal10 = (
+        hits.orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(10)
+        .select(F.row_number().over(w_ideal).alias("rn"), "gain")
+    )
+
+    def _dcg(col: str):
+        return F.sum(
+            (F.pow(F.lit(2.0), F.col("gain")) - F.lit(1.0))
+            / (F.log(F.col("rn") + F.lit(1.0)) / F.log(F.lit(2.0)))
+        ).alias(col)
+
+    dcg = sys10.agg(_dcg("dcg10"))
+    idcg = ideal10.agg(_dcg("idcg10"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        (F.floor(F.col("dcg10") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("dcg6"),
+        (F.floor(F.col("idcg10") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("idcg6"),
+        (
+            F.floor(F.col("dcg10") / F.col("idcg10") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("ndcg6"),
     )
