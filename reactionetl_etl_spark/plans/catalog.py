@@ -82,13 +82,17 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
+    "bigram_llr_collocations",
     "dominant_part_suppliers",
+    "event_markov_stationary",
     "ks_test_click_purchase",
     "mixture_temperature_resample",
     "part_value_concentration",
+    "purchase_attribution_credit",
     "retrieval_ndcg_eval",
     "stratified_sample_events",
     "supplier_attr_counts",
+    "token_cms_estimates",
     "dedup_exact_documents",
     "dedup_fingerprint_md5",
     "disjunctive_brand_revenue",
@@ -12378,4 +12382,366 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("dcg10") / F.col("idcg10") * 1_000_000 + F.lit(0.5))
             / 1_000_000
         ).alias("ndcg6"),
+    )
+
+
+@_q(
+    "bigram_llr_collocations",
+    """
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS k11
+        FROM t, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u(p)
+        WHERE len(toks) >= 2
+        GROUP BY 1, 2
+    ), heads AS (
+        SELECT w1, CAST(sum(k11) AS BIGINT) AS h FROM pairs GROUP BY 1
+    ), tails AS (
+        SELECT w2, CAST(sum(k11) AS BIGINT) AS t FROM pairs GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(k11) AS BIGINT) AS big_n FROM pairs
+    ), cells AS (
+        SELECT w1, w2, k11, h - k11 AS k12, t - k11 AS k21,
+               big_n - h - t + k11 AS k22, h, t, big_n
+        FROM pairs JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN tot
+    )
+    SELECT w1, w2, k11,
+           floor(2.0 * (
+               CASE WHEN k11 > 0 THEN k11 * ln(k11 * 1.0 * big_n / (h * t)) ELSE 0.0 END
+             + CASE WHEN k12 > 0 THEN k12 * ln(k12 * 1.0 * big_n / (h * (big_n - t))) ELSE 0.0 END
+             + CASE WHEN k21 > 0 THEN k21 * ln(k21 * 1.0 * big_n / ((big_n - h) * t)) ELSE 0.0 END
+             + CASE WHEN k22 > 0 THEN k22 * ln(k22 * 1.0 * big_n / ((big_n - h) * (big_n - t))) ELSE 0.0 END
+           ) * 10000 + 0.5) / 10000 AS llr4
+    FROM cells
+    ORDER BY llr4 DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "collocations", "stats", "llm"),
+)
+def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    statistically-grounded upgrade of raw `token_pair_stats` counts:
+    G² over each bigram's 2×2 contingency table (pair count, head
+    total, tail total, corpus total), which surfaces SURPRISING
+    adjacencies instead of merely frequent ones. All four cell counts
+    are exact integers from two vocabulary-bounded aggregates; the G²
+    expression is mirrored IEEE (ln of identical integer rationals),
+    floored at 4 dp both sides; top-20 with full (w1, w2) tie-break.
+    Pairs are built row-locally (transform over the token array) —
+    only (w1, w2, count) reaches the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    tok = docs.select(F.split(norm, " ").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k11"))
+    )
+    heads = pairs.groupBy("w1").agg(F.sum("k11").alias("h"))
+    tails = pairs.groupBy("w2").agg(F.sum("k11").alias("t"))
+    tot = pairs.agg(F.sum("k11").alias("big_n"))
+    cells = (
+        pairs.join(heads, "w1")
+        .join(tails, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("h") - F.col("k11")).alias("k12"),
+            (F.col("t") - F.col("k11")).alias("k21"),
+            (F.col("big_n") - F.col("h") - F.col("t") + F.col("k11")).alias("k22"),
+            "h",
+            "t",
+            "big_n",
+        )
+    )
+
+    def _term(k: str, num_row, num_col):
+        return F.when(
+            F.col(k) > 0,
+            F.col(k)
+            * F.log(F.col(k) * F.lit(1.0) * F.col("big_n") / (num_row * num_col)),
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        _term("k11", F.col("h"), F.col("t"))
+        + _term("k12", F.col("h"), F.col("big_n") - F.col("t"))
+        + _term("k21", F.col("big_n") - F.col("h"), F.col("t"))
+        + _term("k22", F.col("big_n") - F.col("h"), F.col("big_n") - F.col("t"))
+    )
+    return (
+        cells.select(
+            "w1",
+            "w2",
+            "k11",
+            (F.floor(g2 * 10_000 + F.lit(0.5)) / 10_000).alias("llr4"),
+        )
+        .orderBy(F.desc("llr4"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@_q(
+    "token_cms_estimates",
+    """
+    WITH t AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM t GROUP BY 1
+    ), hashes AS (
+        SELECT token, exact_n, j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 64
+                   AS bucket
+        FROM counts CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+    ), cms AS (
+        SELECT j, bucket, CAST(sum(exact_n) AS BIGINT) AS cell
+        FROM hashes GROUP BY 1, 2
+    ), top10 AS (
+        SELECT token, exact_n FROM counts
+        ORDER BY exact_n DESC, token LIMIT 10
+    )
+    SELECT t10.token, t10.exact_n,
+           CAST(min(cms.cell) AS BIGINT) AS cms_est,
+           CAST(min(cms.cell) - t10.exact_n AS BIGINT) AS overcount
+    FROM top10 t10
+    JOIN hashes h ON h.token = t10.token
+    JOIN cms ON cms.j = h.j AND cms.bucket = h.bucket
+    GROUP BY t10.token, t10.exact_n
+    """,
+    tags=("sketch", "heavy-hitters", "deterministic"),
+)
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan) token frequencies,
+    audited against exact counts: a 4×64 CMS built with md5-derived
+    row hashes (engine-neutral, unlike xxhash64 — which is what buys
+    the computed oracle), point-queried for the top-10 exact heavy
+    hitters. `overcount = est − exact ≥ 0` is the sketch's one-sided
+    error, visible per token. The sketch TABLE is 256 rows regardless
+    of corpus size and merges by cell addition (the mergeable-summary
+    property that makes CMS the 100 TB streaming/partial-agg shape);
+    building it is one map-side-combined aggregate over (row, bucket).
+    The vocabulary-bounded exact counts table is computed once and
+    feeds the sketch build, the top-k probe, and the audit join."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    counts = (
+        docs.select(F.explode(F.split(norm, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=True)
+    )
+    hashes = counts.select(
+        "token",
+        "exact_n",
+        F.explode(F.array([F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64,
+    )
+    cms = hashes.groupBy("j", "bucket").agg(F.sum("exact_n").alias("cell"))
+    top10 = counts.orderBy(F.desc("exact_n"), "token").limit(10)
+    return (
+        top10.join(hashes.select("token", "j", "bucket"), "token")
+        .join(cms, ["j", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+@_q(
+    "event_markov_stationary",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), c AS (
+        SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+    ), it(iter, state, xv) AS (
+        SELECT 0, cur, CAST(1000000000000 AS BIGINT) FROM r
+        UNION ALL
+        SELECT nxt.iter + 1, nxt.state, nxt.xv FROM (
+            SELECT it.iter, c.nxt AS state,
+                   CAST(sum((it.xv * c.n) // r.tot) AS BIGINT) AS xv
+            FROM it JOIN c ON it.state = c.cur JOIN r ON r.cur = c.cur
+            GROUP BY 1, 2
+        ) nxt(iter, state, xv)
+        WHERE nxt.iter < 8
+    ), fin AS (
+        SELECT state, xv FROM it WHERE iter = 8
+    ), z AS (
+        SELECT CAST(sum(xv) AS BIGINT) AS z FROM fin
+    )
+    SELECT state, xv,
+           floor(xv * 1.0 / z * 1000000 + 0.5) / 1000000 AS prob6
+    FROM fin CROSS JOIN z
+    """,
+    tags=("stats", "markov", "iterative", "behavior"),
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain — the
+    long-run state mix implied by `event_transition_matrix`'s counts
+    (where does a user's session settle?). Eight Jacobi power-iteration
+    rounds in TRUNCATED INTEGER arithmetic: state mass starts at 10¹²
+    micro-units and each round routes `(x·c) DIV r` along every
+    transition — integer ops only, so the result is bit-identical
+    across engines AND partitionings (a float recurrence would drift
+    with summation order), expressible as a DuckDB RECURSIVE CTE. The
+    data-scale stage is the ONE transition-count aggregation (per-user
+    lead window); the iteration runs on a state-sized table (|event
+    types| rows), checkpointed per round like the graph family. At
+    >2⁶³/10¹² per-state transition totals the product needs DECIMAL
+    headroom; ANSI raises loudly."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    r = c.groupBy("cur").agg(F.sum("n").alias("tot"))
+    cr = c.join(r, "cur").localCheckpoint(eager=True)  # (cur, nxt, n, tot)
+    x = r.select(
+        F.col("cur").alias("state"), F.lit(1_000_000_000_000).alias("xv")
+    ).localCheckpoint(eager=True)
+    for _ in range(8):
+        x = (
+            cr.join(x, cr.cur == x.state)
+            .select(
+                F.col("nxt").alias("state"),
+                F.expr("(xv * n) DIV tot").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").alias("xv"))
+            .localCheckpoint(eager=True)
+        )
+    z = x.agg(F.sum("xv").alias("z"))
+    return x.crossJoin(F.broadcast(z)).select(
+        "state",
+        "xv",
+        (
+            F.floor(F.col("xv") * F.lit(1.0) / F.col("z") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("prob6"),
+    )
+
+
+@_q(
+    "purchase_attribution_credit",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT p.purchase_id, c.click_id, c.click_ts,
+               row_number() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.click_ts, c.click_id) AS rn,
+               count(*) OVER (PARTITION BY p.purchase_id) AS k
+        FROM purchases p
+        JOIN clicks c ON c.user_id = p.user_id
+         AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+         AND c.click_ts < p.purchase_ts
+    ), credit AS (
+        SELECT click_id, click_ts,
+               CASE WHEN k = 1 THEN 1000000
+                    WHEN rn = 1 OR rn = k THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+                    ELSE 200000 // (k - 2)
+               END AS credit_micro
+        FROM touch
+    )
+    SELECT CAST(hour(click_ts) AS BIGINT) AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_credited,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total
+    FROM credit
+    GROUP BY 1
+    """,
+    tags=("analytics", "attribution", "window"),
+)
+def purchase_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    marketing-analytics sibling of the as-of join's last-touch rule:
+    each purchase distributes credit over the same-user clicks of its
+    preceding 30 minutes (40% first touch, 40% last, 20% split across
+    the middle; 100%/50-50 for one/two touches), reported by click
+    hour. Credit is INTEGER micro-units with truncating division for
+    the middle split, so every sum is exact and order-independent —
+    no float accumulation to drift cross-engine. The time band
+    executes as a user-keyed equi-join with the band as a post-filter
+    (the `interval_join` shape — no range explosion); the position
+    window partitions by purchase_id, whose group size is bounded by
+    the 30-minute band."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_ntz").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ntz").alias("purchase_ts"),
+    )
+    touch = purchases.join(clicks, F.col("cu") == F.col("pu")).filter(
+        (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    w_pos = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    w_cnt = Window.partitionBy("purchase_id")
+    pos = touch.select(
+        "click_id",
+        "click_ts",
+        F.row_number().over(w_pos).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("k"),
+    )
+    credit = pos.select(
+        "click_id",
+        "click_ts",
+        F.when(F.col("k") == 1, F.lit(1_000_000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.when(F.col("k") == 2, F.lit(500_000)).otherwise(F.lit(400_000)),
+        )
+        .otherwise(F.expr("200000 DIV (k - 2)"))
+        .alias("credit_micro"),
+    )
+    return (
+        credit.groupBy(F.hour("click_ts").cast("long").alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credited"),
+            F.sum("credit_micro").alias("credit_micro_total"),
+        )
     )
