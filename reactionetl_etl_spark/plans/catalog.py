@@ -85,8 +85,10 @@ _PRIORITY: tuple[str, ...] = (
     "bigram_llr_collocations",
     "dominant_part_suppliers",
     "event_markov_stationary",
+    "event_value_bootstrap_ci",
     "ks_test_click_purchase",
     "mixture_temperature_resample",
+    "nation_theilsen_trend",
     "part_value_concentration",
     "purchase_attribution_credit",
     "retrieval_ndcg_eval",
@@ -12743,5 +12745,237 @@ def purchase_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_credited"),
             F.sum("credit_micro").alias("credit_micro_total"),
+        )
+    )
+
+
+@_q(
+    "nation_theilsen_trend",
+    """
+    WITH monthly AS (
+        SELECT n.n_name AS nation,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS m,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rev4
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.nation, a.m AS m1, b.m AS m2,
+               (b.rev4 - a.rev4) * 1.0 / ((b.m - a.m) * 10000.0) AS slope
+        FROM monthly a JOIN monthly b
+          ON a.nation = b.nation AND b.m > a.m
+    ), ranked AS (
+        SELECT nation, slope,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY slope, m1, m2) AS rn,
+               count(*) OVER (PARTITION BY nation) AS cnt
+        FROM pairs
+    )
+    SELECT nation, CAST(cnt AS BIGINT) AS n_pairs,
+           floor(slope * 1000000 + 0.5) / 1000000 AS theilsen_slope6
+    FROM ranked
+    WHERE rn = (cnt + 1) // 2
+    """,
+    tags=("stats", "robust", "trend"),
+)
+def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation — the outlier-resistant
+    sibling of `nation_revenue_trend`'s OLS slope: the (lower) median
+    of all pairwise month-over-month revenue slopes. The pair
+    explosion is bounded by months², NOT by data size (monthly revenue
+    is aggregated FIRST — the data-scale stage is that one keyed agg;
+    the self-join runs on the nation×month grid, ~84 rows per nation),
+    so the 'quadratic' step is metadata-sized at any corpus scale.
+    Revenue carries exact 10⁻⁴-unit integers into the slope division
+    (one mirrored IEEE op); the median element is selected by
+    row_number with a full (slope, m1, m2) tie-break, making the
+    selection — not just the value — deterministic cross-engine."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    e_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d_pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+            (e_cents * (F.lit(100) - d_pct)).alias("item_v4"),
+        )
+        .groupBy("nation", "m")
+        .agg(F.sum("item_v4").alias("rev4"))
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation")) & (F.col("b.m") > F.col("a.m")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.col("a.m").alias("m1"),
+        F.col("b.m").alias("m2"),
+        (
+            (F.col("b.rev4") - F.col("a.rev4"))
+            * F.lit(1.0)
+            / ((F.col("b.m") - F.col("a.m")) * F.lit(10000.0))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("nation").orderBy("slope", "m1", "m2")
+    wc = Window.partitionBy("nation")
+    ranked = pairs.select(
+        "nation",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2")).select(
+        "nation",
+        F.col("cnt").cast("long").alias("n_pairs"),
+        (F.floor(F.col("slope") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "theilsen_slope6"
+        ),
+    )
+
+
+@_q(
+    "event_value_bootstrap_ci",
+    """
+    WITH vals AS (
+        SELECT event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), reps AS (
+        SELECT b, event_id, v6,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM vals CROSS JOIN (SELECT unnest(range(1, 41)) AS b)
+    ), weighted AS (
+        SELECT b,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238462 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    ELSE 5 END AS w,
+               v6
+        FROM reps
+    ), means AS (
+        SELECT b,
+               CAST(sum(w * v6) AS BIGINT) * 1.0
+                   / (CAST(sum(w) AS BIGINT) * 1000000.0) AS mean_b
+        FROM weighted
+        GROUP BY b
+    ), ranked AS (
+        SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS rn FROM means
+    ), base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v6) AS BIGINT) * 1.0 / (count(*) * 1000000.0) AS mean_full
+        FROM vals
+    )
+    SELECT base.n,
+           floor(mean_full * 1000000 + 0.5) / 1000000 AS mean6,
+           floor((SELECT mean_b FROM ranked WHERE rn = 2) * 1000000 + 0.5) / 1000000 AS boot_lo6,
+           floor((SELECT mean_b FROM ranked WHERE rn = 39) * 1000000 + 0.5) / 1000000 AS boot_hi6
+    FROM base
+    """,
+    tags=("stats", "bootstrap", "deterministic"),
+)
+def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean purchase
+    value — THE bootstrap that scales: instead of drawing n samples
+    with replacement per replicate (a global operation), every row
+    gets an independent Poisson(1) weight per replicate, computed here
+    from an md5 variate through the literal Poisson CDF thresholds —
+    fully deterministic, engine-neutral, embarrassingly parallel (one
+    scan, map-side-combined sums, B=40 output rows). Values ride as
+    exact micro-unit integers so each replicate's weighted sum is
+    exact; the replicate means' rank-2/rank-39 order statistics give
+    the ~95% percentile CI (tie-broken by replicate id so the SELECTED
+    elements are deterministic). Cost is B hash evaluations per row in
+    one pass — no resample shuffle, no global state."""
+    ev = load_events(spark, sf_dir)
+    vals = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v6"),
+    )
+    reps = vals.select(
+        "event_id",
+        "v6",
+        F.explode(F.array([F.lit(b) for b in range(1, 41)])).alias("b"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0),
+    )
+    w = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428847, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.select("b", w.alias("w"), "v6")
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("v6")).cast("long")
+                * F.lit(1.0)
+                / (F.sum("w").cast("long") * F.lit(1_000_000.0))
+            ).alias("mean_b")
+        )
+    )
+    ranked = means.select(
+        "mean_b", F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn")
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("mean_b").alias("lo"))
+    hi = ranked.filter(F.col("rn") == 39).select(F.col("mean_b").alias("hi"))
+    base = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum("v6").cast("long")
+            * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+        ).alias("mean_full"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            (F.floor(F.col("mean_full") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "mean6"
+            ),
+            (F.floor(F.col("lo") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "boot_lo6"
+            ),
+            (F.floor(F.col("hi") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "boot_hi6"
+            ),
         )
     )
