@@ -86,11 +86,13 @@ _PRIORITY: tuple[str, ...] = (
     "dominant_part_suppliers",
     "event_markov_stationary",
     "event_value_bootstrap_ci",
+    "events_ewma_features",
     "ks_test_click_purchase",
     "mixture_temperature_resample",
     "nation_theilsen_trend",
     "part_value_concentration",
     "purchase_attribution_credit",
+    "quality_lift_deciles",
     "retrieval_ndcg_eval",
     "stratified_sample_events",
     "supplier_attr_counts",
@@ -12977,5 +12979,166 @@ def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("hi") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
                 "boot_hi6"
             ),
+        )
+    )
+
+
+@_q(
+    "events_ewma_features",
+    """
+    WITH v AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6,
+               ts, 
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        FROM events WHERE value IS NOT NULL
+    ), lagged AS (
+        SELECT event_id, user_id, v6,
+               lag(v6, 1) OVER w AS l1, lag(v6, 2) OVER w AS l2,
+               lag(v6, 3) OVER w AS l3, lag(v6, 4) OVER w AS l4,
+               lag(v6, 5) OVER w AS l5, lag(v6, 6) OVER w AS l6,
+               lag(v6, 7) OVER w AS l7
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           floor(
+             (0.25 * v6 + 0.1875 * coalesce(l1, 0) + 0.140625 * coalesce(l2, 0)
+              + 0.10546875 * coalesce(l3, 0) + 0.0791015625 * coalesce(l4, 0)
+              + 0.059326171875 * coalesce(l5, 0) + 0.04449462890625 * coalesce(l6, 0)
+              + 0.0333709716796875 * coalesce(l7, 0))
+             / (0.25 + CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.1875 END
+                + CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.140625 END
+                + CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.10546875 END
+                + CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.0791015625 END
+                + CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.059326171875 END
+                + CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.04449462890625 END
+                + CASE WHEN l7 IS NULL THEN 0.0 ELSE 0.0333709716796875 END)
+             / 1000000.0 * 1000000 + 0.5) / 1000000 AS ewma6
+    FROM lagged
+    """,
+    tags=("timeseries", "features", "window"),
+)
+def events_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of event value
+    per user (α = 0.25 over the last 8 observations, renormalized over
+    the lags that exist) — the standard leakage-free feature-
+    engineering smoother. EWMA's recurrence is non-associative, so the
+    distributed form is the TRUNCATED expansion: 8 lag windows with
+    LITERAL weights α(1−α)^j — every weight is an exact binary double
+    (3^j/4^(j+1)), values ride as micro-unit integers, and both
+    engines evaluate the identical left-associated chain, so the
+    result is bit-deterministic with no recurrence to order-drift.
+    One user-keyed window partitioning serves all 8 lags; weight mass
+    beyond 8 lags is < 10%, renormalized away."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v6"),
+        "ts_ntz",
+    )
+    lags = v.select(
+        "event_id",
+        "user_id",
+        "v6",
+        *[F.lag("v6", j).over(w).alias(f"l{j}") for j in range(1, 8)],
+    )
+    ws = [0.25, 0.1875, 0.140625, 0.10546875, 0.0791015625, 0.059326171875,
+          0.04449462890625, 0.0333709716796875]
+    num = F.lit(ws[0]) * F.col("v6")
+    for j in range(1, 8):
+        num = num + F.lit(ws[j]) * F.coalesce(F.col(f"l{j}"), F.lit(0))
+    den = F.lit(ws[0])
+    for j in range(1, 8):
+        den = den + F.when(F.col(f"l{j}").isNull(), F.lit(0.0)).otherwise(F.lit(ws[j]))
+    return lags.select(
+        "event_id",
+        "user_id",
+        (F.floor(num / den / F.lit(1_000_000.0) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "ewma6"
+        ),
+    )
+
+
+@_q(
+    "quality_lift_deciles",
+    """
+    WITH scored AS (
+        SELECT doc_id, n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ), ranked AS (
+        SELECT y,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+               count(*) OVER () AS big_n
+        FROM scored
+    ), deciled AS (
+        SELECT CAST((rn - 1) * 10 // big_n + 1 AS BIGINT) AS decile, y, big_n
+        FROM ranked
+    ), tot AS (
+        SELECT CAST(sum(y) AS BIGINT) AS big_p FROM deciled
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           floor(CAST(sum(y) AS BIGINT) * 1.0 * max(big_n)
+                 / (count(*) * max(big_p)) * 1000000 + 0.5) / 1000000 AS lift6
+    FROM deciled CROSS JOIN tot
+    GROUP BY decile
+    """,
+    tags=("eval", "lift", "classifier"),
+)
+def quality_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift-by-decile table for a score/label pair (doc length as a
+    predictor of lang='en' — the same pair the exact-AUC row
+    evaluates): rank all docs by score, cut into SQL-standard deciles,
+    and report each decile's positive count and lift over the base
+    rate. The global ranking uses the DISTRIBUTED two-pass rank
+    (rank.global_order_ranks), not a single-partition window — the
+    oracle's `row_number() OVER (ORDER BY …)` is semantics, not plan.
+    The decile cut ((rn−1)·10 DIV n) and all counts are exact
+    integers; lift = (pos·N)/(n·P) is an integer-products ratio with
+    one final IEEE division, floored at 6 dp."""
+    from reactionetl_etl_spark.operators.rank import global_order_ranks
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ranked = global_order_ranks(
+        scored,
+        rank_exprs=[F.col("score")],
+        rank_desc=[True],
+        tie_exprs=[F.col("doc_id")],
+        tie_desc=[False],
+        keep_total=True,
+    )
+    deciled = ranked.select(
+        F.expr("(global_row_number - 1) * 10 DIV global_total + 1").alias("decile"),
+        "y",
+        F.col("global_total").alias("big_n"),
+    )
+    tot = deciled.agg(F.sum("y").cast("long").alias("big_p"))
+    return (
+        deciled.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            (
+                F.floor(
+                    F.sum("y").cast("long")
+                    * F.lit(1.0)
+                    * F.max("big_n")
+                    / (F.count(F.lit(1)) * F.max("big_p"))
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("lift6"),
         )
     )
