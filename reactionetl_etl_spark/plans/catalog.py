@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_markov_stationary",
     "event_value_bootstrap_ci",
     "events_ewma_features",
+    "incremental_cms_rollup",
     "ks_test_click_purchase",
     "mixture_temperature_resample",
     "nation_theilsen_trend",
@@ -13140,5 +13141,139 @@ def quality_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1_000_000
             ).alias("lift6"),
+        )
+    )
+
+
+@_q(
+    "incremental_cms_rollup",
+    """
+    WITH t AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM t GROUP BY 1
+    ), hashes AS (
+        SELECT token, exact_n, j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 64
+                   AS bucket
+        FROM counts CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j)
+    ), cms AS (
+        SELECT j, bucket, CAST(sum(exact_n) AS BIGINT) AS cell
+        FROM hashes GROUP BY 1, 2
+    ), top10 AS (
+        SELECT token, exact_n FROM counts
+        ORDER BY exact_n DESC, token LIMIT 10
+    )
+    SELECT t10.token, t10.exact_n,
+           CAST(min(cms.cell) AS BIGINT) AS cms_est,
+           CAST(min(cms.cell) - t10.exact_n AS BIGINT) AS overcount
+    FROM top10 t10
+    JOIN hashes h ON h.token = t10.token
+    JOIN cms ON cms.j = h.j AND cms.bucket = h.bucket
+    GROUP BY t10.token, t10.exact_n
+    """,
+    tags=("sketch", "incremental", "deterministic"),
+)
+def incremental_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained INCREMENTALLY: documents fold in
+    as three batches whose per-(row, bucket) cell increments merge
+    through the mergeable-rollup state machinery
+    (etl/incremental_agg.py — idempotent batch ids, exact integer
+    sums), then the folded sketch serves the same top-10 point queries
+    as `token_cms_estimates`. The DuckDB oracle computes the ONE-SHOT
+    sketch from the raw table, so the hash match proves the defining
+    property in the driver's gate: fold(batch sketches) ==
+    sketch(full corpus), cell-exactly — CMS's cell addition is the
+    mergeable-summary property that makes it the streaming/partial-agg
+    frequency sketch at 100 TB."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.etl.incremental_agg import (
+        merge_aggregate_state,
+        read_aggregate_view,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    occurrences = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("token")
+    )
+    cells = occurrences.select(
+        "doc_id",
+        "token",
+        F.explode(F.array([F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        ).alias("bucket"),
+        F.lit(1).cast("long").alias("inc"),
+    )
+    work = _tempfile.mkdtemp(prefix="inc_cms_")
+    try:
+        state = _os.path.join(work, "state")
+        for i in range(3):
+            merge_aggregate_state(
+                spark,
+                state,
+                cells.filter(F.col("doc_id") % 3 == i).drop("doc_id"),
+                ["j", "bucket"],
+                {"inc": ["sum"]},
+                "j",
+                batch_id=f"b{i}",
+            )
+        cms = (
+            read_aggregate_view(spark, state, {"inc": ["sum"]})
+            .select("j", "bucket", F.col("inc__sum").alias("cell"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    counts = (
+        occurrences.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    hashes = counts.select(
+        "token",
+        "exact_n",
+        F.explode(F.array([F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64,
+    )
+    top10 = counts.orderBy(F.desc("exact_n"), "token").limit(10)
+    return (
+        top10.join(hashes.select("token", "j", "bucket"), "token")
+        .join(cms, ["j", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         )
     )
