@@ -12209,7 +12209,7 @@ def ks_test_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = pts.groupBy("x").agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
-    )
+    ).localCheckpoint(eager=True)  # totals + increments both read this; value-cardinality-bounded
     tot = g.agg(
         F.sum("n1").cast("long").alias("big_n1"),
         F.sum("n2").cast("long").alias("big_n2"),
@@ -12278,19 +12278,18 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere. One broadcast of the per-lang rate table; zero extra
     shuffle over the corpus scan."""
     docs = _t(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
-    rates = (
-        docs.crossJoin(F.broadcast(tot))
-        .groupBy("lang", "big_n")
-        .agg(F.count(F.lit(1)).alias("n_l"))
-        .select(
-            "lang",
-            F.least(
-                F.lit(1.0),
-                F.lit(0.3)
-                * F.sqrt(F.col("big_n") * F.lit(1.0) / F.col("n_l")),
-            ).alias("keep_rate"),
-        )
+    # ONE corpus-scan agg yields the per-lang counts; the global total is
+    # a window sum over that lang-sized table (not a second corpus scan)
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_l"))
+    rates = by_lang.select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.3)
+            * F.sqrt(
+                F.sum("n_l").over(Window.partitionBy()) * F.lit(1.0) / F.col("n_l")
+            ),
+        ).alias("keep_rate"),
     )
     u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "bigint"
@@ -12451,6 +12450,9 @@ def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("k11"))
+        # four consumers (heads/tails/total/cells) would each re-scan and
+        # re-tokenize the corpus; the pair table is vocabulary²-bounded
+        .localCheckpoint(eager=True)
     )
     heads = pairs.groupBy("w1").agg(F.sum("k11").alias("h"))
     tails = pairs.groupBy("w2").agg(F.sum("k11").alias("t"))
@@ -12814,6 +12816,9 @@ def nation_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("nation", "m")
         .agg(F.sum("item_v4").alias("rev4"))
+        # both self-join sides consume this; without the checkpoint the
+        # 4-table join re-executes per side. Grid is nation×month-sized.
+        .localCheckpoint(eager=True)
     )
     a = monthly.alias("a")
     b = monthly.alias("b")
@@ -13123,7 +13128,10 @@ def quality_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.col("global_total").alias("big_n"),
     )
-    tot = deciled.agg(F.sum("y").cast("long").alias("big_p"))
+    # big_p from the BASE table — deriving it from `deciled` would run
+    # the whole two-pass rank pipeline a second time (plan audit: 20
+    # exchanges -> 12)
+    tot = scored.agg(F.sum("y").cast("long").alias("big_p"))
     return (
         deciled.crossJoin(F.broadcast(tot))
         .groupBy("decile")
