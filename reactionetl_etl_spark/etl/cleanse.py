@@ -67,10 +67,19 @@ class CleanseResult:
             df.unpersist()
 
 
-def cleanse_incoming_csvs(spark: SparkSession, files: list[RawFile]) -> CleanseResult:
-    """Clean a batch of incoming simulation CSVs (EP2)."""
+def cleanse_incoming_csvs(
+    spark: SparkSession, files: list[RawFile], dir_read: bool = False
+) -> CleanseResult:
+    """Clean a batch of incoming simulation CSVs (EP2).
+
+    ``dir_read``: the caller asserts ``files`` covers its day
+    directories (a fresh daily drop), enabling the O(dirs) directory
+    scan in `read_csv_header_group`. Only forwarded when a single
+    header group holds every file — with multiple groups each group's
+    dir scan would re-parse the other groups' files just to drop them."""
     groups = probe_csv_headers(spark, files)
     valid, rejected = split_valid_header_groups(groups)
+    dir_read = dir_read and not rejected and len(valid) == 1
 
     rejected_files: list[tuple[RawFile, str]] = []
     for header, members in rejected.items():
@@ -87,7 +96,7 @@ def cleanse_incoming_csvs(spark: SparkSession, files: list[RawFile]) -> CleanseR
         # and the quarantine branch is exactly that. MEMORY_AND_DISK so
         # a 100 TB backlog spills instead of OOMing; released by the
         # caller via CleanseResult.release().
-        df = read_csv_header_group(spark, header, members).persist()
+        df = read_csv_header_group(spark, header, members, dir_read=dir_read).persist()
         cached.append(df)
         bad = df.filter(F.col("_corrupt_record").isNotNull())
         good = df.filter(F.col("_corrupt_record").isNull())
@@ -107,21 +116,30 @@ def cleanse_incoming_csvs(spark: SparkSession, files: list[RawFile]) -> CleanseR
     )
 
 
-def cleanse_metadata_jsons(spark: SparkSession, files: list[RawFile]) -> CleanseResult:
-    """Validate + conform metadata JSONs (V3 as column expressions)."""
+def cleanse_metadata_jsons(
+    spark: SparkSession, files: list[RawFile], dir_read: bool = False
+) -> CleanseResult:
+    """Validate + conform metadata JSONs (V3 as column expressions).
+
+    ``dir_read``: see `cleanse_incoming_csvs` — O(dirs) directory scan
+    when the batch covers its day directories."""
     if not files:
         empty = spark.createDataFrame([], _metadata_ddl())
         return CleanseResult(clean=empty, quarantined=_empty_quarantine_df(spark))
 
-    raw = read_metadata_json(spark, files)
+    raw = read_metadata_json(spark, files, dir_read=dir_read)
     # Cast into side columns (raw strings stay visible for the
     # coercion-failure checks and the quarantine payload).
     # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
     # THROW on 'not-a-float' — we want NULL so the row quarantines.
+    # Persisted like the CSV path's parsed scan: the clean and
+    # quarantine branches otherwise each re-read every JSON file
+    # (multiLine = one task per file — the expensive part of this
+    # cleanse); released by the caller via CleanseResult.release().
     typed = raw.withColumns(
         {f"__t_{c}": F.col(c).try_cast("double") for c in METADATA_DOUBLE_COLS}
         | {"__t_date_run": F.col("date_run").try_cast("date")}
-    )
+    ).persist()
     # quarantine when: corrupt document, required field null, a numeric
     # present but uncastable, or a date present but unparseable
     invalid_cond = (
@@ -153,7 +171,7 @@ def cleanse_metadata_jsons(spark: SparkSession, files: list[RawFile]) -> Cleanse
         F.lit("metadata validation failed").alias("reason"),
         *LINEAGE_COLS,
     )
-    return CleanseResult(clean=good, quarantined=bad)
+    return CleanseResult(clean=good, quarantined=bad, cached=[typed])
 
 
 def _metadata_ddl() -> str:

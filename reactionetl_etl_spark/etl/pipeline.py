@@ -40,6 +40,7 @@ touches only unenriched partitions.
 
 from __future__ import annotations
 
+import time
 import uuid
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -87,6 +88,10 @@ class ReactionLake:
         # parity: rotating info.log + error.log under <lake>/logs unless
         # pointed elsewhere. The audit table stays the queryable record.
         setup_logging(log_dir or f"{self.root}/logs")
+        # wall-clock seconds per run_once phase, refreshed each call —
+        # the decomposition handle tools/ingest_decompose.py reads so
+        # ingest perf work targets the right phase instead of guessing
+        self.last_phase_timings: dict[str, float] = {}
 
     # -- table readers ----------------------------------------------------
 
@@ -182,8 +187,22 @@ class ReactionLake:
         # longer collide in the append-only audit log
         run_token = f"{now.isoformat()}|{uuid.uuid4().hex}"
         now_col = F.lit(now.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
-        csvs = self._new_files(spark, list_raw_files(incoming_root, ".csv"))
-        jsons = self._new_files(spark, list_raw_files(incoming_root, ".json"))
+        _pt = self.last_phase_timings = {}
+        _t0 = time.perf_counter()
+        all_csvs = list_raw_files(incoming_root, ".csv")
+        all_jsons = list_raw_files(incoming_root, ".json")
+        csvs = self._new_files(spark, all_csvs)
+        jsons = self._new_files(spark, all_jsons)
+        # Fresh-backlog fast path (the daily-drop norm): when every
+        # listed file is new, the cleanse readers may scan day DIRS with
+        # a glob instead of resolving each path on the driver — O(dirs)
+        # vs O(files) plan construction (~3 ms/path; 2×1.6 s at 512
+        # files, PERF_NOTES r9). The readers pin the exact file set back
+        # with a broadcast semi-join, so partially-processed dirs just
+        # take the per-path read.
+        csv_dir_read = len(csvs) == len(all_csvs)
+        json_dir_read = len(jsons) == len(all_jsons)
+        _pt["listing"] = time.perf_counter() - _t0
         log.info(
             "run_once: %d new reaction CSVs, %d new metadata JSONs under %s",
             len(csvs), len(jsons), incoming_root,
@@ -198,12 +217,13 @@ class ReactionLake:
         # 1-row tally aggregate per branch for RunResult.
         csv_st = json_st = None
         fact_loaded = dim_loaded = quarantined_files = 0
+        _t0 = time.perf_counter()
 
         # ---- metadata JSONs → dim_rxn (V3 + W3 + X4) ----
         # Dims are processed BEFORE the facts so the fact append can
         # pick up this batch's simulation_nums inline (enrich_inline).
         if jsons:
-            result = cleanse_metadata_jsons(spark, jsons)
+            result = cleanse_metadata_jsons(spark, jsons, dir_read=json_dir_read)
             existing_dim = self.dim(spark)
             new_meta = result.clean
             if existing_dim is not None:
@@ -287,11 +307,14 @@ class ReactionLake:
                 result.quarantined.write.mode("append").parquet(self.quarantine_path)
                 log.warning("quarantined %d metadata files (validation failed)", int(tally["q"]))
             log.info("metadata: %d files, %d dim rows loaded", len(jsons), int(tally["loaded"] or 0))
+            result.release()
 
+        _pt["dims"] = time.perf_counter() - _t0
         # ---- reaction CSVs → fact_sim (EP2 + W2; + inline J1) ----
+        _t0 = time.perf_counter()
         csv_result = None
         if csvs:
-            result = csv_result = cleanse_incoming_csvs(spark, csvs)
+            result = csv_result = cleanse_incoming_csvs(spark, csvs, dir_read=csv_dir_read)
             fact_cols = [
                 "row_id",
                 "simulation_id",
@@ -321,6 +344,8 @@ class ReactionLake:
                 if dim_now is not None:
                     fact_new = enrich_fact(fact_new, dim_now).select(*fact_cols)
             fact_new.write.mode("append").partitionBy("day").parquet(self.fact_path)
+            _pt["fact_cleanse_write"] = time.perf_counter() - _t0
+            _t0 = time.perf_counter()
 
             files_df = spark.createDataFrame(
                 [(f.path, f.day) for f in csvs], "path string, day string"
@@ -398,7 +423,9 @@ class ReactionLake:
             if tally["q"]:
                 log.warning("quarantined %d reaction files (see audit/quarantine tables)", int(tally["q"]))
 
+        _pt["fact_status"] = time.perf_counter() - _t0
         # ---- audit + manifest appends (DataFrame-native, W4/W5) ----
+        _t0 = time.perf_counter()
         # csv-first union order matches the pre-r8 audit row layout
         status_frames = [st for st in (csv_st, json_st) if st is not None]
         if status_frames:
@@ -414,6 +441,7 @@ class ReactionLake:
                 now_col.alias("ingested_at"),
             ).write.mode("append").parquet(self.manifest_path)
 
+        _pt["audit_manifest"] = time.perf_counter() - _t0
         if csv_result is not None:
             csv_result.release()
         log.info(

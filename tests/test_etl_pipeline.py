@@ -246,3 +246,51 @@ def test_duplicate_metadata_skipped(spark, lake, incoming, tmp_path_factory):
     assert res.dim_rows_loaded == 0
     dim = lake.dim(spark)
     assert dim.filter(F.col("simulation_id") == sim_uuid(1)).count() == 1
+
+
+def test_dir_read_pipeline_parity(spark, tmp_path_factory, monkeypatch):
+    """run_once over a fresh all-new backlog takes the O(dirs) dir-read
+    fast path; the resulting lake (facts, dims, audit counts) is
+    identical to the per-path lake, and a later partial-dir increment
+    (which must fall back to per-path) loads exactly the new file."""
+    from reactionetl_etl_spark.sources import raw as R
+
+    root = tmp_path_factory.mktemp("incoming_dirread")
+    d1, d2 = str(root / "2026-02-01"), str(root / "2026-02-02")
+    for day_dir, day, sims in ((d1, "2026-02-01", (1, 2, 3)), (d2, "2026-02-02", (4, 5))):
+        for n in sims:
+            write_reaction_csv(day_dir, n, N_ROWS)
+            write_metadata_json(day_dir, n, day)
+
+    def lake_state(lk):
+        fact = sorted(
+            map(tuple, lk.fact(spark).drop("load_ts", "row_id").collect())
+        )
+        dim = sorted(map(tuple, lk.dim(spark).drop("load_ts").collect()))
+        audit = sorted(
+            (r["source_file"].rsplit("/", 1)[-1], r["status"], r["records_inserted"])
+            for r in lk.audit(spark).collect()
+        )
+        return fact, dim, audit
+
+    monkeypatch.setattr(R, "DIR_READ_MIN_FILES", 1)
+    fast = ReactionLake(str(tmp_path_factory.mktemp("lake_fast")))
+    res_fast = fast.run_once(spark, str(root), now=T0)
+
+    monkeypatch.setattr(R, "DIR_READ_MIN_FILES", 10**9)
+    slow = ReactionLake(str(tmp_path_factory.mktemp("lake_slow")))
+    res_slow = slow.run_once(spark, str(root), now=T0)
+
+    assert res_fast.files_processed == res_slow.files_processed == 10
+    assert lake_state(fast) == lake_state(slow)
+
+    # partial-dir increment: one new file lands in an existing day dir;
+    # len(new) != len(listed) so the reader falls back to per-path
+    monkeypatch.setattr(R, "DIR_READ_MIN_FILES", 1)
+    write_reaction_csv(d2, 6, N_ROWS)
+    write_metadata_json(d2, 6, "2026-02-02")
+    res2 = fast.run_once(spark, str(root), now=T0)
+    assert res2.files_processed == 2
+    assert res2.fact_rows_loaded == N_ROWS
+    assert fast.fact(spark).count() == 6 * N_ROWS
+    assert fast.dim(spark).count() == 6

@@ -386,3 +386,55 @@ def test_snapshot_changes_streaming_source(spark, tmp_path):
     assert head_version(spark, table) is not None
     drain()
     assert {(r["k"], r["v"], r["_change_type"]) for r in spark.read.parquet(out).collect()} == now
+
+
+def test_dir_read_parity_and_exact_file_pinning(spark, tmp_path, monkeypatch):
+    """The O(dirs) dir+glob fast path (fresh-backlog ingest) is
+    row-identical to the per-path read, and the broadcast semi-join
+    pins the EXACT member set — a stray neighbour file in the same day
+    dir (already processed, or landed between listing and read) never
+    leaks rows into the batch."""
+    import os
+
+    from tests.fixtures_etl import write_metadata_json, write_reaction_csv
+
+    from reactionetl_etl_spark.etl.cleanse import (
+        cleanse_incoming_csvs,
+        cleanse_metadata_jsons,
+    )
+    from reactionetl_etl_spark.sources import raw as R
+
+    monkeypatch.setattr(R, "DIR_READ_MIN_FILES", 1)
+
+    incoming = str(tmp_path / "incoming")
+    d1 = os.path.join(incoming, "2026-01-05")
+    d2 = os.path.join(incoming, "2026-01-06")
+    for day_dir, sims in ((d1, (1, 2, 3)), (d2, (4, 5))):
+        for n in sims:
+            write_reaction_csv(day_dir, n, n_rows=6)
+            write_metadata_json(day_dir, n)
+    # stray neighbours: same glob pattern, same header, NOT in the batch
+    write_reaction_csv(d1, 99, n_rows=7)
+    write_metadata_json(d2, 98)
+
+    from tests.fixtures_etl import sim_uuid
+
+    csvs = [f for f in R.list_raw_files(incoming, ".csv") if sim_uuid(99) not in f.path]
+    jsons = [f for f in R.list_raw_files(incoming, ".json") if sim_uuid(98) not in f.path]
+    assert len(csvs) == 5 and len(jsons) == 5
+
+    def rows(result):
+        clean = sorted(map(tuple, result.clean.drop("load_ts").collect()))
+        quar = result.quarantined.count()
+        result.release()
+        return clean, quar
+
+    per_path = rows(cleanse_incoming_csvs(spark, csvs, dir_read=False))
+    dir_read = rows(cleanse_incoming_csvs(spark, csvs, dir_read=True))
+    assert dir_read == per_path
+    assert len(per_path[0]) == 5 * 6  # stray file's 7 rows never leak
+
+    mp = rows(cleanse_metadata_jsons(spark, jsons, dir_read=False))
+    md = rows(cleanse_metadata_jsons(spark, jsons, dir_read=True))
+    assert md == mp
+    assert len(mp[0]) == 5
