@@ -83,15 +83,20 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "bigram_llr_collocations",
+    "conformal_event_value",
     "dominant_part_suppliers",
     "event_markov_stationary",
     "event_value_bootstrap_ci",
+    "event_value_cuped",
     "events_ewma_features",
     "incremental_cms_rollup",
+    "km_reorder_survival",
     "ks_test_click_purchase",
+    "markov_removal_attribution",
     "mixture_temperature_resample",
     "nation_theilsen_trend",
     "part_value_concentration",
+    "promo_did_estimate",
     "purchase_attribution_credit",
     "quality_lift_deciles",
     "retrieval_ndcg_eval",
@@ -13283,5 +13288,574 @@ def incremental_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_n",
             "cms_est",
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+@_q(
+    "promo_did_estimate",
+    """
+    WITH cells AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), m AS (
+        SELECT treated, post,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST((CAST(sum(cents) AS HUGEINT) * 10000) // count(*) AS BIGINT)
+                   AS mean_micro
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT max(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_treat_pre,
+           max(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_treat_post,
+           max(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_ctrl_pre,
+           max(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_ctrl_post,
+           max(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END) AS treat_pre_micro,
+           max(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END) AS treat_post_micro,
+           max(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END) AS ctrl_pre_micro,
+           max(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END) AS ctrl_post_micro,
+           max(CASE WHEN treated = 1 AND post = 1 THEN mean_micro END)
+             - max(CASE WHEN treated = 1 AND post = 0 THEN mean_micro END)
+             - max(CASE WHEN treated = 0 AND post = 1 THEN mean_micro END)
+             + max(CASE WHEN treated = 0 AND post = 0 THEN mean_micro END) AS did_micro
+    FROM m
+    """,
+    tags=("stats", "causal", "experimentation"),
+)
+def promo_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference workhorse the
+    hypothesis-test family (chi²/Welch/AUC/KS) didn't yet cover:
+    treatment effect of a notional 1998 promotion on BUILDING-segment
+    customers, estimated as (treated post−pre) − (control post−pre)
+    mean order value. Prices enter as exact integer cents
+    (`floor(p·100+0.5)`, the Welch discipline) and each cell mean is a
+    TRUNCATED micro-dollar integer (`(Σcents·10⁴) DIV n` in DECIMAL
+    headroom), so the 2×2 cell table and the DiD contrast are exact,
+    order-independent integers — bit-identical cross-engine. One
+    broadcast-dim join + one 4-group aggregate; scales as a single
+    map-side-combinable pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treated"),
+        F.when(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST((CAST(sum(cents) AS DECIMAL(38,0)) * 10000) DIV count(*) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+
+    def cell(col: str, t: int, p: int) -> Column:
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    return m.agg(
+        cell("n", 1, 0).alias("n_treat_pre"),
+        cell("n", 1, 1).alias("n_treat_post"),
+        cell("n", 0, 0).alias("n_ctrl_pre"),
+        cell("n", 0, 1).alias("n_ctrl_post"),
+        cell("mean_micro", 1, 0).alias("treat_pre_micro"),
+        cell("mean_micro", 1, 1).alias("treat_post_micro"),
+        cell("mean_micro", 0, 0).alias("ctrl_pre_micro"),
+        cell("mean_micro", 0, 1).alias("ctrl_post_micro"),
+        (
+            cell("mean_micro", 1, 1)
+            - cell("mean_micro", 1, 0)
+            - cell("mean_micro", 0, 1)
+            + cell("mean_micro", 0, 0)
+        ).alias("did_micro"),
+    )
+
+
+@_q(
+    "event_value_cuped",
+    """
+    WITH pm AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST((CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) END) AS HUGEINT))
+                    // count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+                    AS BIGINT) AS x,
+               CAST((CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+                       CAST(floor(value * 1000000 + 0.5) AS BIGINT) END) AS HUGEINT))
+                    // count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+                    AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+        HAVING count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END) > 0
+           AND count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END) > 0
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sx1,
+               CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sx0,
+               CAST(sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sy1,
+               CAST(sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS DOUBLE) AS sy0
+        FROM pm
+    )
+    SELECT n1, n0,
+           floor(((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * 1000000 + 0.5)
+             / 1000000 AS theta6,
+           floor((sy1 / n1 - sy0 / n0) * 10000 + 0.5) / 10000 AS raw_diff_micro4,
+           floor((sy1 / n1 - sy0 / n0
+                  - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx))
+                    * (sx1 / n1 - sx0 / n0)) * 10000 + 0.5) / 10000
+             AS adj_diff_micro4
+    FROM mom
+    """,
+    tags=("stats", "experimentation", "variance-reduction"),
+)
+def event_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform
+    completion of Welch's t: the Jan-16 split makes a pre-period
+    covariate (per-user mean event value) and a post-period metric;
+    θ = cov(X,Y)/var(X) from EXACT integer moment sums (per-user means
+    are truncated micro-integers, so Σx, Σxy, Σx² are exact in DECIMAL
+    headroom), and the adjusted arm difference uses the algebraic form
+    (Ȳ₁−Ȳ₀) − θ(X̄₁−X̄₀) — aggregates first, floats last, so the only
+    float ops are correctly-rounded IEEE divisions/multiplies mirrored
+    verbatim in the oracle (no order-dependent float summation
+    anywhere). One user-keyed aggregate + one global moment pass;
+    map-side combinable, scales."""
+    ev = load_events(spark, sf_dir)
+    micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    pre = F.col("ts_ntz") < F.lit("2024-01-16").cast("timestamp")
+    pm = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.sum(F.when(pre, micro)).alias("sxm"),
+            F.count(F.when(pre, F.lit(1))).alias("nx"),
+            F.sum(F.when(~pre, micro)).alias("sym"),
+            F.count(F.when(~pre, F.lit(1))).alias("ny"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "arm",
+            F.expr("CAST(CAST(sxm AS DECIMAL(38,0)) DIV nx AS BIGINT)").alias("x"),
+            F.expr("CAST(CAST(sym AS DECIMAL(38,0)) DIV ny AS BIGINT)").alias("y"),
+        )
+    )
+    mom = pm.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE)").alias("sxx"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)"
+        ).alias("sx1"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)"
+        ).alias("sx0"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)"
+        ).alias("sy1"),
+        F.expr(
+            "CAST(sum(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE)"
+        ).alias("sy0"),
+    )
+    theta = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    raw_diff = F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")
+    x_diff = F.col("sx1") / F.col("n1") - F.col("sx0") / F.col("n0")
+    return mom.select(
+        "n1",
+        "n0",
+        (F.floor(theta * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("theta6"),
+        (F.floor(raw_diff * 10_000 + F.lit(0.5)) / 10_000).alias("raw_diff_micro4"),
+        (F.floor((raw_diff - theta * x_diff) * 10_000 + F.lit(0.5)) / 10_000).alias(
+            "adj_diff_micro4"
+        ),
+    )
+
+
+@_q(
+    "conformal_event_value",
+    """
+    WITH split AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM events
+    ), model AS (
+        SELECT hr, CAST(CAST(sum(vm) AS HUGEINT) // count(*) AS BIGINT) AS mean_vm
+        FROM split WHERE bucket < 60 GROUP BY 1
+    ), calib AS (
+        SELECT abs(s.vm - m.mean_vm) AS score
+        FROM split s JOIN model m ON m.hr = s.hr
+        WHERE s.bucket >= 60 AND s.bucket < 80
+    ), k AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_calib,
+               (9 * (count(*) + 1) + 9) // 10 AS kth
+        FROM calib
+    ), ranked AS (
+        SELECT score, sum(c) OVER (ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+        FROM (SELECT score, CAST(count(*) AS BIGINT) AS c FROM calib GROUP BY 1)
+    ), qhat AS (
+        SELECT min(score) AS qhat_micro FROM ranked CROSS JOIN k WHERE cum >= kth
+    ), test AS (
+        SELECT abs(s.vm - m.mean_vm) AS score
+        FROM split s JOIN model m ON m.hr = s.hr
+        WHERE s.bucket >= 80
+    )
+    SELECT q.qhat_micro,
+           k.n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.score <= q.qhat_micro THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_covered,
+           (CAST(sum(CASE WHEN t.score <= q.qhat_micro THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000) // count(*) AS coverage_micro
+    FROM test t CROSS JOIN qhat q CROSS JOIN k
+    GROUP BY 1, 2
+    """,
+    tags=("stats", "uncertainty", "conformal"),
+)
+def conformal_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval — distribution-free
+    uncertainty quantification for the per-hour mean-value predictor:
+    a deterministic md5 three-way split (train 60 / calibration 20 /
+    test 20) trains truncated-integer hourly means, takes the
+    ⌈0.9(n+1)⌉-th smallest absolute residual on calibration as q̂ (the
+    finite-sample 90% guarantee), and reports empirical test coverage.
+    Every quantity is an exact integer (micro-value residuals, ceil as
+    integer arithmetic, the order statistic via a distinct-score
+    prefix sum — the KS/AUC pattern, O(distinct scores) state), so the
+    result is engine- and partitioning-independent. Scales: two
+    hour-keyed broadcast joins + one bounded prefix-sum window."""
+    ev = load_events(spark, sf_dir)
+    split = ev.select(
+        F.hour("ts_ntz").cast("long").alias("hr"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 100
+        ).alias("bucket"),
+    )
+    model = (
+        split.filter(F.col("bucket") < 60)
+        .groupBy("hr")
+        .agg(
+            F.expr("CAST(CAST(sum(vm) AS DECIMAL(38,0)) DIV count(*) AS BIGINT)").alias(
+                "mean_vm"
+            )
+        )
+    )
+    calib = (
+        split.filter((F.col("bucket") >= 60) & (F.col("bucket") < 80))
+        .join(F.broadcast(model), "hr")
+        .select(F.abs(F.col("vm") - F.col("mean_vm")).alias("score"))
+    )
+    k = calib.agg(
+        F.count(F.lit(1)).alias("n_calib"),
+        F.expr("(9 * (count(*) + 1) + 9) DIV 10").alias("kth"),
+    )
+    ranked = (
+        calib.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("cum") >= F.col("kth"))
+        .agg(F.min("score").alias("qhat_micro"))
+    )
+    test = (
+        split.filter(F.col("bucket") >= 80)
+        .join(F.broadcast(model), "hr")
+        .select(F.abs(F.col("vm") - F.col("mean_vm")).alias("score"))
+    )
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(k.select("n_calib")))
+        .groupBy("qhat_micro", "n_calib")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("score") <= F.col("qhat_micro"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "qhat_micro",
+            "n_calib",
+            "n_test",
+            "n_covered",
+            F.expr("(n_covered * 1000000) DIV n_test").alias("coverage_micro"),
+        )
+    )
+
+
+@_q(
+    "km_reorder_survival",
+    """
+    WITH RECURSIVE nxt AS (
+        SELECT o_orderdate AS d0,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS d1
+        FROM orders
+    ), gm AS (
+        SELECT max(o_orderdate) AS g FROM orders
+    ), dur AS (
+        SELECT CAST(date_diff('day', d0, coalesce(d1, g)) // 7 AS BIGINT) AS wk,
+               CASE WHEN d1 IS NULL THEN 0 ELSE 1 END AS ev
+        FROM nxt CROSS JOIN gm
+    ), wc AS (
+        SELECT wk, CAST(count(*) AS BIGINT) AS all_n, CAST(sum(ev) AS BIGINT) AS d
+        FROM dur GROUP BY 1
+    ), atrisk AS (
+        SELECT wk, d,
+               CAST(sum(all_n) OVER (ORDER BY wk DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS n
+        FROM wc
+    ), steps AS (
+        SELECT wk, d, n, row_number() OVER (ORDER BY wk) AS rn
+        FROM atrisk WHERE d > 0 AND wk <= 52
+    ), km(rn, wk, d, n, s) AS (
+        SELECT rn, wk, d, n,
+               CAST((CAST(1000000000000 AS HUGEINT) * (n - d)) // n AS BIGINT)
+        FROM steps WHERE rn = 1
+        UNION ALL
+        SELECT st.rn, st.wk, st.d, st.n,
+               CAST((CAST(km.s AS HUGEINT) * (st.n - st.d)) // st.n AS BIGINT)
+        FROM km JOIN steps st ON st.rn = km.rn + 1
+    )
+    SELECT wk AS week, d AS deaths, n AS at_risk, s AS surv_micro FROM km
+    """,
+    tags=("stats", "survival", "analytics"),
+)
+def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve with right censoring — the
+    product-limit estimator of customer reorder time: each order's
+    duration is weeks until the customer's next order, censored at the
+    dataset horizon for last orders. Risk sets n_t and death counts d_t
+    are exact integers (per-customer lead window → bounded week-grid
+    aggregate → one descending prefix sum); the survival product
+    Ŝ(t)=Π(1−d/n) runs in TRUNCATED INTEGER arithmetic (micro-units,
+    `(s·(n−d)) DIV n` per step in DECIMAL headroom) over the ≤53-step
+    week grid — bit-identical across engines and partitionings, a
+    DuckDB RECURSIVE CTE on the oracle side and a single-row bounded
+    array fold (`aggregate` over `slice`) on the Spark side. The
+    O(steps²) fold is grid-bounded metadata work; the data-scale
+    stages are the window and one aggregate. Scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = orders.select(
+        F.col("o_orderdate").alias("d0"),
+        F.lead("o_orderdate").over(w).alias("d1"),
+    )
+    gm = orders.agg(F.max("o_orderdate").alias("g"))
+    dur = nxt.crossJoin(F.broadcast(gm)).select(
+        F.expr("CAST(datediff(coalesce(d1, g), d0) DIV 7 AS BIGINT)").alias("wk"),
+        F.when(F.col("d1").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    wc = dur.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("all_n"), F.sum("ev").cast("long").alias("d")
+    )
+    atrisk = wc.select(
+        "wk",
+        "d",
+        F.sum("all_n")
+        .over(Window.orderBy(F.desc("wk")).rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("n"),
+    )
+    steps = atrisk.filter((F.col("d") > 0) & (F.col("wk") <= 52))
+    arr = steps.agg(
+        F.sort_array(F.collect_list(F.struct("wk", "d", "n"))).alias("a")
+    )
+    return arr.select(
+        F.explode(
+            F.expr(
+                """
+                transform(a, (st, i) -> struct(
+                    st.wk AS week, st.d AS deaths, st.n AS at_risk,
+                    aggregate(
+                        slice(a, 1, i + 1),
+                        CAST(1000000000000 AS DECIMAL(38,0)),
+                        (acc, x) -> CAST((acc * (x.n - x.d)) DIV x.n AS DECIMAL(38,0)),
+                        acc -> CAST(acc AS BIGINT)) AS surv_micro))
+                """
+            )
+        ).alias("r")
+    ).select("r.week", "r.deaths", "r.at_risk", "r.surv_micro")
+
+
+@_q(
+    "markov_removal_attribution",
+    """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), c AS (
+        SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM ordered
+        WHERE nxt IS NOT NULL AND event_type <> 'purchase'
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+    ), rem AS (
+        SELECT * FROM (VALUES ('view'), ('click'), ('signup'), ('error'),
+                              ('none')) AS t(m)
+    ), kc AS (
+        SELECT rem.m, c.cur, c.nxt, c.n, r.tot
+        FROM rem CROSS JOIN c JOIN r ON r.cur = c.cur
+        WHERE c.cur <> rem.m AND c.nxt <> rem.m
+        UNION ALL
+        SELECT m, 'purchase', 'purchase', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM rem
+    ), it(iter, m, state, pv) AS (
+        SELECT 0, m, 'purchase', CAST(1000000000000 AS BIGINT) FROM rem
+        UNION ALL
+        SELECT nx.iter, nx.m, nx.state, nx.pv FROM (
+            SELECT it.iter + 1 AS iter, kc.m AS m, kc.cur AS state,
+                   CAST(sum((it.pv * kc.n) // kc.tot) AS BIGINT) AS pv
+            FROM it JOIN kc ON kc.m = it.m AND kc.nxt = it.state
+            WHERE it.iter < 8
+            GROUP BY 1, 2, 3
+        ) nx
+    ), fin AS (
+        SELECT m, state, pv FROM it WHERE iter = 8
+    ), firsts AS (
+        SELECT state FROM (
+            SELECT event_type AS state,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ), starts AS (
+        SELECT state, CAST(count(*) AS BIGINT) AS sn FROM firsts GROUP BY 1
+    ), nn AS (
+        SELECT CAST(sum(sn) AS BIGINT) AS nu FROM starts
+    ), conv AS (
+        SELECT f.m, CAST(sum((s.sn * f.pv) // nn.nu) AS BIGINT) AS conv_p12
+        FROM fin f JOIN starts s ON s.state = f.state CROSS JOIN nn
+        GROUP BY 1
+    ), base AS (
+        SELECT conv_p12 AS b FROM conv WHERE m = 'none'
+    )
+    SELECT m AS removed_state, conv_p12,
+           1000000 - (conv_p12 * 1000000) // b AS removal_effect_micro
+    FROM conv CROSS JOIN base
+    WHERE m <> 'none'
+    """,
+    tags=("analytics", "attribution", "markov", "iterative"),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the
+    model-based counterpart of the U-shaped heuristic
+    (`purchase_attribution_credit`): channel importance = how much the
+    8-step purchase-absorption probability drops when that channel is
+    deleted from the user-behavior chain (its traffic becomes lost
+    mass — row totals keep the original denominator). The absorption
+    probabilities run per removal variant as ONE keyed truncated-
+    integer Jacobi iteration (the `event_markov_stationary`
+    discipline: `(p·c) DIV r` micro-unit terms, bit-identical across
+    engines/partitionings; purchase held absorbing by a unit
+    self-loop so the DuckDB RECURSIVE mirror needs a single recursive
+    reference). Data-scale work is one transition-count window +
+    aggregate; the iteration state is (removals × states) rows —
+    metadata-sized, checkpointed per round like the graph family."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    c = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("cur") != "purchase"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = c.groupBy("cur").agg(F.sum("n").alias("tot"))
+    rem = spark.createDataFrame(
+        [("view",), ("click",), ("signup",), ("error",), ("none",)], "m string"
+    )
+    kc = (
+        rem.crossJoin(c.join(r, "cur"))
+        .filter((F.col("cur") != F.col("m")) & (F.col("nxt") != F.col("m")))
+        .select("m", "cur", "nxt", "n", "tot")
+        .unionByName(
+            rem.select(
+                "m",
+                F.lit("purchase").alias("cur"),
+                F.lit("purchase").alias("nxt"),
+                F.lit(1).cast("long").alias("n"),
+                F.lit(1).cast("long").alias("tot"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    p = rem.select(
+        F.col("m").alias("pm"),
+        F.lit("purchase").alias("state"),
+        F.lit(1_000_000_000_000).alias("pv"),
+    ).localCheckpoint(eager=True)
+    for _ in range(8):
+        p = (
+            kc.join(p, (kc.m == p.pm) & (kc.nxt == p.state))
+            .select(
+                F.col("m").alias("pm"),
+                F.col("cur").alias("state"),
+                F.expr("(pv * n) DIV tot").alias("term"),
+            )
+            .groupBy("pm", "state")
+            .agg(F.sum("term").alias("pv"))
+            .localCheckpoint(eager=True)
+        )
+    starts = (
+        seq.filter(F.col("rn") == 1)
+        .groupBy(F.col("cur").alias("state"))
+        .agg(F.count(F.lit(1)).alias("sn"))
+    )
+    nn = starts.agg(F.sum("sn").alias("nu"))
+    conv = (
+        p.join(starts, "state")
+        .crossJoin(F.broadcast(nn))
+        .select("pm", F.expr("(sn * pv) DIV nu").alias("term"))
+        .groupBy("pm")
+        .agg(F.sum("term").alias("conv_p12"))
+    )
+    base = conv.filter(F.col("pm") == "none").select(F.col("conv_p12").alias("b"))
+    return (
+        conv.filter(F.col("pm") != "none")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("pm").alias("removed_state"),
+            "conv_p12",
+            F.expr("1000000 - (conv_p12 * 1000000) DIV b").alias(
+                "removal_effect_micro"
+            ),
         )
     )
