@@ -13541,9 +13541,16 @@ def conformal_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite-sample 90% guarantee), and reports empirical test coverage.
     Every quantity is an exact integer (micro-value residuals, ceil as
     integer arithmetic, the order statistic via a distinct-score
-    prefix sum — the KS/AUC pattern, O(distinct scores) state), so the
-    result is engine- and partitioning-independent. Scales: two
-    hour-keyed broadcast joins + one bounded prefix-sum window."""
+    prefix sum), so the result is engine- and partitioning-
+    independent. Scale shape: micro-granular residuals are near-unique,
+    so the distinct-score table is DATA-sized — the prefix sum runs
+    through `rank.global_running_sum` (distributed two-level cumsum,
+    the KS discipline), never a single-partition window; calibration
+    and test residuals group in ONE pass over one scan (n_calib,
+    n_test, coverage all derive from the checkpointed grouped table),
+    and the 24-row model broadcasts."""
+    from reactionetl_etl_spark.operators.rank import global_running_sum
+
     ev = load_events(spark, sf_dir)
     split = ev.select(
         F.hour("ts_ntz").cast("long").alias("hr"),
@@ -13563,43 +13570,42 @@ def conformal_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_vm"
             )
         )
+        .localCheckpoint(eager=True)  # hour-grid-sized; calib+test both read it
     )
-    calib = (
-        split.filter((F.col("bucket") >= 60) & (F.col("bucket") < 80))
+    g = (
+        split.filter(F.col("bucket") >= 60)
         .join(F.broadcast(model), "hr")
-        .select(F.abs(F.col("vm") - F.col("mean_vm")).alias("score"))
-    )
-    k = calib.agg(
-        F.count(F.lit(1)).alias("n_calib"),
-        F.expr("(9 * (count(*) + 1) + 9) DIV 10").alias("kth"),
-    )
-    ranked = (
-        calib.groupBy("score")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "cum",
-            F.sum("c").over(
-                Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-            ),
+        .select(
+            F.abs(F.col("vm") - F.col("mean_vm")).alias("score"),
+            F.when(F.col("bucket") >= 80, 1).otherwise(0).alias("is_test"),
         )
+        .groupBy("score")
+        .agg(
+            F.sum(F.expr("1 - is_test")).cast("long").alias("c"),
+            F.sum("is_test").cast("long").alias("t"),
+        )
+        .localCheckpoint(eager=True)  # distinct-score-sized; totals + cumsum + coverage all read it
+    )
+    k = g.agg(
+        F.sum("c").cast("long").alias("n_calib"),
+        F.expr("(9 * (sum(c) + 1) + 9) DIV 10").alias("kth"),
+        F.sum("t").cast("long").alias("n_test"),
+    )
+    cum = global_running_sum(
+        g, order_exprs=[F.col("score")], order_desc=[False], value_col="c",
+        out_col="cum",
     )
     qhat = (
-        ranked.crossJoin(F.broadcast(k))
+        cum.crossJoin(F.broadcast(k))
         .filter(F.col("cum") >= F.col("kth"))
         .agg(F.min("score").alias("qhat_micro"))
     )
-    test = (
-        split.filter(F.col("bucket") >= 80)
-        .join(F.broadcast(model), "hr")
-        .select(F.abs(F.col("vm") - F.col("mean_vm")).alias("score"))
-    )
     return (
-        test.crossJoin(F.broadcast(qhat))
-        .crossJoin(F.broadcast(k.select("n_calib")))
-        .groupBy("qhat_micro", "n_calib")
+        g.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(k.select("n_calib", "n_test")))
+        .groupBy("qhat_micro", "n_calib", "n_test")
         .agg(
-            F.count(F.lit(1)).alias("n_test"),
-            F.sum(F.when(F.col("score") <= F.col("qhat_micro"), 1).otherwise(0))
+            F.sum(F.when(F.col("score") <= F.col("qhat_micro"), F.col("t")).otherwise(0))
             .cast("long")
             .alias("n_covered"),
         )
@@ -13834,10 +13840,13 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("term").alias("pv"))
             .localCheckpoint(eager=True)
         )
+    # state-sized (≤ |event types| rows); nn and conv both read it, and
+    # without the pin each consumer re-runs the events scan + window
     starts = (
         seq.filter(F.col("rn") == 1)
         .groupBy(F.col("cur").alias("state"))
         .agg(F.count(F.lit(1)).alias("sn"))
+        .localCheckpoint(eager=True)
     )
     nn = starts.agg(F.sum("sn").alias("nu"))
     conv = (
@@ -13846,6 +13855,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pm", F.expr("(sn * pv) DIV nu").alias("term"))
         .groupBy("pm")
         .agg(F.sum("term").alias("conv_p12"))
+        .localCheckpoint(eager=True)  # removal-variant-sized; base + result both read it
     )
     base = conv.filter(F.col("pm") == "none").select(F.col("conv_p12").alias("b"))
     return (
