@@ -595,3 +595,105 @@ def test_auc_rank_sum_matches_naive_pair_counting(spark, rows):
     ).collect()[0]["u2"]
     got = u2 / (2.0 * len(pos) * len(neg))
     assert math.isclose(got, want, rel_tol=0, abs_tol=1e-12)
+
+
+def test_km_survival_matches_float_product_limit(spark, sf_dir):
+    """The truncated-integer Kaplan-Meier curve is the real product-
+    limit estimator: an independent numpy recompute (float ratios over
+    the same censored durations, built with pandas groupby — no Spark
+    code reused) matches every step within the accumulated truncation
+    bound, and the curve obeys the KM invariants (survival and risk
+    sets non-increasing, survival in [0, 1])."""
+    import numpy as np
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    rows = (
+        all_queries()["km_reorder_survival"]
+        .builder(spark, sf_dir)
+        .orderBy("week")
+        .collect()
+    )
+    assert rows
+    surv = [r["surv_micro"] for r in rows]
+    risk = [r["at_risk"] for r in rows]
+    assert all(0 <= s <= 1_000_000_000_000 for s in surv)
+    assert surv == sorted(surv, reverse=True)
+    assert risk == sorted(risk, reverse=True)
+
+    pdf = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).toPandas()
+    pdf = pdf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    nxt = pdf.groupby("o_custkey")["o_orderdate"].shift(-1)
+    horizon = pdf["o_orderdate"].max()
+    dur = ((nxt.fillna(horizon) - pdf["o_orderdate"]).dt.days // 7).to_numpy()
+    ev = nxt.notna().to_numpy()
+
+    s = 1.0
+    expect = {}
+    for wk in np.unique(dur[ev]):
+        n = int((dur >= wk).sum())
+        d = int((ev & (dur == wk)).sum())
+        s *= (n - d) / n
+        if wk <= 52:
+            expect[int(wk)] = (d, n, s)
+    assert len(rows) == len(expect)
+    for r in rows:
+        d, n, s_f = expect[r["week"]]
+        assert (r["deaths"], r["at_risk"]) == (d, n)
+        # each integer step truncates at most 1 micro-unit
+        assert abs(r["surv_micro"] / 1e12 - s_f) < (len(expect) + 1) * 1e-12 + 1e-9
+
+
+def test_conformal_qhat_is_the_order_statistic(spark, sf_dir):
+    """q̂ equals the ⌈0.9(n+1)⌉-th smallest calibration residual
+    recomputed directly with numpy from the same md5 split (no grouped
+    prefix-sum machinery), and the reported coverage counts are
+    internally consistent."""
+    import hashlib
+
+    import numpy as np
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_events
+
+    row = all_queries()["conformal_event_value"].builder(spark, sf_dir).first()
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ntz", "value").toPandas()
+    bucket = ev["event_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+    )
+    vm = np.floor(ev["value"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+    hr = ev["ts_ntz"].dt.hour.to_numpy()
+    means = {
+        h: int(vm[(bucket < 60) & (hr == h)].sum()) // int(((bucket < 60) & (hr == h)).sum())
+        for h in np.unique(hr[bucket < 60])
+    }
+    resid = np.abs(vm - np.vectorize(means.get)(hr))
+    calib = np.sort(resid[(bucket >= 60) & (bucket < 80)])
+    k = -(-9 * (len(calib) + 1) // 10)  # ceil(0.9 (n+1))
+    assert row["n_calib"] == len(calib)
+    assert row["qhat_micro"] == int(calib[k - 1])
+    test = resid[bucket >= 80]
+    assert row["n_test"] == len(test)
+    assert row["n_covered"] == int((test <= row["qhat_micro"]).sum())
+    assert 0 <= row["coverage_micro"] <= 1_000_000
+
+
+def test_removal_attribution_effects_are_monotone_losses(spark, sf_dir):
+    """Deleting a channel can only LOSE conversion mass: every removal
+    variant's absorption probability is ≤ the intact chain's, so every
+    removal effect lies in [0, 10⁶] micro-units — and the intact
+    baseline itself is a probability (≤ 10¹² pico-units)."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    rows = (
+        all_queries()["markov_removal_attribution"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert {r["removed_state"] for r in rows} == {"view", "click", "signup", "error"}
+    for r in rows:
+        assert 0 <= r["conv_p12"] <= 1_000_000_000_000
+        assert 0 <= r["removal_effect_micro"] <= 1_000_000

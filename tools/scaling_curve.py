@@ -51,6 +51,19 @@ EXTRA_QUERIES = (
     "purchase_hits_scores",  # HITS fixed-round power iteration
     "event_funnel_steps",  # stacked windows over one events scan
     "weekly_retention_triangle",  # cohort grid agg
+    # r9 operator families, one representative per shuffle-inventory row
+    "ks_test_click_purchase",  # distinct-value agg + distributed prefix sum
+    "nation_theilsen_trend",  # keyed agg + month-grid self-join
+    "event_markov_stationary",  # state-sized truncated-integer iteration
+    "purchase_attribution_credit",  # user-keyed interval join + window
+    "quality_lift_deciles",  # distributed 2-pass global rank
+    "bigram_llr_collocations",  # vocabulary-bounded pair aggs
+    "event_value_bootstrap_ci",  # map-side-combined replicate sums
+    "km_reorder_survival",  # customer window + week-grid fold
+    "markov_removal_attribution",  # keyed removal-variant iteration
+    "conformal_event_value",  # score agg + distributed prefix sum
+    "event_value_cuped",  # user agg + single-row moments
+    "promo_did_estimate",  # broadcast dim join + 4-group agg
 )
 
 
