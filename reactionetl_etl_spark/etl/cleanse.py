@@ -133,9 +133,11 @@ def cleanse_metadata_jsons(
     # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
     # THROW on 'not-a-float' — we want NULL so the row quarantines.
     # Persisted like the CSV path's parsed scan: the clean and
-    # quarantine branches otherwise each re-read every JSON file
-    # (multiLine = one task per file — the expensive part of this
-    # cleanse); released by the caller via CleanseResult.release().
+    # quarantine branches otherwise each re-run the whole read — and on
+    # the per-path branch that doubles the O(files) plan-construction
+    # resolution too (~1.5 s at 512 files, the dominant cost; the scan
+    # itself packs small files ~16/task and runs in ~0.3 s). Released
+    # by the caller via CleanseResult.release().
     typed = raw.withColumns(
         {f"__t_{c}": F.col(c).try_cast("double") for c in METADATA_DOUBLE_COLS}
         | {"__t_date_run": F.col("date_run").try_cast("date")}
