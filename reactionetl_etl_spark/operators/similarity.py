@@ -761,3 +761,80 @@ def dequantize_embeddings_int8(
         out_col,
         F.transform(F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)),
     )
+
+
+def mutual_nearest_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_dim: int | None = None,
+    lsh_bits: int = 8,
+    max_exact_rows: int = 100_000,
+) -> DataFrame:
+    """Mutual-nearest-neighbor pairs: (id_a, id_b, cosine_sim) where
+    each vector is the OTHER's top-1 cosine neighbor — the standard
+    dataset-alignment / cross-corpus matching primitive (MNN pairs are
+    far more precise anchors than one-directional top-1).
+
+    Same two regimes as `cosine_neardup_pairs`: the exact path
+    self-joins all pairs and is GUARDED by ``max_exact_rows``; passing
+    ``lsh_dim`` restricts candidates to same-LSH-bucket pairs (the
+    scale path — approximate, equi-join keyed on 2^bits buckets). The
+    top-1 per side is selected on the 6-dp-rounded cosine with the
+    neighbor id as tie-break, so the argmax is deterministic
+    cross-engine (raw float low bits differ by summation order); the
+    per-source rank executes as WindowGroupLimit partials, never a
+    full sort of the candidate set.
+    """
+    from pyspark.sql import Window
+
+    base = embeddings
+    join_keys: list[str] = []
+    if lsh_dim is not None:
+        base = with_lsh_bucket(base, lsh_dim, lsh_bits, vec_col)
+        join_keys = ["lsh_bucket"]
+    elif max_exact_rows is not None:
+        n = embeddings.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact all-pairs MNN over {n} rows exceeds max_exact_rows="
+                f"{max_exact_rows}; use the LSH path (lsh_dim=...) at this scale"
+            )
+    left = base.select(
+        *join_keys, F.col(id_col).alias("ia"), as_double_array(vec_col).alias("__va")
+    )
+    right = base.select(
+        *join_keys, F.col(id_col).alias("ib"), as_double_array(vec_col).alias("__vb")
+    )
+    pairs = (
+        left.join(right, on=join_keys, how="inner")
+        if join_keys
+        else left.crossJoin(right)
+    ).filter(F.col("ia") < F.col("ib"))
+    scored = pairs.select(
+        "ia", "ib", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("c")
+    )
+    directed = scored.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst"), "c"
+    ).unionByName(scored.select(F.col("ib").alias("src"), F.col("ia").alias("dst"), "c"))
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    top1 = (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    other = top1.select(
+        F.col("src").alias("o_src"), F.col("dst").alias("o_dst")
+    )
+    return (
+        top1.join(
+            other,
+            (F.col("src") == F.col("o_dst")) & (F.col("dst") == F.col("o_src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            F.col("c").alias("cosine_sim"),
+        )
+    )

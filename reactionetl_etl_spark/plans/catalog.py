@@ -94,11 +94,13 @@ _PRIORITY: tuple[str, ...] = (
     "ks_test_click_purchase",
     "markov_removal_attribution",
     "mixture_temperature_resample",
+    "mutual_nearest_pairs",
     "nation_theilsen_trend",
     "part_value_concentration",
     "promo_did_estimate",
     "purchase_attribution_credit",
     "quality_lift_deciles",
+    "rake_keyphrases",
     "retrieval_ndcg_eval",
     "stratified_sample_events",
     "supplier_attr_counts",
@@ -13868,4 +13870,147 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "removal_effect_micro"
             ),
         )
+    )
+
+
+@_q(
+    "mutual_nearest_pairs",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), directed AS (
+        SELECT ia AS src, ib AS dst, c FROM pairs
+        UNION ALL
+        SELECT ib AS src, ia AS dst, c FROM pairs
+    ), t1 AS (
+        SELECT src, dst, c FROM (
+            SELECT src, dst, c,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst ASC) AS rn
+            FROM directed
+        ) WHERE rn = 1
+    )
+    SELECT x.src AS id_a, x.dst AS id_b, x.c AS cosine_sim
+    FROM t1 x JOIN t1 y ON y.src = x.dst AND y.dst = x.src
+    WHERE x.src < x.dst
+    """,
+    tags=("similarity", "alignment", "ann"),
+)
+def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor (MNN) pairs over the embedding corpus —
+    the dataset-alignment / cross-corpus anchor primitive: a pair
+    survives only if EACH side is the other's top-1 cosine neighbor,
+    which suppresses hub vectors that are one-directional neighbors to
+    everything. Exact all-pairs baseline (size-guarded, the
+    `embedding_neardup_pairs` discipline); the operator's `lsh_dim`
+    switch is the bucketed 100 TB path. Top-1 argmax on the 6-dp
+    cosine with id tie-break = deterministic cross-engine; the rank
+    runs as WindowGroupLimit partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mutual_nearest_pairs(emb)
+
+
+@_q(
+    "rake_keyphrases",
+    """
+    WITH norm AS (
+        SELECT regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+                       '\\b(a|an|and|are|as|at|be|but|by|for|from|has|have|in|is|it|its|of|on|or|that|the|this|to|was|were|will|with|not)\\b',
+                       '|', 'g'),
+                   '\\s+', ' ', 'g') AS marked
+        FROM documents
+    ), phrases AS (
+        SELECT trim(p) AS phrase
+        FROM norm, UNNEST(string_split(marked, '|')) AS u(p)
+        WHERE trim(p) <> ''
+          AND len(string_split(trim(p), ' ')) BETWEEN 1 AND 3
+    ), pw AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen, w
+        FROM phrases, UNNEST(string_split(phrase, ' ')) AS u(w)
+    ), ws AS (
+        SELECT w,
+               (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS score_micro
+        FROM pw GROUP BY w
+    ), ps AS (
+        SELECT pw.phrase, CAST(sum(ws.score_micro) AS BIGINT) AS phrase_score_micro
+        FROM pw JOIN ws ON ws.w = pw.w
+        GROUP BY pw.phrase
+    ), pn AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM phrases GROUP BY 1
+    )
+    SELECT ps.phrase,
+           pn.n,
+           ps.phrase_score_micro // pn.n AS score_micro
+    FROM ps JOIN pn ON pn.phrase = ps.phrase
+    ORDER BY score_micro DESC, ps.phrase ASC
+    LIMIT 15
+    """,
+    tags=("text", "keyphrase", "nlp"),
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — stopword-
+    delimited candidate phrases scored by Σ deg(w)/freq(w) over their
+    words, the classic unsupervised keyword miner. Phrase cutting is
+    pure row-local regex (stopwords become delimiters via word-
+    boundary replace — RE2∩Java-safe); word degree/frequency are
+    vocabulary-bounded aggregates, and scores are TRUNCATED integer
+    micro-units (`(Σlen·10⁶) DIV freq`, summed exactly per phrase) so
+    ranking is bit-deterministic cross-engine. Note `ps` sums the
+    word-score over every phrase OCCURRENCE, so the reported
+    score_micro divides back by the phrase count — exact integers
+    throughout. Shuffles: two bounded aggs + one vocabulary join."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = (
+        "a|an|and|are|as|at|be|but|by|for|from|has|have|in|is|it|its|of|on|or|"
+        "that|the|this|to|was|were|will|with|not"
+    )
+    marked = docs.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z]+", " "),
+                rf"\b({stop})\b",
+                "|",
+            ),
+            r"\s+",
+            " ",
+        ).alias("marked")
+    )
+    phrases = (
+        marked.select(F.explode(F.split("marked", r"\|")).alias("p"))
+        .select(F.trim("p").alias("phrase"))
+        .filter(
+            (F.col("phrase") != "")
+            & (F.size(F.split("phrase", " ")).between(1, 3))
+        )
+    )
+    pw = phrases.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    ws = pw.groupBy("w").agg(
+        F.expr("(CAST(sum(plen) AS BIGINT) * 1000000) DIV count(*)").alias(
+            "score_micro"
+        )
+    )
+    ps = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_micro").cast("long").alias("phrase_score_micro"))
+    )
+    pn = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ps.join(pn, "phrase")
+        .select(
+            "phrase",
+            "n",
+            F.expr("phrase_score_micro DIV n").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(15)
     )
