@@ -697,3 +697,31 @@ def test_removal_attribution_effects_are_monotone_losses(spark, sf_dir):
     for r in rows:
         assert 0 <= r["conv_p12"] <= 1_000_000_000_000
         assert 0 <= r["removal_effect_micro"] <= 1_000_000
+
+
+def test_mnn_pairs_form_a_matching(spark, sf_dir):
+    """Mutual-nearest-neighbor output is a MATCHING: top-1 is unique
+    per node, so no id can appear in two pairs — on the exact path AND
+    the LSH-bucketed scale path (whose pairs must also reproduce the
+    exact pair whenever both sides share a bucket and kept each other
+    as top-1). Also pins the guard: an over-limit corpus raises
+    instead of scheduling the quadratic join."""
+    import pytest as _pytest
+
+    from reactionetl_etl_spark.operators.similarity import mutual_nearest_pairs
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    exact = mutual_nearest_pairs(emb).collect()
+    ids = [i for r in exact for i in (r["id_a"], r["id_b"])]
+    assert len(ids) == len(set(ids))
+    assert all(r["id_a"] < r["id_b"] for r in exact)
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0 for r in exact)
+
+    lsh = mutual_nearest_pairs(emb, lsh_dim=64, lsh_bits=4).collect()
+    lids = [i for r in lsh for i in (r["id_a"], r["id_b"])]
+    assert len(lids) == len(set(lids))
+
+    with _pytest.raises(ValueError, match="max_exact_rows"):
+        mutual_nearest_pairs(emb, max_exact_rows=10)
