@@ -83,6 +83,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "bigram_llr_collocations",
+    "classifier_calibration_bins",
     "conformal_event_value",
     "dominant_part_suppliers",
     "event_markov_stationary",
@@ -179,6 +180,13 @@ _PRIORITY: tuple[str, ...] = (
     "pca_doc_projection",
     "vocab_coverage_topk",
     "zipf_slope_fit",
+    "ann_recall_report",
+    "embedding_neardup_lsh",
+    "ivf_cosine_topk",
+    "ivf_cosine_topk_batch",
+    "knn_label_predict",
+    "lsh_cosine_topk",
+    "lsh_cosine_topk_batch",
     "trigram_perplexity_scores",
     "customer_balance_extremes",
     "part_measures_unpivot",
@@ -295,7 +303,6 @@ _PRIORITY: tuple[str, ...] = (
     "training_corpus_build",
     "unconverted_clicks_outer_join",
     "word_window_udtf",
-    "ann_recall_report",
     "approx_distinct_users",
     "audio_spectral_profile",
     "bpe_encode_tokens",
@@ -306,7 +313,6 @@ _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore",
     "customer_top2_orders_lateral",
     "doc_readability_scores",
-    "embedding_neardup_lsh",
     "event_funnel_steps",
     "event_value_welch_ttest",
     "events_cusum_alarms",
@@ -316,14 +322,9 @@ _PRIORITY: tuple[str, ...] = (
     "image_neardup_phash",
     "incremental_join_materialize",
     "incremental_neardup_probe",
-    "ivf_cosine_topk",
-    "ivf_cosine_topk_batch",
     "jaccard_prefix_join_pairs",
-    "knn_label_predict",
     "lang_source_chi2",
     "lineitem_correlation_matrix",
-    "lsh_cosine_topk",
-    "lsh_cosine_topk_batch",
     "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
     "multimodal_corpus_build",
@@ -14013,4 +14014,57 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(15)
+    )
+
+
+@_q(
+    "classifier_calibration_bins",
+    None,  # replaced by a PINNED VALUES oracle (driver hashes it): model training is not SQL-expressible
+    tags=("text", "quality", "classifier", "calibration", "llm"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality classifier — the
+    calibration completion of the eval family (TPR/TNR/AUC say how
+    often the model is right; this says whether its CONFIDENCE means
+    anything): held-out scores cut into ten confidence bins, each
+    reporting mean predicted probability vs empirical keep rate and
+    the |gap| that an expected-calibration-error (ECE) sum weights.
+    Per-row scores are deterministic (decimal-fold features, per-row
+    sigmoid), and every aggregate is a TRUNCATED-integer micro-unit
+    (`Σscore_micro DIV n`), so the table is partition-order-proof —
+    the pinned VALUES contract holds under any session. One scan +
+    one 10-group aggregate; same memoized model as the other
+    classifier queries (re-pin together if its knobs change)."""
+    from reactionetl_etl_spark.operators import classifier as C
+    from reactionetl_etl_spark.operators.split import split_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    w = _quality_classifier_model(spark, sf_dir)
+    test_ids = docs.select("doc_id").filter(split_bucket(F.col("doc_id")) % 5 == 0)
+    scored = (
+        C.score_text(docs, w)
+        .join(test_ids, "doc_id")
+        .join(_quality_labels(docs), "doc_id")
+        .select(
+            F.floor(F.col("score") * 1_000_000 + F.lit(0.5)).cast("long").alias("sm"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(F.expr("sm DIV 100000"), F.lit(9)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(sm) DIV count(*)").alias("conf_micro"),
+            F.expr("(sum(y) * 1000000) DIV count(*)").alias("acc_micro"),
+        )
+        .select(
+            "bin",
+            "n",
+            "conf_micro",
+            "acc_micro",
+            F.abs(F.col("conf_micro") - F.col("acc_micro")).alias("gap_micro"),
+        )
+        .orderBy("bin")
     )

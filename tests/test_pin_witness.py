@@ -318,3 +318,54 @@ def test_pin_witness_fixture_present():
     # the pure-python witnesses above hard-depend on the sf0.01 fixture
     # the pins encode; fail loudly (not silently-pass) if it moves
     assert os.path.exists(f"{SF001}/documents.parquet")
+
+
+def test_calibration_bins_match_pandas_recomputation(spark, sf_dir):
+    """Non-circular witness for the classifier_calibration_bins pin:
+    the binning + truncated-integer aggregation is recomputed in
+    pandas/numpy from the per-row scores and an INDEPENDENT pure-Python
+    reimplementation of the Gopher label rule (no catalog aggregation
+    code reused). Validates the reliability-diagram arithmetic; the
+    scores' own determinism is covered by the classifier suite."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators import classifier as C
+    from reactionetl_etl_spark.operators.split import split_bucket
+    from reactionetl_etl_spark.plans.catalog import (
+        _quality_classifier_model,
+        all_queries,
+    )
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    got = {
+        r["bin"]: (r["n"], r["conf_micro"], r["acc_micro"], r["gap_micro"])
+        for r in all_queries()["classifier_calibration_bins"].builder(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _quality_classifier_model(spark, sf_dir)
+    test_docs = docs.filter(split_bucket(docs.doc_id) % 5 == 0)
+    pdf = (
+        C.score_text(test_docs, w)
+        .join(test_docs.select("doc_id", "text"), "doc_id")
+        .toPandas()
+    )
+
+    def label(text: str) -> int:
+        toks = " ".join(text.lower().split()).split(" ")
+        nt = len(toks)
+        uq = len(set(toks)) / max(nt, 1)
+        ml = sum(len(t) for t in toks) / max(nt, 1)
+        return int(nt >= 20 and uq >= 0.3 and 3.0 <= ml <= 10.0)
+
+    sm = np.floor(pdf["score"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+    y = pdf["text"].map(label).to_numpy()
+    bins = np.minimum(sm // 100_000, 9)
+    expect = {}
+    for b in np.unique(bins):
+        m = bins == b
+        n = int(m.sum())
+        conf = int(sm[m].sum()) // n
+        acc = int(y[m].sum()) * 1_000_000 // n
+        expect[int(b)] = (n, conf, acc, abs(conf - acc))
+    assert got == expect
