@@ -59,6 +59,11 @@ def timed_run(spark, phases: dict[str, list[float]]) -> float:
         t0 = spark_mark()
         lake.run_once(spark, incoming, now=now)
         phases["run_once"].append(spark_mark() - t0)
+        # the pipeline's own per-phase timers (listing / dims /
+        # fact_cleanse_write / fact_status / audit_manifest) — finer
+        # than this harness's block timers, zero sync burden
+        for k, v in lake.last_phase_timings.items():
+            phases.setdefault(f"rp_{k}", []).append(v)
 
         t0 = spark_mark()
         lake.materialize_enrichment(spark)
