@@ -13534,6 +13534,7 @@ def event_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     tags=("stats", "uncertainty", "conformal"),
+    bench=True,
 )
 def conformal_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction interval — distribution-free
@@ -13660,6 +13661,7 @@ def conformal_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT wk AS week, d AS deaths, n AS at_risk, s AS surv_micro FROM km
     """,
     tags=("stats", "survival", "analytics"),
+    bench=True,
 )
 def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve with right censoring — the
@@ -13899,6 +13901,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE x.src < x.dst
     """,
     tags=("similarity", "alignment", "ann"),
+    bench=True,
 )
 def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor (MNN) pairs over the embedding corpus —
@@ -13952,6 +13955,7 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 15
     """,
     tags=("text", "keyphrase", "nlp"),
+    bench=True,
 )
 def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyphrase extraction (Rose et al. 2010) — stopword-
