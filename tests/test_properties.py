@@ -725,3 +725,75 @@ def test_mnn_pairs_form_a_matching(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="max_exact_rows"):
         mutual_nearest_pairs(emb, max_exact_rows=10)
+
+
+def test_betweenness_matches_float_brandes(spark, sf_dir):
+    """Witness for the truncated-integer k-source betweenness: a pure-
+    Python float Brandes (same 4 sources, same depth-3 bound, textbook
+    σ/δ recurrences — no catalog code reused) recomputed on the
+    collected co-purchase edge list matches every node's bc_micro/10⁶
+    within the per-term truncation bound."""
+    from collections import defaultdict
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    got = {
+        r["part"]: r["bc_micro"]
+        for r in all_queries()["copurchase_betweenness"].builder(spark, sf_dir).collect()
+    }
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    baskets = defaultdict(set)
+    for ok, pk in lp.itertuples(index=False):
+        baskets[ok].add(pk)
+    pair_n = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1:]:
+                pair_n[(x, y)] += 1
+    adj = defaultdict(set)
+    for (x, y), n in pair_n.items():
+        if n >= 2:
+            adj[x].add(y)
+            adj[y].add(x)
+
+    bc = defaultdict(float)
+    n_terms = defaultdict(int)
+    for src in sorted(adj)[:4]:
+        levels = [{src}]
+        seen = {src}
+        sigma = {src: 1}
+        for _ in range(3):
+            nxt = defaultdict(int)
+            for v in levels[-1]:
+                for w in adj[v]:
+                    if w not in seen:
+                        nxt[w] += sigma[v]
+            if not nxt:
+                break
+            levels.append(set(nxt))
+            seen |= set(nxt)
+            sigma.update(nxt)
+        delta = defaultdict(float)
+        for lvl in range(len(levels) - 2, 0, -1):
+            for v in levels[lvl]:
+                for w in adj[v]:
+                    if w in levels[lvl + 1]:
+                        delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+                        n_terms[v] += 1
+            for v in levels[lvl]:
+                bc[v] += delta[v]
+
+    expect = {v: x for v, x in bc.items() if x > 0}
+    assert set(got) == set(expect)
+    for v, x in expect.items():
+        # each truncated term loses < 1e-6, compounding through ≤2 levels
+        tol = (n_terms[v] * 3 + 2) * 1e-6 + 1e-9
+        assert abs(got[v] / 1e6 - x) <= tol, (v, got[v] / 1e6, x, tol)
