@@ -12635,10 +12635,13 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines AND partitionings (a float recurrence would drift
     with summation order), expressible as a DuckDB RECURSIVE CTE. The
     data-scale stage is the ONE transition-count aggregation (per-user
-    lead window); the iteration runs on a state-sized table (|event
-    types| rows), checkpointed per round like the graph family. At
-    >2⁶³/10¹² per-state transition totals the product needs DECIMAL
-    headroom; ANSI raises loudly."""
+    lead window); the chain itself is |event types|² cells — metadata
+    by construction — so the rounds run as exact Python integers on
+    the driver (guarded collect; the k-means-centroid discipline)
+    instead of 8 checkpointed state-sized Spark rounds whose fixed
+    stage latency the r9 curves measured at ~1.3 s."""
+    import math
+
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
     pairs = ev.select(
@@ -12646,30 +12649,40 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
     c = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
-    r = c.groupBy("cur").agg(F.sum("n").alias("tot"))
-    cr = c.join(r, "cur").localCheckpoint(eager=True)  # (cur, nxt, n, tot)
-    x = r.select(
-        F.col("cur").alias("state"), F.lit(1_000_000_000_000).alias("xv")
-    ).localCheckpoint(eager=True)
-    for _ in range(8):
-        x = (
-            cr.join(x, cr.cur == x.state)
-            .select(
-                F.col("nxt").alias("state"),
-                F.expr("(xv * n) DIV tot").alias("term"),
-            )
-            .groupBy("state")
-            .agg(F.sum("term").alias("xv"))
-            .localCheckpoint(eager=True)
+    # The ONE data-scale stage ends here. The chain itself is
+    # |event types|² cells — metadata by construction (the domain of a
+    # categorical column) — so the 8 Jacobi rounds run as exact Python
+    # integers on the driver (the k-means-centroid discipline; r9
+    # measured 8 checkpointed state-sized rounds costing a fixed
+    # ~1.3 s of pure stage latency). Arithmetic is IDENTICAL
+    # truncated-integer ops, so the result is bit-equal to the
+    # distributed loop and to the RECURSIVE oracle. Guarded: a
+    # non-categorical state column would make this collect data-sized.
+    cells = c.collect()
+    if len(cells) > 10_000:
+        raise ValueError(
+            f"{len(cells)} transition cells — state column is not "
+            "categorical-sized; use a distributed iteration for this input"
         )
-    z = x.agg(F.sum("xv").alias("z"))
-    return x.crossJoin(F.broadcast(z)).select(
-        "state",
-        "xv",
-        (
-            F.floor(F.col("xv") * F.lit(1.0) / F.col("z") * 1_000_000 + F.lit(0.5))
-            / 1_000_000
-        ).alias("prob6"),
+    tot: dict[str, int] = {}
+    for row in cells:
+        tot[row["cur"]] = tot.get(row["cur"], 0) + row["n"]
+    x = {s: 1_000_000_000_000 for s in tot}
+    for _ in range(8):
+        nx: dict[str, int] = {}
+        for row in cells:
+            if row["cur"] in x:
+                nx[row["nxt"]] = nx.get(row["nxt"], 0) + (
+                    x[row["cur"]] * row["n"]
+                ) // tot[row["cur"]]
+        x = nx
+    z = sum(x.values())
+    out = [
+        (s, xv, math.floor(xv * 1.0 / z * 1_000_000 + 0.5) / 1_000_000)
+        for s, xv in sorted(x.items())
+    ]
+    return spark.createDataFrame(
+        out, "state string, xv bigint, prob6 double"
     )
 
 
@@ -13790,14 +13803,17 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-step purchase-absorption probability drops when that channel is
     deleted from the user-behavior chain (its traffic becomes lost
     mass — row totals keep the original denominator). The absorption
-    probabilities run per removal variant as ONE keyed truncated-
-    integer Jacobi iteration (the `event_markov_stationary`
-    discipline: `(p·c) DIV r` micro-unit terms, bit-identical across
-    engines/partitionings; purchase held absorbing by a unit
-    self-loop so the DuckDB RECURSIVE mirror needs a single recursive
-    reference). Data-scale work is one transition-count window +
-    aggregate; the iteration state is (removals × states) rows —
-    metadata-sized, checkpointed per round like the graph family."""
+    probabilities run per removal variant as truncated-integer Jacobi
+    rounds (the `event_markov_stationary` discipline: `(p·c) DIV r`
+    micro-unit terms, bit-identical across engines/partitionings;
+    purchase held absorbing by a unit self-loop so the DuckDB
+    RECURSIVE mirror needs a single recursive reference). Data-scale
+    work is ONE events pass (lead window + a (cur,nxt,is-first)
+    aggregate); the chain is |event types|² cells — metadata by
+    construction — so all five removal variants solve as exact Python
+    integers on the driver (guarded collect), bit-equal to the
+    distributed keyed loop they replace (which cost a fixed ~3.4 s of
+    per-round stage latency, r9 curves)."""
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
     seq = ev.select(
@@ -13805,75 +13821,49 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("nxt"),
         F.row_number().over(w).alias("rn"),
     )
-    c = (
-        seq.filter(F.col("nxt").isNotNull() & (F.col("cur") != "purchase"))
-        .groupBy("cur", "nxt")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    r = c.groupBy("cur").agg(F.sum("n").alias("tot"))
-    rem = spark.createDataFrame(
-        [("view",), ("click",), ("signup",), ("error",), ("none",)], "m string"
-    )
-    kc = (
-        rem.crossJoin(c.join(r, "cur"))
-        .filter((F.col("cur") != F.col("m")) & (F.col("nxt") != F.col("m")))
-        .select("m", "cur", "nxt", "n", "tot")
-        .unionByName(
-            rem.select(
-                "m",
-                F.lit("purchase").alias("cur"),
-                F.lit("purchase").alias("nxt"),
-                F.lit(1).cast("long").alias("n"),
-                F.lit(1).cast("long").alias("tot"),
-            )
+    cells = (
+        seq.groupBy("cur", "nxt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_first"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    p = rem.select(
-        F.col("m").alias("pm"),
-        F.lit("purchase").alias("state"),
-        F.lit(1_000_000_000_000).alias("pv"),
-    ).localCheckpoint(eager=True)
-    for _ in range(8):
-        p = (
-            kc.join(p, (kc.m == p.pm) & (kc.nxt == p.state))
-            .select(
-                F.col("m").alias("pm"),
-                F.col("cur").alias("state"),
-                F.expr("(pv * n) DIV tot").alias("term"),
-            )
-            .groupBy("pm", "state")
-            .agg(F.sum("term").alias("pv"))
-            .localCheckpoint(eager=True)
+    if len(cells) > 10_000:
+        raise ValueError(
+            f"{len(cells)} transition cells — state column is not "
+            "categorical-sized; use a distributed iteration for this input"
         )
-    # state-sized (≤ |event types| rows); nn and conv both read it, and
-    # without the pin each consumer re-runs the events scan + window
-    starts = (
-        seq.filter(F.col("rn") == 1)
-        .groupBy(F.col("cur").alias("state"))
-        .agg(F.count(F.lit(1)).alias("sn"))
-        .localCheckpoint(eager=True)
-    )
-    nn = starts.agg(F.sum("sn").alias("nu"))
-    conv = (
-        p.join(starts, "state")
-        .crossJoin(F.broadcast(nn))
-        .select("pm", F.expr("(sn * pv) DIV nu").alias("term"))
-        .groupBy("pm")
-        .agg(F.sum("term").alias("conv_p12"))
-        .localCheckpoint(eager=True)  # removal-variant-sized; base + result both read it
-    )
-    base = conv.filter(F.col("pm") == "none").select(F.col("conv_p12").alias("b"))
-    return (
-        conv.filter(F.col("pm") != "none")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("pm").alias("removed_state"),
-            "conv_p12",
-            F.expr("1000000 - (conv_p12 * 1000000) DIV b").alias(
-                "removal_effect_micro"
-            ),
+    trans: dict[tuple[str, str], int] = {}
+    tot: dict[str, int] = {}
+    starts: dict[str, int] = {}
+    for row in cells:
+        if row["nxt"] is not None and row["cur"] != "purchase":
+            trans[(row["cur"], row["nxt"])] = row["n"]
+            tot[row["cur"]] = tot.get(row["cur"], 0) + row["n"]
+        if row["n_first"]:
+            starts[row["cur"]] = starts.get(row["cur"], 0) + row["n_first"]
+    big_n = sum(starts.values())
+    conv: dict[str, int] = {}
+    for m in ("view", "click", "signup", "error", "none"):
+        p = {"purchase": 1_000_000_000_000}
+        for _ in range(8):
+            np_: dict[str, int] = {}
+            for (cur, nxt), n in trans.items():
+                if cur != m and nxt != m and nxt in p:
+                    np_[cur] = np_.get(cur, 0) + (p[nxt] * n) // tot[cur]
+            np_["purchase"] = 1_000_000_000_000
+            p = np_
+        conv[m] = sum(
+            (sn * p[s]) // big_n for s, sn in starts.items() if s in p
         )
+    base = conv["none"]
+    out = [
+        (m, conv[m], 1_000_000 - (conv[m] * 1_000_000) // base)
+        for m in ("click", "error", "signup", "view")
+    ]
+    return spark.createDataFrame(
+        out, "removed_state string, conv_p12 bigint, removal_effect_micro bigint"
     )
 
 
@@ -13902,7 +13892,6 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE x.src < x.dst
     """,
     tags=("similarity", "alignment", "ann"),
-    bench=True,
 )
 def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor (MNN) pairs over the embedding corpus —
