@@ -13892,6 +13892,7 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE x.src < x.dst
     """,
     tags=("similarity", "alignment", "ann"),
+    bench=True,
 )
 def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-nearest-neighbor (MNN) pairs over the embedding corpus —
