@@ -648,29 +648,64 @@ def cosine_neardup_pairs(
     2^bits values instead of a cartesian product), trading recall for
     ~2^bits less work. The LSH path is unguarded (it scales).
     """
-    base = embeddings
-    join_keys: list[str] = []
-    if lsh_dim is not None:
-        base = with_lsh_bucket(base, lsh_dim, lsh_bits, vec_col)
-        join_keys = ["lsh_bucket"]
-    elif max_exact_rows is not None:
+    if lsh_dim is None:
+        # Exact path = blocked driver BLAS: the guard already bounds the
+        # input to metadata size, and the interpreted HOF all-pairs
+        # formulation measured ~60 s at 2 000x64 where the gram matmul
+        # takes milliseconds (PERF_NOTES r9; same rewrite as
+        # mutual_nearest_pairs). Identical 6-dp half-away-from-zero
+        # rounding before the threshold compare.
+        import numpy as np
+
         n = embeddings.count()
-        if n > max_exact_rows:
+        if max_exact_rows is not None and n > max_exact_rows:
             raise ValueError(
                 f"exact all-pairs cosine over {n} rows exceeds max_exact_rows="
                 f"{max_exact_rows}; use the LSH path (lsh_dim=...) at this scale"
             )
+        spark = embeddings.sparkSession
+        schema = "id_a bigint, id_b bigint, cosine_sim double"
+        rows = embeddings.select(
+            F.col(id_col).cast("bigint"), as_double_array(vec_col)
+        ).collect()
+        if len(rows) < 2:
+            return spark.createDataFrame([], schema)
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], np.array([list(rows[i][1]) for i in order], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        out = []
+        for lo in range(0, len(ids), 256):  # bound block memory at n×256
+            hi = min(lo + 256, len(ids))
+            sims = unit[lo:hi] @ unit[lo:].T  # only j >= lo needed
+            c6 = (
+                np.where(
+                    sims >= 0,
+                    np.floor(sims * 1e6 + 0.5),
+                    np.ceil(sims * 1e6 - 0.5),
+                )
+                / 1e6
+            )
+            ai, bj = np.nonzero(c6 >= threshold)
+            for i, j in zip(ai.tolist(), bj.tolist()):
+                if lo + i < lo + j:  # id_a < id_b (ids sorted)
+                    out.append(
+                        (int(ids[lo + i]), int(ids[lo + j]), float(c6[i, j]))
+                    )
+        return spark.createDataFrame(out, schema)
+
+    base = with_lsh_bucket(embeddings, lsh_dim, lsh_bits, vec_col)
     left = base.select(
-        *join_keys, F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("__va")
+        "lsh_bucket", F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("__va")
     )
     right = base.select(
-        *join_keys, F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("__vb")
+        "lsh_bucket", F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("__vb")
     )
-    pairs = (
-        left.join(right, on=join_keys, how="inner")
-        if join_keys
-        else left.crossJoin(right)
-    ).filter(F.col("id_a") < F.col("id_b"))
+    pairs = left.join(right, on=["lsh_bucket"], how="inner").filter(
+        F.col("id_a") < F.col("id_b")
+    )
     sim = cosine_similarity(F.col("__va"), F.col("__vb"))
     return (
         pairs.withColumn("cosine_sim", F.round(sim, 6))
