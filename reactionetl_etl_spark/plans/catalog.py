@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "ks_test_click_purchase",
     "markov_removal_attribution",
     "mixture_temperature_resample",
+    "monthly_revenue_mase",
     "mutual_nearest_pairs",
     "nation_theilsen_trend",
     "part_value_concentration",
@@ -14218,4 +14219,104 @@ def copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v").alias("part"))
         .agg(F.sum("delta").cast("long").alias("bc_micro"))
         .filter(F.col("bc_micro") > 0)
+    )
+
+
+@_q(
+    "monthly_revenue_mase",
+    """
+    WITH m AS (
+        SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y-%m') AS VARCHAR)
+                   AS mon,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT mon, cents,
+               lag(cents, 1) OVER (ORDER BY mon) AS prev1,
+               lag(cents, 12) OVER (ORDER BY mon) AS prev12
+        FROM m
+    ), ae AS (
+        SELECT CASE WHEN mon < '1998-01' THEN 0 ELSE 1 END AS is_test,
+               abs(cents - prev1) AS ae1,
+               abs(cents - prev12) AS ae12
+        FROM lagged
+    ), agg AS (
+        SELECT CAST(count(CASE WHEN is_test = 0 AND ae1 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_train,
+               CAST(count(CASE WHEN is_test = 1 AND ae12 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_test,
+               CAST(CAST(sum(CASE WHEN is_test = 0 THEN ae1 END) AS HUGEINT)
+                    // count(CASE WHEN is_test = 0 AND ae1 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS mae_naive_train_cents,
+               CAST(CAST(sum(CASE WHEN is_test = 1 THEN ae12 END) AS HUGEINT)
+                    // count(CASE WHEN is_test = 1 AND ae12 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS mae_seasonal_test_cents
+        FROM ae
+    )
+    SELECT n_train, n_test, mae_naive_train_cents, mae_seasonal_test_cents,
+           (mae_seasonal_test_cents * 1000000) // mae_naive_train_cents AS mase_micro
+    FROM agg
+    """,
+    tags=("stats", "forecast", "evaluation", "timeseries"),
+)
+def monthly_revenue_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE forecast evaluation (Hyndman-Koehler 2006) — the
+    scale-free metric that completes the trend/forecast family
+    (OLS + Theil-Sen fit trends; this scores a forecast): a
+    seasonal-naive forecast (ŷ_t = y_{t−12}) on the post-1998 test
+    months, scaled by the in-sample one-step naive MAE. Every error is
+    an exact integer cents value; both MAEs are truncated integer
+    means and the final ratio is integer micro-units — bit-identical
+    cross-engine. The series is the MONTH GRID (bounded), so the lag
+    windows are metadata-sized; the one data-scale stage is the
+    monthly revenue aggregate. MASE < 1 ⇔ the seasonal model beats
+    naive persistence."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("mon")
+    lagged = m.select(
+        "mon",
+        "cents",
+        F.lag("cents", 1).over(w).alias("prev1"),
+        F.lag("cents", 12).over(w).alias("prev12"),
+    )
+    ae = lagged.select(
+        F.when(F.col("mon") < "1998-01", 0).otherwise(1).alias("is_test"),
+        F.abs(F.col("cents") - F.col("prev1")).alias("ae1"),
+        F.abs(F.col("cents") - F.col("prev12")).alias("ae12"),
+    )
+    agg = ae.agg(
+        F.count(F.when((F.col("is_test") == 0) & F.col("ae1").isNotNull(), 1))
+        .cast("long")
+        .alias("n_train"),
+        F.count(F.when((F.col("is_test") == 1) & F.col("ae12").isNotNull(), 1))
+        .cast("long")
+        .alias("n_test"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN is_test = 0 THEN ae1 END) AS DECIMAL(38,0))"
+            " DIV count(CASE WHEN is_test = 0 AND ae1 IS NOT NULL THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("mae_naive_train_cents"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN is_test = 1 THEN ae12 END) AS DECIMAL(38,0))"
+            " DIV count(CASE WHEN is_test = 1 AND ae12 IS NOT NULL THEN 1 END)"
+            " AS BIGINT)"
+        ).alias("mae_seasonal_test_cents"),
+    )
+    return agg.select(
+        "n_train",
+        "n_test",
+        "mae_naive_train_cents",
+        "mae_seasonal_test_cents",
+        F.expr(
+            "(mae_seasonal_test_cents * 1000000) DIV mae_naive_train_cents"
+        ).alias("mase_micro"),
     )
