@@ -481,3 +481,107 @@ def bellman_ford_hops(
         )
         dist = relaxed
     return dist
+
+
+def betweenness_ksource(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_sources: int = 4,
+) -> DataFrame:
+    """k-source betweenness centrality (Brandes 2001), depth ≤ 3 —
+    (node, bc_micro) for every node with positive centrality.
+
+    ``edges`` is an UNDIRECTED pair list (one row per pair; symmetrized
+    internally); sources are the ``n_sources`` smallest node ids, so
+    the estimate is deterministic at every scale (k fixed sources IS
+    the standard betweenness estimator — Brandes-Pich 2007). The depth
+    bound unrolls both Brandes passes into explicit keyed join+agg
+    stages: forward accumulates integer path counts σ per (source,
+    node) level by level; backward accumulates dependencies
+    δ = Σ (σᵥ·(10⁶+δ_w)) DIV σ_w in TRUNCATED-integer micro-units —
+    per-term division, so every sum is order- and partition-
+    independent. State is (sources × nodes) rows; each stage is an
+    equi-join on node id. Hub skew inflates one level's join, never
+    the stage count — AQE's skew split applies, same axis as BFS
+    (tests/test_graph_skew.py pins the star-graph closed form)."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)  # every level of both passes reads it
+    )
+    srcs = (
+        sym.select("s").distinct().orderBy("s").limit(n_sources)
+        .select(F.col("s").alias("k"))
+    )
+    l1 = (
+        srcs.join(sym, srcs.k == sym.s)
+        .groupBy("k", F.col("d").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+
+    def next_level(cur: DataFrame, *visited: DataFrame) -> DataFrame:
+        cand = (
+            cur.join(sym, cur.v == sym.s)
+            .filter(F.col("d") != F.col("k"))
+            .select("k", F.col("d").alias("nv"), "sigma")
+        )
+        for seen in visited:
+            cand = cand.join(
+                seen.select(F.col("k").alias("sk"), F.col("v").alias("sv")),
+                (F.col("k") == F.col("sk")) & (F.col("nv") == F.col("sv")),
+                "left_anti",
+            )
+        return (
+            cand.groupBy("k", F.col("nv").alias("v"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+
+    l2 = next_level(l1, l1)
+    l3 = next_level(l2, l1, l2)
+
+    def back_step(
+        cur: DataFrame, nxt: DataFrame, nxt_delta: DataFrame | None
+    ) -> DataFrame:
+        succ = nxt.select(
+            F.col("k").alias("nk"),
+            F.col("v").alias("nv"),
+            F.col("sigma").alias("nsigma"),
+        )
+        j = cur.join(sym, cur.v == sym.s).join(
+            succ, (F.col("k") == F.col("nk")) & (F.col("d") == F.col("nv"))
+        )
+        if nxt_delta is not None:
+            dd = nxt_delta.select(
+                F.col("k").alias("dk"),
+                F.col("v").alias("dv"),
+                F.col("delta").alias("ndelta"),
+            )
+            j = j.join(
+                dd,
+                (F.col("nk") == F.col("dk")) & (F.col("nv") == F.col("dv")),
+                "left",
+            ).withColumn("ndelta", F.coalesce(F.col("ndelta"), F.lit(0)))
+        else:
+            j = j.withColumn("ndelta", F.lit(0))
+        return (
+            j.select(
+                "k",
+                "v",
+                F.expr("(sigma * (1000000 + ndelta)) DIV nsigma").alias("term"),
+            )
+            .groupBy("k", "v")
+            .agg(F.sum("term").cast("long").alias("delta"))
+        )
+
+    d2 = back_step(l2, l3, None).localCheckpoint(eager=True)
+    d1 = back_step(l1, l2, d2)
+    return (
+        d1.unionByName(d2)
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum("delta").cast("long").alias("bc_micro"))
+        .filter(F.col("bc_micro") > 0)
+    )

@@ -14134,6 +14134,8 @@ def copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     on node id — the graph family's 100 TB shape. Full-graph/unbounded
     betweenness needs sampling (k sources IS the standard estimator;
     Brandes-Pich 2007)."""
+    from reactionetl_etl_spark.operators.graph import betweenness_ksource
+
     lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = lp.alias("a"), lp.alias("b")
     co = (
@@ -14147,79 +14149,8 @@ def copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
     )
-    sym = (
-        co.select(F.col("pa").alias("s"), F.col("pb").alias("d"))
-        .union(co.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
-        .distinct()
-        .localCheckpoint(eager=True)  # every level of both passes reads it
-    )
-    srcs = sym.select("s").distinct().orderBy("s").limit(4).select(
-        F.col("s").alias("k")
-    )
-    l1 = (
-        srcs.join(sym, srcs.k == sym.s)
-        .groupBy("k", F.col("d").alias("v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("sigma"))
-        .localCheckpoint(eager=True)
-    )
-
-    def next_level(cur: DataFrame, *visited: DataFrame) -> DataFrame:
-        cand = (
-            cur.join(sym, cur.v == sym.s)
-            .filter(F.col("d") != F.col("k"))
-            .select("k", F.col("d").alias("nv"), "sigma")
-        )
-        for seen in visited:
-            cand = cand.join(
-                seen.select(F.col("k").alias("sk"), F.col("v").alias("sv")),
-                (F.col("k") == F.col("sk")) & (F.col("nv") == F.col("sv")),
-                "left_anti",
-            )
-        return (
-            cand.groupBy("k", F.col("nv").alias("v"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
-
-    l2 = next_level(l1, l1)
-    l3 = next_level(l2, l1, l2)
-
-    def back_step(cur: DataFrame, nxt: DataFrame, nxt_delta: DataFrame | None) -> DataFrame:
-        succ = nxt.select(
-            F.col("k").alias("nk"), F.col("v").alias("nv"), F.col("sigma").alias("nsigma")
-        )
-        j = cur.join(sym, cur.v == sym.s).join(
-            succ, (F.col("k") == F.col("nk")) & (F.col("d") == F.col("nv"))
-        )
-        if nxt_delta is not None:
-            dd = nxt_delta.select(
-                F.col("k").alias("dk"), F.col("v").alias("dv"), F.col("delta").alias("ndelta")
-            )
-            j = j.join(
-                dd,
-                (F.col("nk") == F.col("dk")) & (F.col("nv") == F.col("dv")),
-                "left",
-            ).withColumn("ndelta", F.coalesce(F.col("ndelta"), F.lit(0)))
-        else:
-            j = j.withColumn("ndelta", F.lit(0))
-        return (
-            j.select(
-                "k",
-                "v",
-                F.expr("(sigma * (1000000 + ndelta)) DIV nsigma").alias("term"),
-            )
-            .groupBy("k", "v")
-            .agg(F.sum("term").cast("long").alias("delta"))
-        )
-
-    d2 = back_step(l2, l3, None).localCheckpoint(eager=True)
-    d1 = back_step(l1, l2, d2)
-    return (
-        d1.unionByName(d2)
-        .groupBy(F.col("v").alias("part"))
-        .agg(F.sum("delta").cast("long").alias("bc_micro"))
-        .filter(F.col("bc_micro") > 0)
-    )
+    out = betweenness_ksource(co, src="pa", dst="pb", n_sources=4)
+    return out.select(F.col("node").alias("part"), "bc_micro")
 
 
 @_q(

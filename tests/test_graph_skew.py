@@ -166,3 +166,22 @@ def test_aqe_splits_hub_frontier_join(spark):
     assert rows == 2 * (2 * n - 1)  # symmetrized edge count
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan[:2000]
+
+
+def test_betweenness_on_pure_star_closed_form(spark):
+    """k-source betweenness on a PURE star has an exact hand answer:
+    from the hub source no node lies between anything (all spokes are
+    level 1); from each of the 3 spoke sources every path to the other
+    N-1 spokes runs through the hub, contributing (N-1) dependency —
+    so B(hub) = 3·(N-1) exactly, every spoke 0, ONE output row. The
+    hub sits in 100% of edges, the harshest skew this operator can
+    see; the level joins inflate, the stage count does not."""
+    from reactionetl_etl_spark.operators.graph import betweenness_ksource
+
+    star = spark.range(1, N_SPOKES + 1).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    rows = betweenness_ksource(star, n_sources=4).collect()
+    assert [(r["node"], r["bc_micro"]) for r in rows] == [
+        (0, 3 * (N_SPOKES - 1) * 1_000_000)
+    ]
