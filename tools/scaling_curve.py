@@ -64,6 +64,9 @@ EXTRA_QUERIES = (
     "conformal_event_value",  # score agg + distributed prefix sum
     "event_value_cuped",  # user agg + single-row moments
     "promo_did_estimate",  # broadcast dim join + 4-group agg
+    "copurchase_betweenness",  # unrolled 6-stage Brandes
+    "classifier_calibration_bins",  # shares the classifier train memo
+    "monthly_revenue_mase",  # month-grid lag windows
 )
 
 
