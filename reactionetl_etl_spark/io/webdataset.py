@@ -1,0 +1,155 @@
+"""WebDataset-style tar shard export/import.
+
+The de-facto container for large multimodal training corpora is a
+sequence of tar files, each holding `<key>.<ext>` payload members with
+a sibling `<key>.json` metadata member (the WebDataset convention —
+sequential reads, trivially streamable, framework-agnostic). The
+parquet shards the pipelines write are the ANALYTICS layout; this
+module is the TRAINING-LOADER boundary.
+
+Design for scale and determinism:
+- shard assignment is an md5 bucket of the key — engine-neutral (so a
+  SQL oracle can recompute per-shard totals straight from the source
+  table) and stable across runs/retries, unlike any RNG split;
+- one Spark task writes each tar end-to-end (rows repartitioned by
+  shard id), entries sorted by key, tar member metadata pinned
+  (mtime=0, uid/gid=0) — so a shard's BYTES are reproducible and two
+  exports of the same frame diff as equal;
+- the reader is `binaryFile` over `shard-*.tar` + an Arrow-batched
+  parser — one task per shard, no Python row loop over the frame.
+
+Stdlib `tarfile` only; no external deps.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHARD_GLOB = "shard-*.tar"
+
+
+def shard_bucket(key_col, n_shards: int):
+    """md5-bucket shard id (0..n_shards-1) — the engine-neutral hash
+    the oracle side can mirror (`('0x'||substr(md5(k),1,8))::BIGINT`)."""
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("int")
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    payload_col: str,
+    meta_cols: tuple[str, ...] = (),
+    ext: str = "bin",
+    n_shards: int = 8,
+) -> int:
+    """Write ``df`` as ``<out_dir>/shard-%05d.tar`` WebDataset shards;
+    returns the number of rows exported.
+
+    Each row becomes two tar members: ``<key>.<ext>`` (the binary
+    payload) and ``<key>.json`` (the ``meta_cols`` as a JSON object,
+    sorted keys). Rows land in shards by `shard_bucket`; each shard is
+    written by exactly one task (repartition on the shard id), with
+    rows sorted by key and fixed member attributes, so shard bytes are
+    deterministic. ``out_dir`` must be a path every executor can write
+    (local dir in local mode; a mounted/fuse path on a cluster —
+    object stores want the tar staged locally then uploaded, which is
+    what a real deployment hooks in here).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = int(n_shards)
+    cols = [
+        F.col(key_col).cast("string").alias("__key"),
+        F.col(payload_col).cast("binary").alias("__payload"),
+        shard_bucket(F.col(key_col), n_shards).alias("__shard"),
+    ] + [F.col(c) for c in meta_cols]
+    prepared = df.select(*cols)
+    meta_names = list(meta_cols)
+
+    def write_partition(rows) -> Iterator[tuple[int]]:
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["__shard"], []).append(r)
+        n = 0
+        for shard, members in by_shard.items():
+            members.sort(key=lambda r: r["__key"])
+            path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+            with tarfile.open(path, "w") as tar:
+                for r in members:
+                    payload = bytes(r["__payload"] or b"")
+                    meta = json.dumps(
+                        {c: r[c] for c in meta_names}, sort_keys=True
+                    ).encode()
+                    for name, data in (
+                        (f"{r['__key']}.{ext}", payload),
+                        (f"{r['__key']}.json", meta),
+                    ):
+                        info = tarfile.TarInfo(name)
+                        info.size = len(data)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        tar.addfile(info, io.BytesIO(data))
+                    n += 1
+        yield (n,)
+
+    # one task per shard id: hash-repartition on __shard puts every row
+    # of a shard in one partition (a partition may own several shards —
+    # each still written whole by that task)
+    counts = (
+        prepared.repartition(n_shards, "__shard")
+        .rdd.mapPartitions(write_partition)
+        .collect()
+    )
+    return sum(c[0] for c in counts)
+
+
+def read_webdataset_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """Read WebDataset shards back as (key, ext, payload, meta, shard_id).
+
+    `binaryFile` over ``shard-*.tar`` gives one row (and one task) per
+    shard; an Arrow-batched parser walks each tar pairing ``<key>.json``
+    with the payload member. ``meta`` is the raw JSON string —
+    `from_json` it with the caller's schema."""
+    import pandas as pd
+
+    tars = spark.read.format("binaryFile").load(os.path.join(shard_dir, SHARD_GLOB))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "key": [], "ext": [], "payload": [], "meta": [], "shard_id": []
+            }
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                shard_id = int(os.path.basename(path).split("-")[1].split(".")[0])
+                payloads: dict[str, tuple[str, bytes]] = {}
+                metas: dict[str, str] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        stem, dot, suffix = m.name.rpartition(".")
+                        data = tar.extractfile(m).read()
+                        if suffix == "json":
+                            metas[stem] = data.decode()
+                        else:
+                            payloads[stem] = (suffix, data)
+                for stem, (suffix, data) in payloads.items():
+                    out["key"].append(stem)
+                    out["ext"].append(suffix)
+                    out["payload"].append(data)
+                    out["meta"].append(metas.get(stem, "{}"))
+                    out["shard_id"].append(shard_id)
+            yield pd.DataFrame(out)
+
+    return tars.mapInPandas(
+        parse, "key string, ext string, payload binary, meta string, shard_id int"
+    )

@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "stratified_sample_events",
     "supplier_attr_counts",
     "token_cms_estimates",
+    "webdataset_roundtrip",
     "dedup_exact_documents",
     "dedup_fingerprint_md5",
     "disjunctive_brand_revenue",
@@ -183,12 +184,17 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_coverage_topk",
     "zipf_slope_fit",
     "ann_recall_report",
+    "copurchase_bfs_hops",
+    "copurchase_cheapest_path",
+    "copurchase_kcore",
     "embedding_neardup_lsh",
     "ivf_cosine_topk",
     "ivf_cosine_topk_batch",
     "knn_label_predict",
     "lsh_cosine_topk",
     "lsh_cosine_topk_batch",
+    "part_triangle_clustering",
+    "personalized_pagerank_parts",
     "trigram_perplexity_scores",
     "customer_balance_extremes",
     "part_measures_unpivot",
@@ -310,9 +316,6 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_encode_tokens",
     "catalog_columns",
     "copurchase_assortativity",
-    "copurchase_bfs_hops",
-    "copurchase_cheapest_path",
-    "copurchase_kcore",
     "customer_top2_orders_lateral",
     "doc_readability_scores",
     "event_funnel_steps",
@@ -335,8 +338,6 @@ _PRIORITY: tuple[str, ...] = (
     "nation_revenue_trend",
     "orders_benford_deviation",
     "part_neighbor_jaccard",
-    "part_triangle_clustering",
-    "personalized_pagerank_parts",
     "purchase_hits_scores",
     "quality_auc_mannwhitney",
     "rm3_expanded_search",
@@ -14251,3 +14252,69 @@ def monthly_revenue_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(mae_seasonal_test_cents * 1000000) DIV mae_naive_train_cents"
         ).alias("mase_micro"),
     )
+
+
+@_q(
+    "webdataset_roundtrip",
+    """
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           CAST(sum(n_chars) AS BIGINT) AS meta_nchars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("io", "multimodal", "webdataset", "llm"),
+)
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard export/import proven END-TO-END: the
+    documents table is written as 8 `shard-%05d.tar` files (payload =
+    utf-8 text bytes, metadata = {lang, n_chars} JSON members), read
+    back through the binaryFile + Arrow tar parser, and aggregated per
+    shard — counts, payload BYTES, and n_chars re-extracted FROM THE
+    METADATA MEMBERS. The oracle computes the same totals straight
+    from the source table (shard id is the engine-neutral md5 bucket),
+    so a hash match proves nothing was lost, altered, or misrouted in
+    the tar round trip. io/webdataset.py; shard bytes themselves are
+    reproducible (pinned tar attrs, sorted members — tested)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.io.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), "lang", "n_chars"
+    )
+    work = _tempfile.mkdtemp(prefix="wds_rt_")
+    try:
+        write_webdataset_shards(
+            docs,
+            work,
+            key_col="doc_id",
+            payload_col="payload",
+            meta_cols=("lang", "n_chars"),
+            ext="txt",
+            n_shards=8,
+        )
+        back = read_webdataset_shards(spark, work)
+        out = (
+            back.select(
+                F.col("shard_id").cast("long").alias("shard_id"),
+                F.length("payload").alias("nb"),
+                F.get_json_object("meta", "$.n_chars").cast("long").alias("mc"),
+            )
+            .groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("nb").cast("long").alias("payload_bytes"),
+                F.sum("mc").cast("long").alias("meta_nchars"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the tmp dir dies
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out

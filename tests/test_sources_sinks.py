@@ -438,3 +438,61 @@ def test_dir_read_parity_and_exact_file_pinning(spark, tmp_path, monkeypatch):
     md = rows(cleanse_metadata_jsons(spark, jsons, dir_read=True))
     assert md == mp
     assert len(mp[0]) == 5
+
+
+def test_webdataset_roundtrip_and_deterministic_bytes(spark, tmp_path):
+    """WebDataset tar shards: write → read returns exactly the input
+    (payload bytes + metadata), shard assignment is the md5 bucket, and
+    a second export of the same frame produces BYTE-identical shard
+    files (sorted members, pinned tar attributes)."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.io.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    src = spark.range(0, 37).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("content"),
+        (F.col("id") % 3).cast("int").alias("label"),
+        F.concat(F.lit("doc"), F.col("id")).alias("name"),
+    )
+
+    out1, out2 = str(tmp_path / "wds1"), str(tmp_path / "wds2")
+    n = write_webdataset_shards(
+        src, out1, key_col="media_id", payload_col="content",
+        meta_cols=("label", "name"), ext="txt", n_shards=4,
+    )
+    assert n == 37
+    shards1 = sorted(os.listdir(out1))
+    assert shards1 == [f"shard-{s:05d}.tar" for s in range(4)]
+
+    back = read_webdataset_shards(spark, out1).collect()
+    assert len(back) == 37
+    got = {
+        int(r["key"]): (bytes(r["payload"]), json.loads(r["meta"]), r["shard_id"], r["ext"])
+        for r in back
+    }
+    import hashlib as _h
+
+    for i in range(37):
+        payload, meta, shard, ext = got[i]
+        assert payload == f"payload-{i}".encode()
+        assert meta == {"label": i % 3, "name": f"doc{i}"}
+        assert ext == "txt"
+        expect_shard = int(_h.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+        assert shard == expect_shard
+
+    write_webdataset_shards(
+        src, out2, key_col="media_id", payload_col="content",
+        meta_cols=("label", "name"), ext="txt", n_shards=4,
+    )
+    for s in shards1:
+        h1 = hashlib.sha256(open(os.path.join(out1, s), "rb").read()).hexdigest()
+        h2 = hashlib.sha256(open(os.path.join(out2, s), "rb").read()).hexdigest()
+        assert h1 == h2, s
