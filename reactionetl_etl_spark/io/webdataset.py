@@ -51,14 +51,16 @@ def write_webdataset_shards(
     payload_col: str,
     meta_cols: tuple[str, ...] = (),
     ext: str = "bin",
+    ext_col: str | None = None,
     n_shards: int = 8,
 ) -> int:
     """Write ``df`` as ``<out_dir>/shard-%05d.tar`` WebDataset shards;
     returns the number of rows exported.
 
     Each row becomes two tar members: ``<key>.<ext>`` (the binary
-    payload) and ``<key>.json`` (the ``meta_cols`` as a JSON object,
-    sorted keys). Rows land in shards by `shard_bucket`; each shard is
+    payload; per-row extension when ``ext_col`` is given — e.g. the
+    sniffed image format) and ``<key>.json`` (the ``meta_cols`` as a
+    JSON object, sorted keys). Rows land in shards by `shard_bucket`; each shard is
     written by exactly one task (repartition on the shard id), with
     rows sorted by key and fixed member attributes, so shard bytes are
     deterministic. ``out_dir`` must be a path every executor can write
@@ -68,9 +70,15 @@ def write_webdataset_shards(
     """
     os.makedirs(out_dir, exist_ok=True)
     n_shards = int(n_shards)
+    ext_expr = (
+        F.coalesce(F.col(ext_col).cast("string"), F.lit(ext))
+        if ext_col
+        else F.lit(ext)
+    )
     cols = [
         F.col(key_col).cast("string").alias("__key"),
         F.col(payload_col).cast("binary").alias("__payload"),
+        ext_expr.alias("__ext"),
         shard_bucket(F.col(key_col), n_shards).alias("__shard"),
     ] + [F.col(c) for c in meta_cols]
     prepared = df.select(*cols)
@@ -91,7 +99,7 @@ def write_webdataset_shards(
                         {c: r[c] for c in meta_names}, sort_keys=True
                     ).encode()
                     for name, data in (
-                        (f"{r['__key']}.{ext}", payload),
+                        (f"{r['__key']}.{r['__ext']}", payload),
                         (f"{r['__key']}.json", meta),
                     ):
                         info = tarfile.TarInfo(name)

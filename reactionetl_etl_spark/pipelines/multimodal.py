@@ -89,6 +89,7 @@ def build_image_corpus(
     n_shards: int = 16,
     id_col: str = "media_id",
     binary_col: str = "content",
+    webdataset: bool = False,
 ) -> ImageCorpusStats:
     """Run the full image-corpus build (module doc) and write:
 
@@ -96,6 +97,11 @@ def build_image_corpus(
         <out>/ledger/*.parquet                every dropped media_id +
                                               stage + reason
         <out>/shard_stats/*.parquet           per-shard counts/bytes
+        <out>/webdataset/shard-%05d.tar       training-loader tar export
+                                              (``webdataset=True``):
+                                              payload under its sniffed
+                                              image extension + geometry
+                                              JSON per key
 
     Deterministic end-to-end: hash-bucketed shards, smallest-id dedup
     keepers, no RNG. Returns stage-level counts."""
@@ -149,6 +155,29 @@ def build_image_corpus(
         F.sum(F.length("content")).alias("n_bytes"),
     )
     shard_stats.write.mode("overwrite").parquet(f"{out_path}/shard_stats")
+
+    if webdataset:
+        from reactionetl_etl_spark.io.webdataset import write_webdataset_shards
+
+        head = F.hex(F.col("content").substr(1, 4))
+        wds = resized.withColumn(
+            "img_ext",
+            F.when(head.startswith("89504E47"), "png")
+            .when(head.startswith("424D"), "bmp")
+            .when(head.startswith("5036"), "ppm")
+            .when(head.startswith("47494638"), "gif")
+            .when(head.startswith("FFD8"), "jpg")
+            .otherwise("bin"),
+        )
+        write_webdataset_shards(
+            wds,
+            f"{out_path}/webdataset",
+            key_col=id_col,
+            payload_col="content",
+            meta_cols=("src_width", "src_height", "dst_width", "dst_height"),
+            ext_col="img_ext",
+            n_shards=n_shards,
+        )
 
     stage_counts = {
         r["stage"]: r["n"]

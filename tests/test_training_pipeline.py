@@ -95,7 +95,7 @@ def test_build_image_corpus_conservation_and_ledger(spark, tmp_path):
     imgs = spark.createDataFrame(rows, "media_id long, content binary")
     out = str(tmp_path / "imgcorpus")
     stats = build_image_corpus(
-        spark, imgs, out, min_side=16, max_side=32, n_shards=4
+        spark, imgs, out, min_side=16, max_side=32, n_shards=4, webdataset=True
     )
     assert (stats.n_input, stats.n_undecodable, stats.n_too_small) == (5, 1, 1)
     assert stats.n_dup_dropped == 1 and stats.n_exported == 2
@@ -112,3 +112,17 @@ def test_build_image_corpus_conservation_and_ledger(spark, tmp_path):
     assert got[1] == (24, 32) and got[3] == (32, 32)  # aspect-preserving cap
     # conservation: every id in exactly one of shards ∪ ledger
     assert set(got) | set(ledger) == {1, 2, 3, 4, 5}
+    # the training-loader tar export carries the same two keepers with
+    # sniffed extensions and geometry metadata
+    import json
+
+    from reactionetl_etl_spark.io.webdataset import read_webdataset_shards
+
+    wds = {
+        int(r["key"]): (r["ext"], json.loads(r["meta"]))
+        for r in read_webdataset_shards(spark, f"{out}/webdataset").collect()
+    }
+    assert set(wds) == {1, 3}
+    assert wds[1][0] == "png" and wds[3][0] == "png"
+    assert (wds[1][1]["dst_width"], wds[1][1]["dst_height"]) == (24, 32)
+    assert (wds[3][1]["src_width"], wds[3][1]["src_height"]) == (40, 40)
