@@ -53,6 +53,8 @@ def write_webdataset_shards(
     ext: str = "bin",
     ext_col: str | None = None,
     n_shards: int = 8,
+    shard_col: str | None = None,
+    sort_col: str | None = None,
 ) -> int:
     """Write ``df`` as ``<out_dir>/shard-%05d.tar`` WebDataset shards;
     returns the number of rows exported.
@@ -60,9 +62,12 @@ def write_webdataset_shards(
     Each row becomes two tar members: ``<key>.<ext>`` (the binary
     payload; per-row extension when ``ext_col`` is given — e.g. the
     sniffed image format) and ``<key>.json`` (the ``meta_cols`` as a
-    JSON object, sorted keys). Rows land in shards by `shard_bucket`; each shard is
+    JSON object, sorted keys). Rows land in shards by `shard_bucket` —
+    or by a PRECOMPUTED ``shard_col`` (e.g. the token-budget packer's
+    shard ids, so each tar IS one training shard). Each shard is
     written by exactly one task (repartition on the shard id), with
-    rows sorted by key and fixed member attributes, so shard bytes are
+    rows sorted by ``sort_col`` (curriculum/shuffle position; key by
+    default) then key, and fixed member attributes, so shard bytes are
     deterministic. ``out_dir`` must be a path every executor can write
     (local dir in local mode; a mounted/fuse path on a cluster —
     object stores want the tar staged locally then uploaded, which is
@@ -75,11 +80,18 @@ def write_webdataset_shards(
         if ext_col
         else F.lit(ext)
     )
+    shard_expr = (
+        F.col(shard_col).cast("int")
+        if shard_col
+        else shard_bucket(F.col(key_col), n_shards)
+    )
+    sort_expr = F.col(sort_col) if sort_col else F.col(key_col).cast("string")
     cols = [
         F.col(key_col).cast("string").alias("__key"),
         F.col(payload_col).cast("binary").alias("__payload"),
         ext_expr.alias("__ext"),
-        shard_bucket(F.col(key_col), n_shards).alias("__shard"),
+        shard_expr.alias("__shard"),
+        sort_expr.alias("__sort"),
     ] + [F.col(c) for c in meta_cols]
     prepared = df.select(*cols)
     meta_names = list(meta_cols)
@@ -90,7 +102,7 @@ def write_webdataset_shards(
             by_shard.setdefault(r["__shard"], []).append(r)
         n = 0
         for shard, members in by_shard.items():
-            members.sort(key=lambda r: r["__key"])
+            members.sort(key=lambda r: (r["__sort"], r["__key"]))
             path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
             with tarfile.open(path, "w") as tar:
                 for r in members:

@@ -115,6 +115,7 @@ def build_training_corpus(
     contamination_k: int = 4,
     contamination_min_shared: int = 1,
     text_col: str = "text",
+    webdataset: bool = False,
 ) -> CorpusBuildStats:
     """Run the full build (module doc) and write:
 
@@ -188,6 +189,22 @@ def build_training_corpus(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
     shard_stats.write.mode("overwrite").parquet(f"{out_path}/shard_stats")
+
+    if webdataset:
+        # training-loader tar export: one tar PER PACKED SHARD (the
+        # token-budget cut, not a re-bucket), members in shuffle order
+        from reactionetl_etl_spark.io.webdataset import write_webdataset_shards
+
+        write_webdataset_shards(
+            packed.withColumn("payload", F.encode(text_col, "utf-8")),
+            f"{out_path}/webdataset",
+            key_col="doc_id",
+            payload_col="payload",
+            meta_cols=("n_tokens", "shuffle_pos"),
+            ext="txt",
+            shard_col="shard_id",
+            sort_col="shuffle_pos",
+        )
 
     stats_rows = {
         r["stage"]: r["n"]

@@ -20,7 +20,7 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     stats = build_training_corpus(
-        spark, docs, out, token_budget=512, eval_set=eval_set
+        spark, docs, out, token_budget=512, eval_set=eval_set, webdataset=True
     )
 
     # conservation: every input doc is exported or in the ledger, once
@@ -55,6 +55,26 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
         # int(): partition-dir read-back may type shard_id as string
         assert int(r["shard_id"]) == cum // 512
         cum += r["n_tokens"]
+
+    # the webdataset export mirrors the packed shards: one tar per
+    # packed shard id, every exported doc present once, members stored
+    # in shuffle order with token counts in the metadata
+    import json
+
+    from reactionetl_etl_spark.io.webdataset import read_webdataset_shards
+
+    wds = read_webdataset_shards(spark, f"{out}/webdataset").collect()
+    assert len(wds) == stats.n_exported
+    assert {r["shard_id"] for r in wds} == {
+        int(r["shard_id"]) for r in shards.select("shard_id").distinct().collect()
+    }
+    by_key = {int(r["key"]): r for r in wds}
+    for r in shards.collect():
+        w = by_key[r["doc_id"]]
+        assert int(w["shard_id"]) == int(r["shard_id"])
+        meta = json.loads(w["meta"])
+        assert meta["n_tokens"] == r["n_tokens"]
+        assert bytes(w["payload"]).decode() == r["text"]
 
     stats2 = build_training_corpus(
         spark, docs, str(tmp_path / "corpus2"), token_budget=512, eval_set=eval_set
