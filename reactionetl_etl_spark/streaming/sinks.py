@@ -586,3 +586,59 @@ def stream_join_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def webdataset_batch_writer(
+    out_dir: str,
+    key_col: str,
+    payload_col: str,
+    meta_cols: tuple[str, ...] = (),
+    ext: str = "bin",
+    n_shards: int = 4,
+):
+    """foreachBatch callback: each micro-batch lands as its own
+    WebDataset shard set under ``<out_dir>/batch-%08d/shard-%05d.tar``
+    (tars are sequential containers — appending across batches would
+    rewrite them, so a batch is the natural shard-set unit; training
+    loaders glob `batch-*/shard-*.tar`). IDEMPOTENT on foreachBatch
+    retry: the batch directory is keyed by batch_id and rewritten
+    whole, and shard bytes are deterministic (io/webdataset.py), so a
+    replayed batch produces identical files instead of duplicates."""
+    import os
+
+    from reactionetl_etl_spark.io.webdataset import write_webdataset_shards
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_webdataset_shards(
+            batch_df,
+            os.path.join(out_dir, f"batch-{batch_id:08d}"),
+            key_col=key_col,
+            payload_col=payload_col,
+            meta_cols=meta_cols,
+            ext=ext,
+            n_shards=n_shards,
+        )
+
+    return write_batch
+
+
+def stream_to_webdataset(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    key_col: str,
+    payload_col: str,
+    meta_cols: tuple[str, ...] = (),
+    ext: str = "bin",
+    n_shards: int = 4,
+    trigger_available_now: bool = True,
+):
+    """Stream → WebDataset tar shards (training-loader boundary), one
+    deterministic shard set per micro-batch; exactly-once by batch-dir
+    idempotence + the checkpoint."""
+    q = stream_df.writeStream.foreachBatch(
+        webdataset_batch_writer(out_dir, key_col, payload_col, meta_cols, ext, n_shards)
+    ).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

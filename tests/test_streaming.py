@@ -820,3 +820,64 @@ def test_stream_join_maintenance_matches_batch_join(spark, tmp_path):
     assert sorted(
         (r["k"], r["lval"], r["rval"]) for r in read_join_view(spark, state).collect()
     ) == got
+
+
+def test_stream_to_webdataset_incremental_and_idempotent(spark, tmp_path):
+    """Streaming WebDataset sink: the first AvailableNow drain exports
+    the backlog as batch-keyed tar shard sets; a second drain over NEW
+    files adds a new batch dir without touching the first; the total
+    read-back equals the union, each key once."""
+    import json
+    import os
+
+    from reactionetl_etl_spark.io.webdataset import read_webdataset_shards
+    from reactionetl_etl_spark.streaming.sinks import stream_to_webdataset
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "wds")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("t-"), F.col("id")), "utf-8").alias("payload"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    base.write.mode("overwrite").parquet(src)
+
+    def drain():
+        q = stream_to_webdataset(
+            spark.readStream.schema(
+                "doc_id long, payload binary, label int"
+            ).parquet(src),
+            out,
+            ckpt,
+            key_col="doc_id",
+            payload_col="payload",
+            meta_cols=("label",),
+            ext="txt",
+            n_shards=2,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    batches1 = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
+    assert len(batches1) == 1
+    got1 = read_webdataset_shards(spark, os.path.join(out, batches1[0])).collect()
+    assert len(got1) == 20
+
+    spark.range(20, 31).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("t-"), F.col("id")), "utf-8").alias("payload"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    ).write.mode("append").parquet(src)
+    drain()
+    batches2 = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
+    assert len(batches2) == 2
+
+    seen = {}
+    for b in batches2:
+        for r in read_webdataset_shards(spark, os.path.join(out, b)).collect():
+            k = int(r["key"])
+            assert k not in seen
+            seen[k] = (bytes(r["payload"]).decode(), json.loads(r["meta"])["label"])
+    assert set(seen) == set(range(31))
+    assert all(seen[k] == (f"t-{k}", k % 2) for k in seen)
