@@ -96,14 +96,16 @@ def write_webdataset_shards(
     prepared = df.select(*cols)
     meta_names = list(meta_cols)
 
-    def write_partition(rows) -> Iterator[tuple[int]]:
+    def write_partition(rows) -> Iterator[tuple[int, int, int, str]]:
+        import hashlib
+
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(r["__shard"], []).append(r)
-        n = 0
         for shard, members in by_shard.items():
             members.sort(key=lambda r: (r["__sort"], r["__key"]))
             path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+            n = 0
             with tarfile.open(path, "w") as tar:
                 for r in members:
                     payload = bytes(r["__payload"] or b"")
@@ -121,17 +123,29 @@ def write_webdataset_shards(
                         info.uname = info.gname = ""
                         tar.addfile(info, io.BytesIO(data))
                     n += 1
-        yield (n,)
+            digest = hashlib.sha256()
+            with open(path, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    digest.update(chunk)
+            yield (shard, n, os.path.getsize(path), digest.hexdigest())
 
     # one task per shard id: hash-repartition on __shard puts every row
     # of a shard in one partition (a partition may own several shards —
-    # each still written whole by that task)
-    counts = (
+    # each still written whole by that task). Tasks return per-shard
+    # (id, keys, bytes, sha256); the driver writes the transfer
+    # manifest — the artifact a multi-TB copy verifies against.
+    shard_rows = sorted(
         prepared.repartition(n_shards, "__shard")
         .rdd.mapPartitions(write_partition)
         .collect()
     )
-    return sum(c[0] for c in counts)
+    manifest = {
+        f"shard-{s:05d}.tar": {"n_keys": n, "bytes": b, "sha256": h}
+        for s, n, b, h in shard_rows
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return sum(n for _, n, _, _ in shard_rows)
 
 
 def read_webdataset_shards(spark: SparkSession, shard_dir: str) -> DataFrame:

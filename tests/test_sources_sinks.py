@@ -469,7 +469,7 @@ def test_webdataset_roundtrip_and_deterministic_bytes(spark, tmp_path):
         meta_cols=("label", "name"), ext="txt", n_shards=4,
     )
     assert n == 37
-    shards1 = sorted(os.listdir(out1))
+    shards1 = sorted(f for f in os.listdir(out1) if f.endswith(".tar"))
     assert shards1 == [f"shard-{s:05d}.tar" for s in range(4)]
 
     back = read_webdataset_shards(spark, out1).collect()
@@ -492,7 +492,12 @@ def test_webdataset_roundtrip_and_deterministic_bytes(spark, tmp_path):
         src, out2, key_col="media_id", payload_col="content",
         meta_cols=("label", "name"), ext="txt", n_shards=4,
     )
+    manifest = json.load(open(os.path.join(out1, "manifest.json")))
+    assert sum(m["n_keys"] for m in manifest.values()) == 37
     for s in shards1:
         h1 = hashlib.sha256(open(os.path.join(out1, s), "rb").read()).hexdigest()
         h2 = hashlib.sha256(open(os.path.join(out2, s), "rb").read()).hexdigest()
         assert h1 == h2, s
+        # the transfer manifest carries the true hash and size
+        assert manifest[s]["sha256"] == h1
+        assert manifest[s]["bytes"] == os.path.getsize(os.path.join(out1, s))
