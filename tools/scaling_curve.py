@@ -67,6 +67,7 @@ EXTRA_QUERIES = (
     "copurchase_betweenness",  # unrolled 6-stage Brandes
     "classifier_calibration_bins",  # shares the classifier train memo
     "monthly_revenue_mase",  # month-grid lag windows
+    "webdataset_roundtrip",  # tar shard write + binaryFile read-back
 )
 
 
