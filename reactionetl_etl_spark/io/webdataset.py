@@ -154,9 +154,17 @@ def read_webdataset_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
     `binaryFile` over ``shard-*.tar`` gives one row (and one task) per
     shard; an Arrow-batched parser walks each tar pairing ``<key>.json``
     with the payload member. ``meta`` is the raw JSON string —
-    `from_json` it with the caller's schema."""
+    `from_json` it with the caller's schema. A corrupt/truncated shard
+    fails its task with the SHARD PATH in the error (at fleet scale the
+    bad file, not a stack trace, is the actionable datum); an empty or
+    missing directory reads as an empty frame, not an error."""
+    import glob as _glob
+
     import pandas as pd
 
+    schema = "key string, ext string, payload binary, meta string, shard_id int"
+    if not _glob.glob(os.path.join(shard_dir, SHARD_GLOB)):
+        return spark.createDataFrame([], schema)
     tars = spark.read.format("binaryFile").load(os.path.join(shard_dir, SHARD_GLOB))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,14 +176,17 @@ def read_webdataset_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
                 shard_id = int(os.path.basename(path).split("-")[1].split(".")[0])
                 payloads: dict[str, tuple[str, bytes]] = {}
                 metas: dict[str, str] = {}
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
-                    for m in tar.getmembers():
-                        stem, dot, suffix = m.name.rpartition(".")
-                        data = tar.extractfile(m).read()
-                        if suffix == "json":
-                            metas[stem] = data.decode()
-                        else:
-                            payloads[stem] = (suffix, data)
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                        for m in tar.getmembers():
+                            stem, dot, suffix = m.name.rpartition(".")
+                            data = tar.extractfile(m).read()
+                            if suffix == "json":
+                                metas[stem] = data.decode()
+                            else:
+                                payloads[stem] = (suffix, data)
+                except tarfile.TarError as e:
+                    raise ValueError(f"corrupt WebDataset shard {path}: {e}") from e
                 for stem, (suffix, data) in payloads.items():
                     out["key"].append(stem)
                     out["ext"].append(suffix)
@@ -184,6 +195,4 @@ def read_webdataset_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
                     out["shard_id"].append(shard_id)
             yield pd.DataFrame(out)
 
-    return tars.mapInPandas(
-        parse, "key string, ext string, payload binary, meta string, shard_id int"
-    )
+    return tars.mapInPandas(parse, schema)

@@ -501,3 +501,23 @@ def test_webdataset_roundtrip_and_deterministic_bytes(spark, tmp_path):
         # the transfer manifest carries the true hash and size
         assert manifest[s]["sha256"] == h1
         assert manifest[s]["bytes"] == os.path.getsize(os.path.join(out1, s))
+
+
+def test_webdataset_reader_corrupt_and_empty(spark, tmp_path):
+    """Reader failure modes: a truncated shard names the BAD FILE in
+    its error; an empty/missing directory reads as an empty frame."""
+    import os
+
+    import pytest as _pytest
+
+    from reactionetl_etl_spark.io.webdataset import read_webdataset_shards
+
+    empty = read_webdataset_shards(spark, str(tmp_path / "absent"))
+    assert empty.count() == 0
+    assert empty.columns == ["key", "ext", "payload", "meta", "shard_id"]
+
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    (bad_dir / "shard-00000.tar").write_bytes(b"definitely not a tar file")
+    with _pytest.raises(Exception, match="corrupt WebDataset shard"):
+        read_webdataset_shards(spark, str(bad_dir)).collect()
