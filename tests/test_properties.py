@@ -797,3 +797,26 @@ def test_betweenness_matches_float_brandes(spark, sf_dir):
         # each truncated term loses < 1e-6, compounding through ≤2 levels
         tol = (n_terms[v] * 3 + 2) * 1e-6 + 1e-9
         assert abs(got[v] / 1e6 - x) <= tol, (v, got[v] / 1e6, x, tol)
+
+
+def test_arrow_exact_topk_equals_hof_path(spark, sf_dir):
+    """The Arrow matmul scorer and the HOF-fold scorer are the same
+    operator: identical (query, neighbor, rounded cosine) rows on the
+    real embedding corpus, self-exclusion included — so use_arrow is a
+    pure execution switch, never a semantics switch."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.similarity import cosine_topk_batch
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    arrow = sorted(
+        map(tuple, cosine_topk_batch(qs, emb, k=7, use_arrow=True).collect())
+    )
+    hof = sorted(
+        map(tuple, cosine_topk_batch(qs, emb, k=7, use_arrow=False).collect())
+    )
+    assert arrow == hof
