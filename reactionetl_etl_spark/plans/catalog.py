@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_markov_stationary",
     "event_value_bootstrap_ci",
     "event_value_cuped",
+    "event_value_sequential_test",
     "events_ewma_features",
     "incremental_cms_rollup",
     "km_reorder_survival",
@@ -193,6 +194,7 @@ _PRIORITY: tuple[str, ...] = (
     "knn_label_predict",
     "lsh_cosine_topk",
     "lsh_cosine_topk_batch",
+    "multimodal_corpus_build",
     "part_triangle_clustering",
     "personalized_pagerank_parts",
     "trigram_perplexity_scores",
@@ -332,7 +334,6 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_correlation_matrix",
     "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
-    "multimodal_corpus_build",
     "multimodal_feature_extract",
     "multimodal_resize_pixels",
     "nation_revenue_trend",
@@ -14318,3 +14319,88 @@ def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@_q(
+    "event_value_sequential_test",
+    """
+    WITH micro AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+               CAST(ceil(day(ts) / 5.0) AS BIGINT) AS stage
+        FROM events
+    ), looks AS (
+        SELECT s.stage, m.arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(m.vm AS HUGEINT)) AS DOUBLE) AS sv,
+               CAST(sum(CAST(m.vm AS HUGEINT) * m.vm) AS DOUBLE) AS svv
+        FROM (SELECT DISTINCT stage FROM micro) s
+        JOIN micro m ON m.stage <= s.stage
+        GROUP BY 1, 2
+    ), z AS (
+        SELECT a.stage,
+               a.n AS n1, b.n AS n0,
+               (a.sv / a.n - b.sv / b.n)
+               / sqrt( (a.svv / a.n - (a.sv / a.n) * (a.sv / a.n)) / a.n
+                     + (b.svv / b.n - (b.sv / b.n) * (b.sv / b.n)) / b.n )
+                   AS zval
+        FROM looks a JOIN looks b ON a.stage = b.stage
+        WHERE a.arm = 1 AND b.arm = 0
+    )
+    SELECT stage, n1, n0,
+           floor(zval * 10000 + 0.5) / 10000 AS z4,
+           CASE WHEN abs(zval) > 2.361 THEN 1 ELSE 0 END AS crossed
+    FROM z
+    """,
+    tags=("stats", "experimentation", "sequential"),
+)
+def event_value_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring (Pocock 1977) — the interim-look
+    discipline the one-shot Welch/CUPED rows lack: six cumulative looks
+    (every 5 days of the event month) compute the two-sample z on ALL
+    data so far, compared against the constant Pocock boundary ±2.361
+    (K=6, α=0.05 literal — the point of Pocock is that the per-look
+    boundary is flat). Cumulative moments come from exact integer
+    micro-value sums (DECIMAL headroom) via a stage-grid join — the
+    month grid bounds the fan-out at 6×, the same Theil-Sen discipline
+    — and the z expression is mirrored IEEE (divisions, one sqrt — all
+    correctly-rounded ops) floored at 4 dp. One events scan; grid-sized
+    everything after."""
+    ev = load_events(spark, sf_dir)
+    micro = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+        F.ceil(F.dayofmonth("ts_ntz") / 5.0).cast("long").alias("stage"),
+    )
+    stages = micro.select("stage").distinct()
+    looks = (
+        stages.alias("s")
+        .join(micro.alias("m"), F.col("m.stage") <= F.col("s.stage"))
+        .groupBy(F.col("s.stage").alias("stage"), F.col("m.arm").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(sum(CAST(vm AS DECIMAL(38,0))) AS DOUBLE)").alias("sv"),
+            F.expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DOUBLE)").alias("svv"),
+        )
+    )
+    a = looks.filter(F.col("arm") == 1).select(
+        "stage", F.col("n").alias("n1"), F.col("sv").alias("sv1"), F.col("svv").alias("svv1")
+    )
+    b = looks.filter(F.col("arm") == 0).select(
+        F.col("stage").alias("bstage"),
+        F.col("n").alias("n0"),
+        F.col("sv").alias("sv0"),
+        F.col("svv").alias("svv0"),
+    )
+    j = a.join(b, a.stage == b.bstage)
+    m1, m0 = F.col("sv1") / F.col("n1"), F.col("sv0") / F.col("n0")
+    v1 = (F.col("svv1") / F.col("n1") - m1 * m1) / F.col("n1")
+    v0 = (F.col("svv0") / F.col("n0") - m0 * m0) / F.col("n0")
+    zval = (m1 - m0) / F.sqrt(v1 + v0)
+    return j.select(
+        "stage",
+        "n1",
+        "n0",
+        (F.floor(zval * 10_000 + F.lit(0.5)) / 10_000).alias("z4"),
+        F.when(F.abs(zval) > 2.361, 1).otherwise(0).alias("crossed"),
+    )
