@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_markov_stationary",
     "event_value_bootstrap_ci",
     "event_value_cuped",
+    "event_value_quantile_effects",
     "event_value_sequential_test",
     "events_ewma_features",
     "incremental_cms_rollup",
@@ -14403,4 +14404,96 @@ def event_value_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0",
         (F.floor(zval * 10_000 + F.lit(0.5)) / 10_000).alias("z4"),
         F.when(F.abs(zval) > 2.361, 1).otherwise(0).alias("crossed"),
+    )
+
+
+@_q(
+    "event_value_quantile_effects",
+    """
+    WITH micro AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM events
+    ), g AS (
+        SELECT arm, vm, CAST(count(*) AS BIGINT) AS c FROM micro GROUP BY 1, 2
+    ), cum AS (
+        SELECT arm, vm,
+               sum(c) OVER (PARTITION BY arm ORDER BY vm
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(c) OVER (PARTITION BY arm) AS n
+        FROM g
+    ), q AS (
+        SELECT p.q, c.arm, min(c.vm) AS q_micro
+        FROM (VALUES (25), (50), (75)) AS p(q)
+        JOIN cum c ON c.cw * 100 >= p.q * c.n
+        GROUP BY 1, 2
+    )
+    SELECT a.q,
+           a.q_micro AS treat_q_micro,
+           b.q_micro AS ctrl_q_micro,
+           a.q_micro - b.q_micro AS qte_micro
+    FROM q a JOIN q b ON a.q = b.q
+    WHERE a.arm = 1 AND b.arm = 0
+    """,
+    tags=("stats", "causal", "quantile", "robust"),
+)
+def event_value_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the robust companion to the mean
+    contrasts (DiD/Welch/CUPED): the P25/P50/P75 gap between arms,
+    where each quantile is the EXACT type-1 order statistic (smallest
+    value whose cumulative weight reaches ⌈q·n⌉ — pure integer
+    comparison `cw·100 ≥ q·n`, no interpolation, no float), so every
+    output is an exact integer micro-value, identical across engines
+    and partitionings. Distinct-value tables keep the prefix sums
+    O(distinct values) (the KS/AUC axis); the quantile probe is a
+    3-row grid join. QTE reads where in the distribution an effect
+    lives — means hide tail-only movements. The per-arm cumulative
+    weight runs as ONE distributed prefix sum over the (arm, value)
+    total order (`rank.global_running_sum` — micro-granular values make
+    the distinct table data-sized, so a per-arm single-partition window
+    would bottleneck at 100×; the KS/conformal discipline), with the
+    2-row arm offsets broadcast back off the top."""
+    from reactionetl_etl_spark.operators.rank import global_running_sum
+
+    ev = load_events(spark, sf_dir)
+    micro = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    g = micro.groupBy("arm", "vm").agg(F.count(F.lit(1)).alias("c"))
+    gcum = global_running_sum(
+        g,
+        order_exprs=[F.col("arm"), F.col("vm")],
+        order_desc=[False, False],
+        value_col="c",
+        out_col="gcw",
+    )
+    totals = g.groupBy("arm").agg(F.sum("c").alias("n"))
+    w_prior = Window.orderBy("arm").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "arm", "n", F.coalesce(F.sum("n").over(w_prior), F.lit(0)).alias("off")
+    )  # 2 rows — the only single-partition window runs over the ARM list
+    cum = gcum.join(F.broadcast(offsets), "arm").select(
+        "arm", "vm", (F.col("gcw") - F.col("off")).alias("cw"), "n"
+    )
+    probes = spark.createDataFrame([(25,), (50,), (75,)], "q long")
+    q = (
+        F.broadcast(probes)
+        .join(cum, F.col("cw") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q", "arm")
+        .agg(F.min("vm").alias("q_micro"))
+    )
+    a = q.filter(F.col("arm") == 1).select("q", F.col("q_micro").alias("treat_q_micro"))
+    b = q.filter(F.col("arm") == 0).select(
+        F.col("q").alias("bq"), F.col("q_micro").alias("ctrl_q_micro")
+    )
+    return (
+        a.join(b, a.q == b.bq)
+        .select(
+            "q",
+            "treat_q_micro",
+            "ctrl_q_micro",
+            (F.col("treat_q_micro") - F.col("ctrl_q_micro")).alias("qte_micro"),
+        )
     )
