@@ -820,3 +820,67 @@ def test_arrow_exact_topk_equals_hof_path(spark, sf_dir):
         map(tuple, cosine_topk_batch(qs, emb, k=7, use_arrow=False).collect())
     )
     assert arrow == hof
+
+
+def test_qte_matches_numpy_order_statistics(spark, sf_dir):
+    """Witness for quantile treatment effects: each arm's P25/50/75 is
+    recomputed as a direct numpy sorted order statistic (index
+    ceil(q·n)−1) from the same micro values — no prefix-sum machinery
+    reused."""
+    import numpy as np
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_events
+
+    got = {
+        r["q"]: (r["treat_q_micro"], r["ctrl_q_micro"], r["qte_micro"])
+        for r in all_queries()["event_value_quantile_effects"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    pdf = load_events(spark, sf_dir).select("user_id", "value").toPandas()
+    vm = np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+    arm = (pdf["user_id"].to_numpy() % 2).astype("int64")
+    for q in (25, 50, 75):
+        per_arm = {}
+        for a in (0, 1):
+            xs = np.sort(vm[arm == a])
+            k = -(-q * len(xs) // 100)  # ceil(q*n/100)
+            per_arm[a] = int(xs[k - 1])
+        assert got[q] == (per_arm[1], per_arm[0], per_arm[1] - per_arm[0]), q
+
+
+def test_sequential_test_matches_pandas_looks(spark, sf_dir):
+    """Witness for the Pocock monitor: every look's z is recomputed in
+    pandas/numpy from cumulative micro values (textbook two-sample z on
+    plug-in variances), matching at the query's 4-dp floor; boundary
+    crossings follow |z| > 2.361 exactly."""
+    import math
+
+    import numpy as np
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_events
+
+    rows = {
+        r["stage"]: r
+        for r in all_queries()["event_value_sequential_test"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    pdf = load_events(spark, sf_dir).select("user_id", "value", "ts_ntz").toPandas()
+    vm = np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+    arm = (pdf["user_id"].to_numpy() % 2).astype("int64")
+    stage = np.ceil(pdf["ts_ntz"].dt.day.to_numpy() / 5.0).astype("int64")
+    for s, r in rows.items():
+        z_parts = {}
+        for a in (0, 1):
+            xs = vm[(arm == a) & (stage <= s)].astype("float64")
+            n = len(xs)
+            sv, svv = float(xs.sum()), float((xs * xs).sum())
+            mean = sv / n
+            z_parts[a] = (n, mean, (svv / n - mean * mean) / n)
+        z = (z_parts[1][1] - z_parts[0][1]) / math.sqrt(z_parts[1][2] + z_parts[0][2])
+        assert (r["n1"], r["n0"]) == (z_parts[1][0], z_parts[0][0])
+        assert abs(r["z4"] - z) < 2e-4, (s, r["z4"], z)
+        assert r["crossed"] == int(abs(z) > 2.361)
