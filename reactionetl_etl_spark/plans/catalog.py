@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "event_markov_stationary",
     "event_value_bootstrap_ci",
     "event_value_cuped",
+    "event_value_mde",
     "event_value_quantile_effects",
     "event_value_sequential_test",
     "events_ewma_features",
@@ -14496,4 +14497,70 @@ def event_value_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ctrl_q_micro",
             (F.col("treat_q_micro") - F.col("ctrl_q_micro")).alias("qte_micro"),
         )
+    )
+
+
+@_q(
+    "event_value_mde",
+    """
+    WITH micro AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM events
+    ), m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(vm AS HUGEINT)) AS DOUBLE) AS sv,
+               CAST(sum(CAST(vm AS HUGEINT) * vm) AS DOUBLE) AS svv
+        FROM micro GROUP BY 1
+    )
+    SELECT a.n AS n1, b.n AS n0,
+           floor((2.8023742
+                  * sqrt( (a.svv / a.n - (a.sv / a.n) * (a.sv / a.n)) / a.n
+                        + (b.svv / b.n - (b.sv / b.n) * (b.sv / b.n)) / b.n ))
+                 * 10000 + 0.5) / 10000 AS mde_micro4,
+           floor((2.8023742
+                  * sqrt( (a.svv / a.n - (a.sv / a.n) * (a.sv / a.n)) / a.n
+                        + (b.svv / b.n - (b.sv / b.n) * (b.sv / b.n)) / b.n )
+                  / (b.sv / b.n)) * 1000000 + 0.5) / 1000000 AS mde_rel6
+    FROM m a JOIN m b ON a.arm = 1 AND b.arm = 0
+    """,
+    tags=("stats", "experimentation", "power"),
+)
+def event_value_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT sample — the power
+    question every experiment review asks before reading the p-value:
+    MDE = (z_{α/2}+z_β)·SE with the literal constant 2.8023742
+    (α=0.05 two-sided, 80% power), reported absolute (micro-units) and
+    relative to the control mean. Moments are exact integer sums
+    (DECIMAL headroom); floats appear only in the final mirrored IEEE
+    expression (divisions + one sqrt — correctly-rounded ops), floored
+    at fixed widths. One map-side-combinable aggregate over one scan."""
+    ev = load_events(spark, sf_dir)
+    micro = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("arm"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    m = micro.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(sum(CAST(vm AS DECIMAL(38,0))) AS DOUBLE)").alias("sv"),
+        F.expr("CAST(sum(CAST(vm AS DECIMAL(38,0)) * vm) AS DOUBLE)").alias("svv"),
+    )
+    a = m.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("sv").alias("sv1"), F.col("svv").alias("svv1")
+    )
+    b = m.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("sv").alias("sv0"), F.col("svv").alias("svv0")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    m1, m0 = F.col("sv1") / F.col("n1"), F.col("sv0") / F.col("n0")
+    se = F.sqrt(
+        (F.col("svv1") / F.col("n1") - m1 * m1) / F.col("n1")
+        + (F.col("svv0") / F.col("n0") - m0 * m0) / F.col("n0")
+    )
+    mde = F.lit(2.8023742) * se
+    return j.select(
+        "n1",
+        "n0",
+        (F.floor(mde * 10_000 + F.lit(0.5)) / 10_000).alias("mde_micro4"),
+        (F.floor(mde / m0 * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mde_rel6"),
     )
