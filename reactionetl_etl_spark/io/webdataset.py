@@ -74,6 +74,17 @@ def write_webdataset_shards(
     what a real deployment hooks in here).
     """
     os.makedirs(out_dir, exist_ok=True)
+    # A re-export into a dir that already holds shards from an earlier,
+    # LARGER export would leave stale shard-*.tar behind: readers glob
+    # the dir, so they'd see shards absent from the fresh manifest.
+    # Clear previous shards (and any orphaned task-attempt temps) so
+    # the directory always equals the manifest.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, SHARD_GLOB)) + _glob.glob(
+        os.path.join(out_dir, ".shard-*.tar.tmp-*")
+    ):
+        os.remove(stale)
     n_shards = int(n_shards)
     ext_expr = (
         F.coalesce(F.col(ext_col).cast("string"), F.lit(ext))
@@ -99,14 +110,22 @@ def write_webdataset_shards(
     def write_partition(rows) -> Iterator[tuple[int, int, int, str]]:
         import hashlib
 
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(r["__shard"], []).append(r)
         for shard, members in by_shard.items():
             members.sort(key=lambda r: (r["__sort"], r["__key"]))
             path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+            # task-attempt temp + atomic rename: a speculative/zombie
+            # duplicate attempt can never interleave writes into the
+            # final shard — last rename wins with a complete file
+            tmp = os.path.join(out_dir, f".shard-{shard:05d}.tar.tmp-{attempt}")
             n = 0
-            with tarfile.open(path, "w") as tar:
+            with tarfile.open(tmp, "w") as tar:
                 for r in members:
                     payload = bytes(r["__payload"] or b"")
                     meta = json.dumps(
@@ -124,10 +143,12 @@ def write_webdataset_shards(
                         tar.addfile(info, io.BytesIO(data))
                     n += 1
             digest = hashlib.sha256()
-            with open(path, "rb") as fh:
+            with open(tmp, "rb") as fh:
                 for chunk in iter(lambda: fh.read(1 << 20), b""):
                     digest.update(chunk)
-            yield (shard, n, os.path.getsize(path), digest.hexdigest())
+            size = os.path.getsize(tmp)
+            os.replace(tmp, path)
+            yield (shard, n, size, digest.hexdigest())
 
     # one task per shard id: hash-repartition on __shard puts every row
     # of a shard in one partition (a partition may own several shards —
@@ -158,14 +179,25 @@ def read_webdataset_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
     fails its task with the SHARD PATH in the error (at fleet scale the
     bad file, not a stack trace, is the actionable datum); an empty or
     missing directory reads as an empty frame, not an error."""
-    import glob as _glob
-
     import pandas as pd
 
+    from pyspark.errors import AnalysisException
+
     schema = "key string, ext string, payload binary, meta string, shard_id int"
-    if not _glob.glob(os.path.join(shard_dir, SHARD_GLOB)):
-        return spark.createDataFrame([], schema)
-    tars = spark.read.format("binaryFile").load(os.path.join(shard_dir, SHARD_GLOB))
+    # Emptiness is decided by the READ's own path resolution, not a
+    # driver-local glob: binaryFile accepts remote URIs (hdfs://,
+    # s3a://) where glob.glob would see nothing and silently return an
+    # empty frame even when shards exist. Spark resolves the glob at
+    # load() time and raises PATH_NOT_FOUND when no shard matches —
+    # that, and only that, is the empty case.
+    try:
+        tars = spark.read.format("binaryFile").load(os.path.join(shard_dir, SHARD_GLOB))
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None)
+        cond = (get_cond() if get_cond else None) or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

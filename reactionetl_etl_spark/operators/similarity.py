@@ -26,6 +26,52 @@ from reactionetl_etl_spark.functions.vectors import (
     lit_double_array,
 )
 
+# Hard ceiling for the driver-collect exact paths. A row bound alone
+# under-guards wide embeddings: 100k rows × 1024-dim float64 ≈ 800 MB
+# of driver heap before numpy even copies it. 256 MB keeps the gram
+# workspace comfortably inside a default driver.
+MAX_EXACT_COLLECT_BYTES = 256 * 1024 * 1024
+
+
+def _guard_exact_collect(
+    embeddings: DataFrame,
+    vec_col: str,
+    max_exact_rows: int | None,
+    what: str,
+) -> int:
+    """Bound a driver-collect exact path; returns the row count.
+
+    Raises when the row bound is exceeded, when the estimated collected
+    bytes (rows × dim × 8, one count/max-size agg) exceed
+    ``MAX_EXACT_COLLECT_BYTES``, or when the bound is disabled
+    (``max_exact_rows=None``). Before the driver-BLAS rewrite, None
+    meant "stay distributed"; now the exact path always collects, so an
+    explicit opt-out would be an unbounded driver OOM — callers at that
+    scale want the LSH path (``lsh_dim=...``)."""
+    if max_exact_rows is None:
+        raise ValueError(
+            f"{what}: max_exact_rows=None would collect the input to the "
+            "driver unboundedly; set a bound or use the LSH path "
+            "(lsh_dim=...) at scale"
+        )
+    n, dim = embeddings.select(
+        F.count(F.lit(1)), F.max(F.size(F.col(vec_col)))
+    ).first()
+    if n > max_exact_rows:
+        raise ValueError(
+            f"{what} over {n} rows exceeds max_exact_rows={max_exact_rows}; "
+            "use the LSH path (lsh_dim=...) at this scale"
+        )
+    est_bytes = n * int(dim or 0) * 8
+    if est_bytes > MAX_EXACT_COLLECT_BYTES:
+        raise ValueError(
+            f"{what}: collecting {n} rows × {dim}-dim float64 ≈ "
+            f"{est_bytes / 1e6:.0f} MB exceeds the "
+            f"{MAX_EXACT_COLLECT_BYTES / 1e6:.0f} MB driver ceiling; "
+            "use the LSH path (lsh_dim=...) at this scale"
+        )
+    return int(n)
+
 
 def cosine_topk(
     embeddings: DataFrame,
@@ -360,7 +406,10 @@ def cosine_topk_batch(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
     )
-    if use_arrow:
+    if use_arrow and _ids_integral(queries, query_id_col, corpus, id_col):
+        # The Arrow scorer emits a long-typed id schema; for string /
+        # UUID / decimal ids fall through to the HOF plan below, which
+        # preserves the caller's id column types exactly.
         return _exact_topk_arrow(
             corpus, q, k, query_id_col, id_col, vec_col, exclude_self
         )
@@ -368,6 +417,19 @@ def cosine_topk_batch(
         q = F.broadcast(q)
     pairs = corpus.crossJoin(q)
     return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
+
+
+def _ids_integral(
+    queries: DataFrame, query_id_col: str, corpus: DataFrame, id_col: str
+) -> bool:
+    """True iff both id columns are integral — the only types the Arrow
+    scorer's hardcoded `long` output schema can represent losslessly."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    return isinstance(queries.schema[query_id_col].dataType, integral) and isinstance(
+        corpus.schema[id_col].dataType, integral
+    )
 
 
 def _exact_topk_arrow(
@@ -743,12 +805,9 @@ def cosine_neardup_pairs(
         # rounding before the threshold compare.
         import numpy as np
 
-        n = embeddings.count()
-        if max_exact_rows is not None and n > max_exact_rows:
-            raise ValueError(
-                f"exact all-pairs cosine over {n} rows exceeds max_exact_rows="
-                f"{max_exact_rows}; use the LSH path (lsh_dim=...) at this scale"
-            )
+        _guard_exact_collect(
+            embeddings, vec_col, max_exact_rows, "exact all-pairs cosine"
+        )
         spark = embeddings.sparkSession
         schema = "id_a bigint, id_b bigint, cosine_sim double"
         rows = embeddings.select(
@@ -916,12 +975,9 @@ def mutual_nearest_pairs(
     if lsh_dim is None:
         import numpy as np
 
-        n = embeddings.count()
-        if max_exact_rows is not None and n > max_exact_rows:
-            raise ValueError(
-                f"exact all-pairs MNN over {n} rows exceeds max_exact_rows="
-                f"{max_exact_rows}; use the LSH path (lsh_dim=...) at this scale"
-            )
+        _guard_exact_collect(
+            embeddings, vec_col, max_exact_rows, "exact all-pairs MNN"
+        )
         spark = embeddings.sparkSession
         schema = "id_a bigint, id_b bigint, cosine_sim double"
         rows = embeddings.select(

@@ -208,7 +208,13 @@ def read_csv_header_group(
     )
     if dir_read and len(members) >= DIR_READ_MIN_FILES:
         dirs = sorted({os.path.dirname(m.path) for m in members})
-        df = reader.option("pathGlobFilter", "reaction*.csv").csv(dirs)
+        # Glob must be at least as wide as list_raw_files' suffix
+        # filter: a narrower pattern (e.g. "reaction*.csv") would
+        # silently exclude a listed file from the scan, audit it as
+        # success/0 rows and manifest it — unrecoverable skip. The
+        # suffix glob keeps listing and scan in exact agreement;
+        # _exact_file_filter still pins the member set.
+        df = reader.option("pathGlobFilter", "*.csv").csv(dirs)
     else:
         dir_read = False
         df = reader.csv([m.path for m in members])
@@ -253,7 +259,10 @@ def read_metadata_json(
     )
     if dir_read and len(files) >= DIR_READ_MIN_FILES:
         dirs = sorted({os.path.dirname(f.path) for f in files})
-        df = reader.option("pathGlobFilter", "metadata_*.json").json(dirs)
+        # Suffix-wide glob so listing (list_raw_files ".json") and scan
+        # agree — see read_csv_header_group; exactness comes from
+        # _exact_file_filter, not the glob.
+        df = reader.option("pathGlobFilter", "*.json").json(dirs)
     else:
         dir_read = False
         df = reader.json([f.path for f in files])

@@ -727,6 +727,82 @@ def test_mnn_pairs_form_a_matching(spark, sf_dir):
         mutual_nearest_pairs(emb, max_exact_rows=10)
 
 
+def test_exact_collect_guards_are_byte_aware(spark):
+    """The driver-collect exact paths guard on BYTES, not just rows: a
+    frame far under the row bound but wide enough that rows × dim × 8
+    exceeds the 256 MB driver ceiling raises loudly and points at the
+    LSH path; max_exact_rows=None (the old 'skip the guard' opt-out)
+    is now an explicit error instead of an unbounded collect."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        mutual_nearest_pairs,
+    )
+
+    # 1 000 rows × 64k dim ≈ 512 MB estimated — tiny row count, huge rows
+    wide = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.rand(seed=7), 65536).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="MB driver ceiling"):
+        cosine_neardup_pairs(wide)
+    with _pytest.raises(ValueError, match="MB driver ceiling"):
+        mutual_nearest_pairs(wide)
+
+    small = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.rand(seed=7), 4).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="unboundedly"):
+        cosine_neardup_pairs(small, max_exact_rows=None)
+    with _pytest.raises(ValueError, match="unboundedly"):
+        mutual_nearest_pairs(small, max_exact_rows=None)
+
+
+def test_cosine_topk_batch_preserves_nonintegral_ids(spark):
+    """use_arrow=True (the default) must not retype or crash on string
+    ids: the Arrow scorer only handles integral ids, so the batch entry
+    point falls back to the HOF plan and the output id columns keep the
+    caller's types — parity with use_arrow=False."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.similarity import cosine_topk_batch
+
+    corpus = spark.range(20).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("vec_id"),
+        F.array(
+            F.sin(F.col("id") * 1.0), F.cos(F.col("id") * 2.0), F.lit(0.5)
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id").isin("doc-3", "doc-11")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    arrow_default = cosine_topk_batch(queries, corpus, k=3)
+    hof = cosine_topk_batch(queries, corpus, k=3, use_arrow=False)
+    assert arrow_default.schema == hof.schema
+    assert dict(arrow_default.dtypes)["vec_id"] == "string"
+    assert sorted(map(tuple, arrow_default.collect())) == sorted(
+        map(tuple, hof.collect())
+    )
+    # integral ids still take the Arrow scorer and agree with the HOF plan
+    icorpus = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.sin(F.col("id") * 1.0), F.cos(F.col("id") * 2.0), F.lit(0.5)
+        ).alias("embedding"),
+    )
+    iqueries = icorpus.filter(F.col("vec_id").isin(3, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ia = sorted(map(tuple, cosine_topk_batch(iqueries, icorpus, k=3).collect()))
+    ih = sorted(
+        map(tuple, cosine_topk_batch(iqueries, icorpus, k=3, use_arrow=False).collect())
+    )
+    assert ia == ih
+
+
 def test_betweenness_matches_float_brandes(spark, sf_dir):
     """Witness for the truncated-integer k-source betweenness: a pure-
     Python float Brandes (same 4 sources, same depth-3 bound, textbook

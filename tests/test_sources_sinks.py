@@ -440,6 +440,61 @@ def test_dir_read_parity_and_exact_file_pinning(spark, tmp_path, monkeypatch):
     assert len(mp[0]) == 5
 
 
+def test_dir_read_ingests_nonconventional_names(spark, tmp_path, monkeypatch):
+    """Listing (list_raw_files, suffix-filtered) and the dir-read scan
+    glob must agree: a *.csv / *.json file whose basename does NOT
+    follow the reaction*/metadata_* convention is still a listed batch
+    member, so the O(dirs) fast path must ingest it — not silently
+    audit it as success/0-rows and manifest-skip it forever."""
+    import os
+    import shutil
+
+    from tests.fixtures_etl import write_metadata_json, write_reaction_csv
+
+    from reactionetl_etl_spark.etl.cleanse import (
+        cleanse_incoming_csvs,
+        cleanse_metadata_jsons,
+    )
+    from reactionetl_etl_spark.sources import raw as R
+
+    monkeypatch.setattr(R, "DIR_READ_MIN_FILES", 1)
+
+    incoming = str(tmp_path / "incoming")
+    day = os.path.join(incoming, "2026-01-07")
+    for n in (1, 2, 3):
+        write_reaction_csv(day, n, n_rows=4)
+        write_metadata_json(day, n)
+    # same header/shape, non-conventional basenames — valid list members
+    src_csv = write_reaction_csv(day, 7, n_rows=4)
+    odd_csv = os.path.join(day, "legacy_export.csv")
+    shutil.move(src_csv, odd_csv)
+    src_json = write_metadata_json(day, 8)
+    odd_json = os.path.join(day, "sidecar.json")
+    shutil.move(src_json, odd_json)
+
+    csvs = R.list_raw_files(incoming, ".csv")
+    jsons = R.list_raw_files(incoming, ".json")
+    assert odd_csv in {f.path for f in csvs}
+    assert odd_json in {f.path for f in jsons}
+
+    def totals(result):
+        clean = sorted(map(tuple, result.clean.drop("load_ts").collect()))
+        quar = sorted(map(tuple, result.quarantined.drop("load_ts").collect()))
+        result.release()
+        return clean, quar
+
+    pp_csv = totals(cleanse_incoming_csvs(spark, csvs, dir_read=False))
+    dr_csv = totals(cleanse_incoming_csvs(spark, csvs, dir_read=True))
+    assert dr_csv == pp_csv
+    # the odd file's 4 rows are seen by the fast path, not dropped
+    assert len(dr_csv[0]) + len(dr_csv[1]) == 4 * 4
+
+    pp_json = totals(cleanse_metadata_jsons(spark, jsons, dir_read=False))
+    dr_json = totals(cleanse_metadata_jsons(spark, jsons, dir_read=True))
+    assert dr_json == pp_json
+    assert len(dr_json[0]) + len(dr_json[1]) == 4
+
+
 def test_webdataset_roundtrip_and_deterministic_bytes(spark, tmp_path):
     """WebDataset tar shards: write → read returns exactly the input
     (payload bytes + metadata), shard assignment is the md5 bucket, and
@@ -501,6 +556,79 @@ def test_webdataset_roundtrip_and_deterministic_bytes(spark, tmp_path):
         # the transfer manifest carries the true hash and size
         assert manifest[s]["sha256"] == h1
         assert manifest[s]["bytes"] == os.path.getsize(os.path.join(out1, s))
+
+
+def test_webdataset_adversarial_keys_and_stale_shards(spark, tmp_path):
+    """Boundary hardening: (a) adversarial keys — unicode, path
+    separators, dots, 0-byte payloads — round-trip exactly; (b) a key
+    duplicated across DIFFERENT shards (precomputed shard_col) comes
+    back once per shard; (c) the sha256 manifest catches a corrupted
+    member byte; (d) re-exporting fewer shards into the same dir clears
+    the stale shard-*.tar so the directory equals the manifest."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.io.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [
+        ("naïve-文档", b"unicode payload", 0),
+        ("a/b/c", b"path separators", 0),
+        ("v1.2.tar", b"dots in key", 1),
+        ("empty", b"", 1),
+        ("dup", b"shard-zero copy", 0),
+        ("dup", b"shard-one copy", 1),
+    ]
+    src = spark.createDataFrame(rows, "k string, content binary, sh int")
+    out = str(tmp_path / "wds")
+    n = write_webdataset_shards(
+        src, out, key_col="k", payload_col="content", ext="bin",
+        shard_col="sh", n_shards=2,
+    )
+    assert n == 6
+    back = read_webdataset_shards(spark, out).collect()
+    assert len(back) == 6
+    got = {(r["key"], r["shard_id"]): bytes(r["payload"]) for r in back}
+    assert got[("naïve-文档", 0)] == b"unicode payload"
+    # tar stores "a/b/c.bin"; rpartition(".") restores the full key
+    assert got[("a/b/c", 0)] == b"path separators"
+    # key containing dots: the writer appends ".bin" and the reader
+    # strips exactly one extension, so the dotted key survives intact
+    assert got[("v1.2.tar", 1)] == b"dots in key"
+    assert got[("empty", 1)] == b""
+    assert got[("dup", 0)] == b"shard-zero copy"
+    assert got[("dup", 1)] == b"shard-one copy"
+
+    # (c) flip one payload byte → manifest sha256 no longer matches
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    shard0 = os.path.join(out, "shard-00000.tar")
+    blob = bytearray(open(shard0, "rb").read())
+    blob[600] ^= 0xFF  # inside a member's data region
+    open(shard0, "wb").write(bytes(blob))
+    assert (
+        hashlib.sha256(open(shard0, "rb").read()).hexdigest()
+        != manifest["shard-00000.tar"]["sha256"]
+    )
+
+    # (d) re-export a smaller frame with fewer shards into the SAME dir
+    small = spark.createDataFrame([("only", b"x", 0)], "k string, content binary, sh int")
+    write_webdataset_shards(
+        small, out, key_col="k", payload_col="content", ext="bin",
+        shard_col="sh", n_shards=1,
+    )
+    tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+    assert tars == ["shard-00000.tar"]  # stale shard-00001.tar cleared
+    manifest2 = json.load(open(os.path.join(out, "manifest.json")))
+    assert set(manifest2) == {"shard-00000.tar"}
+    reread = read_webdataset_shards(spark, out).collect()
+    assert [(r["key"], bytes(r["payload"])) for r in reread] == [("only", b"x")]
+    # no orphaned task-attempt temps remain
+    assert not [f for f in os.listdir(out) if f.startswith(".shard-")]
 
 
 def test_webdataset_reader_corrupt_and_empty(spark, tmp_path):
