@@ -10086,8 +10086,10 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x+0.5) convention on max(cus)/n — one exact-int division —
     because round() itself differs cross-engine at half-ulp
     boundaries (the r7 sf0.1 gate caught exactly that)."""
+    from reactionetl_etl_spark.operators.experiment import micro_units
+
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
-    vm = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    vm = micro_units("value")
     wp = Window.partitionBy("user_id")
     wo = wp.orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     v = ev.select(
@@ -11609,13 +11611,15 @@ def event_value_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     execute identical IEEE op sequences. One groupBy over the filtered
     events; output is a single row. Scales: moments combine map-side,
     the t arithmetic is O(1)."""
+    from reactionetl_etl_spark.operators.experiment import micro_units
+
     m = (
         load_events(spark, sf_dir)
         .filter(F.col("event_type").isin("click", "purchase"))
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
-            F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v"),
+            micro_units("value").alias("v"),
         )
     )
     s = m.groupBy("event_type").agg(
@@ -12936,12 +12940,14 @@ def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~95% percentile CI (tie-broken by replicate id so the SELECTED
     elements are deterministic). Cost is B hash evaluations per row in
     one pass — no resample shuffle, no global state."""
+    from reactionetl_etl_spark.operators.experiment import micro_units
+
     ev = load_events(spark, sf_dir)
     vals = ev.filter(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select(
         "event_id",
-        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v6"),
+        micro_units("value").alias("v6"),
     )
     reps = vals.select(
         "event_id",
@@ -13064,12 +13070,14 @@ def events_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is bit-deterministic with no recurrence to order-drift.
     One user-keyed window partitioning serves all 8 lags; weight mass
     beyond 8 lags is < 10%, renormalized away."""
+    from reactionetl_etl_spark.operators.experiment import micro_units
+
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_ntz", "event_id")
     v = ev.filter(F.col("value").isNotNull()).select(
         "event_id",
         "user_id",
-        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("v6"),
+        micro_units("value").alias("v6"),
         "ts_ntz",
     )
     lags = v.select(
@@ -13454,13 +13462,15 @@ def event_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in the oracle (no order-dependent float summation
     anywhere). One user-keyed aggregate + one global moment pass;
     map-side combinable, scales."""
+    from reactionetl_etl_spark.operators.experiment import arm_assignment, micro_units
+
     ev = load_events(spark, sf_dir)
-    micro = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    micro = micro_units("value")
     pre = F.col("ts_ntz") < F.lit("2024-01-16").cast("timestamp")
     pm = (
         ev.groupBy("user_id")
         .agg(
-            (F.col("user_id") % 2).cast("long").alias("arm"),
+            arm_assignment().alias("arm"),
             F.sum(F.when(pre, micro)).alias("sxm"),
             F.count(F.when(pre, F.lit(1))).alias("nx"),
             F.sum(F.when(~pre, micro)).alias("sym"),
@@ -13572,12 +13582,13 @@ def conformal_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     and test residuals group in ONE pass over one scan (n_calib,
     n_test, coverage all derive from the checkpointed grouped table),
     and the 24-row model broadcasts."""
+    from reactionetl_etl_spark.operators.experiment import micro_units
     from reactionetl_etl_spark.operators.rank import global_running_sum
 
     ev = load_events(spark, sf_dir)
     split = ev.select(
         F.hour("ts_ntz").cast("long").alias("hr"),
-        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+        micro_units("value").alias("vm"),
         (
             F.conv(
                 F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
@@ -14368,10 +14379,12 @@ def event_value_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the z expression is mirrored IEEE (divisions, one sqrt — all
     correctly-rounded ops) floored at 4 dp. One events scan; grid-sized
     everything after."""
+    from reactionetl_etl_spark.operators.experiment import arm_assignment, micro_units
+
     ev = load_events(spark, sf_dir)
     micro = ev.select(
-        (F.col("user_id") % 2).cast("long").alias("arm"),
-        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+        arm_assignment().alias("arm"),
+        micro_units("value").alias("vm"),
         F.ceil(F.dayofmonth("ts_ntz") / 5.0).cast("long").alias("stage"),
     )
     stages = micro.select("stage").distinct()
@@ -14455,12 +14468,13 @@ def event_value_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct table data-sized, so a per-arm single-partition window
     would bottleneck at 100×; the KS/conformal discipline), with the
     2-row arm offsets broadcast back off the top."""
+    from reactionetl_etl_spark.operators.experiment import arm_assignment, micro_units
     from reactionetl_etl_spark.operators.rank import global_running_sum
 
     ev = load_events(spark, sf_dir)
     micro = ev.select(
-        (F.col("user_id") % 2).cast("long").alias("arm"),
-        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+        arm_assignment().alias("arm"),
+        micro_units("value").alias("vm"),
     )
     g = micro.groupBy("arm", "vm").agg(F.count(F.lit(1)).alias("c"))
     gcum = global_running_sum(
@@ -14535,10 +14549,12 @@ def event_value_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL headroom); floats appear only in the final mirrored IEEE
     expression (divisions + one sqrt — correctly-rounded ops), floored
     at fixed widths. One map-side-combinable aggregate over one scan."""
+    from reactionetl_etl_spark.operators.experiment import arm_assignment, micro_units
+
     ev = load_events(spark, sf_dir)
     micro = ev.select(
-        (F.col("user_id") % 2).cast("long").alias("arm"),
-        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long").alias("vm"),
+        arm_assignment().alias("arm"),
+        micro_units("value").alias("vm"),
     )
     m = micro.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
