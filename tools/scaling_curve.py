@@ -68,7 +68,32 @@ EXTRA_QUERIES = (
     "classifier_calibration_bins",  # shares the classifier train memo
     "monthly_revenue_mase",  # month-grid lag windows
     "webdataset_roundtrip",  # tar shard write + binaryFile read-back
+    # late-r9 families (verdict-r9 item 4); the MNN LSH path has no
+    # catalog query of its own — measured by the ad-hoc stanza below
+    "rake_keyphrases",  # stopword-delimited phrase aggs, vocab-bounded
+    "event_value_sequential_test",  # stage-grid join, 6 cumulative looks
+    "event_value_quantile_effects",  # distinct-value prefix sum per arm
+    "event_value_mde",  # single moment agg + O(1) power arithmetic
 )
+
+
+def mnn_lsh_curve(spark, runs: int) -> dict[str, float]:
+    """Warm medians for the MNN LSH path (the 100 TB route) — the
+    catalog's `mutual_nearest_pairs` query exercises the size-guarded
+    exact path, so the bucketed variant needs its own curve."""
+    from reactionetl_etl_spark.operators.similarity import mutual_nearest_pairs
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    out: dict[str, float] = {}
+    for sf, d in SF_DIRS.items():
+        emb = load_table(spark, d, "embeddings")
+        times = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            mutual_nearest_pairs(emb, lsh_dim=64, lsh_bits=4).collect()
+            times.append(time.monotonic() - t0)
+        out[sf] = round(statistics.median(times[1:] or times), 3)
+    return out
 
 
 def main() -> int:
@@ -82,6 +107,9 @@ def main() -> int:
         benched[n] = qs[n]
     if only:
         benched = {n: s for n, s in benched.items() if n in only}
+    mnn_lsh = (
+        mnn_lsh_curve(spark, runs) if (not only or "mnn_lsh" in only) else None
+    )
     out: dict[str, dict[str, float]] = {}
     cold: dict[str, dict[str, float]] = {}
     for name, spec in sorted(benched.items()):
@@ -96,6 +124,8 @@ def main() -> int:
             # warm median: drop the first (compilation-heavy) run
             out[name][sf] = round(statistics.median(times[1:] or times), 3)
             cold[name][sf] = round(times[0], 3)
+    if mnn_lsh is not None:
+        out["mutual_nearest_pairs_lsh"] = mnn_lsh
     print("| query | sf0.001 | sf0.01 | sf0.1 | t(0.1)/t(0.001) for 100x data |")
     print("|---|---|---|---|---|")
     for name, row in sorted(out.items()):

@@ -209,6 +209,23 @@ def main() -> None:
     if "--json" in sys.argv:
         print(json.dumps(ledger, indent=1))
         return
+    if "--write" in sys.argv:
+        # round artifact (r9 verdict item 8): summary counts + the full
+        # ledger, so the staleness trend is visible round-over-round
+        # without re-running the tool against a historical tree
+        path = sys.argv[sys.argv.index("--write") + 1]
+        counts: dict[str, int] = {}
+        for r in ledger:
+            key = f'rank{r["rank"]}'
+            counts[key] = counts.get(key, 0) + 1
+        with open(path, "w") as fh:
+            json.dump(
+                {"counts": counts, "n_queries": len(ledger), "ledger": ledger},
+                fh,
+                indent=1,
+            )
+        print(f"wrote {path}: {counts}")
+        return
     if "--priority" in sys.argv:
         for r in ledger:
             print(f'    "{r["query"]}",')
