@@ -82,94 +82,21 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
-    "bigram_llr_collocations",
-    "classifier_calibration_bins",
-    "conformal_event_value",
-    "copurchase_betweenness",
-    "dominant_part_suppliers",
-    "event_markov_stationary",
-    "event_value_bootstrap_ci",
-    "event_value_cuped",
-    "event_value_mde",
-    "event_value_quantile_effects",
-    "event_value_sequential_test",
-    "events_ewma_features",
-    "incremental_cms_rollup",
-    "km_reorder_survival",
-    "ks_test_click_purchase",
-    "markov_removal_attribution",
-    "mixture_temperature_resample",
-    "monthly_revenue_mase",
-    "mutual_nearest_pairs",
-    "nation_theilsen_trend",
-    "part_value_concentration",
-    "promo_did_estimate",
-    "purchase_attribution_credit",
-    "quality_lift_deciles",
-    "rake_keyphrases",
-    "retrieval_ndcg_eval",
-    "stratified_sample_events",
-    "supplier_attr_counts",
-    "token_cms_estimates",
-    "webdataset_roundtrip",
-    "dedup_exact_documents",
-    "dedup_fingerprint_md5",
-    "disjunctive_brand_revenue",
-    "click_purchase_interval_join",
-    "cosine_topk_bruteforce",
-    "doc_fingerprint_rolling",
-    "doc_quality_scores",
-    "embedding_l2_norm_pandas",
-    "embedding_neardup_pairs",
-    "events_sessionization",
-    "events_tumbling_windows",
-    "grouping_sets_revenue",
-    "lang_id_heuristic",
-    "lang_mixture_weights",
-    "orders_above_customer_avg",
-    "pii_redaction_stats",
-    "text_stats_by_lang",
-    "train_val_test_split",
-    "asof_click_to_purchase",
-    "contamination_check_4gram",
-    "events_zscore_grouped_pandas",
-    "ngram_jaccard_pairs",
-    "price_rank_ntile",
     "regex_token_totals",
-    "returned_items_top_customers",
-    "revenue_by_nation_sql",
-    "top_words_explode",
     "contamination_check_shuffle",
-    "corpus_deterministic_shuffle",
     "cosine_topk_batch_exact",
     "dense_sequence_customer",
     "doc_chunking_overlap",
-    "duplicate_clusters",
-    "enrich_orders_customer",
     "ngram_containment_pairs",
-    "quantity_band_range_join_binned",
-    "shipping_priority_top10",
-    "top10_orders_global",
-    "top_order_per_customer",
-    "totalprice_percent_rank",
-    "bm25_index_probe",
-    "bm25_search_topk",
-    "canonical_doc_per_cluster",
     "corpus_drift_kl",
-    "cross_doc_dup_rate",
-    "curriculum_order",
     "cut_duplicated_spans",
     "decontaminated_corpus",
     "embedding_quantize_error",
     "events_linear_interpolation",
-    "frequent_tokens_exact",
     "hard_negatives_topk",
     "hybrid_search_rrf",
     "incremental_quantile_rollup",
-    "orders_expectations_report",
     "orders_scd2_temporal_join",
-    "part_copurchase_pagerank",
-    "quality_filter_verdicts",
     "repeated_span_extents",
     "scd2_customer_history",
     "session_overlap_pairs",
@@ -177,29 +104,26 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_cow_upsert",
     "snapshot_pruned_scan",
     "snapshot_time_travel",
-    "token_budget_packing",
-    "token_pair_stats",
     "upsert_keyed_parity",
-    "bigram_logprob_scores",
     "bpe_learned_merges",
     "customer_rank_kendall",
     "pca_doc_projection",
-    "vocab_coverage_topk",
-    "zipf_slope_fit",
     "ann_recall_report",
-    "copurchase_bfs_hops",
-    "copurchase_cheapest_path",
-    "copurchase_kcore",
     "embedding_neardup_lsh",
-    "ivf_cosine_topk",
-    "ivf_cosine_topk_batch",
+    "event_value_welch_ttest",
+    "events_cusum_alarms",
     "knn_label_predict",
-    "lsh_cosine_topk",
-    "lsh_cosine_topk_batch",
-    "multimodal_corpus_build",
-    "part_triangle_clustering",
-    "personalized_pagerank_parts",
     "trigram_perplexity_scores",
+    "conformal_event_value",
+    "embedding_neardup_pairs",
+    "event_value_bootstrap_ci",
+    "event_value_cuped",
+    "event_value_mde",
+    "event_value_quantile_effects",
+    "event_value_sequential_test",
+    "events_ewma_features",
+    "mutual_nearest_pairs",
+    "webdataset_roundtrip",
     "customer_balance_extremes",
     "part_measures_unpivot",
     "customer_order_distribution",
@@ -222,27 +146,36 @@ _PRIORITY: tuple[str, ...] = (
     "events_hourly_by_type",
     "events_json_extract",
     "events_json_struct",
+    "events_zscore_grouped_pandas",
     "lineitem_stats_by_flag",
     "monthly_order_stats",
     "nation_acctbal_having",
+    "ngram_jaccard_pairs",
     "order_gaps_lag_lead",
     "orders_pivot_priority",
     "part_string_functions",
+    "price_rank_ntile",
     "promo_revenue_pct",
     "quantity_percentiles",
+    "returned_items_top_customers",
     "returnflag_priority_matrix",
+    "revenue_by_nation_sql",
     "rollup_returnflag_status",
     "salted_join_orders_customer",
     "small_quantity_revenue",
+    "top_words_explode",
     "totalprice_buckets",
     "volume_between_nations",
     "agg_max_bounds",
     "conform_rename_part",
+    "corpus_deterministic_shuffle",
     "custkey_union",
     "customers_with_orders",
     "customers_without_orders",
     "distinct_segments",
     "doc_unicode_stats",
+    "duplicate_clusters",
+    "enrich_orders_customer",
     "events_approx_distinct_check",
     "events_dedup_earliest",
     "events_ewma_final",
@@ -266,26 +199,43 @@ _PRIORITY: tuple[str, ...] = (
     "part_bool_bit_aggs",
     "pricing_summary",
     "priority_mode_by_month",
+    "quantity_band_range_join_binned",
     "revenue_forecast",
     "revenue_grouping_sets",
     "running_total_per_customer",
+    "shipping_priority_top10",
+    "top10_orders_global",
+    "top_order_per_customer",
+    "totalprice_percent_rank",
     "user_retention_cohorts",
+    "bm25_index_probe",
+    "bm25_search_topk",
+    "canonical_doc_per_cluster",
     "corpus_profile",
+    "cross_doc_dup_rate",
+    "curriculum_order",
     "dau_wau_mau",
     "doc_char_stats",
     "domain_cap_sample",
     "event_transition_matrix",
     "events_seasonal_anomalies",
+    "frequent_tokens_exact",
     "leakage_safe_split",
     "mixture_resample_uniform",
     "nation_market_share",
+    "orders_expectations_report",
     "orders_time_split_embargo",
+    "part_copurchase_pagerank",
     "part_pair_affinity",
     "product_type_profit",
+    "quality_filter_verdicts",
+    "token_budget_packing",
+    "token_pair_stats",
     "totalprice_winsorized_by_segment",
     "user_event_sequences",
     "weighted_sample_hash",
     "asof_cogroup_pandas",
+    "bigram_logprob_scores",
     "contamination_check_bloom",
     "customer_spend_balance_spearman",
     "doc_compression_by_source",
@@ -314,33 +264,43 @@ _PRIORITY: tuple[str, ...] = (
     "top_docs_per_lang",
     "training_corpus_build",
     "unconverted_clicks_outer_join",
+    "vocab_coverage_topk",
     "word_window_udtf",
+    "zipf_slope_fit",
     "approx_distinct_users",
     "audio_spectral_profile",
     "bpe_encode_tokens",
     "catalog_columns",
     "copurchase_assortativity",
+    "copurchase_bfs_hops",
+    "copurchase_cheapest_path",
+    "copurchase_kcore",
     "customer_top2_orders_lateral",
     "doc_readability_scores",
     "event_funnel_steps",
-    "event_value_welch_ttest",
-    "events_cusum_alarms",
     "events_mad_anomalies",
     "events_xml_extract",
     "image_neardup_dhash",
     "image_neardup_phash",
     "incremental_join_materialize",
     "incremental_neardup_probe",
+    "ivf_cosine_topk",
+    "ivf_cosine_topk_batch",
     "jaccard_prefix_join_pairs",
     "lang_source_chi2",
     "lineitem_correlation_matrix",
+    "lsh_cosine_topk",
+    "lsh_cosine_topk_batch",
     "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
+    "multimodal_corpus_build",
     "multimodal_feature_extract",
     "multimodal_resize_pixels",
     "nation_revenue_trend",
     "orders_benford_deviation",
     "part_neighbor_jaccard",
+    "part_triangle_clustering",
+    "personalized_pagerank_parts",
     "purchase_hits_scores",
     "quality_auc_mannwhitney",
     "rm3_expanded_search",
@@ -350,6 +310,46 @@ _PRIORITY: tuple[str, ...] = (
     "video_frame_sample",
     "video_scene_cuts",
     "weekly_retention_triangle",
+    "asof_click_to_purchase",
+    "bigram_llr_collocations",
+    "classifier_calibration_bins",
+    "click_purchase_interval_join",
+    "contamination_check_4gram",
+    "copurchase_betweenness",
+    "cosine_topk_bruteforce",
+    "dedup_exact_documents",
+    "dedup_fingerprint_md5",
+    "disjunctive_brand_revenue",
+    "doc_fingerprint_rolling",
+    "doc_quality_scores",
+    "dominant_part_suppliers",
+    "embedding_l2_norm_pandas",
+    "event_markov_stationary",
+    "events_sessionization",
+    "events_tumbling_windows",
+    "grouping_sets_revenue",
+    "incremental_cms_rollup",
+    "km_reorder_survival",
+    "ks_test_click_purchase",
+    "lang_id_heuristic",
+    "lang_mixture_weights",
+    "markov_removal_attribution",
+    "mixture_temperature_resample",
+    "monthly_revenue_mase",
+    "nation_theilsen_trend",
+    "orders_above_customer_avg",
+    "part_value_concentration",
+    "pii_redaction_stats",
+    "promo_did_estimate",
+    "purchase_attribution_credit",
+    "quality_lift_deciles",
+    "rake_keyphrases",
+    "retrieval_ndcg_eval",
+    "stratified_sample_events",
+    "supplier_attr_counts",
+    "text_stats_by_lang",
+    "token_cms_estimates",
+    "train_val_test_split",
 )
 
 

@@ -97,6 +97,62 @@ def test_verify_ledger_block_extraction_complete():
     assert not sorted(set(pins) - set(_REGISTRY))
 
 
+def test_verify_ledger_effective_source_churn():
+    """Function-level churn precision (r10): a module edit flags only
+    queries whose USED names have a changed effective source — the
+    name's own statement plus, transitively, every top-level
+    statement it references (shared helpers, constants, the import
+    block). Unused-path edits must NOT flag; shared-dependency and
+    constant edits MUST."""
+    from tools.verify_ledger import effective_sources, module_names_churned
+
+    v1 = '''
+from pyspark.sql import functions as F
+
+LIMIT = 10
+
+def helper(x):
+    return x + LIMIT
+
+def a(df):
+    return helper(df)
+
+def b(df):
+    return df.limit(LIMIT)
+
+def untouched(df):
+    return df
+'''
+    # edit confined to a(): only a churns
+    v2 = v1.replace("return helper(df)", "return helper(df) + 1")
+    assert module_names_churned(v1, v2, {"a"})
+    assert not module_names_churned(v1, v2, {"b"})
+    assert not module_names_churned(v1, v2, {"untouched"})
+    # shared-helper edit propagates to a (uses helper) but not b
+    v3 = v1.replace("return x + LIMIT", "return x - LIMIT")
+    assert module_names_churned(v1, v3, {"a"})
+    assert not module_names_churned(v1, v3, {"b"})
+    # constant edit propagates to BOTH a (via helper) and b
+    v4 = v1.replace("LIMIT = 10", "LIMIT = 20")
+    assert module_names_churned(v1, v4, {"a"})
+    assert module_names_churned(v1, v4, {"b"})
+    # import-block edit is conservative: flags everything
+    v5 = v1.replace(
+        "from pyspark.sql import functions as F",
+        "from pyspark.sql import functions as F, Window",
+    )
+    assert module_names_churned(v1, v5, {"untouched"})
+    # unknown/empty name set = whole module: any edit flags
+    assert module_names_churned(v1, v2, set())
+    assert not module_names_churned(v1, v1, set())
+    # unparseable text falls back to churned
+    assert module_names_churned(v1, "def broken(:", {"a"})
+    # new top-level names appear in the map; removed ones churn users
+    srcs = effective_sources(v1)
+    assert set(srcs) == {"LIMIT", "helper", "a", "b", "untouched"}
+    assert module_names_churned(v1, v1.replace("def helper", "def helper2"), {"a"})
+
+
 def test_verify_ledger_orders_never_verified_first():
     """Ledger ranking contract: rank ascends, and within a rank the
     last-green round ascends — so never-verified (rank 0) and oldest

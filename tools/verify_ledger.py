@@ -138,14 +138,103 @@ def pinned_blocks(text: str) -> dict[str, str]:
     return out
 
 
-def block_module_deps(block: str) -> set[str]:
-    deps: set[str] = set()
+def block_module_deps(block: str) -> dict[str, set[str]]:
+    """module file → the top-level names the block uses from it.
+
+    An empty name set means "used, but the specific names could not be
+    determined" — treated as depending on the WHOLE module."""
+    deps: dict[str, set[str]] = {}
     for alias, path in ALIAS_FILES.items():
-        if re.search(rf"\b{alias}\.", block):
-            deps.add(path)
+        names = set(re.findall(rf"\b{alias}\.(\w+)", block))
+        if names:
+            deps[path] = deps.get(path, set()) | names
+    for m in re.finditer(
+        r"from\s+(reactionetl_etl_spark[\w.]*)\s+import\s+\(?([\w,\s]+)\)?", block
+    ):
+        path = m.group(1).replace(".", "/") + ".py"
+        names = {n.strip() for n in m.group(2).split(",") if n.strip()}
+        deps[path] = deps.get(path, set()) | names
     for m in re.finditer(r"from\s+(reactionetl_etl_spark[\w.]*)\s+import", block):
-        deps.add(m.group(1).replace(".", "/") + ".py")
+        path = m.group(1).replace(".", "/") + ".py"
+        deps.setdefault(path, set())
     return deps
+
+
+def effective_sources(text: str) -> dict[str, str] | None:
+    """Top-level name → EFFECTIVE source: its own statement plus,
+    transitively, every other top-level statement it references —
+    the unit of churn a caller of that name can actually observe.
+
+    Module-level churn flagged every query touching a module even when
+    the edit was confined to functions the query never calls (r10:
+    three similarity.py functions changed → all 20 similarity queries
+    re-flagged). Function-level effective sources keep the flag
+    conservative (a changed shared helper or constant propagates to
+    every function that uses it) while unflagging genuinely untouched
+    paths. Returns None when the text does not parse (→ caller falls
+    back to module-level)."""
+    import ast
+
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return None
+    stmts: dict[str, tuple[str, set[str]]] = {}
+    import_srcs: list[str] = []
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            import_srcs.append(ast.get_source_segment(text, node) or "")
+            continue
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = {node.name}
+            src_parts = [ast.get_source_segment(text, d) or "" for d in node.decorator_list]
+            src_parts.append(ast.get_source_segment(text, node) or "")
+            src = "\n".join(src_parts)
+        elif isinstance(node, ast.Assign):
+            names = {t.id for t in node.targets if isinstance(t, ast.Name)}
+            src = ast.get_source_segment(text, node) or ""
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = {node.target.id}
+            src = ast.get_source_segment(text, node) or ""
+        else:
+            continue
+        refs = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+        for nm in names:
+            stmts[nm] = (src, refs)
+    # a changed import block can redirect any name — fold the imports
+    # into every effective source so import edits stay conservative
+    imports_blob = "\n".join(import_srcs)
+    out: dict[str, str] = {}
+    for name in stmts:
+        seen: set[str] = set()
+        stack, parts = [name], [imports_blob]
+        while stack:
+            cur = stack.pop()
+            if cur in seen or cur not in stmts:
+                continue
+            seen.add(cur)
+            src, refs = stmts[cur]
+            parts.append(src)
+            stack.extend(refs)
+        out[name] = "\n".join(sorted(parts))
+    return out
+
+
+def module_names_churned(
+    hist_text: str, cur_text: str, used: set[str]
+) -> bool:
+    """True iff any of ``used`` top-level names (or, when ``used`` is
+    empty, ANY name) has a different effective source between the two
+    module versions. Parse failure on either side → True."""
+    hist = effective_sources(hist_text)
+    cur = effective_sources(cur_text)
+    if hist is None or cur is None:
+        return True
+    names = used or (set(hist) | set(cur))
+    for n in names:
+        if hist.get(n) != cur.get(n):
+            return True
+    return False
 
 
 def build_ledger() -> list[dict]:
@@ -177,6 +266,7 @@ def build_ledger() -> list[dict]:
         )
 
     ledger: list[dict] = []
+    module_texts: dict[tuple[int, str], str] = {}
     for name in all_queries():
         green = greens.get(name, 0)
         rec = {"query": name, "last_green_round": green, "churn": []}
@@ -190,7 +280,21 @@ def build_ledger() -> list[dict]:
             direct.append("catalog-block")
         if cur_pins.get(name) != hist_pins[green].get(name):
             direct.append("pinned-oracle")
-        direct += sorted(deps & changed_files[green])
+        for dep in sorted(set(deps) & changed_files[green]):
+            # file changed since the green row — but only count it if a
+            # name this block USES (effective source, incl. shared
+            # helpers/constants it pulls in) actually changed
+            key = (green, dep)
+            if key not in module_texts:
+                sha = boundaries[green]
+                try:
+                    module_texts[key] = _git("show", f"{sha}:{dep}")
+                except subprocess.CalledProcessError:
+                    module_texts[key] = ""
+            cur_path = os.path.join(REPO, dep)
+            cur_text = open(cur_path).read() if os.path.exists(cur_path) else ""
+            if module_names_churned(module_texts[key], cur_text, deps[dep]):
+                direct.append(dep)
         shared = sorted(set(SHARED_FILES) & changed_files[green])
         if direct:
             rec["rank"], rec["churn"] = 1, direct
