@@ -1,0 +1,71 @@
+"""Community detection over edge lists.
+
+Min-label propagation — the cheapest community primitive: every node
+starts labeled with its own id, and each synchronous round replaces a
+node's label with the MINIMUM label among itself and its neighbors.
+After k rounds, nodes ≤ k hops from a local minimum share its label;
+run to convergence it computes connected components (the
+`graph.connected_components` large-star/small-star operator is the
+convergence-optimal version — this one is the bounded-round,
+oracle-mirrorable variant used for locality-bounded communities).
+
+Deterministic by construction: min over integers, fixed round count,
+no RNG, no partition-order dependence — two runs (or two engines)
+agree exactly, which is what makes a DuckDB recursive-CTE oracle of
+the same recurrence possible.
+
+Spark shape: one shuffle per round — labels routed along edges (join
+on the source key), then a groupBy-min on the destination. Self-loops
+are folded into the edge set so "min(own, neighbors)" is a single
+aggregate (and a single recursive reference in the SQL mirror).
+Labels are eagerly localCheckpoint'ed per round (the
+`connected_components` lesson: an unrolled k-deep plan re-evaluates
+wholesale if a cache drops). At 100 TB the edge frame is the big side,
+scanned once per round and hash-partitioned on the join key; labels
+stay node-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """(node, community) after ``rounds`` synchronous min-label
+    propagation rounds. ``directed=False`` symmetrizes the edges, so
+    labels flow both ways (the usual community semantics)."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    # self-loops: min(own, neighbors) becomes one aggregate over e2
+    e2 = (
+        e.unionByName(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e2.select(F.col("s").alias("node")).distinct().withColumn(
+        "community", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        labels = (
+            e2.join(labels, e2["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node2"))
+            .agg(F.min("community").alias("community"))
+            .select(F.col("node2").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

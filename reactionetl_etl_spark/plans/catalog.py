@@ -82,6 +82,12 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
+    "copurchase_label_propagation",
+    "lang_unigram_entropy",
+    "matryoshka_truncation_profile",
+    "monthly_revenue_holt",
+    "nation_revenue_gini",
+    "search_mrr_eval",
     "regex_token_totals",
     "contamination_check_shuffle",
     "cosine_topk_batch_exact",
@@ -14580,3 +14586,434 @@ def event_value_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(mde * 10_000 + F.lit(0.5)) / 10_000).alias("mde_micro4"),
         (F.floor(mde / m0 * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mde_rel6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 additions: community detection, forecasting, inequality, retrieval
+# eval, embedding truncation, corpus entropy
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "copurchase_label_propagation",
+    """
+    WITH RECURSIVE lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+        SELECT pa AS s, pb AS d FROM co UNION SELECT pb, pa FROM co
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM e
+    ), e2 AS (
+        SELECT s, d FROM e UNION SELECT node, node FROM nodes
+    ), lab AS (
+        SELECT node, node AS community, 0 AS it FROM nodes
+        UNION ALL
+        SELECT node, community, it FROM (
+            SELECT e2.d AS node, min(p.community) AS community,
+                   max(p.it) + 1 AS it
+            FROM lab p JOIN e2 ON e2.s = p.node
+            GROUP BY e2.d
+        ) WHERE it <= 4
+    )
+    SELECT community, CAST(count(*) AS BIGINT) AS n_parts
+    FROM lab WHERE it = 4
+    GROUP BY 1 ORDER BY n_parts DESC, community LIMIT 20
+    """,
+    tags=("graph", "community", "iterative"),
+    bench=True,
+)
+def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation communities over the co-purchase graph
+    (parts sharing >=2 orders), 4 synchronous rounds
+    (operators/community.py) — the bounded-round community primitive
+    (spam-ring / dup-cluster neighborhoods without running components
+    to convergence). Deterministic: integer min, fixed rounds, no RNG —
+    value-oracled against a DuckDB RECURSIVE-CTE of the SAME recurrence
+    (self-loops folded into the edge set so min(own, neighbors) is one
+    aggregate = one recursive reference). One edge-keyed shuffle per
+    round; labels stay node-sized; top-20 communities by size."""
+    from reactionetl_etl_spark.operators.community import label_propagation
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    labels = label_propagation(co, src="pa", dst="pb", rounds=4)
+    return (
+        labels.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("n_parts"), "community")
+        .limit(20)
+    )
+
+
+@_q(
+    "monthly_revenue_holt",
+    """
+    WITH RECURSIVE m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT month, y, row_number() OVER (ORDER BY month) AS i FROM m
+    ), holt AS (
+        SELECT 1 AS i,
+               (SELECT y FROM idx WHERE i = 1) AS l,
+               (SELECT y FROM idx WHERE i = 2)
+                   - (SELECT y FROM idx WHERE i = 1) AS b,
+               CAST(NULL AS DOUBLE) AS fit
+        UNION ALL
+        SELECT h.i + 1,
+               0.5 * x.y + 0.5 * (h.l + h.b),
+               0.5 * ((0.5 * x.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+               h.l + h.b
+        FROM holt h JOIN idx x ON x.i = h.i + 1
+    )
+    SELECT x.month,
+           CAST(floor(h.l + 0.5) AS BIGINT) AS level_c,
+           CAST(floor(h.b + 0.5) AS BIGINT) AS trend_c,
+           CAST(floor(h.fit + 0.5) AS BIGINT) AS fitted_c
+    FROM holt h JOIN idx x ON x.i = h.i
+    ORDER BY x.month
+    """,
+    tags=("timeseries", "forecast", "analytics"),
+)
+def monthly_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over monthly order
+    revenue (operators/forecast.py) — the trend-capable forecaster the
+    MASE-baseline row lacks. The recurrence is sequential and
+    non-associative, but its input is the MONTH GRID (~80 rows):
+    metadata-sized by construction, so Spark runs the one data-sized
+    aggregate and the driver runs the O(grid) loop — the Markov-solver
+    discipline (PERF_NOTES r9). alpha=beta=1/2 makes every multiply
+    exact in binary64; each recurrence line performs one rounded IEEE
+    add in fixed order, mirrored literally by the oracle's RECURSIVE
+    CTE over the same integer-cent inputs — bit-identical cross-engine
+    with no tolerance. Outputs level/trend/one-step-ahead fit as
+    half-up integer cents per month."""
+    from reactionetl_etl_spark.operators.forecast import holt_linear_fit
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("y")
+        )
+        .orderBy("month")
+        .collect()
+    )
+    months = [r["month"] for r in monthly]
+    fit = holt_linear_fit([float(r["y"]) for r in monthly])
+
+    def half_up(x: float | None) -> int | None:
+        import math
+
+        return None if x is None else int(math.floor(x + 0.5))
+
+    rows = [
+        (m, half_up(l), half_up(b), half_up(f))
+        for m, (l, b, f) in zip(months, fit)
+    ]
+    return spark.createDataFrame(
+        rows, "month string, level_c bigint, trend_c bigint, fitted_c bigint"
+    ).orderBy("month")
+
+
+@_q(
+    "nation_revenue_gini",
+    """
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ), nr AS (
+        SELECT n.n_name AS nation, r.custkey, r.x,
+               row_number() OVER (PARTITION BY n.n_name ORDER BY r.x, r.custkey) AS i
+        FROM rev r
+        JOIN customer c ON c.c_custkey = r.custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ), agg AS (
+        SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE) AS six
+        FROM nr GROUP BY 1
+    )
+    SELECT nation, n_customers,
+           floor((2.0 * six - (n_customers + 1.0) * sx)
+                 / (n_customers * 1.0 * sx) * 1000000 + 0.5) / 1000000 AS gini6
+    FROM agg ORDER BY nation
+    """,
+    tags=("agg", "inequality", "analytics"),
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue within each
+    nation — the revenue-inequality monitor (is one nation's demand
+    concentrated in a few whales?). Prefix-rank formulation
+    G = (2*SUM(i*x) - (n+1)*SUM(x)) / (n*SUM(x)) on revenues sorted
+    ascending with custkey tie-break — tie-order-invariant (swapping
+    equal x leaves SUM(i*x) unchanged). Revenues are exact integer
+    cents; both moment sums fold in DECIMAL headroom and convert to
+    double once, so the only IEEE ops are the final mirrored
+    expression. The rank window partitions by nation over the CUSTOMER
+    dimension (dim-sized per partition — facts were already reduced by
+    the per-customer agg); the per-nation moment agg is map-side
+    combinable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "x"
+        )
+    )
+    nr = (
+        rev.join(F.broadcast(c), rev.custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "custkey", "x")
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("nation").orderBy("x", "custkey")
+            ),
+        )
+    )
+    agg = nr.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(sum(CAST(i AS DECIMAL(38,0)) * x) AS DOUBLE)").alias("six"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("six") - (F.col("n_customers") + F.lit(1.0)) * F.col("sx")
+    ) / (F.col("n_customers") * F.lit(1.0) * F.col("sx"))
+    return agg.select(
+        "nation",
+        "n_customers",
+        (F.floor(gini * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("gini6"),
+    ).orderBy("nation")
+
+
+@_q(
+    "search_mrr_eval",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), top10 AS (
+        SELECT doc_id, toks,
+               row_number() OVER (ORDER BY len(toks) DESC, doc_id) AS rnk
+        FROM tok ORDER BY len(toks) DESC, doc_id LIMIT 10
+    ), terms AS (
+        SELECT unnest(['merge', 'spark', 'window']) AS term
+    ), firsts AS (
+        SELECT t.term, CAST(min(s.rnk) AS BIGINT) AS first_rank
+        FROM terms t LEFT JOIN top10 s ON list_contains(s.toks, t.term)
+        GROUP BY 1
+    ), rr AS (
+        SELECT term, first_rank,
+               CASE WHEN first_rank IS NULL THEN 0.0
+                    ELSE floor(1000000.0 / first_rank + 0.5) / 1000000 END AS rr6
+        FROM firsts
+    )
+    SELECT term, first_rank, rr6,
+           floor((SELECT avg(rr6) FROM rr) * 1000000 + 0.5) / 1000000 AS mrr6
+    FROM rr ORDER BY term
+    """,
+    tags=("retrieval", "eval", "llm"),
+)
+def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank of a deliberately weak length-prior
+    retriever (rank ALL queries by document token count — the
+    no-signal baseline every retrieval eval needs) against per-term
+    relevance = "document contains the term". Complements
+    `retrieval_ndcg_eval` (graded coverage) and `ann_recall_report`
+    (set recall) with the first-relevant-position metric. Candidates
+    are the global top-10 longest documents via distributed
+    TakeOrdered (full (len, doc_id) tie-break); the rank window runs
+    over ten rows; each term left-joins the 10-row candidate list, so
+    absent terms keep a NULL first_rank and contribute rr=0 to the
+    mean — the standard MRR convention."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    tok = docs.select("doc_id", F.split(norm, " ").alias("toks"))
+    w = Window.orderBy(F.desc(F.size("toks")), F.asc("doc_id"))
+    top10 = (
+        tok.orderBy(F.desc(F.size("toks")), F.asc("doc_id"))
+        .limit(10)
+        .select(F.row_number().over(w).alias("rnk"), "toks")
+    )
+    terms = spark.createDataFrame([("merge",), ("spark",), ("window",)], "term string")
+    firsts = (
+        terms.join(
+            top10, F.array_contains(F.col("toks"), F.col("term")), "left"
+        )
+        .groupBy("term")
+        .agg(F.min("rnk").cast("bigint").alias("first_rank"))
+    )
+    rr = firsts.select(
+        "term",
+        "first_rank",
+        F.when(F.col("first_rank").isNull(), F.lit(0.0))
+        .otherwise(F.floor(F.lit(1_000_000.0) / F.col("first_rank") + F.lit(0.5)) / 1_000_000)
+        .alias("rr6"),
+    )
+    mrr = rr.agg(F.avg("rr6").alias("m"))
+    return (
+        rr.crossJoin(F.broadcast(mrr))
+        .select(
+            "term",
+            "first_rank",
+            "rr6",
+            (F.floor(F.col("m") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("mrr6"),
+        )
+        .orderBy("term")
+    )
+
+
+@_q(
+    "matryoshka_truncation_profile",
+    """
+    WITH r AS (
+        SELECT vec_id,
+               list_reduce(list_transform(embedding[1:16],
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           (a, b) -> a + b) AS s16,
+               list_reduce(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                           (a, b) -> a + b) AS sall
+        FROM embeddings
+    ), ratio AS (
+        SELECT vec_id,
+               CASE WHEN sall = 0.0 THEN 0.0
+                    ELSE floor(sqrt(s16) / sqrt(sall) * 1000000 + 0.5) / 1000000
+               END AS r6
+        FROM r
+    )
+    SELECT least(CAST(floor(r6 * 10) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(r6) AS min_r6,
+           max(r6) AS max_r6
+    FROM ratio GROUP BY 1 ORDER BY bin
+    """,
+    tags=("embedding", "vector", "quality"),
+    bench=True,
+)
+def matryoshka_truncation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality profile: for every
+    embedding, the cosine between the full vector and its first-16-dim
+    truncation reduces algebraically to ||x[:16]|| / ||x|| — the
+    retained-norm ratio that decides whether a cheap truncated index
+    (16 of 64 dims = 4x less candidate I/O) is viable for this corpus
+    (Kusupati et al. 2022, Matryoshka Representation Learning).
+    Histogram by ratio decile (floor-binned on the 6-dp ratio, top bin
+    clamped) instead of ntile — pure map + bounded agg, NO global
+    sort. Both norms are row-local left folds over the array in
+    storage order (identical IEEE add sequence to the oracle's
+    list_reduce); sqrt and one division are correctly-rounded ops;
+    zero vectors profile as ratio 0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s16 = F.expr(
+        "aggregate(slice(embedding, 1, 16), CAST(0 AS DOUBLE),"
+        " (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    sall = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+    r6 = F.when(sall == 0.0, F.lit(0.0)).otherwise(
+        F.floor(F.sqrt(s16) / F.sqrt(sall) * 1_000_000 + F.lit(0.5)) / 1_000_000
+    )
+    return (
+        emb.select(r6.alias("r6"))
+        .groupBy(
+            F.least(F.floor(F.col("r6") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("r6").alias("min_r6"),
+            F.max("r6").alias("max_r6"),
+        )
+        .orderBy("bin")
+    )
+
+
+@_q(
+    "lang_unigram_entropy",
+    r"""
+    WITH tok AS (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+    ), cnt AS (
+        SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+    ), agg AS (
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               sum(c * ln(c * 1.0)) AS s
+        FROM cnt GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab_size,
+           floor((ln(n_tokens * 1.0) - s / n_tokens) * 10000 + 0.5) / 10000
+               AS entropy4,
+           floor((ln(n_tokens * 1.0) - s / n_tokens) / ln(vocab_size * 1.0) * 10000 + 0.5) / 10000
+               AS norm_entropy4
+    FROM agg ORDER BY lang
+    """,
+    tags=("text", "quality", "stats", "llm"),
+)
+def lang_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (Shannon) entropy of each language's token distribution
+    in nats, with the Hartley-normalized variant H/ln(V) — the
+    corpus-diversity monitor (a language slice whose entropy collapses
+    is shipping boilerplate or a single crawled site; the CCNet-style
+    complement to the per-source KL drift row). H = ln(n) - SUM(c*ln c)/n
+    from exact integer token counts — one map-side-combined (lang,
+    token) count, then a lang-sized moment agg; the ln-sum follows the
+    `corpus_drift_kl` discipline (mirrored IEEE over identical integer
+    inputs, floored at 4 dp, where accumulated ulp drift is orders of
+    magnitude below the rounding grid)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).filter(F.length("t") > 0)
+    cnt = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.col("c") * F.log(F.col("c") * F.lit(1.0))).alias("s"),
+    )
+    h = F.log(F.col("n_tokens") * F.lit(1.0)) - F.col("s") / F.col("n_tokens")
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        (F.floor(h * 10_000 + F.lit(0.5)) / 10_000).alias("entropy4"),
+        (
+            F.floor(
+                h / F.log(F.col("vocab_size") * F.lit(1.0)) * 10_000 + F.lit(0.5)
+            )
+            / 10_000
+        ).alias("norm_entropy4"),
+    ).orderBy("lang")

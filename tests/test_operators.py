@@ -1770,3 +1770,78 @@ def test_hits_matches_numpy_power_iteration(spark, sf_dir):
     )
     assert got_h == [(s, i) for s, i in want_h]
     assert got_a == [(s, i) for s, i in want_a]
+
+
+def test_label_propagation_matches_python_witness(spark):
+    """Min-label propagation (operators/community.py): k synchronous
+    rounds on a fixed graph match a pure-Python recomputation of the
+    same recurrence; rounds=0 is the identity labeling; the directed
+    flag stops labels flowing against edge direction."""
+    from reactionetl_etl_spark.operators.community import label_propagation
+
+    edges = [(10, 7), (7, 3), (3, 12), (20, 21), (21, 22), (30, 30)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    # pure-Python witness: symmetrized, self-loops, k rounds of min
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).update([s, d])
+        adj.setdefault(d, set()).update([d, s])
+    lab = {v: v for v in adj}
+    for k in range(5):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(e, rounds=k).collect()
+        }
+        assert got == lab, f"round {k}"
+        lab = {v: min(lab[u] for u in adj[v]) for v in adj}
+
+    # after enough rounds = connected components: {3,7,10,12} -> 3,
+    # {20,21,22} -> 20, {30} -> 30
+    conv = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, rounds=4).collect()
+    }
+    assert conv == {10: 3, 7: 3, 3: 3, 12: 3, 20: 20, 21: 20, 22: 20, 30: 30}
+
+    # directed: 10 -> 7 lets 7 take min(7,10)=7, but 10 keeps 10 even
+    # after many rounds (nothing flows 7 -> 10)
+    directed = {
+        r["node"]: r["community"]
+        for r in label_propagation(e, rounds=4, directed=True).collect()
+    }
+    assert directed[10] == 10 and directed[12] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rounds"):
+        label_propagation(e, rounds=-1)
+
+
+def test_holt_linear_fit_witness():
+    """Holt's method (operators/forecast.py) with alpha=beta=1/2 and
+    the y2-y1 trend init is EXACT on affine series (level tracks the
+    line, trend equals the slope, one-step fit is the true next value)
+    and collapses to the constant on constant series — the textbook
+    invariants, plus the <2-observation contract."""
+    import pytest as _pytest
+
+    from reactionetl_etl_spark.operators.forecast import holt_linear_fit
+
+    # affine series: y_t = 100 + 7 t
+    ys = [100.0 + 7.0 * t for t in range(40)]
+    fit = holt_linear_fit(ys)
+    assert len(fit) == 40
+    assert fit[0] == (100.0, 7.0, None)
+    for t, (level, trend, pred) in enumerate(fit):
+        assert level == ys[t]
+        assert trend == 7.0
+        if t > 0:
+            assert pred == ys[t]  # one-step-ahead prediction is exact
+
+    # constant series
+    for level, trend, pred in holt_linear_fit([5.0] * 10):
+        assert level == 5.0 and trend == 0.0 and pred in (None, 5.0)
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        holt_linear_fit([1.0])
