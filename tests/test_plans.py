@@ -585,3 +585,31 @@ def test_event_funnel_single_scan_single_user_shuffle(spark, sf_dir):
     assert plan.count("Scan parquet") <= 1, "events must be scanned once"
     assert plan.count("Window") >= 3  # the three stacked step windows
     assert "Join" not in plan
+
+
+def test_matryoshka_profile_no_global_sort(spark, sf_dir):
+    """The truncation-ratio histogram must be a pure map + bounded
+    10-group aggregate: an ntile-based decile formulation would plan a
+    full-table Sort over Exchange SinglePartition. Only the final
+    10-row ORDER BY may funnel to one partition; no Window, no Join,
+    one embeddings scan with the embedding column pruned in."""
+    plan = plan_of(spark, sf_dir, "matryoshka_truncation_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            near = "\n".join(lines[max(0, i - 3) : i])
+            assert "embedding" not in near, (
+                "data-sized rows funnel through a single partition:\n" + near
+            )
+
+
+def test_label_propagation_keyed_joins_only(spark, sf_dir):
+    """Each propagation round must be an edge-keyed equi-join + dst
+    min-aggregate — never a cartesian; labels stay node-sized. The
+    per-round localCheckpoint truncates lineage, so the executed plan
+    contains only the LAST round's shape plus the community-size agg."""
+    plan = plan_of(spark, sf_dir, "copurchase_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
