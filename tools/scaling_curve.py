@@ -74,6 +74,11 @@ EXTRA_QUERIES = (
     "event_value_sequential_test",  # stage-grid join, 6 cumulative looks
     "event_value_quantile_effects",  # distinct-value prefix sum per arm
     "event_value_mde",  # single moment agg + O(1) power arithmetic
+    # r10 non-benched families
+    "monthly_revenue_holt",  # monthly agg + driver grid recurrence
+    "nation_revenue_gini",  # customer agg + dim-bounded rank window
+    "search_mrr_eval",  # TakeOrdered top-10 + 3-term left join
+    "lang_unigram_entropy",  # (lang, token) count + lang moments
 )
 
 
