@@ -294,3 +294,45 @@ def test_dir_read_pipeline_parity(spark, tmp_path_factory, monkeypatch):
     assert res2.fact_rows_loaded == N_ROWS
     assert fast.fact(spark).count() == 6 * N_ROWS
     assert fast.dim(spark).count() == 6
+
+
+def test_dir_read_pipeline_ingests_odd_basename(spark, tmp_path_factory, monkeypatch):
+    """ADVICE-r9 regression, end to end: a *.csv batch member whose
+    basename does not match the reaction* convention must be INGESTED
+    by the dir-read fast path — not silently excluded by a narrow scan
+    glob, audited as success/0 rows, and manifest-blacklisted forever.
+    The odd file here has a valid header and rows, so its fact rows
+    must land and its audit row must carry the true count; a second
+    run_once must find nothing new (manifest recorded it as processed,
+    correctly this time)."""
+    import os
+    import shutil
+
+    from reactionetl_etl_spark.sources import raw as R
+
+    root = tmp_path_factory.mktemp("incoming_oddname")
+    day = str(root / "2026-02-03")
+    for n in (1, 2, 3):
+        write_reaction_csv(day, n, N_ROWS)
+        write_metadata_json(day, n, "2026-02-03")
+    src = write_reaction_csv(day, 7, N_ROWS)
+    odd = os.path.join(day, "legacy_export.csv")
+    shutil.move(src, odd)
+
+    monkeypatch.setattr(R, "DIR_READ_MIN_FILES", 1)
+    lk = ReactionLake(str(tmp_path_factory.mktemp("lake_oddname")))
+    res = lk.run_once(spark, str(root), now=T0)
+    assert res.files_processed == 7  # 4 csvs + 3 jsons
+    assert res.fact_rows_loaded == 4 * N_ROWS
+    assert lk.fact(spark).count() == 4 * N_ROWS
+    # append-only audit: each file gets a running + terminal event pair;
+    # the odd file's TERMINAL row must be success with the true count
+    odd_events = {
+        (r["status"], r["records_inserted"])
+        for r in lk.audit(spark).collect()
+        if r["source_file"].endswith("legacy_export.csv")
+    }
+    assert odd_events == {("running", None), ("success", N_ROWS)}
+
+    res2 = lk.run_once(spark, str(root), now=T0)
+    assert res2.files_processed == 0  # manifested once, correctly
