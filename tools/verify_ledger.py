@@ -62,11 +62,15 @@ ALIAS_FILES = {
     "R": "reactionetl_etl_spark/operators/relational.py",
 }
 # files every query depends on (table loaders, session config): churn
-# here is real but indirect, so it ranks BELOW direct block churn
-SHARED_FILES = (
-    "reactionetl_etl_spark/sources/tables.py",
-    "reactionetl_etl_spark/session.py",
-)
+# here is real but indirect, so it ranks BELOW direct block churn.
+# The names every query actually reaches in each file — the rank-2
+# check is function-level (effective sources, r10) like rank 1, so a
+# tables.py edit that never touches the loaders does not re-flag all
+# 270+ queries.
+SHARED_FILES = {
+    "reactionetl_etl_spark/sources/tables.py": {"load_table", "load_events"},
+    "reactionetl_etl_spark/session.py": {"get_spark"},
+}
 
 
 def _git(*args: str) -> str:
@@ -295,7 +299,18 @@ def build_ledger() -> list[dict]:
             cur_text = open(cur_path).read() if os.path.exists(cur_path) else ""
             if module_names_churned(module_texts[key], cur_text, deps[dep]):
                 direct.append(dep)
-        shared = sorted(set(SHARED_FILES) & changed_files[green])
+        shared = []
+        for dep in sorted(set(SHARED_FILES) & changed_files[green]):
+            key = (green, dep)
+            if key not in module_texts:
+                try:
+                    module_texts[key] = _git("show", f"{boundaries[green]}:{dep}")
+                except subprocess.CalledProcessError:
+                    module_texts[key] = ""
+            cur_path = os.path.join(REPO, dep)
+            cur_text = open(cur_path).read() if os.path.exists(cur_path) else ""
+            if module_names_churned(module_texts[key], cur_text, SHARED_FILES[dep]):
+                shared.append(dep)
         if direct:
             rec["rank"], rec["churn"] = 1, direct
         elif shared:
