@@ -9,8 +9,9 @@ enrichment), and prints ONE compact JSON line to stdout:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ..., "etl_ingest": sec},
-     "queries_cold_total_sec": N, "ingest_cold_sec": N,
-     "ingest_mb_per_s": N, "sf": <float>}
+     "queries_cold_total_sec": N, "ingest_mb_per_s": N,
+     "sf": <float>}  (per-run ingest cold/512-batch seconds live in
+     the stderr detail blob alongside the per-query cold/spread maps)
 
 The stdout line MUST stay small: the bench driver retains only the last
 ~2000 characters of stdout, and a truncated line is unparseable (this
@@ -73,9 +74,7 @@ COMPACT_KEYS = (
     "unit",
     "queries",
     "queries_cold_total_sec",
-    "ingest_cold_sec",
     "ingest_mb_per_s",
-    "ingest_512_sec",
     "ingest_512_mb_per_s",
     "lfl_sec",
     "lfl_prev_sec",
@@ -404,9 +403,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         "unit": "sec",
         "queries": timings,
         "queries_cold_total_sec": round(sum(cold.values()), 3),
-        "ingest_cold_sec": round(etl_cold, 3),
         "ingest_mb_per_s": round(etl_mbps, 2),
-        "ingest_512_sec": round(lg_sec, 3),
         "ingest_512_mb_per_s": round(lg_mbps, 2),
         "lfl_sec": round(sum(timings[n] for n in common), 3),
         "lfl_prev_sec": round(sum(prev_queries[n] for n in common), 3),
@@ -416,7 +413,15 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         "sf": sf,
     }
     assert tuple(compact) == COMPACT_KEYS, "compact stdout record drifted from COMPACT_KEYS"
-    detail = {"queries_cold": cold, "query_spread_sec": spread}
+    detail = {
+        "queries_cold": cold,
+        "query_spread_sec": spread,
+        # moved off stdout in r10 to keep the compact line inside the
+        # driver's tail window as the bench set grows; the MB/s
+        # throughputs (the baseline-comparable numbers) stay on stdout
+        "ingest_cold_sec": round(etl_cold, 3),
+        "ingest_512_sec": round(lg_sec, 3),
+    }
     return compact, detail
 
 

@@ -36,9 +36,7 @@ def _worst_case_compact_line() -> str:
             "unit": "sec",
             "queries": queries,
             "queries_cold_total_sec": 99999.999,
-            "ingest_cold_sec": 999.999,
             "ingest_mb_per_s": 9999.99,
-            "ingest_512_sec": 999.999,
             "ingest_512_mb_per_s": 9999.99,
             "lfl_sec": 99999.999,
             "lfl_prev_sec": 99999.999,
