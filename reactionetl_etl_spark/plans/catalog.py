@@ -83,11 +83,13 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "copurchase_label_propagation",
+    "lang_id_confusion",
     "lang_unigram_entropy",
     "matryoshka_truncation_profile",
     "monthly_revenue_holt",
     "nation_revenue_gini",
     "search_mrr_eval",
+    "weekly_ltv_cohorts",
     "regex_token_totals",
     "contamination_check_shuffle",
     "cosine_topk_batch_exact",
@@ -15017,3 +15019,220 @@ def lang_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10_000
         ).alias("norm_entropy4"),
     ).orderBy("lang")
+
+
+@_q(
+    "lang_id_confusion",
+    """
+    WITH h AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to'], t))) AS he,
+               len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ein'], t))) AS hd,
+               len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les','des'], t))) AS hf,
+               len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','una','y'], t))) AS hs
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+                    WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+                    WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+                    WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM h
+    ), cells AS (
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    ), per_class AS (
+        SELECT g.lang,
+               CAST(coalesce(sum(CASE WHEN c.lang_pred = g.lang THEN c.n END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN c.lang_pred != g.lang THEN c.n END), 0) AS BIGINT) AS fn,
+               CAST(coalesce((SELECT sum(c2.n) FROM cells c2
+                              WHERE c2.lang_pred = g.lang AND c2.lang != g.lang), 0) AS BIGINT) AS fp
+        FROM (SELECT DISTINCT lang FROM cells) g
+        LEFT JOIN cells c ON c.lang = g.lang
+        GROUP BY 1
+    ), scored AS (
+        SELECT lang, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN 0.0
+                    ELSE floor(tp * 1.0 / (tp + fp) * 1000000 + 0.5) / 1000000 END AS precision6,
+               CASE WHEN tp + fn = 0 THEN 0.0
+                    ELSE floor(tp * 1.0 / (tp + fn) * 1000000 + 0.5) / 1000000 END AS recall6,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                    ELSE floor(2.0 * tp / (2 * tp + fp + fn) * 1000000 + 0.5) / 1000000 END AS f16
+        FROM per_class
+    )
+    SELECT lang, tp, fp, fn, precision6, recall6, f16,
+           floor((SELECT avg(f16) FROM scored) * 1000000 + 0.5) / 1000000 AS macro_f16
+    FROM scored ORDER BY lang
+    """,
+    tags=("text", "langid", "eval"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix evaluation of the marker-token language-ID
+    heuristic against the gold `lang` labels: per-gold-class tp/fp/fn,
+    precision/recall/F1, and macro-F1 over the gold classes — the eval
+    row the `lang_id_heuristic` operator lacked (the quality classifier
+    already has AUC + calibration; language ID gets the same treatment,
+    and the matrix makes the known blind spot visible: zh has no latin
+    marker tokens, so it predicts 'und' with recall 0). All counts are
+    exact integers from one (gold, pred) cell aggregate (classes x
+    classes rows); divisions are the only IEEE ops, floored at 6 dp;
+    macro-F1 averages the ALREADY-floored per-class F1s, so the 5-value
+    mean is reproducible cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select("lang", TX.lang_id("text").alias("lang_pred"))
+    cells = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.localCheckpoint(eager=True)  # classes² rows, 3 consumers
+    tp_fn = cells.groupBy("lang").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("tp"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang_pred") != F.col("lang"), F.col("n"))), F.lit(0)
+        ).cast("bigint").alias("fn"),
+    )
+    fp = (
+        cells.alias("c2")
+        .join(
+            cells.select(F.col("lang").alias("g")).distinct(),
+            (F.col("c2.lang_pred") == F.col("g")) & (F.col("c2.lang") != F.col("g")),
+        )
+        .groupBy(F.col("g").alias("lang"))
+        .agg(F.sum("n").cast("bigint").alias("fp"))
+    )
+    per_class = tp_fn.join(fp, "lang", "left").withColumn(
+        "fp", F.coalesce("fp", F.lit(0)).cast("bigint")
+    )
+
+    def _ratio6(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.floor(num * F.lit(1.0) / den * 1_000_000 + F.lit(0.5)) / 1_000_000
+        )
+
+    scored = per_class.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        _ratio6(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision6"),
+        _ratio6(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall6"),
+        F.when(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.lit(2.0) * F.col("tp")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        )
+        .alias("f16"),
+    )
+    macro = scored.agg(F.avg("f16").alias("m"))
+    return (
+        scored.crossJoin(F.broadcast(macro))
+        .select(
+            "lang",
+            "tp",
+            "fp",
+            "fn",
+            "precision6",
+            "recall6",
+            "f16",
+            (F.floor(F.col("m") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "macro_f16"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
+    "weekly_ltv_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7) AS cohort_w
+        FROM events GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users FROM firsts GROUP BY 1
+    ), rev AS (
+        SELECT f.cohort_w,
+               (date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7)
+                   - f.cohort_w AS offset_w,
+               CAST(sum(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.cohort_w, o.offset_w, s.n_users, coalesce(r.rev_micro, 0) AS rev_micro
+        FROM sizes s
+        JOIN (SELECT DISTINCT offset_w FROM rev) o
+          ON o.offset_w <= (SELECT max(cohort_w + offset_w) FROM rev) - s.cohort_w
+        LEFT JOIN rev r ON r.cohort_w = s.cohort_w AND r.offset_w = o.offset_w
+    )
+    SELECT cohort_w, offset_w, n_users,
+           CAST(sum(rev_micro) OVER (PARTITION BY cohort_w ORDER BY offset_w) AS BIGINT)
+               AS cum_rev_micro,
+           CAST(sum(rev_micro) OVER (PARTITION BY cohort_w ORDER BY offset_w)
+                // n_users AS BIGINT) AS ltv_micro
+    FROM grid ORDER BY cohort_w, offset_w
+    """,
+    tags=("events", "cohort", "analytics", "ltv"),
+)
+def weekly_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: users cohorted by FIRST-event week, then
+    cumulative purchase revenue per user at each week offset — the
+    value-dimension complement of `weekly_retention_triangle` (the
+    lifetime-value curve a growth team reads cohort health from).
+    Exact integers end to end: week index = days-since-anchor DIV 7,
+    revenues in micro-units, cumulative sums and the per-user division
+    all integer (DIV truncation mirrored). The running sum's window
+    partitions by cohort over the WEEK-OFFSET GRID (weeks², not data) —
+    the triangle is complete (zero-revenue cells kept) so cumulative
+    curves are flat where a cohort goes quiet, not missing. One events
+    scan + one user-keyed agg + grid-sized everything after."""
+    ev = load_events(spark, sf_dir)
+    week = F.expr(
+        "CAST(datediff(to_date(ts_ntz), DATE'2024-01-01') DIV 7 AS BIGINT)"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    sizes = firsts.groupBy("cohort_w").agg(F.count(F.lit(1)).alias("n_users"))
+    from reactionetl_etl_spark.operators.experiment import micro_units
+
+    rev = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_w", (week - F.col("cohort_w")).alias("offset_w")
+        )
+        .agg(F.sum(micro_units("value")).cast("bigint").alias("rev_micro"))
+    )
+    rev = rev.localCheckpoint(eager=True)  # grid-sized, 3 consumers
+    max_w = rev.agg(
+        F.max(F.col("cohort_w") + F.col("offset_w")).alias("mw")
+    )
+    grid = (
+        sizes.crossJoin(F.broadcast(rev.select("offset_w").distinct()))
+        .crossJoin(F.broadcast(max_w))
+        .filter(F.col("offset_w") <= F.col("mw") - F.col("cohort_w"))
+        .join(rev, ["cohort_w", "offset_w"], "left")
+        .select(
+            "cohort_w",
+            "offset_w",
+            "n_users",
+            F.coalesce("rev_micro", F.lit(0)).alias("rev_micro"),
+        )
+    )
+    w = Window.partitionBy("cohort_w").orderBy("offset_w")
+    cum = F.sum("rev_micro").over(w)
+    return grid.select(
+        "cohort_w",
+        "offset_w",
+        "n_users",
+        cum.cast("bigint").alias("cum_rev_micro"),
+        F.expr(
+            "CAST(sum(rev_micro) OVER (PARTITION BY cohort_w ORDER BY offset_w)"
+            " DIV n_users AS BIGINT)"
+        ).alias("ltv_micro"),
+    ).orderBy("cohort_w", "offset_w")
