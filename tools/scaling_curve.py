@@ -79,6 +79,8 @@ EXTRA_QUERIES = (
     "nation_revenue_gini",  # customer agg + dim-bounded rank window
     "search_mrr_eval",  # TakeOrdered top-10 + 3-term left join
     "lang_unigram_entropy",  # (lang, token) count + lang moments
+    "lang_id_confusion",  # classes^2 cell agg + mirrored ratios
+    "weekly_ltv_cohorts",  # user-keyed agg + weeks^2 grid windows
 )
 
 
