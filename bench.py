@@ -88,9 +88,13 @@ COMPACT_KEYS = (
 # recorded r10 (median of repeated runs on an idle local[32] host).
 # Host-speed drift consumed a verdict item in both r8 and r9 — same-code
 # numbers moved 2x with external CPU contention — so every bench record
-# now carries the measured calibration time and a `contended` flag when
-# it deviates >CONTENDED_TOLERANCE from this value. PERF_NOTES compares
-# rounds through these fields instead of ad-hoc A/B reruns.
+# now carries the measured calibration time (max of a sample BEFORE
+# and a sample AFTER the timed section — mid-run contention onset is
+# invisible to a single pre-run probe) and a `contended` flag when
+# EITHER sample deviates >CONTENDED_TOLERANCE from this value in
+# EITHER direction (a faster-than-reference host also breaks
+# round-over-round comparability). PERF_NOTES compares rounds through
+# these fields instead of ad-hoc A/B reruns.
 HOST_CALIBRATION_REF_SEC = float(
     os.environ.get("SPARK_GRAFT_CALIBRATION_REF", "0.55")
 )
@@ -360,8 +364,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
                 "overwrite"
             ).save()
 
-    calib = host_calibration(spark)
-    contended = calib > HOST_CALIBRATION_REF_SEC * (1 + CONTENDED_TOLERANCE)
+    calib_pre = host_calibration(spark)
 
     # Per query: one TIMED cold execution (codegen compilation,
     # Python/Arrow worker spin-up, progressive JIT — measured 5-8x on a
@@ -391,6 +394,21 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
 
     lg_sec, lg_mbps = bench_etl_ingest_large(spark)
 
+    # Second calibration sample AFTER the timed section: contention
+    # that starts mid-run is invisible to a single pre-run sample. The
+    # flag is TWO-SIDED — a faster-than-reference host also makes
+    # round-over-round deltas non-comparable (crediting code for host
+    # speed is the same failure as blaming it for contention).
+    calib_post = host_calibration(spark)
+    calib = max(calib_pre, calib_post)
+
+    def _off(c: float) -> bool:
+        return abs(c - HOST_CALIBRATION_REF_SEC) > (
+            HOST_CALIBRATION_REF_SEC * CONTENDED_TOLERANCE
+        )
+
+    contended = _off(calib_pre) or _off(calib_post)
+
     spark.stop()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -408,7 +426,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         "lfl_sec": round(sum(timings[n] for n in common), 3),
         "lfl_prev_sec": round(sum(prev_queries[n] for n in common), 3),
         "lfl_prev_round": prev_round,
-        "host_calibration_sec": round(calib, 3),
+        "host_calibration_sec": round(calib, 3),  # max of pre/post samples
         "contended": contended,
         "sf": sf,
     }
@@ -416,6 +434,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
     detail = {
         "queries_cold": cold,
         "query_spread_sec": spread,
+        "host_calibration_pre_post": [round(calib_pre, 3), round(calib_post, 3)],
         # moved off stdout in r10 to keep the compact line inside the
         # driver's tail window as the bench set grows; the MB/s
         # throughputs (the baseline-comparable numbers) stay on stdout

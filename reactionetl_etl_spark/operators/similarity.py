@@ -408,10 +408,17 @@ def cosine_topk_batch(
     )
     if use_arrow and _ids_integral(queries, query_id_col, corpus, id_col):
         # The Arrow scorer emits a long-typed id schema; for string /
-        # UUID / decimal ids fall through to the HOF plan below, which
-        # preserves the caller's id column types exactly.
-        return _exact_topk_arrow(
+        # UUID / decimal ids fall through to the HOF plan below. For
+        # narrower integral ids (int/short/byte) the values fit long
+        # losslessly — cast the outputs back so the result schema is
+        # identical to the HOF path's regardless of use_arrow.
+        out = _exact_topk_arrow(
             corpus, q, k, query_id_col, id_col, vec_col, exclude_self
+        )
+        return out.select(
+            F.col(query_id_col).cast(queries.schema[query_id_col].dataType),
+            F.col(id_col).cast(corpus.schema[id_col].dataType),
+            F.col("cosine_sim"),
         )
     if broadcast_queries:
         q = F.broadcast(q)

@@ -91,12 +91,16 @@ _PRIORITY: tuple[str, ...] = (
     "search_mrr_eval",
     "weekly_ltv_cohorts",
     "regex_token_totals",
+    "revenue_by_nation_sql",
     "contamination_check_shuffle",
     "cosine_topk_batch_exact",
     "dense_sequence_customer",
     "doc_chunking_overlap",
+    "duplicate_clusters",
     "ngram_containment_pairs",
+    "canonical_doc_per_cluster",
     "corpus_drift_kl",
+    "cross_doc_dup_rate",
     "cut_duplicated_spans",
     "decontaminated_corpus",
     "embedding_quantize_error",
@@ -105,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "hybrid_search_rrf",
     "incremental_quantile_rollup",
     "orders_scd2_temporal_join",
+    "part_copurchase_pagerank",
     "repeated_span_extents",
     "scd2_customer_history",
     "session_overlap_pairs",
@@ -115,12 +120,15 @@ _PRIORITY: tuple[str, ...] = (
     "upsert_keyed_parity",
     "bpe_learned_merges",
     "customer_rank_kendall",
+    "embedding_outlier_mahalanobis",
     "pca_doc_projection",
+    "pca_explained_variance",
     "ann_recall_report",
     "embedding_neardup_lsh",
     "event_value_welch_ttest",
     "events_cusum_alarms",
     "knn_label_predict",
+    "multimodal_corpus_build",
     "trigram_perplexity_scores",
     "conformal_event_value",
     "embedding_neardup_pairs",
@@ -167,7 +175,6 @@ _PRIORITY: tuple[str, ...] = (
     "quantity_percentiles",
     "returned_items_top_customers",
     "returnflag_priority_matrix",
-    "revenue_by_nation_sql",
     "rollup_returnflag_status",
     "salted_join_orders_customer",
     "small_quantity_revenue",
@@ -182,7 +189,6 @@ _PRIORITY: tuple[str, ...] = (
     "customers_without_orders",
     "distinct_segments",
     "doc_unicode_stats",
-    "duplicate_clusters",
     "enrich_orders_customer",
     "events_approx_distinct_check",
     "events_dedup_earliest",
@@ -218,9 +224,7 @@ _PRIORITY: tuple[str, ...] = (
     "user_retention_cohorts",
     "bm25_index_probe",
     "bm25_search_topk",
-    "canonical_doc_per_cluster",
     "corpus_profile",
-    "cross_doc_dup_rate",
     "curriculum_order",
     "dau_wau_mau",
     "doc_char_stats",
@@ -233,7 +237,6 @@ _PRIORITY: tuple[str, ...] = (
     "nation_market_share",
     "orders_expectations_report",
     "orders_time_split_embargo",
-    "part_copurchase_pagerank",
     "part_pair_affinity",
     "product_type_profit",
     "quality_filter_verdicts",
@@ -248,7 +251,6 @@ _PRIORITY: tuple[str, ...] = (
     "customer_spend_balance_spearman",
     "doc_compression_by_source",
     "dsir_importance_weights",
-    "embedding_outlier_mahalanobis",
     "event_trigram_paths",
     "events_trimmed_mean_udaf",
     "events_variant_stats",
@@ -257,7 +259,6 @@ _PRIORITY: tuple[str, ...] = (
     "html_text_extraction",
     "incremental_agg_rollup",
     "loo_target_encoding",
-    "pca_explained_variance",
     "pq_cosine_topk_batch",
     "quality_classifier_eval",
     "quality_classifier_scores",
@@ -301,7 +302,6 @@ _PRIORITY: tuple[str, ...] = (
     "lsh_cosine_topk_batch",
     "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
-    "multimodal_corpus_build",
     "multimodal_feature_extract",
     "multimodal_resize_pixels",
     "nation_revenue_trend",
@@ -15202,7 +15202,10 @@ def weekly_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rev = (
         ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
-        .join(F.broadcast(firsts), "user_id")
+        # firsts is USER-sized (data, not grid) — plain keyed join, the
+        # user_retention_cohorts precedent; a broadcast hint here would
+        # ship every user to every executor at scale
+        .join(firsts, "user_id")
         .groupBy(
             "cohort_w", (week - F.col("cohort_w")).alias("offset_w")
         )

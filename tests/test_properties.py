@@ -801,6 +801,18 @@ def test_cosine_topk_batch_preserves_nonintegral_ids(spark):
         map(tuple, cosine_topk_batch(iqueries, icorpus, k=3, use_arrow=False).collect())
     )
     assert ia == ih
+    # narrower integral ids (int32): Arrow path must return the SAME
+    # schema as the HOF path, not silently widen to bigint
+    ncorpus = icorpus.withColumn("vec_id", F.col("vec_id").cast("int"))
+    nqueries = iqueries.withColumn("query_id", F.col("query_id").cast("int"))
+    na = cosine_topk_batch(nqueries, ncorpus, k=3)
+    nh = cosine_topk_batch(nqueries, ncorpus, k=3, use_arrow=False)
+    # dtypes (not full schema): nullability is plan-derived metadata
+    # and the cast-back marks columns nullable where the HOF plan can
+    # prove non-null — types are the contract
+    assert na.dtypes == nh.dtypes
+    assert dict(na.dtypes)["vec_id"] == "int"
+    assert sorted(map(tuple, na.collect())) == sorted(map(tuple, nh.collect()))
 
 
 def test_betweenness_matches_float_brandes(spark, sf_dir):

@@ -146,22 +146,58 @@ def block_module_deps(block: str) -> dict[str, set[str]]:
     """module file → the top-level names the block uses from it.
 
     An empty name set means "used, but the specific names could not be
-    determined" — treated as depending on the WHOLE module."""
+    determined" — treated as depending on the WHOLE module.
+
+    Import-name capture is line-anchored (parenthesized imports matched
+    separately) so identifiers from the statements following an import
+    are never swallowed into the used-name set; and `from PKG import
+    submodule` (e.g. `from ...operators import linalg as LA`) resolves
+    to PKG/submodule.py when PKG is a package — mapping it to the
+    nonexistent PKG.py would make churn in that module permanently
+    invisible."""
     deps: dict[str, set[str]] = {}
+    whole_module: set[str] = set()
+
+    def add(path: str, names: set[str]) -> None:
+        deps[path] = deps.get(path, set()) | names
+
     for alias, path in ALIAS_FILES.items():
         names = set(re.findall(rf"\b{alias}\.(\w+)", block))
         if names:
-            deps[path] = deps.get(path, set()) | names
-    for m in re.finditer(
-        r"from\s+(reactionetl_etl_spark[\w.]*)\s+import\s+\(?([\w,\s]+)\)?", block
-    ):
-        path = m.group(1).replace(".", "/") + ".py"
-        names = {n.strip() for n in m.group(2).split(",") if n.strip()}
-        deps[path] = deps.get(path, set()) | names
-    for m in re.finditer(r"from\s+(reactionetl_etl_spark[\w.]*)\s+import", block):
-        path = m.group(1).replace(".", "/") + ".py"
-        deps.setdefault(path, set())
+            add(path, names)
+    imports = re.findall(
+        r"from\s+(reactionetl_etl_spark[\w.]*)\s+import\s+"
+        r"(\([^)]*\)|[^\n(]+)",
+        block,
+    )
+    for pkg, what in imports:
+        raw = what.strip().strip("()")
+        names = {
+            n.strip().split(" as ")[0].strip()
+            for n in raw.split(",")
+            if n.strip()
+        }
+        base = pkg.replace(".", "/")
+        if os.path.exists(os.path.join(REPO, base + ".py")):
+            add(base + ".py", names)
+            continue
+        # PKG is a package: each imported name may be a submodule file
+        for n in names:
+            sub = f"{base}/{n}.py"
+            if os.path.exists(os.path.join(REPO, sub)):
+                # whole-module dependency (the block's usage goes
+                # through the submodule alias — not resolvable to names)
+                deps.setdefault(sub, set())
+                whole_module.add(sub)
+            else:
+                # name imported from the package __init__ — depend on it
+                add(base + "/__init__.py", {n})
+    for path in whole_module:
+        deps[path] = set()
     return deps
+
+
+_EFF_CACHE: dict[int, dict[str, str] | None] = {}
 
 
 def effective_sources(text: str) -> dict[str, str] | None:
@@ -176,12 +212,20 @@ def effective_sources(text: str) -> dict[str, str] | None:
     conservative (a changed shared helper or constant propagates to
     every function that uses it) while unflagging genuinely untouched
     paths. Returns None when the text does not parse (→ caller falls
-    back to module-level)."""
+    back to module-level). Memoized on the text: a hot module like
+    similarity.py is consulted by ~20 queries per ledger build, and
+    re-parsing per (query, dep) pair would make the round artifact
+    O(queries × deps) ast work."""
     import ast
+
+    key = hash(text)
+    if key in _EFF_CACHE:
+        return _EFF_CACHE[key]
 
     try:
         tree = ast.parse(text)
     except SyntaxError:
+        _EFF_CACHE[key] = None
         return None
     stmts: dict[str, tuple[str, set[str]]] = {}
     import_srcs: list[str] = []
@@ -221,6 +265,7 @@ def effective_sources(text: str) -> dict[str, str] | None:
             parts.append(src)
             stack.extend(refs)
         out[name] = "\n".join(sorted(parts))
+    _EFF_CACHE[key] = out
     return out
 
 
@@ -271,6 +316,13 @@ def build_ledger() -> list[dict]:
 
     ledger: list[dict] = []
     module_texts: dict[tuple[int, str], str] = {}
+    cur_texts: dict[str, str] = {}
+
+    def _cur_text(dep: str) -> str:
+        if dep not in cur_texts:
+            path = os.path.join(REPO, dep)
+            cur_texts[dep] = open(path).read() if os.path.exists(path) else ""
+        return cur_texts[dep]
     for name in all_queries():
         green = greens.get(name, 0)
         rec = {"query": name, "last_green_round": green, "churn": []}
@@ -295,9 +347,7 @@ def build_ledger() -> list[dict]:
                     module_texts[key] = _git("show", f"{sha}:{dep}")
                 except subprocess.CalledProcessError:
                     module_texts[key] = ""
-            cur_path = os.path.join(REPO, dep)
-            cur_text = open(cur_path).read() if os.path.exists(cur_path) else ""
-            if module_names_churned(module_texts[key], cur_text, deps[dep]):
+            if module_names_churned(module_texts[key], _cur_text(dep), deps[dep]):
                 direct.append(dep)
         shared = []
         for dep in sorted(set(SHARED_FILES) & changed_files[green]):
@@ -307,9 +357,7 @@ def build_ledger() -> list[dict]:
                     module_texts[key] = _git("show", f"{boundaries[green]}:{dep}")
                 except subprocess.CalledProcessError:
                     module_texts[key] = ""
-            cur_path = os.path.join(REPO, dep)
-            cur_text = open(cur_path).read() if os.path.exists(cur_path) else ""
-            if module_names_churned(module_texts[key], cur_text, SHARED_FILES[dep]):
+            if module_names_churned(module_texts[key], _cur_text(dep), SHARED_FILES[dep]):
                 shared.append(dep)
         if direct:
             rec["rank"], rec["churn"] = 1, direct
@@ -329,10 +377,13 @@ def main() -> None:
         print(json.dumps(ledger, indent=1))
         return
     if "--write" in sys.argv:
+        idx = sys.argv.index("--write")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("-"):
+            raise SystemExit("usage: verify_ledger.py --write <output.json>")
         # round artifact (r9 verdict item 8): summary counts + the full
         # ledger, so the staleness trend is visible round-over-round
         # without re-running the tool against a historical tree
-        path = sys.argv[sys.argv.index("--write") + 1]
+        path = sys.argv[idx + 1]
         counts: dict[str, int] = {}
         for r in ledger:
             key = f'rank{r["rank"]}'
