@@ -153,6 +153,53 @@ def untouched(df):
     assert module_names_churned(v1, v1.replace("def helper", "def helper2"), {"a"})
 
 
+def test_verify_ledger_block_deps_resolve_submodules():
+    """Dep extraction: `from PKG import submodule as ALIAS` must map to
+    the real PKG/submodule.py (whole-module dep — churn there cannot be
+    invisible), import-name capture must stop at the line (identifiers
+    from following statements never leak into the used set), and plain
+    `from module import name` records the specific names."""
+    from tools.verify_ledger import block_module_deps
+
+    block = (
+        "@_q(\n"
+        '    "demo",\n'
+        "    None,\n"
+        ")\n"
+        "def demo(spark, sf_dir):\n"
+        "    from reactionetl_etl_spark.operators import linalg as LA\n"
+        "    from reactionetl_etl_spark.operators.experiment import (\n"
+        "        arm_assignment,\n"
+        "        micro_units,\n"
+        "    )\n"
+        "    ev = load_events(spark, sf_dir)\n"
+        "    return LA.fit_pca(ev)\n"
+    )
+    deps = block_module_deps(block)
+    assert deps["reactionetl_etl_spark/operators/linalg.py"] == set()
+    assert deps["reactionetl_etl_spark/operators/experiment.py"] == {
+        "arm_assignment",
+        "micro_units",
+    }
+    # 'ev' / 'load_events' from the following statement never leak in
+    assert all("ev" not in names for names in deps.values())
+    # real-catalog spot check: the classifier query depends on the
+    # classifier module file that exists, not operators.py
+    import os
+
+    from reactionetl_etl_spark.plans.catalog import _REGISTRY  # noqa: F401
+    from tools.verify_ledger import REPO, catalog_blocks
+
+    blocks = catalog_blocks(
+        open(
+            os.path.join(REPO, "reactionetl_etl_spark/plans/catalog.py")
+        ).read()
+    )
+    cal_deps = block_module_deps(blocks["classifier_calibration_bins"])
+    assert not any(p.endswith("reactionetl_etl_spark/operators.py") for p in cal_deps)
+    assert any("classifier.py" in p for p in cal_deps)
+
+
 def test_verify_ledger_orders_never_verified_first():
     """Ledger ranking contract: rank ascends, and within a rank the
     last-green round ascends — so never-verified (rank 0) and oldest
