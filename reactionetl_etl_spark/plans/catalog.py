@@ -15025,11 +15025,13 @@ def lang_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_id_confusion",
     """
     WITH h AS (
+        -- coalesce to 0 so a NULL text mirrors Spark's lang_id fold
+        -- ('und'), instead of NULL counts falling through CASE to 'es'
         SELECT doc_id, lang,
-               len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to'], t))) AS he,
-               len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ein'], t))) AS hd,
-               len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les','des'], t))) AS hf,
-               len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','una','y'], t))) AS hs
+               coalesce(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of','to'], t))), 0) AS he,
+               coalesce(len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das','ein'], t))), 0) AS hd,
+               coalesce(len(list_filter(string_split(text,' '), t -> list_contains(['le','la','et','les','des'], t))), 0) AS hf,
+               coalesce(len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','una','y'], t))), 0) AS hs
         FROM documents
     ), pred AS (
         SELECT lang,
@@ -15164,11 +15166,15 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN firsts f ON f.user_id = e.user_id
         WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
         GROUP BY 1, 2
+    ), o AS (
+        -- DENSE offset axis 0..last-observed-week: an offset no cohort
+        -- purchased at must appear as a zero cell, so cumulative curves
+        -- are flat where a cohort goes quiet, never missing a row
+        SELECT unnest(generate_series(0, (SELECT max(cohort_w + offset_w) FROM rev))) AS offset_w
     ), grid AS (
         SELECT s.cohort_w, o.offset_w, s.n_users, coalesce(r.rev_micro, 0) AS rev_micro
         FROM sizes s
-        JOIN (SELECT DISTINCT offset_w FROM rev) o
-          ON o.offset_w <= (SELECT max(cohort_w + offset_w) FROM rev) - s.cohort_w
+        JOIN o ON o.offset_w <= (SELECT max(cohort_w + offset_w) FROM rev) - s.cohort_w
         LEFT JOIN rev r ON r.cohort_w = s.cohort_w AND r.offset_w = o.offset_w
     )
     SELECT cohort_w, offset_w, n_users,
@@ -15215,8 +15221,11 @@ def weekly_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_w = rev.agg(
         F.max(F.col("cohort_w") + F.col("offset_w")).alias("mw")
     )
+    offsets = max_w.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("mw"))).alias("offset_w")
+    )
     grid = (
-        sizes.crossJoin(F.broadcast(rev.select("offset_w").distinct()))
+        sizes.crossJoin(F.broadcast(offsets))
         .crossJoin(F.broadcast(max_w))
         .filter(F.col("offset_w") <= F.col("mw") - F.col("cohort_w"))
         .join(rev, ["cohort_w", "offset_w"], "left")

@@ -181,6 +181,14 @@ def test_verify_ledger_block_deps_resolve_submodules():
         "arm_assignment",
         "micro_units",
     }
+    # trailing comment on an import never corrupts the captured name
+    commented = (
+        "def demo2(spark, sf_dir):\n"
+        "    from reactionetl_etl_spark.operators.text import lang_id  # markers\n"
+        "    return lang_id\n"
+    )
+    cdeps = block_module_deps(commented)
+    assert cdeps["reactionetl_etl_spark/operators/text.py"] == {"lang_id"}
     # 'ev' / 'load_events' from the following statement never leak in
     assert all("ev" not in names for names in deps.values())
     # real-catalog spot check: the classifier query depends on the

@@ -171,7 +171,11 @@ def block_module_deps(block: str) -> dict[str, set[str]]:
         block,
     )
     for pkg, what in imports:
-        raw = what.strip().strip("()")
+        # strip comments BEFORE splitting: `import tokenize  # markers`
+        # must capture 'tokenize', not 'tokenize  # markers' (a bogus
+        # name can never match an effective source -> invisible churn)
+        raw = "\n".join(ln.split("#", 1)[0] for ln in what.splitlines())
+        raw = raw.strip().strip("()")
         names = {
             n.strip().split(" as ")[0].strip()
             for n in raw.split(",")
@@ -190,14 +194,21 @@ def block_module_deps(block: str) -> dict[str, set[str]]:
                 deps.setdefault(sub, set())
                 whole_module.add(sub)
             else:
-                # name imported from the package __init__ — depend on it
-                add(base + "/__init__.py", {n})
+                # name re-exported through the package __init__: depend
+                # on the WHOLE __init__ (empty name set). A named dep
+                # would be blind — effective_sources skips import
+                # statements, so an import-only __init__ has no named
+                # entries and a rewired re-export would never flag.
+                deps.setdefault(base + "/__init__.py", set())
+                whole_module.add(base + "/__init__.py")
     for path in whole_module:
         deps[path] = set()
     return deps
 
 
-_EFF_CACHE: dict[int, dict[str, str] | None] = {}
+# keyed by the module TEXT itself (texts are already held alive by the
+# callers, so an int key buys no memory and adds a collision mode)
+_EFF_CACHE: dict[str, dict[str, str] | None] = {}
 
 
 def effective_sources(text: str) -> dict[str, str] | None:
@@ -218,14 +229,13 @@ def effective_sources(text: str) -> dict[str, str] | None:
     O(queries × deps) ast work."""
     import ast
 
-    key = hash(text)
-    if key in _EFF_CACHE:
-        return _EFF_CACHE[key]
+    if text in _EFF_CACHE:
+        return _EFF_CACHE[text]
 
     try:
         tree = ast.parse(text)
     except SyntaxError:
-        _EFF_CACHE[key] = None
+        _EFF_CACHE[text] = None
         return None
     stmts: dict[str, tuple[str, set[str]]] = {}
     import_srcs: list[str] = []
@@ -265,7 +275,7 @@ def effective_sources(text: str) -> dict[str, str] | None:
             parts.append(src)
             stack.extend(refs)
         out[name] = "\n".join(sorted(parts))
-    _EFF_CACHE[key] = out
+    _EFF_CACHE[text] = out
     return out
 
 
@@ -323,6 +333,15 @@ def build_ledger() -> list[dict]:
             path = os.path.join(REPO, dep)
             cur_texts[dep] = open(path).read() if os.path.exists(path) else ""
         return cur_texts[dep]
+
+    def _hist_text(green: int, dep: str) -> str:
+        key = (green, dep)
+        if key not in module_texts:
+            try:
+                module_texts[key] = _git("show", f"{boundaries[green]}:{dep}")
+            except subprocess.CalledProcessError:
+                module_texts[key] = ""
+        return module_texts[key]
     for name in all_queries():
         green = greens.get(name, 0)
         rec = {"query": name, "last_green_round": green, "churn": []}
@@ -340,24 +359,11 @@ def build_ledger() -> list[dict]:
             # file changed since the green row — but only count it if a
             # name this block USES (effective source, incl. shared
             # helpers/constants it pulls in) actually changed
-            key = (green, dep)
-            if key not in module_texts:
-                sha = boundaries[green]
-                try:
-                    module_texts[key] = _git("show", f"{sha}:{dep}")
-                except subprocess.CalledProcessError:
-                    module_texts[key] = ""
-            if module_names_churned(module_texts[key], _cur_text(dep), deps[dep]):
+            if module_names_churned(_hist_text(green, dep), _cur_text(dep), deps[dep]):
                 direct.append(dep)
         shared = []
         for dep in sorted(set(SHARED_FILES) & changed_files[green]):
-            key = (green, dep)
-            if key not in module_texts:
-                try:
-                    module_texts[key] = _git("show", f"{boundaries[green]}:{dep}")
-                except subprocess.CalledProcessError:
-                    module_texts[key] = ""
-            if module_names_churned(module_texts[key], _cur_text(dep), SHARED_FILES[dep]):
+            if module_names_churned(_hist_text(green, dep), _cur_text(dep), SHARED_FILES[dep]):
                 shared.append(dep)
         if direct:
             rec["rank"], rec["churn"] = 1, direct
