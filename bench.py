@@ -445,6 +445,30 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
 
 
 if __name__ == "__main__":
+    if "--calibrate" in sys.argv:
+        # measure this host against the committed reference — use to
+        # decide whether a bench run is comparable, or to re-record
+        # HOST_CALIBRATION_REF_SEC after a hardware change (take the
+        # minimum over several QUIET runs)
+        spark = get_spark(
+            "reactionetl-etl-spark-calibrate",
+            **{"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        samples = [round(host_calibration(spark), 3) for _ in range(3)]
+        spark.stop()
+        print(json.dumps({
+            "samples": samples,
+            "reference": HOST_CALIBRATION_REF_SEC,
+            "tolerance": CONTENDED_TOLERANCE,
+            "comparable": all(
+                abs(c - HOST_CALIBRATION_REF_SEC)
+                <= HOST_CALIBRATION_REF_SEC * CONTENDED_TOLERANCE
+                for c in samples
+            ),
+        }))
+        raise SystemExit(0)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     compact, detail = run_bench(sf_dir)
     print("bench detail:", json.dumps(detail), file=sys.stderr)

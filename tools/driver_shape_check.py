@@ -49,6 +49,15 @@ _DEFAULT = [
     "doc_compression_by_source",
     "customer_spend_balance_spearman",
     "event_trigram_paths",
+    # r10 families (all passed the hostile-session check in-round)
+    "copurchase_label_propagation",
+    "monthly_revenue_holt",
+    "nation_revenue_gini",
+    "search_mrr_eval",
+    "matryoshka_truncation_profile",
+    "lang_unigram_entropy",
+    "lang_id_confusion",
+    "weekly_ltv_cohorts",
 ]
 
 
