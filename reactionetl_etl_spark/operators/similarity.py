@@ -506,10 +506,14 @@ def _exact_topk_arrow(
                     out["cosine_sim"].append(float(col[i]))
             yield pd.DataFrame(out)
 
-    local = corpus.select(
-        F.col(id_col).cast("long").alias("__id"),
-        as_double_array(vec_col).alias("__v"),
-    ).mapInPandas(score, out_schema)
+    local = (
+        corpus.filter(F.col(vec_col).isNotNull())  # a NULL vector scores nothing
+        .select(
+            F.col(id_col).cast("long").alias("__id"),
+            as_double_array(vec_col).alias("__v"),
+        )
+        .mapInPandas(score, out_schema)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
@@ -817,9 +821,13 @@ def cosine_neardup_pairs(
         )
         spark = embeddings.sparkSession
         schema = "id_a bigint, id_b bigint, cosine_sim double"
-        rows = embeddings.select(
-            F.col(id_col).cast("bigint"), as_double_array(vec_col)
-        ).collect()
+        # NULL vectors can't be near-duplicates of anything and would
+        # crash the numpy matrix build (list(None)) — exclude them
+        rows = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).cast("bigint"), as_double_array(vec_col))
+            .collect()
+        )
         if len(rows) < 2:
             return spark.createDataFrame([], schema)
         ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -987,9 +995,13 @@ def mutual_nearest_pairs(
         )
         spark = embeddings.sparkSession
         schema = "id_a bigint, id_b bigint, cosine_sim double"
-        rows = embeddings.select(
-            F.col(id_col).cast("bigint"), as_double_array(vec_col)
-        ).collect()
+        # NULL vectors have no neighbors and would crash the matrix
+        # build — exclude them (same convention as the near-dup path)
+        rows = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).cast("bigint"), as_double_array(vec_col))
+            .collect()
+        )
         if len(rows) < 2:
             return spark.createDataFrame([], schema)
         ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -761,6 +761,44 @@ def test_exact_collect_guards_are_byte_aware(spark):
         mutual_nearest_pairs(small, max_exact_rows=None)
 
 
+def test_exact_ann_paths_tolerate_null_vectors(spark):
+    """A NULL embedding can't be anyone's neighbor; the exact
+    driver-collect paths and the Arrow corpus scan must EXCLUDE such
+    rows instead of crashing the numpy matrix build (list(None)) —
+    results equal the same call on the pre-filtered frame."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_topk_batch,
+        mutual_nearest_pairs,
+    )
+
+    clean = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.sin(F.col("id") * 1.0), F.cos(F.col("id") * 2.0), F.lit(0.25)
+        ).alias("embedding"),
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(99,), (100,)], "vec_id bigint"
+        ).withColumn("embedding", F.lit(None).cast("array<double>"))
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(cosine_neardup_pairs(dirty, threshold=0.9)) == rows(
+        cosine_neardup_pairs(clean, threshold=0.9)
+    )
+    assert rows(mutual_nearest_pairs(dirty)) == rows(mutual_nearest_pairs(clean))
+    q = clean.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert rows(cosine_topk_batch(q, dirty, k=3)) == rows(
+        cosine_topk_batch(q, clean, k=3)
+    )
+
+
 def test_cosine_topk_batch_preserves_nonintegral_ids(spark):
     """use_arrow=True (the default) must not retype or crash on string
     ids: the Arrow scorer only handles integral ids, so the batch entry
