@@ -222,7 +222,13 @@ def train_ivf_centroids(
     # TRAINING SET (and so the centroids, cells, and every probe
     # result) must be identical under any executor layout. Arrays sort
     # lexicographically; TakeOrdered keeps this one bounded job.
-    rows = embeddings.select(vec_col).orderBy(vec_col).limit(max_sample).collect()
+    rows = (
+        embeddings.filter(F.col(vec_col).isNotNull())  # NULL can't train
+        .select(vec_col)
+        .orderBy(vec_col)
+        .limit(max_sample)
+        .collect()
+    )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     if x.shape[0] < n_cells:
         raise ValueError(f"sample of {x.shape[0]} rows < n_cells={n_cells}")
