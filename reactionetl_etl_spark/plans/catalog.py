@@ -14896,13 +14896,21 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matryoshka_truncation_profile",
     """
     WITH r AS (
+        -- len()=0 guard: list_reduce RAISES on an empty list, while the
+        -- Spark side's aggregate(0.0, ...) folds to 0.0 — an empty-array
+        -- embedding must profile as ratio 0 on both engines, not abort
+        -- the oracle run (r10 advice). list_reduce is kept for the
+        -- non-empty path so the IEEE add sequence stays a left fold in
+        -- storage order, identical to Spark's aggregate().
         SELECT vec_id,
-               list_reduce(list_transform(embedding[1:16],
+               CASE WHEN len(embedding) = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(embedding[1:16],
                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                           (a, b) -> a + b) AS s16,
-               list_reduce(list_transform(embedding,
+                           (a, b) -> a + b) END AS s16,
+               CASE WHEN len(embedding) = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(embedding,
                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                           (a, b) -> a + b) AS sall
+                           (a, b) -> a + b) END AS sall
         FROM embeddings
     ), ratio AS (
         SELECT vec_id,
@@ -15154,13 +15162,13 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH firsts AS (
         SELECT user_id,
-               min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7) AS cohort_w
+               min(CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT)) AS cohort_w
         FROM events GROUP BY 1
     ), sizes AS (
         SELECT cohort_w, CAST(count(*) AS BIGINT) AS n_users FROM firsts GROUP BY 1
     ), rev AS (
         SELECT f.cohort_w,
-               (date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7)
+               CAST(floor(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
                    - f.cohort_w AS offset_w,
                CAST(sum(CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_micro
         FROM events e JOIN firsts f ON f.user_id = e.user_id
@@ -15191,16 +15199,23 @@ def weekly_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative purchase revenue per user at each week offset — the
     value-dimension complement of `weekly_retention_triangle` (the
     lifetime-value curve a growth team reads cohort health from).
-    Exact integers end to end: week index = days-since-anchor DIV 7,
+    Exact integers end to end: week index = floor(days-since-anchor/7)
+    with floor() spelled out on BOTH engines (anchor-independent),
     revenues in micro-units, cumulative sums and the per-user division
-    all integer (DIV truncation mirrored). The running sum's window
+    all integer (non-negative, so DIV truncation == floor). The running sum's window
     partitions by cohort over the WEEK-OFFSET GRID (weeks², not data) —
     the triangle is complete (zero-revenue cells kept) so cumulative
     curves are flat where a cohort goes quiet, not missing. One events
     scan + one user-keyed agg + grid-sized everything after."""
     ev = load_events(spark, sf_dir)
+    # FLOOR division on both engines (not Spark DIV / DuckDB //, whose
+    # negative-operand rounding is engine- and version-dependent): week
+    # indices stay aligned cross-engine even for pre-anchor timestamps,
+    # instead of silently relying on the generator never emitting one
+    # (r10 advice). datediff is far below 2^52, so the double divide is
+    # exact.
     week = F.expr(
-        "CAST(datediff(to_date(ts_ntz), DATE'2024-01-01') DIV 7 AS BIGINT)"
+        "CAST(floor(datediff(to_date(ts_ntz), DATE'2024-01-01') / 7.0) AS BIGINT)"
     )
     firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
     sizes = firsts.groupBy("cohort_w").agg(F.count(F.lit(1)).alias("n_users"))

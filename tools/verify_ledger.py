@@ -291,7 +291,15 @@ def module_names_churned(
         return True
     names = used or (set(hist) | set(cur))
     for n in names:
-        if hist.get(n) != cur.get(n):
+        h, c = hist.get(n), cur.get(n)
+        if h is None and c is None:
+            # the name resolves in NEITHER version's effective-source map
+            # (bound by a re-exported import, tuple-target assignment, or
+            # star import — shapes effective_sources doesn't model). We
+            # cannot see churn in it, so assume churn rather than silently
+            # reporting "no churn" forever (r10 advice).
+            return True
+        if h != c:
             return True
     return False
 
