@@ -15,8 +15,23 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def non_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose ``vec_col`` is not NULL — the one shared guard every
+    embedding consumer applies before a numpy matrix build or a
+    similarity scan.
+
+    Convention (uniform across the engine, r10/r11): a NULL embedding
+    scores nothing, trains nothing, and is never anyone's neighbor —
+    search/pair/train paths EXCLUDE such rows up front (a bare
+    ``list(None)`` otherwise crashes the Arrow/collect numpy builds,
+    and NULL cosines silently pollute top-k windows); column-appending
+    transforms (quantize, PQ encode, PCA projection) instead map
+    NULL → NULL so row counts are preserved."""
+    return df.filter(F.col(vec_col).isNotNull())
 
 
 def lit_double_array(values) -> Column:

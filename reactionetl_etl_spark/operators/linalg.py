@@ -61,7 +61,17 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int, scale: int = 1_000_000)
     decimal strings (Python bigints survive any magnitude). One
     emission per Arrow batch: the output is O(d^2) per batch, never
     O(rows).
+
+    NULL vectors are excluded up front (shared `non_null_vectors`
+    guard): they carry no coordinates to accumulate and would crash
+    the per-batch ``np.stack``, so PCA and every downstream consumer
+    (Mahalanobis, projections) is fit over the non-null rows — and the
+    fitted model therefore maps NULL → NULL at projection time rather
+    than poisoning the covariance.
     """
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    df = non_null_vectors(df, vec_col)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu = np.triu_indices(dim)

@@ -57,8 +57,14 @@ def train_pq_codebook(
 ) -> list:
     """m × k × (dim/m) codebook, numpy Lloyd's per subspace on a
     bounded deterministic sample (`limit` — pre-sample upstream at
-    100 TB). Empty clusters re-seed from the farthest points."""
+    100 TB). Empty clusters re-seed from the farthest points.
+
+    NULL vectors can't train and would both crash the numpy build and
+    hog the sample head (NULL arrays sort FIRST under the deterministic
+    orderBy) — excluded via the shared `non_null_vectors` guard."""
     import numpy as np
+
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -66,7 +72,9 @@ def train_pq_codebook(
     # orderBy before limit: partition-order-independent training set —
     # same reasoning as similarity.train_ivf_centroids (codebooks must
     # not depend on the session's split settings).
-    rows = df.select(vec_col).orderBy(vec_col).limit(max_sample).collect()
+    rows = (
+        non_null_vectors(df, vec_col).select(vec_col).orderBy(vec_col).limit(max_sample).collect()
+    )
     x = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
     rng = np.random.default_rng(seed)
     rng.shuffle(x)  # mix the sorted sample (see similarity.train_ivf_centroids)
@@ -94,7 +102,11 @@ def pq_encode(
     code_col: str = "pq_code",
 ) -> DataFrame:
     """Append ``code_col`` (array<int>, length m): per-subspace nearest
-    centroid indices. One vectorized Arrow pass, no shuffle."""
+    centroid indices. One vectorized Arrow pass, no shuffle.
+
+    Column-appending transform, so NULL maps to NULL (the quantize
+    convention — row counts are preserved, a NULL vector has no code);
+    the numpy matrix is built from the non-null subset only."""
     import numpy as np
 
     books = [np.array(b, dtype=np.float64) for b in codebook]
@@ -104,14 +116,21 @@ def pq_encode(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for s in range(m):
-                xs = x[:, s * sub : (s + 1) * sub]
-                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d.argmin(axis=1)
             pdf = pdf.copy()
-            pdf[code_col] = [list(map(int, row)) for row in codes]
+            mask = pdf[vec_col].notna().to_numpy()
+            out = [None] * len(pdf)
+            if mask.any():
+                x = _normalize(
+                    np.array(list(pdf[vec_col][mask]), dtype=np.float64)
+                )
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for s in range(m):
+                    xs = x[:, s * sub : (s + 1) * sub]
+                    d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, s] = d.argmin(axis=1)
+                for pos, row in zip(np.flatnonzero(mask), codes):
+                    out[pos] = list(map(int, row))
+            pdf[code_col] = out
             yield pdf
 
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -136,13 +155,26 @@ def pq_cosine_topk(
     EXACT cosine against the full vectors (one keyed join against the
     shortlist only) — the two-stage layout; ``refine=None`` returns raw
     ADC ranking with ``approx_cosine`` = 1 - d²/2.
-    Output: (query_id, vec_id, cosine_sim|approx_cosine, rank ≤ k)."""
+    Output: (query_id, vec_id, cosine_sim|approx_cosine, rank ≤ k).
+
+    NULL handling (engine convention): a NULL query vector retrieves
+    nothing (excluded before the ADC table build, which it would
+    crash); corpus rows with a NULL code (NULL vectors pass through
+    `pq_encode` as NULL) are never candidates."""
     import numpy as np
+
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
 
     books = [np.array(b, dtype=np.float64) for b in codebook]
     m = len(books)
     sub = books[0].shape[1]
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    codes = non_null_vectors(codes, code_col)
+    q_rows = non_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    if not q_rows:
+        sim_col = "cosine_sim" if refine is not None else "approx_cosine"
+        return queries.sparkSession.createDataFrame(
+            [], f"query_id long, vec_id long, {sim_col} double, rank int"
+        )
     qx = _normalize(np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64))
     q_ids = [r[query_id_col] for r in q_rows]
     # per-query ADC tables: (n_q, m, k) squared distances

@@ -163,8 +163,17 @@ def semantic_dedup(
     scores = F.array(*norm_scores)
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     centroid_sim = F.round(F.array_max(scores), 6)
+    # NULL embeddings are excluded BEFORE celling: they would land in a
+    # shared NULL cell whose applyInPandas group crashes the numpy gram
+    # build as soon as it holds two of them (np.asarray(None)). A row
+    # that can't be embedded can't be semantically deduplicated, so it
+    # re-enters the verdict frame below as keep=True with NULL
+    # cell/centroid_sim/component — row count preserved.
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    scored = non_null_vectors(embeddings, vec_col)
     celled = (
-        embeddings.select(F.col(id_col).alias("__id"), norm.alias("__n"), F.col(vec_col))
+        scored.select(F.col(id_col).alias("__id"), norm.alias("__n"), F.col(vec_col))
         .select(F.col("__id"), v.alias("__v"))
         .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
         # reused by the pair join (both sides) and the final verdict
@@ -200,13 +209,20 @@ def semantic_dedup(
             (F.col("node") == F.col("__keeper")).alias("keep"),
         )
     )
-    return (
-        celled.join(verdicts, on="__id", how="left")
-        .select(
-            F.col("__id").alias(id_col),
-            "cell",
-            "centroid_sim",
-            "component",
-            F.coalesce("keep", F.lit(True)).alias("keep"),
-        )
+    out = celled.join(verdicts, on="__id", how="left").select(
+        F.col("__id").alias(id_col),
+        "cell",
+        "centroid_sim",
+        "component",
+        F.coalesce("keep", F.lit(True)).alias("keep"),
     )
+    # NULL-embedding rows: semantically unique by convention (nothing
+    # to compare), NULL cell/sim/component, keep=True
+    null_rows = embeddings.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col).cast(out.schema[id_col].dataType),
+        F.lit(None).cast(out.schema["cell"].dataType).alias("cell"),
+        F.lit(None).cast(out.schema["centroid_sim"].dataType).alias("centroid_sim"),
+        F.lit(None).cast(out.schema["component"].dataType).alias("component"),
+        F.lit(True).alias("keep"),
+    )
+    return out.unionByName(null_rows)

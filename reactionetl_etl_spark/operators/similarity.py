@@ -85,11 +85,21 @@ def cosine_topk(
     The 1-row query side is broadcast; the corpus side is a single
     parallel scan + TakeOrderedAndProject (per-partition heaps, k-row
     driver merge) — no global sort, no wide shuffle.
+
+    NULL corpus vectors are excluded (`non_null_vectors`): they score
+    NULL, which sorts after every real similarity but would still pad
+    the top-k with (id, NULL) rows when the corpus holds fewer than k
+    scorable vectors — the batch paths already exclude them, and the
+    single-query path must agree.
     """
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     q = embeddings.filter(F.col(id_col) == query_id).select(
         as_double_array(vec_col).alias("__q")
     )
-    corpus = embeddings.filter(F.col(id_col) != query_id)
+    corpus = non_null_vectors(
+        embeddings.filter(F.col(id_col) != query_id), vec_col
+    )
     sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
     return (
         corpus.join(F.broadcast(q))
@@ -131,6 +141,12 @@ def with_lsh_bucket(
     with probability (1 - θ/π)^bits. Pure expression — at scale, write
     the result partitioned by bucket and ANN queries become partition
     -pruned scans.
+
+    A NULL vector gets a NULL bucket (its dot products are NULL, which
+    the when/otherwise fold used to misread as sign 0 on every plane —
+    silently piling every NULL row into bucket 0). NULL buckets fall
+    out of every downstream bucket equi-join, so LSH consumers inherit
+    the engine-wide "NULL scores nothing" convention for free.
     """
     v = as_double_array(vec_col)
     bit_cols = []
@@ -140,7 +156,9 @@ def with_lsh_bucket(
     bucket = bit_cols[0]
     for c in bit_cols[1:]:
         bucket = bucket + c
-    return embeddings.withColumn(out_col, bucket)
+    return embeddings.withColumn(
+        out_col, F.when(F.col(vec_col).isNotNull(), bucket)
+    )
 
 
 def _probe_buckets(bucket_col, bits: int, multi_probe: bool, probe_radius: int = 1):
@@ -222,8 +240,10 @@ def train_ivf_centroids(
     # TRAINING SET (and so the centroids, cells, and every probe
     # result) must be identical under any executor layout. Arrays sort
     # lexicographically; TakeOrdered keeps this one bounded job.
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     rows = (
-        embeddings.filter(F.col(vec_col).isNotNull())  # NULL can't train
+        non_null_vectors(embeddings, vec_col)  # NULL can't train
         .select(vec_col)
         .orderBy(vec_col)
         .limit(max_sample)
@@ -331,8 +351,13 @@ def ivf_cosine_topk(
         f"transform(slice(array_sort(zip_with(c_scores, sequence(0, {len(cents) - 1}),"
         f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
     )
+    # a NULL query vector retrieves nothing: its cell scores are an
+    # array OF NULLs (not a NULL array), so without the filter the sort
+    # still yields real probe cells and the result is k all-NULL-sim rows
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     q = (
-        embeddings.filter(F.col(id_col) == query_id)
+        non_null_vectors(embeddings.filter(F.col(id_col) == query_id), vec_col)
         .select(qv.alias("__q"), cell_scores.alias("c_scores"))
         .select("__q", probe_cells.alias("__qcells"))
     )
@@ -408,10 +433,19 @@ def cosine_topk_batch(
     broken by ascending id. ``exclude_self`` drops corpus rows whose id
     equals the query id (the single-query semantics).
     """
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     qv = query_vec_col or vec_col
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
+    # a NULL query vector retrieves nothing (it would crash the Arrow
+    # scorer's matrix build and emit k all-NULL-sim rows on the HOF
+    # plan); a NULL corpus vector is never a candidate
+    q = non_null_vectors(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
+        ),
+        "__q",
     )
+    corpus = non_null_vectors(corpus, vec_col)
     if use_arrow and _ids_integral(queries, query_id_col, corpus, id_col):
         # The Arrow scorer emits a long-typed id schema; for string /
         # UUID / decimal ids fall through to the HOF plan below. For
@@ -512,8 +546,10 @@ def _exact_topk_arrow(
                     out["cosine_sim"].append(float(col[i]))
             yield pd.DataFrame(out)
 
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     local = (
-        corpus.filter(F.col(vec_col).isNotNull())  # a NULL vector scores nothing
+        non_null_vectors(corpus, vec_col)  # a NULL vector scores nothing
         .select(
             F.col(id_col).cast("long").alias("__id"),
             as_double_array(vec_col).alias("__v"),
@@ -620,8 +656,14 @@ def ivf_cosine_topk_batch(
         f"transform(slice(array_sort(zip_with(__cscores, sequence(0, {len(cents) - 1}),"
         f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
     )
+    # NULL query vectors: their cell-score array is an array OF NULLs,
+    # which still sorts to real probe cells — filter them out (they
+    # retrieve nothing, per the engine convention)
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     q = (
-        queries.select(
+        non_null_vectors(queries, qv)
+        .select(
             F.col(query_id_col).alias("__qid"),
             qvec.alias("__q"),
             cell_scores.alias("__cscores"),
@@ -647,8 +689,12 @@ def write_lsh_index(
     bucket id. Sign each vector once, when it arrives (``mode='append'``
     grows the index incrementally — the hyperplanes are deterministic,
     so old and new batches bucket consistently); ANN probes then read
-    only the partitions their queries hash into."""
-    with_lsh_bucket(embeddings, dim, bits, vec_col).select(
+    only the partitions their queries hash into. NULL vectors (NULL
+    bucket) are dropped: they would land in the Hive default partition
+    and no probe could ever match them."""
+    with_lsh_bucket(embeddings, dim, bits, vec_col).filter(
+        F.col("lsh_bucket").isNotNull()
+    ).select(
         id_col, vec_col, "lsh_bucket"
     ).write.mode(mode).partitionBy("lsh_bucket").parquet(path)
 
@@ -730,7 +776,12 @@ def write_ivf_index(
         centroids = train_ivf_centroids(embeddings, n_cells, vec_col)
     cents = centroids if centroids is not None else _coarse_centroids(dim, n_cells)
     spark = embeddings.sparkSession
-    with_ivf_cell(embeddings, dim, len(cents), vec_col, centroids=cents).select(
+    # NULL vectors assign a NULL cell (their centroid dots are NULL) —
+    # drop them, as for the LSH index: an unprobeable default-partition
+    # row is dead weight
+    with_ivf_cell(embeddings, dim, len(cents), vec_col, centroids=cents).filter(
+        F.col("ivf_cell").isNotNull()
+    ).select(
         id_col, vec_col, "ivf_cell"
     ).write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/vectors")
     # centroids always overwrite: appends must pass the stored
@@ -776,8 +827,13 @@ def probe_ivf_index(
         f"transform(slice(array_sort(zip_with(__cscores, sequence(0, {len(centroids) - 1}),"
         f" (s, i) -> named_struct('s', -s, 'i', i))), 1, {n_probe}), x -> x.i)"
     )
+    # NULL query vectors retrieve nothing (array-of-NULLs cell scores
+    # would otherwise still sort to real probe cells)
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
     q = (
-        queries.select(
+        non_null_vectors(queries, qv)
+        .select(
             F.col(query_id_col).alias("__qid"),
             qvec.alias("__q"),
             cell_scores.alias("__cscores"),
@@ -829,8 +885,10 @@ def cosine_neardup_pairs(
         schema = "id_a bigint, id_b bigint, cosine_sim double"
         # NULL vectors can't be near-duplicates of anything and would
         # crash the numpy matrix build (list(None)) — exclude them
+        from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
         rows = (
-            embeddings.filter(F.col(vec_col).isNotNull())
+            non_null_vectors(embeddings, vec_col)
             .select(F.col(id_col).cast("bigint"), as_double_array(vec_col))
             .collect()
         )
@@ -1003,8 +1061,10 @@ def mutual_nearest_pairs(
         schema = "id_a bigint, id_b bigint, cosine_sim double"
         # NULL vectors have no neighbors and would crash the matrix
         # build — exclude them (same convention as the near-dup path)
+        from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
         rows = (
-            embeddings.filter(F.col(vec_col).isNotNull())
+            non_null_vectors(embeddings, vec_col)
             .select(F.col(id_col).cast("bigint"), as_double_array(vec_col))
             .collect()
         )
