@@ -82,6 +82,8 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
+    "bpe_fertility_by_lang",
+    "pack_efficiency_report",
     "copurchase_label_propagation",
     "lang_id_confusion",
     "lang_unigram_entropy",
@@ -15263,3 +15265,197 @@ def weekly_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV n_users AS BIGINT)"
         ).alias("ltv_micro"),
     ).orderBy("cohort_w", "offset_w")
+
+
+@_q(
+    "pack_efficiency_report",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tok,
+               coalesce(sum(tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t
+    ), s AS (
+        SELECT CAST(floor(cum / 2048.0) AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens,
+               min(cum) AS first_start,
+               max(cum + tok) AS last_end,
+               CAST(sum(CASE WHEN cum + tok
+                             > (CAST(floor(cum / 2048.0) AS BIGINT) + 1) * 2048
+                        THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+        FROM c GROUP BY 1
+    )
+    SELECT shard_id, n_docs, sum_tokens,
+           CAST(first_start - shard_id * 2048 AS BIGINT) AS carry_in_tokens,
+           CAST(greatest(last_end - (shard_id + 1) * 2048, 0) AS BIGINT)
+               AS overshoot_tokens,
+           split_docs,
+           floor((least(last_end, (shard_id + 1) * 2048) - first_start)
+                 / 2048.0 * 1000000 + 0.5) / 1000000 AS fill6
+    FROM s ORDER BY shard_id
+    """,
+    tags=("packing", "training-export", "quality", "llm"),
+    bench=True,
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-efficiency report for the training exporter — the first
+    question a training consumer asks of a shard layout: how much of
+    each 2048-token budget window is real data? Per shard (same greedy
+    contiguous layout as `token_budget_packing`, same distributed
+    prefix sum — no single-partition window):
+
+    - ``carry_in_tokens``: tokens of the PREVIOUS shard's boundary-
+      crossing document occupying this window's head — exactly the
+      padding a no-split trainer that truncates at the boundary pays;
+    - ``overshoot_tokens``: tokens of this shard's last document past
+      its own boundary — the truncation waste (or, for a splitting
+      trainer, the carry-over into the next sequence);
+    - ``split_docs``: documents crossing the boundary (0 or 1 under
+      the greedy layout with docs shorter than the budget);
+    - ``fill6``: fraction of the budget window covered by documents
+      that START in the shard, truncated at the boundary — 1 minus
+      the padding fraction everywhere except the corpus tail.
+
+    Everything is exact integer arithmetic off the prefix sum; the one
+    division is mirrored 6-dp floor rounding. Pure aggregation over
+    `packing.pack_by_token_budget`'s output — grid-sized (one row per
+    shard), and at 100 TB the report costs one shard-keyed aggregate
+    over columns the pack step already carries."""
+    from reactionetl_etl_spark.operators.packing import pack_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select("doc_id", F.size(F.split(norm, " ")).alias("tok"))
+    packed = pack_by_token_budget(
+        t,
+        order_col="doc_id",
+        token_col="tok",
+        budget=2048,
+        bucket_expr=F.expr("doc_id div 2000"),
+    )
+    end = F.col("tokens_before") + F.col("tok")
+    boundary = (F.col("shard_id") + 1) * 2048
+    s = packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("sum_tokens"),
+        F.min("tokens_before").alias("first_start"),
+        F.max(end).alias("last_end"),
+        F.sum(F.when(end > boundary, 1).otherwise(0)).cast("bigint").alias("split_docs"),
+    )
+    return s.select(
+        "shard_id",
+        "n_docs",
+        "sum_tokens",
+        (F.col("first_start") - F.col("shard_id") * 2048)
+        .cast("bigint")
+        .alias("carry_in_tokens"),
+        F.greatest(F.col("last_end") - boundary, F.lit(0))
+        .cast("bigint")
+        .alias("overshoot_tokens"),
+        "split_docs",
+        (
+            F.floor(
+                (F.least(F.col("last_end"), boundary) - F.col("first_start"))
+                / F.lit(2048.0)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("fill6"),
+    ).orderBy("shard_id")
+
+
+@_q(
+    "bpe_fertility_by_lang",
+    None,  # trained-tokenizer replay — deterministic output pinned
+    tags=("text", "tokenizer", "bpe", "quality", "llm"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality audit: per-language fertility (tokens per
+    whitespace word), bytes-per-token, and OOV rate for the trained
+    BPE — the standard multilingual eval a training-data pipeline runs
+    before committing a vocabulary (high fertility / low bytes-per-
+    token for a language means the vocab under-serves it and its
+    documents burn more sequence budget per character).
+
+    Vocabulary = the 8 learned merge products plus every character
+    seen in the TRAINING quarter-sample (`_bpe_corpus_merges`' split);
+    a token is OOV iff it is outside that set — with greedy char-level
+    BPE that means exactly the single characters the training sample
+    never saw (the byte-fallback-rate analogue). OOV counting is a
+    broadcast anti-join of exploded tokens against the vocab table
+    (vocab is alphabet+merges-sized, never corpus-sized); the three
+    ratios are 6-dp floor-rounded from exact integer sums. Encode is
+    the same one Arrow-batched pass as `bpe_encode_tokens`, here over
+    the full corpus. Deterministic end to end (deterministic trainer,
+    sorted collected charset, greedy leftmost encode) — pinned at
+    sf0.01 and sf0.1."""
+    from reactionetl_etl_spark.operators.bpe import apply_bpe_merges
+
+    merges = _bpe_corpus_merges(spark, sf_dir)
+    products = {a + b for a, b, _ in merges}
+    train_chars = {
+        r["ch"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            F.explode(
+                F.split(F.regexp_replace(D.normalize_text("text"), " ", ""), "")
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    }
+    vocab = sorted(train_chars | products)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    enc = apply_bpe_merges(docs, merges, "text", out_col="toks")
+    norm = D.normalize_text("text")
+    per_doc = enc.select(
+        "lang",
+        "toks",
+        F.size(F.split(norm, " ")).alias("w"),
+        F.octet_length(F.regexp_replace(norm, " ", "")).alias("b"),
+    )
+    base = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+        F.sum("b").cast("bigint").alias("n_bytes"),
+    )
+    vocab_df = spark.createDataFrame([(v,) for v in vocab], "t string")
+    oov = (
+        per_doc.select("lang", F.explode("toks").alias("t"))
+        .join(F.broadcast(vocab_df), "t", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("oov"))
+    )
+    return (
+        base.join(oov, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_bytes",
+            F.coalesce("oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            (
+                F.floor(F.col("n_tokens") / F.col("n_words") * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("fertility6"),
+            (
+                F.floor(F.col("n_bytes") / F.col("n_tokens") * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("bytes_per_token6"),
+            (
+                F.floor(F.col("n_oov") / F.col("n_tokens") * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("oov_rate6"),
+        )
+        .orderBy("lang")
+    )

@@ -159,3 +159,79 @@ def test_bpe_encode_tokens_query_witness(spark):
         assert r["n_tokens"] == len(toks), did
         assert r["first_tokens"] == " ".join(toks[:8]), did
         assert r["n_words"] == len(" ".join(text.lower().split()).split(" ")), did
+
+
+def test_bpe_fertility_by_lang_query_witness(spark):
+    """Non-circular witness for the pinned bpe_fertility_by_lang query:
+    per-language token/word/byte/OOV sums recomputed in straight-line
+    Python — reference-trained merges, reference greedy encoder, vocab
+    = training-sample charset ∪ merge products — must agree with the
+    catalog query on the real corpus fixture."""
+    import math
+
+    from reactionetl_etl_spark.plans.catalog import get_query
+
+    sfd = "/root/testdata/sf0.001"
+    got = {
+        r["lang"]: tuple(r)[1:]
+        for r in get_query("bpe_fertility_by_lang").builder(spark, sfd).collect()
+    }
+
+    all_docs = spark.read.parquet(f"{sfd}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    train = [r["text"] for r in all_docs if r["doc_id"] % 4 == 0]
+    merges = _ref_bpe(train, 8)
+    mlist = [(a, b) for a, b, _ in merges]
+    vocab = {a + b for a, b in mlist}
+    for text in train:
+        for w in " ".join(text.lower().split()).split(" "):
+            vocab |= set(w)
+
+    def ref_encode(text):
+        toks = []
+        for w in " ".join(text.lower().split()).split(" "):
+            if not w:
+                continue
+            s = list(w)
+            for a, b in mlist:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            toks.extend(s)
+        return toks
+
+    agg: dict[str, list[int]] = {}
+    for r in all_docs:
+        norm = " ".join(r["text"].lower().split())
+        toks = ref_encode(r["text"])
+        rec = agg.setdefault(r["lang"], [0, 0, 0, 0, 0])
+        rec[0] += 1
+        rec[1] += len(norm.split(" ")) if norm else 1  # size(split('')) == 1
+        rec[2] += len(toks)
+        rec[3] += len(norm.replace(" ", "").encode("utf-8"))
+        rec[4] += sum(1 for t in toks if t not in vocab)
+
+    def r6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    want = {
+        lang: (
+            n_docs,
+            n_words,
+            n_tokens,
+            n_bytes,
+            n_oov,
+            r6(n_tokens / n_words),
+            r6(n_bytes / n_tokens),
+            r6(n_oov / n_tokens),
+        )
+        for lang, (n_docs, n_words, n_tokens, n_bytes, n_oov) in agg.items()
+    }
+    assert got == want

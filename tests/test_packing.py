@@ -85,3 +85,115 @@ def test_pack_rejects_bad_budget(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def _ref_pack_report(tok_by_id: dict[int, int], budget: int):
+    """Straight-line witness for the pack-efficiency report: walk docs
+    in id order, accumulate the exclusive prefix sum, derive every
+    shard's stats directly from the definitions (no catalog code)."""
+    shards: dict[int, dict] = {}
+    cum = 0
+    for doc_id in sorted(tok_by_id):
+        tok = tok_by_id[doc_id]
+        s = cum // budget
+        rec = shards.setdefault(
+            s,
+            {"n_docs": 0, "sum_tokens": 0, "first_start": cum, "last_end": 0, "split_docs": 0},
+        )
+        rec["n_docs"] += 1
+        rec["sum_tokens"] += tok
+        rec["last_end"] = max(rec["last_end"], cum + tok)
+        if cum + tok > (s + 1) * budget:
+            rec["split_docs"] += 1
+        cum += tok
+    out = {}
+    for s, rec in shards.items():
+        fill = (
+            (min(rec["last_end"], (s + 1) * budget) - rec["first_start"])
+            / float(budget)
+        )
+        import math
+
+        out[s] = (
+            rec["n_docs"],
+            rec["sum_tokens"],
+            rec["first_start"] - s * budget,
+            max(rec["last_end"] - (s + 1) * budget, 0),
+            rec["split_docs"],
+            math.floor(fill * 1_000_000 + 0.5) / 1_000_000,
+        )
+    return out
+
+
+def test_pack_efficiency_report_matches_witness(spark, sf_dir):
+    """Catalog query vs the straight-line walker, plus the stream
+    invariant that makes the padding interpretation sound: each
+    shard's carry-in equals the previous contiguous shard's overshoot
+    (the stream is back-to-back, so spill-out IS the next window's
+    head occupation)."""
+    from reactionetl_etl_spark.operators.dedup import normalize_text
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    got = {
+        r["shard_id"]: (
+            r["n_docs"],
+            r["sum_tokens"],
+            r["carry_in_tokens"],
+            r["overshoot_tokens"],
+            r["split_docs"],
+            r["fill6"],
+        )
+        for r in all_queries()["pack_efficiency_report"].builder(spark, sf_dir).collect()
+    }
+    toks = {
+        r["doc_id"]: r["tok"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(normalize_text("text"), " ")).alias("tok"))
+        .collect()
+    }
+    assert got == _ref_pack_report(toks, 2048)
+    # stream invariant: carry_in[s] == overshoot[s-1] for contiguous ids
+    for s in got:
+        if s - 1 in got:
+            assert got[s][2] == got[s - 1][3], s
+
+
+def test_pack_report_composes_with_webdataset_export(spark, sf_dir, tmp_path):
+    """The report describes the EXACT shards the exporter writes: pack
+    by token budget, export each shard as one WebDataset tar
+    (shard_col passthrough), read the tars back — per-shard member
+    counts equal the report's n_docs."""
+    from reactionetl_etl_spark.io.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+    from reactionetl_etl_spark.operators.dedup import normalize_text
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(normalize_text("text"), " ")).alias("tok"), "text"
+    )
+    packed = pack_by_token_budget(
+        docs, order_col="doc_id", token_col="tok", budget=2048,
+        bucket_expr=F.expr("doc_id div 2000"),
+    ).withColumn("payload", F.encode("text", "utf-8"))
+    out = str(tmp_path / "packed_wds")
+    n_shards = packed.agg(F.max("shard_id")).first()[0] + 1
+    write_webdataset_shards(
+        packed, out, key_col="doc_id", payload_col="payload",
+        meta_cols=("tok",), ext="txt", n_shards=int(n_shards),
+        shard_col="shard_id",
+    )
+    back = (
+        read_webdataset_shards(spark, out)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["shard_id"]: r["n"] for r in back.collect()}
+    want = {
+        r["shard_id"]: r["n_docs"]
+        for r in all_queries()["pack_efficiency_report"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
