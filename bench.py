@@ -81,11 +81,17 @@ COMPACT_KEYS = (
     "lfl_prev_round",
     "host_calibration_sec",
     "contended",
+    "bench_attempts",
     "sf",
 )
 
-# Quiet-host reference for the calibration microbenchmark below,
-# recorded r10 (median of repeated runs on an idle local[32] host).
+# Quiet-host reference for the calibration microbenchmark below.
+# Re-recorded r11 for the new JIT-free numpy probe (median of repeated
+# `--calibrate` runs on the quiet r11 host; the r10-era 0.55 s value
+# belongs to the retired Spark-plan probe and is comparable only to
+# pre-r11 records). The full cross-round comparison protocol (what
+# these fields mean and when two rounds' numbers are comparable at
+# all) is documented in BASELINE.md § "Host-calibration protocol".
 # Host-speed drift consumed a verdict item in both r8 and r9 — same-code
 # numbers moved 2x with external CPU contention — so every bench record
 # now carries the measured calibration time (max of a sample BEFORE
@@ -96,34 +102,63 @@ COMPACT_KEYS = (
 # round-over-round comparability). PERF_NOTES compares rounds through
 # these fields instead of ad-hoc A/B reruns.
 HOST_CALIBRATION_REF_SEC = float(
-    os.environ.get("SPARK_GRAFT_CALIBRATION_REF", "0.55")
+    os.environ.get("SPARK_GRAFT_CALIBRATION_REF", "0.80")
 )
 CONTENDED_TOLERANCE = 0.15
 
+# Self-healing under contention (r10 verdict item 2): the calibration
+# fields DETECT a contended run; the bench now also REACTS. Before each
+# timed attempt it waits for the host to read quiet (up to
+# CALIB_PRE_PROBES probes, sleeping CALIB_WAIT_SEC between off-reference
+# readings), and if the attempt still lands contended (pre OR post
+# sample off-reference) it re-runs the whole timed section — up to
+# MAX_BENCH_ATTEMPTS total — so the driver-visible JSON is quiet-host by
+# construction whenever the host quiets down at all within the budget.
+# The record keeps the LAST attempt either way and carries
+# `bench_attempts`; a record with contended=true and bench_attempts=N
+# therefore documents N failed attempts, not a skipped protocol.
+MAX_BENCH_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+CALIB_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "20"))
+CALIB_PRE_PROBES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PRE_PROBES", "6")))
 
-def host_calibration(spark) -> float:
-    """Median seconds of a FIXED CPU-bound plan: xxhash64 over a
-    deterministic 20M-row range, hash-shuffled into 1024 groups — scan,
-    hash, exchange, agg, all JVM-side with zero I/O, so its runtime
-    tracks host CPU/scheduler availability and nothing else. Run after
-    the untimed warm-up (JIT settled), median of 3."""
+
+def host_calibration(spark=None) -> float:
+    """Median seconds of a FIXED CPU-saturating, JIT-FREE probe: 32
+    GIL-releasing OpenBLAS matmuls (768² doubles × 6 each) on a
+    32-thread pool — precompiled BLAS kernels, so the runtime tracks
+    host CPU/scheduler availability and NOTHING else, run to run and
+    call to call (measured spread ±6% across repeated calls on a quiet
+    host).
+
+    r11: replaced the Spark xxhash plan probe. That plan's progressive
+    JIT made its runtime a function of how many times it had executed
+    in the session — 0.60 s cold → 0.28 s deep-warm on the SAME quiet
+    host — which broke it as an absolute reference the moment the
+    retry loop (below) started sampling it repeatedly: a quiet host
+    read as 'contended (fast side)' forever. The reference value was
+    re-recorded for the new probe (BASELINE.md § host-calibration
+    protocol); pre-r11 records' calibration fields are comparable only
+    to each other. ``spark`` is accepted and ignored (the probe needs
+    no session — `--calibrate` runs without one)."""
     import statistics
+    from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql import functions as F
+    import numpy as np
 
-    def plan():
-        return (
-            spark.range(0, 20_000_000, 1, 32)
-            .select((F.xxhash64("id") % 1024).alias("b"), F.xxhash64("id", "id").alias("h"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias("c"), F.avg("h").alias("m"))
-        )
+    a = np.random.RandomState(0).rand(768, 768)
 
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        plan().write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
+    def work(_):
+        for _ in range(6):
+            a @ a
+        return 0
+
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(work, range(32)))  # untimed: pool spin-up, page-in
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(ex.map(work, range(32)))
+            runs.append(time.perf_counter() - t0)
     return statistics.median(runs)
 
 # Amortized-ingest batch size. The default 64-file batch measures the
@@ -364,50 +399,96 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
                 "overwrite"
             ).save()
 
-    calib_pre = host_calibration(spark)
-
-    # Per query: one TIMED cold execution (codegen compilation,
-    # Python/Arrow worker spin-up, progressive JIT — measured 5-8x on a
-    # fresh JVM), then the MEDIAN of QUERY_BENCH_RUNS warm executions.
-    # Median, not min: this host's external CPU contention makes
-    # identical runs vary 3-5x, and min would cherry-pick the luckiest
-    # run. Both the warm headline and the cold total are reported so the
-    # baseline bound is demonstrably met either way.
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name, spec in sorted(bench_queries().items()):
-        c, w, runs = _time_plan(lambda: spec.builder(spark, sf_dir))
-        cold[name] = round(c, 3)
-        timings[name] = round(w, 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-
-    for name, (c, w, runs) in bench_index_probes(spark, sf_dir).items():
-        cold[name] = round(c, 3)
-        timings[name] = round(w, 3)
-        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
-
-    etl_cold, etl_warm, etl_mbps, etl_runs = bench_etl_ingest(spark)
-    timings["etl_ingest"] = round(etl_warm, 3)
-    cold["etl_ingest"] = round(etl_cold, 3)
-    spread["etl_ingest"] = [round(min(etl_runs), 3), round(max(etl_runs), 3)]
-
-    lg_sec, lg_mbps = bench_etl_ingest_large(spark)
-
-    # Second calibration sample AFTER the timed section: contention
-    # that starts mid-run is invisible to a single pre-run sample. The
-    # flag is TWO-SIDED — a faster-than-reference host also makes
-    # round-over-round deltas non-comparable (crediting code for host
-    # speed is the same failure as blaming it for contention).
-    calib_post = host_calibration(spark)
-    calib = max(calib_pre, calib_post)
-
     def _off(c: float) -> bool:
         return abs(c - HOST_CALIBRATION_REF_SEC) > (
             HOST_CALIBRATION_REF_SEC * CONTENDED_TOLERANCE
         )
 
-    contended = _off(calib_pre) or _off(calib_post)
+    def _wait_for_quiet() -> float:
+        """Pre-gate: probe calibration up to CALIB_PRE_PROBES times,
+        sleeping CALIB_WAIT_SEC between off-reference readings, so a
+        timed attempt isn't burned while the host is visibly busy.
+        Returns the last sample (the attempt's pre-run calibration)."""
+        sample = host_calibration(spark)
+        for _ in range(CALIB_PRE_PROBES - 1):
+            if not _off(sample):
+                break
+            print(
+                f"bench: host calibration {sample:.3f}s off reference "
+                f"{HOST_CALIBRATION_REF_SEC}s — waiting {CALIB_WAIT_SEC:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(CALIB_WAIT_SEC)
+            sample = host_calibration(spark)
+        return sample
+
+    def _timed_section() -> dict:
+        # Per query: one TIMED cold execution (codegen compilation,
+        # Python/Arrow worker spin-up, progressive JIT — measured 5-8x
+        # on a fresh JVM), then the MEDIAN of QUERY_BENCH_RUNS warm
+        # executions. Median, not min: external CPU contention makes
+        # identical runs vary 3-5x, and min would cherry-pick the
+        # luckiest run. Both the warm headline and the cold total are
+        # reported so the baseline bound is demonstrably met either way.
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        spread: dict[str, list[float]] = {}
+        for name, spec in sorted(bench_queries().items()):
+            c, w, runs = _time_plan(lambda: spec.builder(spark, sf_dir))
+            cold[name] = round(c, 3)
+            timings[name] = round(w, 3)
+            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
+        for name, (c, w, runs) in bench_index_probes(spark, sf_dir).items():
+            cold[name] = round(c, 3)
+            timings[name] = round(w, 3)
+            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
+        etl_cold, etl_warm, etl_mbps, etl_runs = bench_etl_ingest(spark)
+        timings["etl_ingest"] = round(etl_warm, 3)
+        cold["etl_ingest"] = round(etl_cold, 3)
+        spread["etl_ingest"] = [round(min(etl_runs), 3), round(max(etl_runs), 3)]
+
+        lg_sec, lg_mbps = bench_etl_ingest_large(spark)
+        return {
+            "timings": timings,
+            "cold": cold,
+            "spread": spread,
+            "etl_cold": etl_cold,
+            "etl_mbps": etl_mbps,
+            "lg_sec": lg_sec,
+            "lg_mbps": lg_mbps,
+        }
+
+    # Attempt loop: re-run the WHOLE timed section while it lands
+    # contended (either calibration sample off-reference), bounded by
+    # MAX_BENCH_ATTEMPTS. The post-run sample stays essential —
+    # contention that starts mid-run is invisible to the pre-gate — and
+    # the flag stays TWO-SIDED: a faster-than-reference host also makes
+    # round-over-round deltas non-comparable (crediting code for host
+    # speed is the same failure as blaming it for contention).
+    attempt_calibs: list[list[float]] = []
+    for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
+        calib_pre = _wait_for_quiet()
+        section = _timed_section()
+        calib_post = host_calibration(spark)
+        attempt_calibs.append([round(calib_pre, 3), round(calib_post, 3)])
+        contended = _off(calib_pre) or _off(calib_post)
+        if not contended:
+            break
+        print(
+            f"bench: attempt {attempt}/{MAX_BENCH_ATTEMPTS} contended "
+            f"(calibration pre={calib_pre:.3f}s post={calib_post:.3f}s vs "
+            f"ref {HOST_CALIBRATION_REF_SEC}s) — "
+            + ("retrying" if attempt < MAX_BENCH_ATTEMPTS else "recording as contended"),
+            file=sys.stderr,
+        )
+    timings = section["timings"]
+    cold = section["cold"]
+    spread = section["spread"]
+    etl_cold, etl_mbps = section["etl_cold"], section["etl_mbps"]
+    lg_sec, lg_mbps = section["lg_sec"], section["lg_mbps"]
+    calib = max(calib_pre, calib_post)
 
     spark.stop()
 
@@ -428,13 +509,16 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         "lfl_prev_round": prev_round,
         "host_calibration_sec": round(calib, 3),  # max of pre/post samples
         "contended": contended,
+        "bench_attempts": attempt,  # >1 documents contended retries
         "sf": sf,
     }
     assert tuple(compact) == COMPACT_KEYS, "compact stdout record drifted from COMPACT_KEYS"
     detail = {
         "queries_cold": cold,
         "query_spread_sec": spread,
-        "host_calibration_pre_post": [round(calib_pre, 3), round(calib_post, 3)],
+        # one [pre, post] pair per attempt; the record keeps the last
+        "host_calibration_pre_post": attempt_calibs[-1],
+        "attempt_calibrations": attempt_calibs,
         # moved off stdout in r10 to keep the compact line inside the
         # driver's tail window as the bench set grows; the MB/s
         # throughputs (the baseline-comparable numbers) stay on stdout
@@ -449,15 +533,10 @@ if __name__ == "__main__":
         # measure this host against the committed reference — use to
         # decide whether a bench run is comparable, or to re-record
         # HOST_CALIBRATION_REF_SEC after a hardware change (take the
-        # minimum over several QUIET runs)
-        spark = get_spark(
-            "reactionetl-etl-spark-calibrate",
-            **{"spark.ui.showConsoleProgress": "false"},
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        samples = [round(host_calibration(spark), 3) for _ in range(3)]
-        spark.stop()
+        # minimum over several QUIET runs). Sessionless since r11: the
+        # probe is pure numpy/BLAS, so this answers in seconds, not a
+        # JVM bring-up.
+        samples = [round(host_calibration(), 3) for _ in range(3)]
         print(json.dumps({
             "samples": samples,
             "reference": HOST_CALIBRATION_REF_SEC,
@@ -472,4 +551,8 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     compact, detail = run_bench(sf_dir)
     print("bench detail:", json.dumps(detail), file=sys.stderr)
-    print(json.dumps(compact))
+    # compact separators: the default ", "/": " spacing costs ~80 chars
+    # at the current bench-set size, and the driver keeps only the last
+    # ~2000 chars of stdout (tests/test_bench_contract.py pins the
+    # budget)
+    print(json.dumps(compact, separators=(",", ":")))

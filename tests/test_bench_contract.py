@@ -29,7 +29,10 @@ def _worst_case_compact_line() -> str:
 
     names = sorted(bench_queries()) + ["etl_ingest", "probe_lsh_index", "probe_ivf_index"]
     queries = {n: 999.999 for n in names}
+    # compact separators, as bench.py's stdout print uses
     return json.dumps(
+        separators=(",", ":"),
+        obj=
         {
             "metric": "headline_queries_total_sec",
             "value": 99999.999,
@@ -43,6 +46,7 @@ def _worst_case_compact_line() -> str:
             "lfl_prev_round": 99,
             "host_calibration_sec": 999.999,
             "contended": True,
+            "bench_attempts": 99,
             "sf": 0.1,
         }
     )
@@ -103,4 +107,24 @@ def test_bench_runs_clamped_positive(monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_BENCH_QUERY_RUNS")
         monkeypatch.delenv("SPARK_GRAFT_BENCH_ETL_RUNS")
+        importlib.reload(bench)
+
+
+def test_bench_attempts_clamped_positive(monkeypatch):
+    """SPARK_GRAFT_BENCH_ATTEMPTS=0 must still run the timed section
+    once (the attempt loop's range would otherwise be empty and the
+    record would reference an unbound section)."""
+    import importlib
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ATTEMPTS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PRE_PROBES", "0")
+    import bench
+
+    importlib.reload(bench)
+    try:
+        assert bench.MAX_BENCH_ATTEMPTS >= 1
+        assert bench.CALIB_PRE_PROBES >= 1
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_ATTEMPTS")
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_PRE_PROBES")
         importlib.reload(bench)
