@@ -84,6 +84,85 @@ EXTRA_QUERIES = (
 )
 
 
+def graph_decade_curve(spark, runs: int) -> dict[str, dict[str, float]]:
+    """One more decade for the graph family (r10 verdict item 5): the
+    sf0.1 co-purchase edge set (largest local fixture) weak-scaled 10×
+    — ten structure-preserving disjoint copies with INTERLEAVED node
+    ids (id' = id·10 + copy), an sf1-equivalent edge count, i.e. the
+    1000× point on the sf0.001-anchored curve.
+
+    Interleaving (not offset blocks) makes the k smallest node ids
+    land in k different copies, so betweenness's 4 deterministic
+    sources span 4 copies instead of crowding copy 0. BFS reachability
+    still lives in one copy by construction — but its per-level
+    frontier⋈edges join scans the full 10× edge table each level,
+    which is exactly the data term the SCALING.md rows claim dominates
+    (frontier/visited stay node-sized either way). Round/level counts
+    are construction-invariant (each copy has the sf0.1 graph's
+    diameter and community structure), so the decade isolates the
+    per-round DATA term: a reading far above ~10× would mean per-round
+    cost grows faster than edges — the super-linear surprise this
+    measurement exists to rule out."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.community import label_propagation
+    from reactionetl_etl_spark.operators.graph import betweenness_ksource, bfs_hops
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    lp = (
+        load_table(spark, SF_DIRS["0.1"], "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    def copies(n: int):
+        return (
+            co.crossJoin(spark.range(n).select(F.col("id").alias("k")))
+            .select(
+                (F.col("pa") * n + F.col("k")).alias("pa"),
+                (F.col("pb") * n + F.col("k")).alias("pb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    co10, co100 = copies(10), copies(100)
+    ops = {
+        "copurchase_label_propagation": lambda e: label_propagation(
+            e, src="pa", dst="pb", rounds=4
+        ),
+        "copurchase_betweenness": lambda e: betweenness_ksource(
+            e, src="pa", dst="pb", n_sources=4
+        ),
+        "copurchase_bfs_hops": lambda e: bfs_hops(e, src="pa", dst="pb", max_hops=3),
+    }
+    out: dict[str, dict[str, float]] = {}
+    for name, op in ops.items():
+        row: dict[str, float] = {"edges_1x": co.count(), "edges_100x": co100.count()}
+        for label, edges in (("1x", co), ("10x", co10), ("100x", co100)):
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                op(edges).write.format("noop").mode("overwrite").save()
+                times.append(time.monotonic() - t0)
+            row[label] = round(statistics.median(times[1:] or times), 3)
+        row["ratio_10x"] = round(row["10x"] / row["1x"], 2) if row["1x"] else float("inf")
+        row["ratio_100x"] = round(row["100x"] / row["1x"], 2) if row["1x"] else float("inf")
+        out[name] = row
+    return out
+
+
 def mnn_lsh_curve(spark, runs: int) -> dict[str, float]:
     """Warm medians for the MNN LSH path (the 100 TB route) — the
     catalog's `mutual_nearest_pairs` query exercises the size-guarded
@@ -117,6 +196,17 @@ def main() -> int:
     mnn_lsh = (
         mnn_lsh_curve(spark, runs) if (not only or "mnn_lsh" in only) else None
     )
+    if "graph_decade" in only:
+        dec = graph_decade_curve(spark, runs)
+        print("| op (sf0.1 co-purchase edges) | 1x sec | 10x sec | 100x sec | 10x/1x | 100x/1x |")
+        print("|---|---|---|---|---|---|")
+        for name, row in sorted(dec.items()):
+            print(
+                f"| {name} | {row['1x']} | {row['10x']} | {row['100x']} |"
+                f" {row['ratio_10x']}x | {row['ratio_100x']}x |"
+            )
+        print(json.dumps({"metric": "graph_decade", "runs": runs, "ops": dec}))
+        return 0
     out: dict[str, dict[str, float]] = {}
     cold: dict[str, dict[str, float]] = {}
     for name, spec in sorted(benched.items()):
