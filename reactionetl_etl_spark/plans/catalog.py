@@ -83,6 +83,9 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "bpe_fertility_by_lang",
+    "corpus_funnel_report",
+    "cross_lang_template_report",
+    "join_key_skew_profile",
     "pack_efficiency_report",
     "copurchase_label_propagation",
     "lang_id_confusion",
@@ -15458,4 +15461,282 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate6"),
         )
         .orderBy("lang")
+    )
+
+
+@_q(
+    "corpus_funnel_report",
+    """
+    WITH tok AS (
+        SELECT doc_id, n_chars,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), s1 AS (
+        SELECT doc_id, n_chars, toks, fp FROM tok
+    ), keepers AS (
+        SELECT fp, min(doc_id) AS keeper FROM s1 GROUP BY 1
+    ), s2 AS (
+        SELECT s1.* FROM s1 JOIN keepers ON s1.fp = keepers.fp AND s1.doc_id = keepers.keeper
+    ), band AS (
+        SELECT ceil(quantile_cont(n_chars, 0.05))  AS lo,
+               floor(quantile_cont(n_chars, 0.95)) AS hi
+        FROM s2
+    ), s3 AS (
+        SELECT s2.* FROM s2, band WHERE n_chars BETWEEN lo AND hi
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
+    ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+        SELECT DISTINCT g.doc_id FROM g
+        JOIN s3 ON s3.doc_id = g.doc_id
+        WHERE g.doc_id % 97 <> 0 AND gram IN (SELECT gram FROM ev)
+    ), s4 AS (
+        SELECT s3.* FROM s3
+        WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    ), stages AS (
+        SELECT 1 AS stage_no, 'raw' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM s1
+        UNION ALL
+        SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(len(toks)) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'length_band', CAST(count(*) AS BIGINT), CAST(sum(len(toks)) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT), CAST(sum(len(toks)) AS BIGINT) FROM s4
+    )
+    SELECT stage_no, stage, n_docs, n_tokens,
+           CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_no) - n_docs, 0) AS BIGINT)
+               AS dropped_docs,
+           floor(n_docs / (CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_no), n_docs) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS retention6
+    FROM stages ORDER BY stage_no
+    """,
+    tags=("text", "pipeline", "quality", "llm"),
+    bench=True,
+)
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage retention funnel for the curation pipeline — the
+    one-page answer to "where did my tokens go": raw → exact dedup
+    (full-text md5 fingerprint, min-id keeper) → length band (5th–95th
+    percentile of n_chars over the dedup survivors) → benchmark
+    decontamination (eval slice removed + any 4-gram overlap with it,
+    the `decontaminated_corpus` machinery over stage-3 survivors).
+    Each row carries surviving doc/token counts, docs dropped by that
+    stage, and the 6-dp stage retention rate. Complements
+    `training_corpus_build` (the rows-only full pipeline): this is the
+    SQL-mirrorable audit of the funnel shape itself.
+
+    100 TB posture: every stage is the already-proven shape — digest
+    groupBy, one percentile over the dedup survivors' n_chars (exact
+    interpolated percentile on a column, not a sort of the corpus),
+    and a broadcast anti-join against the benchmark-sized flagged set;
+    the report itself is 4 rows."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    s1 = docs.select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.split(norm, " ").alias("toks"),
+        F.md5(norm).alias("fp"),
+    ).localCheckpoint(eager=True)  # 3 stage scans + the gram pass reuse it
+    keepers = s1.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    s2 = s1.join(
+        keepers,
+        (s1["fp"] == keepers["fp"]) & (s1["doc_id"] == keepers["keeper"]),
+    ).select(s1["doc_id"], s1["n_chars"], s1["text"], s1["toks"])
+    band = s2.agg(
+        F.ceil(F.expr("percentile(n_chars, 0.05)")).alias("lo"),
+        F.floor(F.expr("percentile(n_chars, 0.95)")).alias("hi"),
+    )
+    s3 = s2.crossJoin(F.broadcast(band)).filter(
+        F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    ).select("doc_id", "n_chars", "text", "toks")
+    s3 = s3.localCheckpoint(eager=True)  # contamination + count reuse
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = (
+        TX.ngram_contamination(
+            s3.filter(F.col("doc_id") % 97 != 0), ev, "text", "doc_id", k=4
+        )
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.filter(F.col("doc_id") % 97 != 0).join(flagged, "doc_id", "left_anti")
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+        )
+
+    stages = (
+        stage(1, "raw", s1)
+        .unionByName(stage(2, "exact_dedup", s2))
+        .unionByName(stage(3, "length_band", s3))
+        .unionByName(stage(4, "decontaminated", s4))
+    )
+    w = W.orderBy("stage_no")
+    prev = F.lag("n_docs").over(w)
+    return stages.select(
+        "stage_no",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(prev - F.col("n_docs"), F.lit(0)).cast("bigint").alias("dropped_docs"),
+        (
+            F.floor(
+                F.col("n_docs") / F.coalesce(prev, F.col("n_docs")).cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("retention6"),
+    ).orderBy("stage_no")
+
+
+@_q(
+    "cross_lang_template_report",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[1:16],
+                   ' ')) AS fp
+        FROM documents
+    )
+    SELECT fp,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           min(doc_id) AS keeper_id
+    FROM t GROUP BY fp
+    HAVING count(DISTINCT lang) > 1
+    ORDER BY fp
+    """,
+    tags=("text", "dedup", "multilingual", "llm"),
+)
+def cross_lang_template_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language template/boilerplate detector: documents whose
+    normalized 16-token PREFIX is byte-identical across ≥2 language
+    tags — the translated-boilerplate and template-leak signal a
+    multilingual curation pipeline checks before computing language
+    mixture weights (shared templates inflate every language's
+    apparent unique content; full-text fingerprints miss them because
+    the tails diverge). Per shared prefix: language count, document
+    count, the sorted language list, and the min-id keeper.
+
+    Only 32-char digests shuffle (the `dedup_fingerprint_md5`
+    discipline); the group-by is fingerprint-keyed with map-side
+    partial aggregation and the output is bounded by the number of
+    SHARED templates, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(norm, " "), 1, 16)))
+    return (
+        docs.select("doc_id", "lang", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .orderBy("fp")
+    )
+
+
+@_q(
+    "join_key_skew_profile",
+    """
+    WITH lc AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+    ), ec AS (
+        SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+    ), both_keys AS (
+        SELECT 'lineitem.l_partkey' AS join_key, k, c FROM lc
+        UNION ALL
+        SELECT 'events.user_id', k, c FROM ec
+    ), ranked AS (
+        SELECT join_key, c,
+               row_number() OVER (PARTITION BY join_key ORDER BY c DESC, k ASC) AS rn
+        FROM both_keys
+    )
+    SELECT join_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_rows_per_key,
+           floor(quantile_cont(c, 0.5) * 1000000 + 0.5) / 1000000 AS p50_6,
+           floor(quantile_cont(c, 0.99) * 1000000 + 0.5) / 1000000 AS p99_6,
+           floor(max(c) / (sum(c) * 1.0 / count(*)) * 1000000 + 0.5) / 1000000
+               AS skew_ratio6,
+           floor(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) / (sum(c) * 1.0)
+                 * 1000000 + 0.5) / 1000000 AS top10_share6
+    FROM ranked GROUP BY join_key ORDER BY join_key
+    """,
+    tags=("diagnostics", "skew", "join", "scale"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the measurement the engine's own skew
+    mitigations (AQE skew split, salting — SCALING.md § skew) are
+    chosen FROM: per candidate join key, the key count, row count,
+    heaviest key, exact p50/p99 rows-per-key, max/mean skew ratio, and
+    the share of rows held by the 10 heaviest keys. A skew_ratio near
+    1 says hash partitions balance; a large top10_share says the
+    heavy-hitter keys need a broadcast, salt, or AQE split before the
+    join is attempted at scale.
+
+    Shape: per-key counts are one map-side-combined groupBy per table;
+    everything after runs over the KEY-sized count table (dimension-
+    bounded), including the top-10 rank window (partitioned per
+    join_key, WindowGroupLimit-friendly). Profiled here: the fact-side
+    part key and the events user key — the two hot join axes in this
+    schema."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_partkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    evc = load_events(spark, sf_dir).groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    both = li.select(F.lit("lineitem.l_partkey").alias("join_key"), "k", "c").unionByName(
+        evc.select(F.lit("events.user_id").alias("join_key"), "k", "c")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("join_key").orderBy(F.col("c").desc(), F.col("k").asc())
+    )
+    ranked = both.withColumn("rn", rn)
+    mean = F.sum("c") * 1.0 / F.count(F.lit(1))
+    return (
+        ranked.groupBy("join_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_rows_per_key"),
+            (F.floor(F.expr("percentile(c, 0.5)") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("p50_6"),
+            (F.floor(F.expr("percentile(c, 0.99)") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("p99_6"),
+            (F.floor(F.max("c") / mean * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("skew_ratio6"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
+                    / (F.sum("c") * 1.0)
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("top10_share6"),
+        )
+        .orderBy("join_key")
     )

@@ -10,7 +10,14 @@ deliberately hostile vanilla session: plain builder, local[8],
 non-UTC DST-free-but-weird timezone, default shuffle partitions.
 
 Usage: TZ=Pacific/Kiritimati python tools/driver_shape_check.py q1 q2 ...
-       (defaults to every query tagged in _DEFAULT below)
+       (with no names: the top SWEEP_N=50 queries of the committed
+       ledger ordering, `plans/catalog._PRIORITY` — the same
+       new-first/churned-first/oldest-stale-first rotation the
+       driver's value-hash window samples from. Regenerating the
+       ledger each round (tools/verify_ledger.py --priority) therefore
+       rotates BOTH windows through the catalog together — full-
+       catalog session-shape coverage in ~5 rounds at 50/round
+       (r10 verdict item 4; previously a hand-picked 28-query list).)
 """
 
 from __future__ import annotations
@@ -24,46 +31,16 @@ import duckdb
 
 from pyspark.sql import SparkSession
 
-from reactionetl_etl_spark.plans.catalog import all_queries
+from reactionetl_etl_spark.plans.catalog import _PRIORITY, all_queries
 from reactionetl_etl_spark.sources.tables import TABLE_NAMES
 from tools.oracle_check import dtype_mismatches, normalize_rows
 
-_DEFAULT = [
-    "trigram_perplexity_scores",
-    "part_triangle_clustering",
-    "knn_label_predict",
-    "supplier_pareto_frontier",
-    "lineitem_correlation_matrix",
-    "rm3_expanded_search",
-    "jaccard_prefix_join_pairs",
-    "nation_revenue_trend",
-    "events_cusum_alarms",
-    "orders_benford_deviation",
-    "incremental_join_materialize",
-    "personalized_pagerank_parts",
-    "part_neighbor_jaccard",
-    "copurchase_assortativity",
-    "events_trimmed_mean_udaf",
-    "asof_cogroup_pandas",
-    "tfidf_cosine_pairs",
-    "doc_compression_by_source",
-    "customer_spend_balance_spearman",
-    "event_trigram_paths",
-    # r10 families (all passed the hostile-session check in-round)
-    "copurchase_label_propagation",
-    "monthly_revenue_holt",
-    "nation_revenue_gini",
-    "search_mrr_eval",
-    "matryoshka_truncation_profile",
-    "lang_unigram_entropy",
-    "lang_id_confusion",
-    "weekly_ltv_cohorts",
-]
+SWEEP_N = int(os.environ.get("SPARK_GRAFT_SHAPE_SWEEP_N", "50"))
 
 
 def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-    names = sys.argv[1:] or _DEFAULT
+    names = sys.argv[1:] or list(_PRIORITY[:SWEEP_N])
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
