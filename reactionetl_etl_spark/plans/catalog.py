@@ -87,6 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "cross_lang_template_report",
     "join_key_skew_profile",
     "pack_efficiency_report",
+    "split_embedding_drift",
+    "split_lang_balance_chi2",
     "copurchase_label_propagation",
     "lang_id_confusion",
     "lang_unigram_entropy",
@@ -15739,4 +15741,193 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_share6"),
         )
         .orderBy("join_key")
+    )
+
+
+@_q(
+    "split_lang_balance_chi2",
+    """
+    WITH sp AS (
+        SELECT lang,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT lang,
+                 CAST(('0x' || substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS b
+          FROM documents
+        )
+    ), obs AS (
+        SELECT lang, split, count(*) AS o FROM sp GROUP BY 1, 2
+    ), rl AS (SELECT lang, count(*) AS r FROM sp GROUP BY 1),
+    cs AS (SELECT split, count(*) AS c FROM sp GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM sp),
+    grid AS (
+        SELECT rl.lang, cs.split, rl.r, cs.c, n.n, coalesce(obs.o, 0) AS o
+        FROM rl CROSS JOIN cs CROSS JOIN n
+        LEFT JOIN obs ON obs.lang = rl.lang AND obs.split = cs.split
+    ), cells AS (
+        SELECT CAST(floor(
+                   (o * n - r * c) * (o * n - r * c) * 1000000.0 / (n * r * c)
+                   + 0.5) AS BIGINT) AS chi2_scaled
+        FROM grid
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rl) AS n_langs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cs) AS n_splits,
+           CAST(((SELECT count(*) FROM rl) - 1) * ((SELECT count(*) FROM cs) - 1) AS BIGINT)
+               AS dof,
+           CAST(sum(chi2_scaled) AS BIGINT) AS chi2_micro
+    FROM cells
+    """,
+    tags=("sampling", "quality", "stats", "llm"),
+)
+def split_lang_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit for the hash splitter: Pearson chi² of
+    language × split over the SAME deterministic md5 assignment
+    `train_val_test_split` ships (90/5/5) — the check that the split
+    preserved the language mixture (a skewed val slice silently
+    mis-ranks multilingual checkpoints). Same exactness discipline as
+    `lang_source_chi2`: each cell's (o·n − r·c)²·10⁶/(n·r·c) is
+    floor-rounded to integer micro-units BEFORE the sum, so the
+    statistic is an exact BIGINT both engines agree on. Contingency
+    table is langs × 3 — dimension-bounded; one corpus scan."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000
+    sp = docs.select(
+        "lang",
+        F.when(b < 9000, "train").when(b < 9500, "val").otherwise("test").alias("split"),
+    )
+    obs = sp.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("o"))
+    rl = sp.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    cs = sp.groupBy("split").agg(F.count(F.lit(1)).alias("c"))
+    n = sp.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rl.crossJoin(F.broadcast(cs))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "split"], "left")
+        .select("r", "c", "n", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    cell = F.floor(
+        (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        * 1_000_000.0
+        / (F.col("n") * F.col("r") * F.col("c"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    n_langs = rl.agg(F.count(F.lit(1)).alias("nl"))
+    n_splits = cs.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        grid.agg(F.sum(cell).cast("bigint").alias("chi2_micro"))
+        .crossJoin(F.broadcast(n_langs))
+        .crossJoin(F.broadcast(n_splits))
+        .select(
+            F.col("nl").cast("bigint").alias("n_langs"),
+            F.col("ns").cast("bigint").alias("n_splits"),
+            ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("bigint").alias("dof"),
+            "chi2_micro",
+        )
+    )
+
+
+@_q(
+    "split_embedding_drift",
+    """
+    WITH sp AS (
+        SELECT CASE WHEN b < 9000 THEN 'train' ELSE 'heldout' END AS split, embedding
+        FROM (
+          SELECT CAST(('0x' || substring(md5('s42:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS b,
+                 embedding
+          FROM embeddings WHERE embedding IS NOT NULL
+        )
+    ), comp AS (
+        -- generate_series index, not WITH ORDINALITY (unsupported in
+        -- the gate's DuckDB) — the decontaminated_corpus gram pattern
+        SELECT split, i,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        FROM (
+            SELECT split, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM sp
+        )
+        GROUP BY 1, 2
+    ), counts AS (
+        SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT) AS ch
+        FROM sp
+    ), dims AS (
+        SELECT i,
+               max(CASE WHEN split = 'train' THEN s END) AS st,
+               max(CASE WHEN split = 'heldout' THEN s END) AS sh
+        FROM comp GROUP BY 1
+    ), moments AS (
+        SELECT CAST(sum(CAST(st AS HUGEINT) * sh) AS DOUBLE) AS dot,
+               CAST(sum(CAST(st AS HUGEINT) * st) AS DOUBLE) AS nt,
+               CAST(sum(CAST(sh AS HUGEINT) * sh) AS DOUBLE) AS nh
+        FROM dims
+    )
+    SELECT ct AS n_train, ch AS n_heldout,
+           floor(dot / (sqrt(nt) * sqrt(nh)) * 1000000 + 0.5) / 1000000
+               AS centroid_cosine6,
+           floor(sqrt(nt) / ct + 0.5) / 1000000 AS train_norm6,
+           floor(sqrt(nh) / ch + 0.5) / 1000000 AS heldout_norm6
+    FROM moments, counts
+    """,
+    tags=("embedding", "sampling", "quality", "llm"),
+)
+def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between hash splits: the cosine between
+    the train and held-out split CENTROIDS (and each centroid's norm)
+    under the same deterministic md5 split the corpus ships — near-1
+    cosine says the splitter didn't shear the embedding distribution;
+    a drifted centroid flags leakage-prone or skewed sampling before
+    any model sees the data.
+
+    Exactness discipline: components quantize to integer micro-units
+    per row, per-dimension sums are exact BIGINTs, and the dot/norm
+    moments accumulate those sums in DECIMAL/HUGEINT — every float op
+    after that point runs on identical exact integers through mirrored
+    expressions, so the 6-dp outputs are deterministic by construction
+    (the `linalg.gram_partials` fixed-point lesson, in pure SQL). NULL
+    embeddings are excluded per the engine convention. Shape: one
+    posexplode scan -> (split, dim)-keyed integer sums (dims×2 rows),
+    then O(dims) arithmetic — nothing row-scale leaves the scan."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    b = F.conv(F.substring(F.md5(F.concat(F.lit("s42:"), F.col("vec_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000
+    sp = emb.select(
+        F.when(b < 9000, "train").otherwise("heldout").alias("split"), "embedding"
+    )
+    comp = (
+        sp.select("split", F.posexplode("embedding").alias("i0", "x"))
+        .select(
+            "split",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast("bigint").alias("m"),
+        )
+        .groupBy("split", "i")
+        .agg(F.sum("m").cast("bigint").alias("s"))
+    )
+    counts = sp.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0)).cast("bigint").alias("ch"),
+    )
+    dims = comp.groupBy("i").agg(
+        F.max(F.when(F.col("split") == "train", F.col("s"))).alias("st"),
+        F.max(F.when(F.col("split") == "heldout", F.col("s"))).alias("sh"),
+    )
+    moments = dims.agg(
+        F.sum(F.col("st").cast("decimal(38,0)") * F.col("sh")).cast("double").alias("dot"),
+        F.sum(F.col("st").cast("decimal(38,0)") * F.col("st")).cast("double").alias("nt"),
+        F.sum(F.col("sh").cast("decimal(38,0)") * F.col("sh")).cast("double").alias("nh"),
+    )
+    return moments.crossJoin(F.broadcast(counts)).select(
+        F.col("ct").alias("n_train"),
+        F.col("ch").alias("n_heldout"),
+        (
+            F.floor(F.col("dot") / (F.sqrt("nt") * F.sqrt("nh")) * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("centroid_cosine6"),
+        (F.floor(F.sqrt("nt") / F.col("ct") + F.lit(0.5)) / 1_000_000).alias("train_norm6"),
+        (F.floor(F.sqrt("nh") / F.col("ch") + F.lit(0.5)) / 1_000_000).alias("heldout_norm6"),
     )
