@@ -89,56 +89,13 @@ _PRIORITY: tuple[str, ...] = (
     "pack_efficiency_report",
     "split_embedding_drift",
     "split_lang_balance_chi2",
-    "copurchase_label_propagation",
-    "lang_id_confusion",
-    "lang_unigram_entropy",
-    "matryoshka_truncation_profile",
-    "monthly_revenue_holt",
-    "nation_revenue_gini",
-    "search_mrr_eval",
-    "weekly_ltv_cohorts",
-    "regex_token_totals",
-    "revenue_by_nation_sql",
-    "contamination_check_shuffle",
-    "cosine_topk_batch_exact",
-    "dense_sequence_customer",
-    "doc_chunking_overlap",
-    "duplicate_clusters",
-    "ngram_containment_pairs",
-    "canonical_doc_per_cluster",
-    "corpus_drift_kl",
-    "cross_doc_dup_rate",
-    "cut_duplicated_spans",
-    "decontaminated_corpus",
-    "embedding_quantize_error",
-    "events_linear_interpolation",
-    "hard_negatives_topk",
-    "hybrid_search_rrf",
-    "incremental_quantile_rollup",
-    "orders_scd2_temporal_join",
-    "part_copurchase_pagerank",
-    "repeated_span_extents",
-    "scd2_customer_history",
-    "session_overlap_pairs",
-    "snapshot_change_feed",
-    "snapshot_cow_upsert",
-    "snapshot_pruned_scan",
-    "snapshot_time_travel",
-    "upsert_keyed_parity",
-    "bpe_learned_merges",
-    "customer_rank_kendall",
-    "embedding_outlier_mahalanobis",
-    "pca_doc_projection",
-    "pca_explained_variance",
-    "ann_recall_report",
-    "embedding_neardup_lsh",
-    "event_value_welch_ttest",
-    "events_cusum_alarms",
-    "knn_label_predict",
-    "multimodal_corpus_build",
-    "trigram_perplexity_scores",
-    "conformal_event_value",
-    "embedding_neardup_pairs",
+    "pq_cosine_topk_batch",
+    "ivf_cosine_topk",
+    "ivf_cosine_topk_batch",
+    "lsh_cosine_topk",
+    "lsh_cosine_topk_batch",
+    "semdedup_prune",
+    "cosine_topk_bruteforce",
     "event_value_bootstrap_ci",
     "event_value_cuped",
     "event_value_mde",
@@ -147,6 +104,18 @@ _PRIORITY: tuple[str, ...] = (
     "events_ewma_features",
     "mutual_nearest_pairs",
     "webdataset_roundtrip",
+    "ann_recall_report",
+    "cosine_topk_batch_exact",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "embedding_outlier_mahalanobis",
+    "hard_negatives_topk",
+    "hybrid_search_rrf",
+    "knn_label_predict",
+    "matryoshka_truncation_profile",
+    "pca_doc_projection",
+    "pca_explained_variance",
+    "weekly_ltv_cohorts",
     "customer_balance_extremes",
     "part_measures_unpivot",
     "customer_order_distribution",
@@ -266,7 +235,6 @@ _PRIORITY: tuple[str, ...] = (
     "html_text_extraction",
     "incremental_agg_rollup",
     "loo_target_encoding",
-    "pq_cosine_topk_batch",
     "quality_classifier_eval",
     "quality_classifier_scores",
     "recursive_month_spine",
@@ -300,13 +268,9 @@ _PRIORITY: tuple[str, ...] = (
     "image_neardup_phash",
     "incremental_join_materialize",
     "incremental_neardup_probe",
-    "ivf_cosine_topk",
-    "ivf_cosine_topk_batch",
     "jaccard_prefix_join_pairs",
     "lang_source_chi2",
     "lineitem_correlation_matrix",
-    "lsh_cosine_topk",
-    "lsh_cosine_topk_batch",
     "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
     "multimodal_feature_extract",
@@ -319,7 +283,6 @@ _PRIORITY: tuple[str, ...] = (
     "purchase_hits_scores",
     "quality_auc_mannwhitney",
     "rm3_expanded_search",
-    "semdedup_prune",
     "simhash_neardup_pairs",
     "supplier_pareto_frontier",
     "video_frame_sample",
@@ -331,7 +294,6 @@ _PRIORITY: tuple[str, ...] = (
     "click_purchase_interval_join",
     "contamination_check_4gram",
     "copurchase_betweenness",
-    "cosine_topk_bruteforce",
     "dedup_exact_documents",
     "dedup_fingerprint_md5",
     "disjunctive_brand_revenue",
@@ -365,6 +327,44 @@ _PRIORITY: tuple[str, ...] = (
     "text_stats_by_lang",
     "token_cms_estimates",
     "train_val_test_split",
+    "bpe_learned_merges",
+    "canonical_doc_per_cluster",
+    "conformal_event_value",
+    "contamination_check_shuffle",
+    "copurchase_label_propagation",
+    "corpus_drift_kl",
+    "cross_doc_dup_rate",
+    "customer_rank_kendall",
+    "cut_duplicated_spans",
+    "decontaminated_corpus",
+    "dense_sequence_customer",
+    "doc_chunking_overlap",
+    "duplicate_clusters",
+    "embedding_quantize_error",
+    "event_value_welch_ttest",
+    "events_cusum_alarms",
+    "events_linear_interpolation",
+    "incremental_quantile_rollup",
+    "lang_id_confusion",
+    "lang_unigram_entropy",
+    "monthly_revenue_holt",
+    "multimodal_corpus_build",
+    "nation_revenue_gini",
+    "ngram_containment_pairs",
+    "orders_scd2_temporal_join",
+    "part_copurchase_pagerank",
+    "regex_token_totals",
+    "repeated_span_extents",
+    "revenue_by_nation_sql",
+    "scd2_customer_history",
+    "search_mrr_eval",
+    "session_overlap_pairs",
+    "snapshot_change_feed",
+    "snapshot_cow_upsert",
+    "snapshot_pruned_scan",
+    "snapshot_time_travel",
+    "trigram_perplexity_scores",
+    "upsert_keyed_parity",
 )
 
 
