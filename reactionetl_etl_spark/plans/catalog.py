@@ -87,8 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     "cross_lang_template_report",
     "join_key_skew_profile",
     "pack_efficiency_report",
+    "referential_integrity_report",
     "split_embedding_drift",
     "split_lang_balance_chi2",
+    "split_length_psi",
     "pq_cosine_topk_batch",
     "ivf_cosine_topk",
     "ivf_cosine_topk_batch",
@@ -15931,3 +15933,241 @@ def split_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sqrt("nt") / F.col("ct") + F.lit(0.5)) / 1_000_000).alias("train_norm6"),
         (F.floor(F.sqrt("nh") / F.col("ch") + F.lit(0.5)) / 1_000_000).alias("heldout_norm6"),
     )
+
+
+@_q(
+    "split_length_psi",
+    """
+    WITH sp AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN CAST(('0x' || substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 10000 < 9000
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM documents
+    ), cnt AS (
+        SELECT n_chars AS v, count(*) AS c FROM sp WHERE split = 'train' GROUP BY 1
+    ), cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM cnt
+    ), nt AS (
+        SELECT count(*) AS n FROM sp WHERE split = 'train'
+    ), edges AS (
+        -- exact type-1 order statistics (integer edges): smallest train
+        -- value whose cumulative count reaches ceil(q*n/10) — no
+        -- interpolation, so no float edge can flip a bin cross-engine
+        SELECT q, min(v) AS edge
+        FROM cum, nt, (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS q)
+        WHERE cc >= ceil(q * n / 10.0)
+        GROUP BY q
+    ), binned AS (
+        SELECT s.doc_id, s.split,
+               CAST(1 + sum(CASE WHEN e.edge < s.n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        FROM sp s CROSS JOIN edges e
+        GROUP BY s.doc_id, s.split
+    ), cells AS (
+        SELECT b.bin,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+               CAST(sum(CASE WHEN split = 'heldout' THEN 1 ELSE 0 END) AS BIGINT) AS heldout_n
+        FROM binned b GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(train_n) AS BIGINT) AS nt, CAST(sum(heldout_n) AS BIGINT) AS nh,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM cells
+    )
+    SELECT bin, train_n, heldout_n,
+           floor(((train_n + 0.5) / (nt + 0.5 * nb) - (heldout_n + 0.5) / (nh + 0.5 * nb))
+                 * ln(((train_n + 0.5) / (nt + 0.5 * nb)) / ((heldout_n + 0.5) / (nh + 0.5 * nb)))
+                 * 1000000 + 0.5) / 1000000 AS psi_contrib6
+    FROM cells, tot ORDER BY bin
+    """,
+    tags=("sampling", "quality", "stats", "drift", "llm"),
+)
+def split_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of document length across the hash
+    split — the scalar-feature drift complement to
+    `split_embedding_drift`: train-decile bins (EXACT type-1 order
+    statistics, so bin edges are integers and no interpolated float
+    can flip a boundary document cross-engine), heldout counts binned
+    against them, per-bin PSI contribution (pt−ph)·ln(pt/ph) with
+    add-half smoothing so empty heldout bins stay finite. Total PSI =
+    sum of the 10 rows; > 0.2 is the classic retrain/investigate
+    threshold. Shape: one scan + a distinct-value prefix sum for the
+    edges (the conformal/QTE order-statistic machinery), then a
+    9-row broadcast cross join to bin — nothing row-scale shuffles
+    twice."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.concat(F.lit("s42:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 10000
+    sp = docs.select(
+        "doc_id", "n_chars", F.when(b < 9000, "train").otherwise("heldout").alias("split")
+    )
+    cnt = sp.filter(F.col("split") == "train").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = cnt.withColumn("cc", F.sum("c").over(W.orderBy("v")))
+    nt = sp.filter(F.col("split") == "train").agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    edges = (
+        cum.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cc") >= F.ceil(F.col("q") * F.col("n") / 10.0))
+        .groupBy("q")
+        .agg(F.min("v").alias("edge"))
+    )
+    binned = (
+        sp.crossJoin(F.broadcast(edges))
+        .groupBy("doc_id", "split")
+        .agg(
+            (1 + F.sum(F.when(F.col("edge") < F.col("n_chars"), 1).otherwise(0)))
+            .cast("bigint")
+            .alias("bin")
+        )
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("bigint").alias("train_n"),
+        F.sum(F.when(F.col("split") == "heldout", 1).otherwise(0)).cast("bigint").alias("heldout_n"),
+    )
+    tot = cells.agg(
+        F.sum("train_n").cast("bigint").alias("nt"),
+        F.sum("heldout_n").cast("bigint").alias("nh"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    pt = (F.col("train_n") + 0.5) / (F.col("nt") + 0.5 * F.col("nb"))
+    ph = (F.col("heldout_n") + 0.5) / (F.col("nh") + 0.5 * F.col("nb"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "train_n",
+            "heldout_n",
+            (F.floor((pt - ph) * F.log(pt / ph) * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "psi_contrib6"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@_q(
+    "referential_integrity_report",
+    """
+    WITH rels AS (
+        SELECT 'lineitem->orders' AS relationship,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS child_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                   AS orphan_child_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS parent_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+                   AS childless_parent_rows
+        UNION ALL
+        SELECT 'lineitem->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+               (SELECT count(*) FROM part),
+               (SELECT count(*) FROM part p
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        UNION ALL
+        SELECT 'lineitem->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+               (SELECT count(*) FROM supplier),
+               (SELECT count(*) FROM supplier s
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+               (SELECT count(*) FROM nation),
+               (SELECT count(*) FROM nation n
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey))
+        UNION ALL
+        SELECT 'nation->region',
+               (SELECT count(*) FROM nation),
+               (SELECT count(*) FROM nation n
+                WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+               (SELECT count(*) FROM region),
+               (SELECT count(*) FROM region r
+                WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey))
+    )
+    SELECT relationship, child_rows, orphan_child_rows, parent_rows, childless_parent_rows
+    FROM rels ORDER BY relationship
+    """,
+    tags=("diagnostics", "quality", "etl"),
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the warehouse schema — the
+    first data-quality gate an ingest pipeline runs after load (the
+    reference trusted PostgreSQL FKs implicitly; a lake has to CHECK):
+    per parent-child relationship, the child/parent row counts, orphan
+    children (FK with no parent), and childless parents. All six
+    relationships in one LAZY plan (no driver-side count actions at
+    build time): each side is a left join against the other side's
+    distinct key set folded into one aggregate — count(*) plus a
+    conditional sum of missing matches — and the six 1-row reports
+    union. Distinct key sets are key-column-only (dimension sides
+    broadcast; the fact-side distinct is keyed and map-side-combined).
+    Zero orphans everywhere is the expected (and asserted-by-oracle)
+    steady state on the shipped testdata."""
+
+    def report(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str) -> DataFrame:
+        ckeys = child.select(F.col(ck).alias("__k")).distinct()
+        pkeys = parent.select(F.col(pk).alias("__k")).distinct()
+        c = (
+            child.join(pkeys, child[ck] == pkeys["__k"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("orphan_child_rows"),
+            )
+        )
+        p = (
+            parent.join(ckeys, parent[pk] == ckeys["__k"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("parent_rows"),
+                F.sum(F.when(F.col("__k").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("childless_parent_rows"),
+            )
+        )
+        return c.crossJoin(F.broadcast(p)).select(
+            F.lit(name).alias("relationship"),
+            "child_rows",
+            "orphan_child_rows",
+            "parent_rows",
+            "childless_parent_rows",
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rels = [
+        ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ("nation->region", nation, "n_regionkey", region, "r_regionkey"),
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    rows = None
+    for args in rels:
+        row = report(*args)
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("relationship")
