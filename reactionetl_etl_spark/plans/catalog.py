@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_funnel_report",
     "cross_lang_template_report",
     "join_key_skew_profile",
+    "minhash_eval_report",
     "pack_efficiency_report",
     "referential_integrity_report",
     "split_embedding_drift",
@@ -16171,3 +16172,90 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = report(*args)
         rows = row if rows is None else rows.unionByName(row)
     return rows.orderBy("relationship")
+
+
+@_q(
+    "minhash_eval_report",
+    None,  # xxhash64 MinHash — deterministic output pinned
+    tags=("dedup", "lsh", "eval", "llm"),
+)
+def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality of the PRODUCTION MinHash-LSH
+    near-dup path (32 perms x 8 bands, 3-token shingles, bucket caps —
+    the `minhash_neardup_pairs` configuration), measured against EXACT
+    ground truth — the dedup analogue of `ann_recall_report`
+    ("measure, don't guess" applied to the recall dial every LSH
+    deployment turns). Ground truth: each document is re-expressed as
+    its 3-token shingles (underscore-joined, one derived token per
+    shingle — the same `sequence/slice` shingling expression the
+    MinHash signature hashes), and `dedup.jaccard_prefix_join` runs
+    its exact no-false-negative set-similarity join over those derived
+    token sets — i.e. EXACT shingle-set Jaccard, the very quantity
+    MinHash estimates. Per threshold tau in {0.7, 0.8, 0.9}:
+    true/predicted/hit pair counts with 4-dp precision/recall/F1.
+
+    On the shipped corpus the planted near-dup pairs are recovered
+    perfectly at 0.7/0.8 and the single 0.9 miss is estimator
+    variance (a true pair whose 32-perm estimate rounds below the
+    cut) — exactly the effect the report exists to make visible.
+    Caveat (documented, not hidden): the underscore re-encoding is
+    bijective only for tokens without underscores; an adversarial
+    token like "a_b" could alias two different shingles.
+
+    Both sides run ONCE at tau=0.7 and filter per threshold (PPJoin is
+    exact above its tau; estimates are multiples of 1/32).
+    Deterministic end to end — pinned at sf0.01 and sf0.1. Scale:
+    truth is the df-bounded prefix join over shingle tokens (rarer
+    than words, so prefixes are even more selective), prediction the
+    band equi-join; the eval adds one pair-keyed join per threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    shingle_text = F.expr(
+        "array_join(transform(sequence(1, greatest(size(split(trim("
+        "regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) - 2, 1)),"
+        " i -> concat_ws('_', slice(split(trim(regexp_replace(lower(text),"
+        " '\\\\s+', ' ')), ' '), i, 3))), ' ')"
+    )
+    sdocs = docs.select("doc_id", shingle_text.alias("text"))
+    truth = D.jaccard_prefix_join(
+        sdocs, tau=0.7, id_col="doc_id", text_col="text"
+    ).localCheckpoint(eager=True)
+    pred = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_perm=32, bands=8, k_shingle=3, min_jaccard=0.7
+    ).localCheckpoint(eager=True)
+    out = None
+    for tau in (0.7, 0.8, 0.9):
+        t = truth.filter(F.col("jaccard4") >= tau)
+        p = pred.filter(F.col("est_jaccard") >= tau)
+        hit = t.join(p, ["id_a", "id_b"])
+        row = (
+            t.agg(F.count(F.lit(1)).alias("n_true"))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_pred")))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+            .select(
+                F.lit(tau).alias("tau"),
+                "n_true",
+                "n_pred",
+                "n_hit",
+                F.when(
+                    F.col("n_pred") > 0,
+                    F.floor(F.col("n_hit") / F.col("n_pred") * 10_000 + F.lit(0.5)) / 10_000,
+                ).alias("precision4"),
+                F.when(
+                    F.col("n_true") > 0,
+                    F.floor(F.col("n_hit") / F.col("n_true") * 10_000 + F.lit(0.5)) / 10_000,
+                ).alias("recall4"),
+                F.when(
+                    (F.col("n_pred") > 0) & (F.col("n_true") > 0) & (F.col("n_hit") > 0),
+                    F.floor(
+                        2.0
+                        * F.col("n_hit")
+                        / (F.col("n_pred") + F.col("n_true"))
+                        * 10_000
+                        + F.lit(0.5)
+                    )
+                    / 10_000,
+                ).alias("f1_4"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau")
