@@ -81,6 +81,16 @@ EXTRA_QUERIES = (
     "lang_unigram_entropy",  # (lang, token) count + lang moments
     "lang_id_confusion",  # classes^2 cell agg + mirrored ratios
     "weekly_ltv_cohorts",  # user-keyed agg + weeks^2 grid windows
+    # r11 operator families, one row each (pack_efficiency_report and
+    # corpus_funnel_report are benched and measured by the main loop)
+    "bpe_fertility_by_lang",  # encode pass + vocab anti-join (cold = training)
+    "cross_lang_template_report",  # digest groupBy, template-bounded output
+    "join_key_skew_profile",  # per-key counts + key-sized rank window
+    "split_lang_balance_chi2",  # langs x 3 contingency, one scan
+    "split_embedding_drift",  # posexplode + (split, dim) integer sums
+    "split_length_psi",  # distinct-value prefix sum + 9-edge bin join
+    "referential_integrity_report",  # 6 keyed anti-join folds
+    "minhash_eval_report",  # PPJoin truth + banded candidates + pair joins
 )
 
 
