@@ -613,3 +613,57 @@ def test_label_propagation_keyed_joins_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "copurchase_label_propagation")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_report_prefix_sum_stays_distributed(spark, sf_dir):
+    """The report rides global_running_sum: the full data's cumsum
+    window partitions on the monotone bucket (__pid); the ONLY
+    SinglePartition exchange allowed is over the per-bucket TOTALS
+    aggregate (≤ n_buckets rows), never the raw doc stream."""
+    plan = plan_of(spark, sf_dir, "pack_efficiency_report")
+    assert "Exchange hashpartitioning(__pid" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_funnel_report_broadcasts_flagged_ids(spark, sf_dir):
+    """The decontamination stage's flagged-id set is benchmark-sized
+    and must broadcast into the anti-join; the whole funnel runs
+    JVM-side (no Python stage); stage totals are the only scalar
+    aggregates."""
+    plan = plan_of(spark, sf_dir, "corpus_funnel_report")
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_windows_stay_keyed(spark, sf_dir):
+    """Everything after the map-side per-key counts runs over the
+    KEY-sized table: the top-10 rank window partitions by join_key and
+    no SinglePartition exchange appears anywhere (the final sort is a
+    range partitioning)."""
+    plan = plan_of(spark, sf_dir, "join_key_skew_profile")
+    assert "windowspecdefinition(join_key" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_template_report_shuffles_digests_only(spark, sf_dir):
+    """Cross-language template grouping is fingerprint-keyed: every
+    exchange carries the 32-char md5 digest, never the document text
+    (the dedup_fingerprint_md5 discipline)."""
+    plan = plan_of(spark, sf_dir, "cross_lang_template_report")
+    assert "Exchange hashpartitioning(fp" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+
+def test_embedding_drift_sums_are_dim_keyed(spark, sf_dir):
+    """The drift moments accumulate per (split, dim) integer sums —
+    the exploded component stream shuffles on those keys with map-side
+    partial aggregation, and no Python stage exists anywhere."""
+    plan = plan_of(spark, sf_dir, "split_embedding_drift")
+    assert "Exchange hashpartitioning(split" in plan
+    assert "partial_sum" in plan
+    assert "PythonUDF" not in plan
