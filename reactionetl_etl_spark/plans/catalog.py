@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "cross_lang_template_report",
     "join_key_skew_profile",
     "minhash_eval_report",
+    "neardup_yield_curve",
     "pack_efficiency_report",
     "referential_integrity_report",
     "split_embedding_drift",
@@ -16255,6 +16256,133 @@ def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     / 10_000,
                 ).alias("f1_4"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau")
+
+
+@_q(
+    "neardup_yield_curve",
+    """
+    WITH RECURSIVE t0 AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), t AS (
+        SELECT * FROM t0 QUALIFY count(*) OVER (PARTITION BY pfx) <= 64
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               floor(CAST(len(list_filter(a.toks, tk -> list_contains(b.toks, tk))) AS DOUBLE)
+                     / (len(a.toks) + len(b.toks)
+                        - len(list_filter(a.toks, tk -> list_contains(b.toks, tk))))
+                     * 1e4 + 0.5) / 1e4 AS jacc
+        FROM t a JOIN t b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    ), sym5 AS (
+        SELECT id_a AS s, id_b AS d FROM pairs WHERE jacc >= 0.5
+        UNION SELECT id_b, id_a FROM pairs WHERE jacc >= 0.5
+    ), reach5 AS (
+        SELECT DISTINCT s AS node, s AS root FROM sym5
+        UNION
+        SELECT sym5.d, reach5.root FROM reach5 JOIN sym5 ON sym5.s = reach5.node
+    ), comp5 AS (
+        SELECT node, min(root) AS root FROM reach5 GROUP BY node
+    ), sym7 AS (
+        SELECT id_a AS s, id_b AS d FROM pairs WHERE jacc >= 0.95
+        UNION SELECT id_b, id_a FROM pairs WHERE jacc >= 0.95
+    ), reach7 AS (
+        SELECT DISTINCT s AS node, s AS root FROM sym7
+        UNION
+        SELECT sym7.d, reach7.root FROM reach7 JOIN sym7 ON sym7.s = reach7.node
+    ), comp7 AS (
+        SELECT node, min(root) AS root FROM reach7 GROUP BY node
+    ), sym9 AS (
+        SELECT id_a AS s, id_b AS d FROM pairs WHERE jacc >= 1.0
+        UNION SELECT id_b, id_a FROM pairs WHERE jacc >= 1.0
+    ), reach9 AS (
+        SELECT DISTINCT s AS node, s AS root FROM sym9
+        UNION
+        SELECT sym9.d, reach9.root FROM reach9 JOIN sym9 ON sym9.s = reach9.node
+    ), comp9 AS (
+        SELECT node, min(root) AS root FROM reach9 GROUP BY node
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), stats AS (
+        SELECT 0.5 AS tau,
+               CAST(count(*) AS BIGINT) AS n_dup_docs,
+               CAST(count(DISTINCT root) AS BIGINT) AS n_clusters FROM comp5
+        UNION ALL
+        SELECT 0.95, CAST(count(*) AS BIGINT), CAST(count(DISTINCT root) AS BIGINT) FROM comp7
+        UNION ALL
+        SELECT 1.0, CAST(count(*) AS BIGINT), CAST(count(DISTINCT root) AS BIGINT) FROM comp9
+    )
+    SELECT tau, n_docs, n_dup_docs, n_clusters,
+           CAST(n_dup_docs - n_clusters AS BIGINT) AS n_dropped,
+           CAST(n_docs - (n_dup_docs - n_clusters) AS BIGINT) AS n_retained,
+           floor((n_docs - (n_dup_docs - n_clusters)) / (n_docs * 1.0) * 1000000 + 0.5)
+               / 1000000 AS retention6
+    FROM stats, n ORDER BY tau
+    """,
+    tags=("dedup", "graph", "quality", "llm"),
+)
+def neardup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve — the corpus-size consequence of the near-dup
+    threshold, which is the number the curation owner actually decides
+    with ("how much data do I lose if I tighten to 0.7?"): at each
+    Jaccard threshold τ ∈ {0.5, 0.95, 1.0} (the band where this
+    corpus's planted near-dups actually differentiate — 0.5–0.9 are
+    indistinguishable here because templated rewrites sit above 0.9),
+    near-dup pairs collapse to
+    connected-component clusters (the `duplicate_clusters` machinery —
+    cluster-level keeper selection, never pairwise double-drops) and
+    the row reports docs-in-any-cluster, cluster count, docs dropped
+    under keep-one-per-cluster, and the 6-dp retention rate.
+
+    The blocked exact-Jaccard pair set is computed ONCE (prefix-
+    blocked self-join, 4-dp floor-rounded scores) and filtered per τ;
+    each threshold runs its own min-label propagation (components can
+    only split as τ rises, but recomputing is simpler than an
+    incremental split and the edge set is candidate-bounded). Oracle:
+    one recursive CTE per threshold over the same rounded pair scores.
+    Scale: pair generation is the prefix-blocked join (df-bounded
+    buckets); components shuffle edge-keyed per round; everything
+    after is cluster-sized."""
+    from reactionetl_etl_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    n_docs = _t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    out = None
+    for tau in (0.5, 0.95, 1.0):
+        comps = connected_components(
+            pairs.filter(F.col("jaccard") >= tau), src="id_a", dst="id_b"
+        )
+        row = (
+            comps.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_dup_docs"),
+                F.countDistinct("component").cast("bigint").alias("n_clusters"),
+            )
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                F.lit(tau).alias("tau"),
+                "n_docs",
+                "n_dup_docs",
+                "n_clusters",
+                (F.col("n_dup_docs") - F.col("n_clusters")).cast("bigint").alias("n_dropped"),
+                (F.col("n_docs") - (F.col("n_dup_docs") - F.col("n_clusters")))
+                .cast("bigint")
+                .alias("n_retained"),
+                (
+                    F.floor(
+                        (F.col("n_docs") - (F.col("n_dup_docs") - F.col("n_clusters")))
+                        / (F.col("n_docs") * 1.0)
+                        * 1_000_000
+                        + F.lit(0.5)
+                    )
+                    / 1_000_000
+                ).alias("retention6"),
             )
         )
         out = row if out is None else out.unionByName(row)
