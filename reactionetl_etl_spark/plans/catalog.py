@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_fertility_by_lang",
     "corpus_funnel_report",
     "cross_lang_template_report",
+    "ivf_tuning_curve",
     "join_key_skew_profile",
     "minhash_eval_report",
     "neardup_yield_curve",
@@ -16387,3 +16388,59 @@ def neardup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tau")
+
+
+@_q(
+    "ivf_tuning_curve",
+    None,  # seeded k-means cells — deterministic output pinned
+    tags=("embedding", "vector", "eval", "ann"),
+)
+def ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning dial as a queryable artifact: recall@10 vs
+    n_probe ∈ {1, 2, 4, 8, 16} against the exact batch baseline, with
+    the probed cell fraction each setting pays — `ann_recall_report`
+    fixes one configuration per method; THIS is the curve an operator
+    actually reads to pick n_probe (where recall saturates, stop
+    paying scan). Centroids train ONCE (seeded spherical k-means, the
+    shared `train_ivf_centroids` discipline) and every sweep point
+    reuses them via the explicit-centroids path, so the query costs
+    one training + 5 probe joins, not 5 trainings. At n_probe =
+    n_cells the probe set is every cell — recall is exactly 1.0 by
+    construction, pinning the curve's ceiling. Deterministic end to
+    end — pinned at sf0.01 and sf0.1."""
+    from reactionetl_etl_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_cosine_topk_batch,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    n_cells = 16
+    exact = cosine_topk_batch(qs, emb, k=k).select("query_id", "vec_id")
+    exact = exact.localCheckpoint(eager=True)
+    n_exact = exact.count()
+    cents = train_ivf_centroids(emb, n_cells, "embedding")
+    rows = []
+    for n_probe in (1, 2, 4, 8, 16):
+        approx = ivf_cosine_topk_batch(
+            qs, emb, dim=64, k=k, n_cells=n_cells, n_probe=n_probe, centroids=cents
+        )
+        hit = (
+            approx.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .count()
+        )
+        rows.append(
+            (
+                n_probe,
+                int(n_probe * 10000 / n_cells) / 10000.0,
+                int(hit * 10000 / n_exact) / 10000.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "n_probe int, cell_fraction double, recall double"
+    ).orderBy("n_probe")
