@@ -91,6 +91,8 @@ EXTRA_QUERIES = (
     "split_length_psi",  # distinct-value prefix sum + 9-edge bin join
     "referential_integrity_report",  # 6 keyed anti-join folds
     "minhash_eval_report",  # PPJoin truth + banded candidates + pair joins
+    "neardup_yield_curve",  # blocked pairs once + 3x components
+    "ivf_tuning_curve",  # one k-means training + 5 probe joins
 )
 
 
