@@ -69,9 +69,14 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # init labels are consumed exactly once (round 1) and derive from
+    # the already-checkpointed e2 by a single distinct — checkpointing
+    # them again bought nothing but one extra eager job per call
+    # (r12 bisect of the bench riser: the cadence was innocent, the
+    # fixed per-job latency of the round loop is the floor).
     labels = e2.select(F.col("s").alias("node")).distinct().withColumn(
         "community", F.col("node")
-    ).localCheckpoint(eager=True)
+    )
     for r in range(1, rounds + 1):
         labels = (
             e2.join(labels, e2["s"] == labels["node"])

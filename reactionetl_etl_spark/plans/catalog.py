@@ -14650,18 +14650,32 @@ def copurchase_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-oracled against a DuckDB RECURSIVE-CTE of the SAME recurrence
     (self-loops folded into the edge set so min(own, neighbors) is one
     aggregate = one recursive reference). One edge-keyed shuffle per
-    round; labels stay node-sized; top-20 communities by size."""
+    round; labels stay node-sized; top-20 communities by size.
+
+    Edge build (r12): groupBy(l_orderkey) + collect_set (dedups in the
+    aggregate) + an in-row pair HOF, instead of self-joining the
+    deduped fact on l_orderkey — two shuffles instead of three, no
+    join, and the basket stays one row until the (tiny) pair explode.
+    At 100 TB the fact is the big side: never self-join it when a
+    per-key aggregate bounds the blow-up (baskets are ~7 items)."""
     from reactionetl_etl_spark.operators.community import label_propagation
 
-    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = lp.alias("a"), lp.alias("b")
+    li = _t(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
