@@ -568,28 +568,57 @@ def resample_nearest(arr, dst_w: int, dst_h: int):
     return np.ascontiguousarray(arr[rows][:, cols])
 
 
-def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real image embedding: derived from a
-    rolling byte hash so tests are stable. Replace the body with a real
-    codec (PIL/torchvision) in production — the signature, batch shape,
-    and schema do not change."""
-    h = 1469598103934665603
-    for b in payload[:4096]:
-        h = ((h ^ b) * 1099511628211) % (1 << 64)
-    return [((h >> (8 * i)) & 0xFF) / 255.0 for i in range(dim)]
+def _luma_histogram(arr, dim: int) -> list[float]:
+    """REAL pixel-statistic embedding: BT.601 luma over a bounded
+    nearest-neighbour thumbnail (16×16 — decouples feature cost from
+    source resolution), bucketed into a ``dim``-bin normalized
+    histogram. Every component is a pixel-mass fraction in [0, 1]; the
+    vector sums to 1. Deterministic: integer luma, fixed thumbnail."""
+    import numpy as np
+
+    thumb = resample_nearest(arr, 16, 16).astype(np.int64)
+    # integer BT.601 (full-range) luma: (77R + 150G + 29B) >> 8 ∈ [0, 255]
+    luma = (77 * thumb[..., 0] + 150 * thumb[..., 1] + 29 * thumb[..., 2]) >> 8
+    counts = np.bincount((luma.ravel() * dim) >> 8, minlength=dim)[:dim]
+    return (counts / luma.size).astype(np.float32).tolist()
+
+
+def _byte_histogram(payload: bytes, dim: int) -> list[float]:
+    """Deterministic byte-level fallback for payloads no codec decodes
+    (audio/video/raw text): a ``dim``-bin normalized histogram of the
+    first 4096 byte values — a real distribution statistic of the
+    payload, comparable across rows, components in [0, 1], sum 1."""
+    import numpy as np
+
+    b = np.frombuffer(payload[:4096] or b"\x00", dtype=np.uint8)
+    counts = np.bincount((b.astype(np.int64) * dim) >> 8, minlength=dim)[:dim]
+    return (counts / b.size).astype(np.float32).tolist()
 
 
 def decode_image_features(
-    df: DataFrame, id_col: str = "media_id", binary_col: str = "content", dim: int = 8
+    df: DataFrame,
+    id_col: str = "media_id",
+    binary_col: str = "content",
+    dim: int = 8,
+    with_features: bool = True,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     mapInPandas: each task receives an iterator of pandas batches —
     payload bytes never materialize as Python row objects. Header-level
-    decode (width/height via parse_image_dims) is REAL; the pixel-level
-    embedding is a deterministic STUB (no image libs in this
-    container) — production swaps `_fake_feature` for a real decoder,
-    nothing else changes.
+    decode (width/height via parse_image_dims) is REAL, and — since
+    r12 — so is the embedding: payloads the pure-numpy codecs handle
+    (BMP/PPM/PNG/GIF/baseline-JPEG via `decode_pixels`) get a
+    ``dim``-bin normalized luma histogram over a bounded 16×16
+    thumbnail (`_luma_histogram`); everything else gets the
+    deterministic byte-value histogram (`_byte_histogram`) — both are
+    real distribution statistics, no hash stand-ins.
+
+    ``with_features=False`` skips the pixel decode entirely (feature =
+    NULL): callers that only need mime/geometry (the corpus-build
+    triage stage) shouldn't pay a full decode that a later stage
+    repeats — Python stages get no column pruning, so the switch is
+    explicit.
     """
     mimed = with_media_metadata(df, binary_col)
 
@@ -597,6 +626,17 @@ def decode_image_features(
         for pdf in batches:
             payloads = [bytes(c) for c in pdf[binary_col]]
             dims = [parse_image_dims(p) for p in payloads]
+            if with_features:
+                feats = []
+                for p in payloads:
+                    arr = decode_pixels(p)
+                    feats.append(
+                        _luma_histogram(arr, dim)
+                        if arr is not None
+                        else _byte_histogram(p, dim)
+                    )
+            else:
+                feats = [None] * len(payloads)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -604,7 +644,7 @@ def decode_image_features(
                     "n_bytes": [len(p) for p in payloads],
                     "width": pd.array([d[0] if d else None for d in dims], dtype="Int32"),
                     "height": pd.array([d[1] if d else None for d in dims], dtype="Int32"),
-                    "feature": [_fake_feature(p, dim) for p in payloads],
+                    "feature": feats,
                 }
             )
 

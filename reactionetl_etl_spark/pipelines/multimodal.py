@@ -107,7 +107,7 @@ def build_image_corpus(
     keepers, no RNG. Returns stage-level counts."""
     n_input = imgs.count()
 
-    meta = decode_image_features(imgs, id_col, binary_col).select(
+    meta = decode_image_features(imgs, id_col, binary_col, with_features=False).select(
         id_col, "mime", "width", "height"
     )
     undecodable = meta.filter(F.col("width").isNull()).select(

@@ -2159,16 +2159,61 @@ def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q("multimodal_feature_extract", None, tags=("multimodal",))
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: documents' text as opaque binary payloads
-    → magic-byte mime sniff → Arrow-batched feature extraction
-    (mapInPandas; codec stubbed, plumbing real). Rows-only check."""
+    """Binary-column pipeline with a REAL embedding (r12, was the last
+    stubbed extractor): documents' bytes are shaped executor-side into
+    32×32 images cycling BMP / PNG / PPM by doc_id (every real codec
+    path), with every 4th doc left as raw text bytes to exercise the
+    undecodable lane. decode_image_features (mapInPandas, Arrow) sniffs
+    mime, parses geometry from real headers, and emits an 8-bin
+    normalized LUMA histogram over a 16×16 thumbnail for decoded
+    pixels — byte-value histogram for the raw lane. Deterministic
+    (integer luma, fixed thumbnail), so the output is a pinned VALUES
+    contract, not rows-only."""
+    import pandas as pd
+
     from reactionetl_etl_spark.operators.multimodal import decode_image_features
 
     docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("raw")
     )
-    feats = decode_image_features(docs, dim=8)
-    return feats.select("media_id", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+    def to_media(batches):
+        import numpy as np
+
+        from reactionetl_etl_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        encoders = [encode_bmp, encode_png, encode_ppm]
+        need = 32 * 32 * 3
+        for pdf in batches:
+            out_ids, out_blobs = [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                b = bytes(raw) or b"\x00"
+                if int(mid) % 4 == 3:
+                    out_blobs.append(b)  # raw text: fallback lane
+                else:
+                    tiled = (b * (need // len(b) + 1))[:need]
+                    arr = np.frombuffer(tiled, dtype=np.uint8).reshape(32, 32, 3)
+                    out_blobs.append(encoders[int(mid) % 4](arr))
+                out_ids.append(mid)
+            yield pd.DataFrame({"media_id": out_ids, "content": out_blobs})
+
+    media = docs.mapInPandas(to_media, "media_id long, content binary")
+    feats = decode_image_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "width",
+        "height",
+        # bins 2/3 (luma or byte value 32..95): where ASCII-derived
+        # pixel mass lives, so the pin asserts non-trivial values
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+        F.round(F.element_at("feature", 3), 6).alias("f2"),
+    )
 
 
 @_q("audio_spectral_profile", """
