@@ -246,3 +246,175 @@ def pq_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    dim: int,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    codebook: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> list:
+    """Persist the PQ index: CODES ONLY (the memory-bound regime — m
+    bytes/vector, the float vectors never land in the index), parquet
+    PARTITIONED BY ``pq_cell`` = the subspace-0 centroid index, with
+    the codebook as a sidecar (``<path>/codebook``) so later probes and
+    appends reuse the index's exact geometry. Returns the codebook.
+
+    The subspace-0 code doubles as a coarse cell (an IVF-PQ-lite: the
+    first subvector's quantizer IS a coarse quantizer of the leading
+    dim/m dimensions), so `probe_pq_index` prunes partitions the same
+    way the LSH/IVF probes do — sign once, probe forever.
+
+    Appends must pass the stored codebook (`read_pq_codebook`) —
+    re-training would code new batches with a different geometry than
+    the existing partitions, a corrupt index; enforced like
+    `similarity.write_ivf_index`. Same sidecar rule too: the codebook
+    always OVERWRITES (appends pass the stored one, so it is identical
+    — append mode would duplicate its rows).
+    """
+    if mode == "append" and codebook is None:
+        raise ValueError(
+            "append requires the index's stored codebook — pass "
+            "codebook=read_pq_codebook(spark, path)"
+        )
+    if codebook is None:
+        codebook = train_pq_codebook(embeddings, dim, m=m, k=k, vec_col=vec_col)
+    coded = pq_encode(embeddings, codebook, vec_col=vec_col)
+    (
+        coded.filter(F.col("pq_code").isNotNull())
+        .select(id_col, "pq_code", F.element_at("pq_code", 1).alias("pq_cell"))
+        .write.mode(mode)
+        .partitionBy("pq_cell")
+        .parquet(f"{path}/codes")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cent])
+            for s, book in enumerate(codebook)
+            for c, cent in enumerate(book)
+        ],
+        "subspace int, centroid_idx int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    return codebook
+
+
+def read_pq_codebook(spark, path: str) -> list:
+    """Codebook of a `write_pq_index` layout: m × k × (dim/m), in
+    (subspace, centroid_idx) order."""
+    rows = (
+        spark.read.parquet(f"{path}/codebook")
+        .orderBy("subspace", "centroid_idx")
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r["subspace"]:
+            books.append([])
+        books[r["subspace"]].append(list(r["centroid"]))
+    return books
+
+
+def probe_pq_index(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    codebook: list,
+    k: int = 10,
+    n_probe: int | None = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN against a PERSISTED PQ index
+    (``spark.read.parquet(f"{path}/codes")`` + `read_pq_codebook`):
+    each query explodes to its ``n_probe`` nearest subspace-0 centroids
+    and equi-joins the index on ``pq_cell`` — the index's PARTITION
+    column, so dynamic partition pruning reads only probed cells —
+    then ranks candidates by ADC (m table lookups, the float vectors
+    are never read because the index doesn't store them).
+    ``n_probe=None`` probes every cell (exact ADC ranking — equals
+    `pq_cosine_topk(refine=None)`; the parity test pins this).
+    Output: (query_id, vec_id, approx_cosine, rank ≤ k) — re-rank by
+    joining the shortlist to a full-vector table if exactness matters,
+    as `pq_cosine_topk(refine=)` does.
+    """
+    import numpy as np
+
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    books = [np.array(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    sub = books[0].shape[1]
+    n_cells = books[0].shape[0]
+    if n_probe is None:
+        n_probe = n_cells
+    q_rows = non_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    spark = queries.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, approx_cosine double, rank int"
+        )
+    qx = _normalize(np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64))
+    q_ids = [r[query_id_col] for r in q_rows]
+    # per-query ADC tables (n_q, m, k) — subspace 0's row also ranks the
+    # probe cells: nearest coarse cells == smallest subspace-0 distances
+    tables = np.stack(
+        [
+            (
+                (qx[:, s * sub : (s + 1) * sub][:, None, :] - books[s][None, :, :]) ** 2
+            ).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    probe = [
+        (int(qid), [int(c) for c in np.argsort(tables[qi, 0])[: min(n_probe, n_cells)]])
+        for qi, qid in enumerate(q_ids)
+    ]
+    bq = spark.createDataFrame(probe, "__qid long, __cells array<int>").select(
+        "__qid", F.explode("__cells").alias("__probe_cell")
+    )
+    pairs = index_codes.join(
+        F.broadcast(bq), on=F.col("pq_cell") == F.col("__probe_cell"), how="inner"
+    ).select("__qid", id_col, "pq_code")
+
+    tables_by_qid = {int(qid): tables[qi] for qi, qid in enumerate(q_ids)}
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_arr = _np.array(list(pdf["pq_code"]), dtype=_np.int64)
+            qids = pdf["__qid"].to_numpy()
+            d = _np.zeros(len(pdf), dtype=_np.float64)
+            # group rows by query id so each ADC table gathers once
+            for qid in _np.unique(qids):
+                sel = qids == qid
+                t = tables_by_qid[int(qid)]
+                dd = _np.zeros(sel.sum(), dtype=_np.float64)
+                sub_codes = codes_arr[sel]
+                for s in range(m):
+                    dd += t[s][sub_codes[:, s]]
+                d[sel] = dd
+            yield pd.DataFrame(
+                {"query_id": qids, "vec_id": pdf[id_col], "adc_d2": d}
+            )
+
+    scored = pairs.mapInPandas(adc, "query_id long, vec_id long, adc_d2 double")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("approx_cosine", 1 - F.col("adc_d2") / 2)
+        .select("query_id", "vec_id", "approx_cosine", "rank")
+    )

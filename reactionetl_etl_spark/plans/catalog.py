@@ -7543,6 +7543,51 @@ def pq_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(qs, coded, book, k=5, refine=8)
 
 
+@_q("pq_index_probe", None, tags=("similarity", "pq", "index", "io"))
+def pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED PQ index round trip (r12 — closes the LSH/IVF/PQ index
+    triangle): embeddings → `write_pq_index` (codes-only parquet
+    PARTITIONED BY the subspace-0 cell + codebook sidecar) →
+    `read_pq_codebook` → `probe_pq_index` over 8 queries at n_probe=6
+    — dynamic partition pruning reads only probed cells, ranking is
+    pure ADC (m table lookups; the index stores no float vectors).
+    Deterministic (seeded k-means, fixed sample order), so the output
+    is a pinned VALUES contract; probe≡in-plan ADC parity and
+    append-with-stored-codebook consistency are pinned in test_pq.py."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.operators.pq import (
+        probe_pq_index,
+        read_pq_codebook,
+        write_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    work = _tempfile.mkdtemp(prefix="pq_idx_")
+    try:
+        write_pq_index(emb, dim=64, path=work, m=8, k=16)
+        book = read_pq_codebook(spark, work)
+        out = (
+            probe_pq_index(
+                qs, spark.read.parquet(f"{work}/codes"), book, k=5, n_probe=6
+            )
+            .select(
+                "query_id",
+                "vec_id",
+                F.round("approx_cosine", 6).alias("approx_cosine"),
+                "rank",
+            )
+            .localCheckpoint(eager=True)  # materialize before the tmp dir dies
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @_q(
     "ann_recall_report",
     """
