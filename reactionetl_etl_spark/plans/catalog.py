@@ -16285,7 +16285,12 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # xxhash64 MinHash — deterministic output pinned
     tags=("dedup", "lsh", "eval", "llm"),
 )
-def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_eval_report(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_mod: int = 8,
+    full_exact: bool = False,
+) -> DataFrame:
     """Candidate-generation quality of the PRODUCTION MinHash-LSH
     near-dup path (32 perms x 8 bands, 3-token shingles, bucket caps —
     the `minhash_neardup_pairs` configuration), measured against EXACT
@@ -16313,8 +16318,28 @@ def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end to end — pinned at sf0.01 and sf0.1. Scale:
     truth is the df-bounded prefix join over shingle tokens (rarer
     than words, so prefixes are even more selective), prediction the
-    band equi-join; the eval adds one pair-keyed join per threshold."""
+    band equi-join; the eval adds one pair-keyed join per threshold.
+
+    DEFAULT-SAMPLED (r12): the exact-PPJoin truth side cost ~8× the
+    candidates it certified at sf0.1 (SCALING.md r11), so by default
+    BOTH sides run on a deterministic 1/``sample_mod`` md5 slice of
+    the corpus, keyed on the doc's normalized 32-char text PREFIX —
+    near-dup families share that prefix (it is `neardup_yield_curve`'s
+    blocking key), so a slice keeps whole families together instead
+    of severing pairs the way an id-keyed slice would, and precision/
+    recall are measured on a complete sub-universe. A family whose
+    edit touches the first 32 chars can still split (documented, not
+    hidden — the same prefix-locality assumption the yield curve
+    makes). ``full_exact=True`` restores the whole-corpus eval."""
     docs = _t(spark, sf_dir, "documents")
+    if not full_exact:
+        pfx = F.substring(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 32
+        )
+        docs = docs.filter(
+            F.conv(F.substring(F.md5(pfx), 1, 8), 16, 10).cast("long") % sample_mod
+            == 0
+        )
     shingle_text = F.expr(
         "array_join(transform(sequence(1, greatest(size(split(trim("
         "regexp_replace(lower(text), '\\\\s+', ' ')), ' ')) - 2, 1)),"
