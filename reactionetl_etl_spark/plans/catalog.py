@@ -11544,6 +11544,44 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("copurchase_kcore2", None, tags=("graph", "iterative", "kcore"))
+def copurchase_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph — the k=2 companion to
+    `copurchase_kcore` that retires the catalog's last rows-only-at-
+    sf0.1 exception (the 3-core is EMPTY at sf0.1, so its pin there
+    would assert nothing; the 2-core is non-empty at both shipped
+    scales and its pinned VALUES contract asserts real values at
+    each). Same fixpoint peeling (operators/graph.py::k_core); edge
+    build via the r12 groupBy+collect_set pair HOF — two shuffles, no
+    fact self-join (same edge set as the self-join form, parity-
+    verified)."""
+    from reactionetl_etl_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    co = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    return k_core(co, k=2, src="pa", dst="pb").select(
+        F.col("node").alias("part"), "core_degree"
+    )
+
+
 @_q("video_scene_cuts", None, tags=("multimodal", "video", "analytics"))
 def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-cut detection over decoded video: per consecutive frame
