@@ -82,56 +82,12 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
-    "bpe_fertility_by_lang",
-    "corpus_funnel_report",
-    "cross_lang_template_report",
-    "ivf_tuning_curve",
-    "join_key_skew_profile",
+    "copurchase_kcore2",
+    "pq_index_probe",
+    "multimodal_feature_extract",
+    "copurchase_label_propagation",
+    "multimodal_corpus_build",
     "minhash_eval_report",
-    "neardup_yield_curve",
-    "pack_efficiency_report",
-    "referential_integrity_report",
-    "split_embedding_drift",
-    "split_lang_balance_chi2",
-    "split_length_psi",
-    "pq_cosine_topk_batch",
-    "ivf_cosine_topk",
-    "ivf_cosine_topk_batch",
-    "lsh_cosine_topk",
-    "lsh_cosine_topk_batch",
-    "semdedup_prune",
-    "cosine_topk_bruteforce",
-    "event_value_bootstrap_ci",
-    "event_value_cuped",
-    "event_value_mde",
-    "event_value_quantile_effects",
-    "event_value_sequential_test",
-    "events_ewma_features",
-    "mutual_nearest_pairs",
-    "webdataset_roundtrip",
-    "ann_recall_report",
-    "cosine_topk_batch_exact",
-    "embedding_neardup_lsh",
-    "embedding_neardup_pairs",
-    "embedding_outlier_mahalanobis",
-    "hard_negatives_topk",
-    "hybrid_search_rrf",
-    "knn_label_predict",
-    "matryoshka_truncation_profile",
-    "pca_doc_projection",
-    "pca_explained_variance",
-    "weekly_ltv_cohorts",
-    "customer_balance_extremes",
-    "part_measures_unpivot",
-    "customer_order_distribution",
-    "doc_length_band_filter",
-    "global_sales_opportunity",
-    "intra_doc_repetition",
-    "large_volume_customers",
-    "latest_order_per_nation",
-    "min_cost_supplier_per_part",
-    "orders_moving_avg_range_frame",
-    "quantity_band_range_join",
     "sole_late_supplier",
     "tfidf_top_terms",
     "top_parts_by_revenue_share",
@@ -278,7 +234,6 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_correlation_matrix",
     "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
-    "multimodal_feature_extract",
     "multimodal_resize_pixels",
     "nation_revenue_trend",
     "orders_benford_deviation",
@@ -336,7 +291,6 @@ _PRIORITY: tuple[str, ...] = (
     "canonical_doc_per_cluster",
     "conformal_event_value",
     "contamination_check_shuffle",
-    "copurchase_label_propagation",
     "corpus_drift_kl",
     "cross_doc_dup_rate",
     "customer_rank_kendall",
@@ -353,7 +307,6 @@ _PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "lang_unigram_entropy",
     "monthly_revenue_holt",
-    "multimodal_corpus_build",
     "nation_revenue_gini",
     "ngram_containment_pairs",
     "orders_scd2_temporal_join",
@@ -370,6 +323,55 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "trigram_perplexity_scores",
     "upsert_keyed_parity",
+    "ann_recall_report",
+    "bpe_fertility_by_lang",
+    "corpus_funnel_report",
+    "cosine_topk_batch_exact",
+    "cosine_topk_bruteforce",
+    "cross_lang_template_report",
+    "customer_balance_extremes",
+    "customer_order_distribution",
+    "doc_length_band_filter",
+    "embedding_neardup_lsh",
+    "embedding_neardup_pairs",
+    "embedding_outlier_mahalanobis",
+    "event_value_bootstrap_ci",
+    "event_value_cuped",
+    "event_value_mde",
+    "event_value_quantile_effects",
+    "event_value_sequential_test",
+    "events_ewma_features",
+    "global_sales_opportunity",
+    "hard_negatives_topk",
+    "hybrid_search_rrf",
+    "intra_doc_repetition",
+    "ivf_cosine_topk",
+    "ivf_cosine_topk_batch",
+    "ivf_tuning_curve",
+    "join_key_skew_profile",
+    "knn_label_predict",
+    "large_volume_customers",
+    "latest_order_per_nation",
+    "lsh_cosine_topk",
+    "lsh_cosine_topk_batch",
+    "matryoshka_truncation_profile",
+    "min_cost_supplier_per_part",
+    "mutual_nearest_pairs",
+    "neardup_yield_curve",
+    "orders_moving_avg_range_frame",
+    "pack_efficiency_report",
+    "part_measures_unpivot",
+    "pca_doc_projection",
+    "pca_explained_variance",
+    "pq_cosine_topk_batch",
+    "quantity_band_range_join",
+    "referential_integrity_report",
+    "semdedup_prune",
+    "split_embedding_drift",
+    "split_lang_balance_chi2",
+    "split_length_psi",
+    "webdataset_roundtrip",
+    "weekly_ltv_cohorts",
 )
 
 

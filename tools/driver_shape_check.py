@@ -18,6 +18,17 @@ Usage: TZ=Pacific/Kiritimati python tools/driver_shape_check.py q1 q2 ...
        rotates BOTH windows through the catalog together — full-
        catalog session-shape coverage in ~5 rounds at 50/round
        (r10 verdict item 4; previously a hand-picked 28-query list).)
+
+Extra hostile axes (r11 verdict item 7 — the configs most likely to
+flip a plan-shape or hash-partitioning assumption):
+  SPARK_GRAFT_SHAPE_MASTER   master override (default local[8];
+                             sweep local[4] to vary scan parallelism)
+  SPARK_GRAFT_SHAPE_SHUFFLE  spark.sql.shuffle.partitions override
+                             (unset = Spark default 200; sweep 1 —
+                             every shuffle collapses to one partition,
+                             exposing partition-order folds — and 7,
+                             a prime that misaligns every modular key)
+  SWEEP_N / SPARK_GRAFT_SHAPE_SWEEP_N  how deep into _PRIORITY to go
 """
 
 from __future__ import annotations
@@ -46,11 +57,13 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("driver-shape-check")
-        .getOrCreate()
-    )
+    builder = SparkSession.builder.master(
+        os.environ.get("SPARK_GRAFT_SHAPE_MASTER", "local[8]")
+    ).appName("driver-shape-check")
+    shuffle = os.environ.get("SPARK_GRAFT_SHAPE_SHUFFLE")
+    if shuffle:
+        builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
