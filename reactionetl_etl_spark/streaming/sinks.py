@@ -248,6 +248,50 @@ def ivf_append_batch_writer(
     return write_batch
 
 
+def pq_append_batch_writer(
+    index_path: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch callback maintaining a persisted PQ ANN index
+    (`operators/pq.py::write_pq_index`) as embeddings stream in — the
+    PQ twin of `ivf_append_batch_writer`, closing the streaming side of
+    the LSH/IVF/PQ index triangle: the FIRST batch trains the codebook,
+    every later batch encodes itself with the STORED codebook and
+    appends (re-training per batch would code history inconsistently;
+    `write_pq_index` raises on exactly that misuse). Same at-least-once
+    caveat: a replayed batch re-appends its codes — harmless for ADC
+    top-k beyond duplicate neighbors; dedup on id_col at probe time if
+    exactness matters."""
+    from reactionetl_etl_spark.operators.pq import read_pq_codebook, write_pq_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            book = read_pq_codebook(spark, index_path)
+        except AnalysisException as e:
+            if e.getCondition() not in _MISSING_INDEX_ERROR_CLASSES:
+                raise
+            book = None
+        if book is None:
+            write_pq_index(
+                batch_df, dim=dim, path=index_path, m=m, k=k,
+                id_col=id_col, vec_col=vec_col, mode="overwrite",
+            )
+            logger.info("pq sink: trained index at %s from batch %d", index_path, batch_id)
+        else:
+            write_pq_index(
+                batch_df, dim=dim, path=index_path, m=len(book),
+                k=len(book[0]), codebook=book,
+                id_col=id_col, vec_col=vec_col, mode="append",
+            )
+
+    return write_batch
+
+
 def rollup_batch_writer(
     state_path: str,
     keys: list[str],

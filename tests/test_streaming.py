@@ -881,3 +881,44 @@ def test_stream_to_webdataset_incremental_and_idempotent(spark, tmp_path):
             seen[k] = (bytes(r["payload"]).decode(), json.loads(r["meta"])["label"])
     assert set(seen) == set(range(31))
     assert all(seen[k] == (f"t-{k}", k % 2) for k in seen)
+
+
+def test_stream_pq_append_trains_once_then_reuses_codebook(spark, tmp_path):
+    """First batch trains the PQ codebook; later batches encode with the
+    STORED codebook and append — the full stream probes identically to a
+    one-shot index built with that same codebook (the IVF sink's
+    contract, PQ edition)."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.pq import (
+        probe_pq_index,
+        read_pq_codebook,
+        write_pq_index,
+    )
+    from reactionetl_etl_spark.streaming.sinks import pq_append_batch_writer
+
+    idx = str(tmp_path / "pq")
+    rng = np.random.default_rng(33)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(120)]
+    writer = pq_append_batch_writer(idx, dim=16, m=4, k=8)
+    writer(spark.createDataFrame(rows[:60], "vec_id long, embedding array<float>"), 0)
+    book_after_first = read_pq_codebook(spark, idx)
+    writer(spark.createDataFrame(rows[60:], "vec_id long, embedding array<float>"), 1)
+    assert read_pq_codebook(spark, idx) == book_after_first  # never retrained
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == 120
+    # one-shot index with the SAME codebook at another path == streamed one
+    one = str(tmp_path / "pq_oneshot")
+    write_pq_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        dim=16, path=one, codebook=book_after_first,
+    )
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:4]], "query_id long, embedding array<float>"
+    )
+    a = probe_pq_index(qs, codes, book_after_first, k=3, n_probe=None)
+    b = probe_pq_index(
+        qs, spark.read.parquet(f"{one}/codes"), book_after_first, k=3, n_probe=None
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
