@@ -293,30 +293,39 @@ def write_pq_index(
         .parquet(f"{path}/codes")
     )
     spark = embeddings.sparkSession
+    # flat (subspace, centroid_idx, dim_idx, value) rows: a local
+    # relation with an array<double> column falls off Spark's JVM
+    # local-relation fast path onto the pickled-RDD path and re-pays
+    # ~4-5 s of Python-worker round-trip on EVERY action (measured
+    # r12); scalar rows convert JVM-side in milliseconds
     spark.createDataFrame(
         [
-            (s, c, [float(x) for x in cent])
+            (s, c, j, float(x))
             for s, book in enumerate(codebook)
             for c, cent in enumerate(book)
+            for j, x in enumerate(cent)
         ],
-        "subspace int, centroid_idx int, centroid array<double>",
+        "subspace int, centroid_idx int, dim_idx int, value double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
     return codebook
 
 
 def read_pq_codebook(spark, path: str) -> list:
     """Codebook of a `write_pq_index` layout: m × k × (dim/m), in
-    (subspace, centroid_idx) order."""
+    (subspace, centroid_idx, dim_idx) order."""
     rows = (
         spark.read.parquet(f"{path}/codebook")
-        .orderBy("subspace", "centroid_idx")
+        .orderBy("subspace", "centroid_idx", "dim_idx")
         .collect()
     )
     books: list[list[list[float]]] = []
     for r in rows:
         while len(books) <= r["subspace"]:
             books.append([])
-        books[r["subspace"]].append(list(r["centroid"]))
+        book = books[r["subspace"]]
+        while len(book) <= r["centroid_idx"]:
+            book.append([])
+        book[r["centroid_idx"]].append(r["value"])
     return books
 
 
@@ -373,13 +382,16 @@ def probe_pq_index(
         ],
         axis=1,
     )
+    # flat (qid, cell) rows — pre-exploded in Python: scalar local
+    # relations convert JVM-side; an array<int> column here would push
+    # this tiny frame onto the pickled-RDD path and re-pay its Python
+    # round-trip inside the join (see the sidecar note in write_pq_index)
     probe = [
-        (int(qid), [int(c) for c in np.argsort(tables[qi, 0])[: min(n_probe, n_cells)]])
+        (int(qid), int(c))
         for qi, qid in enumerate(q_ids)
+        for c in np.argsort(tables[qi, 0])[: min(n_probe, n_cells)]
     ]
-    bq = spark.createDataFrame(probe, "__qid long, __cells array<int>").select(
-        "__qid", F.explode("__cells").alias("__probe_cell")
-    )
+    bq = spark.createDataFrame(probe, "__qid long, __probe_cell int")
     pairs = index_codes.join(
         F.broadcast(bq), on=F.col("pq_cell") == F.col("__probe_cell"), how="inner"
     ).select("__qid", id_col, "pq_code")

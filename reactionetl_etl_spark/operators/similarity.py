@@ -786,18 +786,32 @@ def write_ivf_index(
     ).write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/vectors")
     # centroids always overwrite: appends must pass the stored
     # centroids, so the sidecar is identical — append mode would
-    # duplicate its rows.
+    # duplicate its rows. Flat (cell, dim_idx, value) rows: a local
+    # relation with an array<double> column falls off the JVM
+    # local-relation fast path onto the pickled-RDD path and pays a
+    # ~4-5 s Python-worker round-trip per action (measured r12) —
+    # per MICRO-BATCH in the streaming sink; scalar rows convert
+    # JVM-side in milliseconds.
     spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
+        [(i, j, float(x)) for i, c in enumerate(cents) for j, x in enumerate(c)],
+        "cell int, dim_idx int, value double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return cents
 
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:
-    """Centroids of a `write_ivf_index` layout, in cell order."""
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    return [list(r["centroid"]) for r in rows]
+    """Centroids of a `write_ivf_index` layout, in (cell, dim) order."""
+    rows = (
+        spark.read.parquet(f"{path}/centroids")
+        .orderBy("cell", "dim_idx")
+        .collect()
+    )
+    cents: list[list[float]] = []
+    for r in rows:
+        while len(cents) <= r["cell"]:
+            cents.append([])
+        cents[r["cell"]].append(r["value"])
+    return cents
 
 
 def probe_ivf_index(

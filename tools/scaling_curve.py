@@ -93,6 +93,10 @@ EXTRA_QUERIES = (
     "minhash_eval_report",  # PPJoin truth + banded candidates + pair joins
     "neardup_yield_curve",  # blocked pairs once + 3x components
     "ivf_tuning_curve",  # one k-means training + 5 probe joins
+    # r12 families
+    "pq_index_probe",  # codes-only write + partition-pruned ADC probe
+    "copurchase_kcore2",  # k=2 peel (non-empty at every scale)
+    "multimodal_feature_extract",  # real decode + luma histogram
 )
 
 
