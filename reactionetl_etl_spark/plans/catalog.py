@@ -84,6 +84,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore2",
     "pq_index_probe",
+    "split_leakage_audit",
     "multimodal_feature_extract",
     "copurchase_label_propagation",
     "multimodal_corpus_build",
@@ -15891,6 +15892,112 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_key")
     )
+
+
+@_q(
+    "split_leakage_audit",
+    """
+    WITH norm AS (
+        SELECT doc_id,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), fam AS (
+        SELECT pfx FROM norm GROUP BY pfx HAVING count(*) >= 2
+    ), mem AS (
+        SELECT n.doc_id, n.pfx FROM norm n JOIN fam USING (pfx)
+    ), sp AS (
+        SELECT doc_id, pfx,
+               CASE WHEN bd < 9000 THEN 'train'
+                    WHEN bd < 9500 THEN 'val' ELSE 'test' END AS s_doc,
+               CASE WHEN bc < 9000 THEN 'train'
+                    WHEN bc < 9500 THEN 'val' ELSE 'test' END AS s_clu
+        FROM (
+          SELECT doc_id, pfx,
+                 CAST(('0x' || substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS bd,
+                 CAST(('0x' || substring(md5('s42:' || pfx), 1, 8)) AS BIGINT)
+                   % 10000 AS bc
+          FROM mem
+        )
+    ), j AS (
+        SELECT a.s_doc AS sda, b.s_doc AS sdb, a.s_clu AS sca, b.s_clu AS scb
+        FROM sp a JOIN sp b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    )
+    SELECT method, n_pairs, n_straddle FROM (
+        SELECT 'cluster_key' AS method, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN sca <> scb THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        FROM j
+        UNION ALL
+        SELECT 'doc_key', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN sda <> sdb THEN 1 ELSE 0 END) AS BIGINT)
+        FROM j
+    ) ORDER BY method
+    """,
+    tags=("sampling", "dedup", "quality", "llm"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit (r12): near-dup FAMILIES (docs sharing
+    the normalized 32-char text prefix — the corpus's planted-dup
+    blocking key) must not straddle the split boundary, or eval docs
+    are near-copies of training docs and the benchmark is contaminated.
+    Compares the per-doc `hash_split` (leaks: family members hash
+    independently) against `split_by_cluster` keyed on the family id
+    (leak count PROVABLY zero — co-assignment by construction, and the
+    oracle re-derives both assignments to confirm). Output: within-
+    family pair counts + straddling-pair counts per method. Scale:
+    family grouping is one groupBy on a 32-char key; pairs explode
+    only inside families (bounded, 2-3 docs); splits are pure md5
+    column exprs — no shuffle beyond the family join."""
+    from reactionetl_etl_spark.operators.split import hash_split, split_by_cluster
+
+    W = {"train": 0.9, "val": 0.05, "test": 0.05}
+    docs = _t(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 32
+    )
+    norm = docs.select("doc_id", pfx.alias("pfx"))
+    fam = (
+        norm.groupBy("pfx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pfx")
+    )
+    mem = norm.join(fam, "pfx")
+    clusters = mem.select(
+        F.col("doc_id").alias("node"), F.col("pfx").alias("component")
+    )
+    sp = hash_split(mem, "doc_id", W).withColumnRenamed("split", "s_doc")
+    sp = split_by_cluster(sp, "doc_id", clusters, W).withColumnRenamed(
+        "split", "s_clu"
+    )
+    a = sp.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("ida"),
+        F.col("s_doc").alias("sda"),
+        F.col("s_clu").alias("sca"),
+    )
+    b = sp.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("idb"),
+        F.col("s_doc").alias("sdb"),
+        F.col("s_clu").alias("scb"),
+    )
+    j = a.join(b, "pfx").filter(F.col("ida") < F.col("idb"))
+    row_clu = j.agg(
+        F.lit("cluster_key").alias("method"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("sca") != F.col("scb")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_straddle"),
+    )
+    row_doc = j.agg(
+        F.lit("doc_key").alias("method"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("sda") != F.col("sdb")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_straddle"),
+    )
+    return row_clu.unionByName(row_doc).orderBy("method")
 
 
 @_q(
