@@ -295,6 +295,14 @@ def bench_index_probes(spark, sf_dir: str) -> dict[str, tuple[float, float, list
         out["probe_ivf_index"] = _time_plan(
             lambda: S.probe_ivf_index(qs, ivf_vectors, cents, k=10)
         )
+        from reactionetl_etl_spark.operators import pq as PQ
+
+        pq_path = os.path.join(work, "pq")
+        book = PQ.write_pq_index(emb, dim=64, path=pq_path, m=8, k=16)
+        pq_codes = spark.read.parquet(f"{pq_path}/codes")
+        out["probe_pq_index"] = _time_plan(
+            lambda: PQ.probe_pq_index(qs, pq_codes, book, k=10, n_probe=6)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
