@@ -167,3 +167,22 @@ def test_pq_index_append_requires_codebook_and_stays_consistent(spark, tmp_path)
     a = probe_pq_index(qs, spark.read.parquet(f"{path}/codes"), book, k=5, n_probe=None)
     b = probe_pq_index(qs, spark.read.parquet(f"{path2}/codes"), book, k=5, n_probe=None)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_index_probe_prunes_partitions(spark, tmp_path):
+    """The PQ probe must touch only the pq_cell partitions the queries'
+    subspace-0 distances select — the executed plan carries dynamic-
+    pruning/partition filters on pq_cell rather than scanning all k
+    cells (the same contract as the LSH/IVF probes)."""
+    from reactionetl_etl_spark.operators.pq import probe_pq_index, write_pq_index
+
+    df, rows = _fixture(spark)
+    path = str(tmp_path / "pq_prune")
+    book = write_pq_index(df, dim=32, path=path, m=8, k=16)
+    qs = spark.createDataFrame(
+        [(rows[0][0], rows[0][1])], "query_id long, embedding array<double>"
+    )
+    out = probe_pq_index(qs, spark.read.parquet(f"{path}/codes"), book, k=5, n_probe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
