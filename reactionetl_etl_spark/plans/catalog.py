@@ -84,6 +84,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore2",
     "pq_index_probe",
+    "semantic_contamination_report",
     "split_leakage_audit",
     "multimodal_feature_extract",
     "copurchase_label_propagation",
@@ -15891,6 +15892,111 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_share6"),
         )
         .orderBy("join_key")
+    )
+
+
+@_q(
+    "semantic_contamination_report",
+    """
+    WITH sp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        FROM (
+          SELECT vec_id, embedding,
+                 CAST(('0x' || substring(md5('s42:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 AS b
+          FROM embeddings
+        )
+    ), q AS (
+        SELECT vec_id, split,
+               list_transform(e, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qe
+        FROM sp
+    ), ev AS (SELECT vec_id, qe FROM q WHERE split <> 'train'),
+    tr AS (SELECT qe FROM q WHERE split = 'train'),
+    cos AS (
+        SELECT ev.vec_id,
+               CAST(list_sum(list_transform(list_zip(tr.qe, ev.qe),
+                                            p -> p[1] * p[2])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(tr.qe, x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(ev.qe, x -> x * x)) AS DOUBLE)))
+                 AS c
+        FROM ev CROSS JOIN tr
+    ), mx AS (
+        SELECT vec_id,
+               max(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS mc_micro
+        FROM cos GROUP BY vec_id
+    )
+    SELECT CAST(floor(mc_micro / 100000.0) AS BIGINT) AS band10,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(mc_micro) AS BIGINT) AS sum_mc_micro
+    FROM mx GROUP BY 1 ORDER BY 1
+    """,
+    tags=("similarity", "quality", "sampling", "llm"),
+)
+def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination report (r12) — the embedding-space
+    sibling of the n-gram/bloom contamination checks: for every doc
+    the hash split assigns to an EVAL slice (val/test, the same 90/5/5
+    md5 assignment every split query ships), the maximum cosine to any
+    TRAIN-split embedding, histogrammed in 0.1 bands with exact
+    micro-unit sums. A band at >= 0.9 means eval examples are semantic
+    near-copies of training data — the leak n-gram checks can't see
+    (paraphrases). Scale shape: the EVAL side of a decontamination run
+    is bounded (benchmarks are small), so it broadcasts and the train
+    corpus streams past it in ONE scan — max-cosine folds map-side
+    under the partial agg; for unbounded eval sets compose with the
+    LSH/IVF probes instead. Exactness (the PCA Gram lesson applied to
+    cosine): a float dot product's SUMMATION ORDER differs between
+    engines, and of 2.25M pairs at sf0.1 one reliably lands within an
+    ulp of a rounding boundary — no decimal rounding of a float dot
+    survives cross-engine. Components are therefore quantized to
+    integer 10⁻⁴ units FIRST; dot and norms are exact int64 sums
+    (≤ ~10¹¹, inside both int64 and double), and num/(√na·√nb) on
+    IDENTICAL integers is identical IEEE doubles everywhere — so the
+    micro-unit max/sum/band are integers both engines agree on."""
+    from reactionetl_etl_spark.operators.split import split_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = split_bucket(F.col("vec_id"))
+    qe = F.expr(
+        "transform(embedding, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))"
+    )
+    sp = emb.select(
+        "vec_id",
+        qe.alias("qe"),
+        F.when(b < 9000, "train").when(b < 9500, "val").otherwise("test").alias("split"),
+    )
+    ev = sp.filter(F.col("split") != "train").select(
+        F.col("vec_id").alias("eval_id"), F.col("qe").alias("ev_q")
+    )
+    tr = sp.filter(F.col("split") == "train").select(F.col("qe").alias("tr_q"))
+    num = F.expr(
+        "aggregate(zip_with(tr_q, ev_q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    sq = "aggregate(transform({0}, x -> x * x), 0L, (acc, v) -> acc + v)"
+    c = num.cast("double") / (
+        F.sqrt(F.expr(sq.format("tr_q")).cast("double"))
+        * F.sqrt(F.expr(sq.format("ev_q")).cast("double"))
+    )
+    mx = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "eval_id",
+            F.floor(c * 1_000_000 + F.lit(0.5)).cast("bigint").alias("c_micro"),
+        )
+        .groupBy("eval_id")
+        .agg(F.max("c_micro").alias("mc_micro"))
+    )
+    return (
+        mx.groupBy(
+            F.floor(F.col("mc_micro") / 100_000.0).cast("bigint").alias("band10")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum("mc_micro").cast("bigint").alias("sum_mc_micro"),
+        )
+        .orderBy("band10")
     )
 
 
