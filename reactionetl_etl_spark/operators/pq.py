@@ -293,20 +293,23 @@ def write_pq_index(
         .parquet(f"{path}/codes")
     )
     spark = embeddings.sparkSession
-    # flat (subspace, centroid_idx, dim_idx, value) rows: a local
-    # relation with an array<double> column falls off Spark's JVM
-    # local-relation fast path onto the pickled-RDD path and re-pays
-    # ~4-5 s of Python-worker round-trip on EVERY action (measured
-    # r12); scalar rows convert JVM-side in milliseconds
-    spark.createDataFrame(
+    # flat rows THROUGH PANDAS: createDataFrame from a Python list —
+    # arrays or not — lands on the pickled-RDD path and a parquet
+    # write of even 1k rows pays a ~4.5 s Python round-trip PER ACTION
+    # (measured r12); the pandas/Arrow path builds a JVM LocalRelation
+    # and the same write is ~0.2 s
+    sidecar = pd.DataFrame(
         [
             (s, c, j, float(x))
             for s, book in enumerate(codebook)
             for c, cent in enumerate(book)
             for j, x in enumerate(cent)
         ],
-        "subspace int, centroid_idx int, dim_idx int, value double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+        columns=["subspace", "centroid_idx", "dim_idx", "value"],
+    )
+    spark.createDataFrame(sidecar).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebook"
+    )
     return codebook
 
 
@@ -382,16 +385,22 @@ def probe_pq_index(
         ],
         axis=1,
     )
-    # flat (qid, cell) rows — pre-exploded in Python: scalar local
-    # relations convert JVM-side; an array<int> column here would push
-    # this tiny frame onto the pickled-RDD path and re-pay its Python
-    # round-trip inside the join (see the sidecar note in write_pq_index)
-    probe = [
-        (int(qid), int(c))
-        for qi, qid in enumerate(q_ids)
-        for c in np.argsort(tables[qi, 0])[: min(n_probe, n_cells)]
-    ]
-    bq = spark.createDataFrame(probe, "__qid long, __probe_cell int")
+    # flat (qid, cell) rows through PANDAS — the Arrow path builds a
+    # JVM LocalRelation; a Python-list createDataFrame would ride the
+    # pickled-RDD path and re-pay its round-trip inside the join (see
+    # the sidecar note in write_pq_index)
+    probe = pd.DataFrame(
+        [
+            (int(qid), int(c))
+            for qi, qid in enumerate(q_ids)
+            for c in np.argsort(tables[qi, 0])[: min(n_probe, n_cells)]
+        ],
+        columns=["__qid", "__probe_cell"],
+    )
+    bq = spark.createDataFrame(probe).select(
+        F.col("__qid").cast("long").alias("__qid"),
+        F.col("__probe_cell").cast("int").alias("__probe_cell"),
+    )
     pairs = index_codes.join(
         F.broadcast(bq), on=F.col("pq_cell") == F.col("__probe_cell"), how="inner"
     ).select("__qid", id_col, "pq_code")

@@ -786,15 +786,22 @@ def write_ivf_index(
     ).write.mode(mode).partitionBy("ivf_cell").parquet(f"{path}/vectors")
     # centroids always overwrite: appends must pass the stored
     # centroids, so the sidecar is identical — append mode would
-    # duplicate its rows. Flat (cell, dim_idx, value) rows: a local
-    # relation with an array<double> column falls off the JVM
-    # local-relation fast path onto the pickled-RDD path and pays a
-    # ~4-5 s Python-worker round-trip per action (measured r12) —
-    # per MICRO-BATCH in the streaming sink; scalar rows convert
-    # JVM-side in milliseconds.
-    spark.createDataFrame(
+    # duplicate its rows. Flat (cell, dim_idx, value) rows THROUGH
+    # PANDAS: a Python-list createDataFrame rides the pickled-RDD path
+    # and a parquet write of this tiny frame pays a ~4.5 s Python
+    # round-trip per action (measured r12) — per MICRO-BATCH in the
+    # streaming sink; the pandas/Arrow path builds a JVM LocalRelation
+    # and writes in ~0.2 s.
+    import pandas as _pd
+
+    sidecar = _pd.DataFrame(
         [(i, j, float(x)) for i, c in enumerate(cents) for j, x in enumerate(c)],
-        "cell int, dim_idx int, value double",
+        columns=["cell", "dim_idx", "value"],
+    )
+    spark.createDataFrame(sidecar).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("value").cast("double").alias("value"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return cents
 
