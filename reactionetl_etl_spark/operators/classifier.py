@@ -236,7 +236,9 @@ def write_classifier_model(w: dict[int, Decimal], path: str, spark: SparkSession
     bucket -1): sign once, score any future batch without the training
     corpus — the same discipline as the persisted DSIR/MinHash/IVF
     models."""
-    _weights_df(spark, w).coalesce(1).write.mode("overwrite").parquet(path)
+    # repartition(1), not coalesce(1): coalesce serializes the Python
+    # local relation's partition evaluations into one ~4.5 s task (r12)
+    _weights_df(spark, w).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def read_classifier_model(path: str, spark: SparkSession) -> dict[int, Decimal]:
