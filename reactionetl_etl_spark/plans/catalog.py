@@ -86,10 +86,15 @@ _PRIORITY: tuple[str, ...] = (
     "pq_index_probe",
     "semantic_contamination_report",
     "split_leakage_audit",
+    "quality_classifier_eval",
+    "quality_classifier_scores",
     "multimodal_feature_extract",
+    "classifier_calibration_bins",
     "copurchase_label_propagation",
     "multimodal_corpus_build",
+    "ivf_tuning_curve",
     "minhash_eval_report",
+    "pca_doc_projection",
     "sole_late_supplier",
     "tfidf_top_terms",
     "top_parts_by_revenue_share",
@@ -198,8 +203,6 @@ _PRIORITY: tuple[str, ...] = (
     "html_text_extraction",
     "incremental_agg_rollup",
     "loo_target_encoding",
-    "quality_classifier_eval",
-    "quality_classifier_scores",
     "recursive_month_spine",
     "revenue_yoy_growth",
     "rollup_cdc_maintenance",
@@ -252,7 +255,6 @@ _PRIORITY: tuple[str, ...] = (
     "weekly_retention_triangle",
     "asof_click_to_purchase",
     "bigram_llr_collocations",
-    "classifier_calibration_bins",
     "click_purchase_interval_join",
     "contamination_check_4gram",
     "copurchase_betweenness",
@@ -349,7 +351,6 @@ _PRIORITY: tuple[str, ...] = (
     "intra_doc_repetition",
     "ivf_cosine_topk",
     "ivf_cosine_topk_batch",
-    "ivf_tuning_curve",
     "join_key_skew_profile",
     "knn_label_predict",
     "large_volume_customers",
@@ -363,7 +364,6 @@ _PRIORITY: tuple[str, ...] = (
     "orders_moving_avg_range_frame",
     "pack_efficiency_report",
     "part_measures_unpivot",
-    "pca_doc_projection",
     "pca_explained_variance",
     "pq_cosine_topk_batch",
     "quantity_band_range_join",
