@@ -83,6 +83,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore2",
+    "ngram_coverage_curve",
     "pq_index_probe",
     "semantic_contamination_report",
     "split_leakage_audit",
@@ -15892,6 +15893,93 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10_share6"),
         )
         .orderBy("join_key")
+    )
+
+
+@_q(
+    "ngram_coverage_curve",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT array_to_string(toks[i:i+3], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
+    ), cnt AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS cf FROM g GROUP BY gram
+    ), tot AS (
+        SELECT CAST(sum(cf) AS BIGINT) AS total FROM cnt
+    ), top AS (
+        SELECT cf, row_number() OVER (ORDER BY cf DESC, gram ASC) AS rk
+        FROM cnt QUALIFY rk <= 1000
+    )
+    SELECT k.k AS top_k,
+           CAST(sum(t.cf) AS BIGINT) AS covered,
+           (SELECT total FROM tot) AS total_grams,
+           CAST(floor(sum(t.cf) * 1000000.0 / (SELECT total FROM tot) + 0.5)
+                AS BIGINT) AS coverage_micro
+    FROM (VALUES (10), (100), (1000)) k(k) JOIN top t ON t.rk <= k.k
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "text", "eval", "llm"),
+)
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ROI curve (r12): what fraction of the corpus's 4-gram
+    occurrences the top-k most-repeated 4-grams cover, k ∈ {10, 100,
+    1000} — the number that says whether span-cut dedup
+    (`cut_duplicated_spans`) is worth a pass: a corpus where 1000
+    grams cover half the mass is template-ridden; a flat curve means
+    near-unique text and dedup buys little. One corpus scan →
+    per-gram counts (map-side combined) → distributed TakeOrdered
+    top-1000 (bounded by the PARAMETER, not the data) → the grid
+    evaluates every k from that one frame. The post-limit rank window
+    runs on ≤1000 rows — parameter-bounded, never data-sized. Short
+    docs (<4 tokens) contribute their whole text as one gram
+    (slice clamps identically in both engines)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(regexp_replace("
+                "lower(text), '\\\\s+', ' ')), ' ')) - 3, 1)),"
+                " i -> concat_ws(' ', slice(split(trim(regexp_replace(lower(text),"
+                " '\\\\s+', ' ')), ' '), i, 4)))"
+            )
+        ).alias("gram")
+    )
+    cnt = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    tot = cnt.agg(F.sum("cf").cast("bigint").alias("total"))
+    top = (
+        cnt.orderBy(F.desc("cf"), F.asc("gram"))
+        .limit(1000)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("cf"), F.asc("gram"))),
+        )
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    return (
+        F.broadcast(ks)
+        .join(top, F.col("rk") <= F.col("k"))
+        .groupBy(F.col("k").alias("top_k"))
+        .agg(F.sum("cf").cast("bigint").alias("covered"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "top_k",
+            "covered",
+            F.col("total").alias("total_grams"),
+            F.floor(F.col("covered") * 1_000_000.0 / F.col("total") + F.lit(0.5))
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+        .orderBy("top_k")
     )
 
 
