@@ -84,6 +84,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 _PRIORITY: tuple[str, ...] = (
     "copurchase_kcore2",
     "ngram_coverage_curve",
+    "pack_length_tradeoff_curve",
     "pq_index_probe",
     "semantic_contamination_report",
     "split_leakage_audit",
@@ -15525,6 +15526,94 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("fill6"),
     ).orderBy("shard_id")
+
+
+@_q(
+    "pack_length_tradeoff_curve",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, tok,
+               coalesce(sum(tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM t
+    ), per AS (
+        SELECT b.budget, c.tok, c.cum,
+               CAST(floor(c.cum / (1.0 * b.budget)) AS BIGINT) AS w0,
+               CAST(floor((c.cum + c.tok - 1) / (1.0 * b.budget)) AS BIGINT) AS w1
+        FROM c JOIN (VALUES (512), (1024), (2048), (4096)) b(budget) ON true
+    )
+    SELECT budget,
+           CAST(ceil(sum(tok) / (1.0 * budget)) AS BIGINT) AS n_shards,
+           CAST(sum(CASE WHEN w1 > w0 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+           CAST(sum(CASE WHEN w1 > w0
+                         THEN cum + tok - (w0 + 1) * budget ELSE 0 END)
+                AS BIGINT) AS truncated_tokens,
+           CAST(floor(sum(CASE WHEN w1 > w0
+                               THEN cum + tok - (w0 + 1) * budget ELSE 0 END)
+                      * 1000000.0 / sum(tok) + 0.5) AS BIGINT) AS waste_micro
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    tags=("packing", "training-export", "eval", "llm"),
+)
+def pack_length_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER packing dial (r12, companion to
+    `pack_efficiency_report`, which fixes budget=2048): sweep the
+    sequence-length budget L ∈ {512, 1024, 2048, 4096} and report, per
+    L, shard count, boundary-crossing docs, and the token mass past
+    each crossing doc's first boundary (`truncated_tokens` — what a
+    no-split trainer discards; `waste_micro` is its corpus fraction).
+    Longer sequences mean fewer crossings but costlier attention —
+    this curve is the data half of that tradeoff. The distributed
+    prefix sum (`rank.global_running_sum`, exclusive) is computed
+    ONCE — it is budget-independent — and a broadcast L-grid evaluates
+    every sweep point from the same frame in one aggregate: the
+    single-pass sweep discipline (`ivf_tuning_curve`). Exact integer
+    arithmetic off (cum, tok, L) everywhere; the one division is
+    mirrored floor micro-rounding."""
+    from reactionetl_etl_spark.operators.rank import global_running_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    t = docs.select("doc_id", F.size(F.split(norm, " ")).alias("tok"))
+    c = global_running_sum(
+        t,
+        [F.col("doc_id")],
+        [False],
+        "tok",
+        out_col="cum",
+        exclusive=True,
+        bucket_expr=F.expr("doc_id div 2000"),
+    )
+    grid = spark.createDataFrame([(512,), (1024,), (2048,), (4096,)], "budget int")
+    per = c.crossJoin(F.broadcast(grid)).select(
+        "budget",
+        "tok",
+        "cum",
+        F.floor(F.col("cum") / (F.col("budget") * 1.0)).cast("bigint").alias("w0"),
+        F.floor((F.col("cum") + F.col("tok") - 1) / (F.col("budget") * 1.0))
+        .cast("bigint")
+        .alias("w1"),
+    )
+    crossing = F.col("w1") > F.col("w0")
+    trunc = F.when(
+        crossing, F.col("cum") + F.col("tok") - (F.col("w0") + 1) * F.col("budget")
+    ).otherwise(F.lit(0))
+    return (
+        per.groupBy("budget")
+        .agg(
+            F.ceil(F.sum("tok") / (F.col("budget") * 1.0)).cast("bigint").alias("n_shards"),
+            F.sum(crossing.cast("bigint")).cast("bigint").alias("split_docs"),
+            F.sum(trunc).cast("bigint").alias("truncated_tokens"),
+            F.floor(F.sum(trunc) * 1_000_000.0 / F.sum("tok") + F.lit(0.5))
+            .cast("bigint")
+            .alias("waste_micro"),
+        )
+        .orderBy("budget")
+    )
 
 
 @_q(
