@@ -16144,18 +16144,24 @@ def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         qe.alias("qe"),
         F.when(b < 9000, "train").when(b < 9500, "val").otherwise("test").alias("split"),
     )
+    # norms precomputed PER SIDE before the join: inside the pair
+    # project Catalyst does not CSE them across rows, so leaving them
+    # pairwise triples the per-pair array folds (measured ~2× on the
+    # sf0.1 2.25M-pair frame); identical integer sums either way
+    sq = "aggregate(transform({0}, x -> x * x), 0L, (acc, v) -> acc + v)"
     ev = sp.filter(F.col("split") != "train").select(
-        F.col("vec_id").alias("eval_id"), F.col("qe").alias("ev_q")
+        F.col("vec_id").alias("eval_id"),
+        F.col("qe").alias("ev_q"),
+        F.sqrt(F.expr(sq.format("qe")).cast("double")).alias("ev_norm"),
     )
-    tr = sp.filter(F.col("split") == "train").select(F.col("qe").alias("tr_q"))
+    tr = sp.filter(F.col("split") == "train").select(
+        F.col("qe").alias("tr_q"),
+        F.sqrt(F.expr(sq.format("qe")).cast("double")).alias("tr_norm"),
+    )
     num = F.expr(
         "aggregate(zip_with(tr_q, ev_q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     )
-    sq = "aggregate(transform({0}, x -> x * x), 0L, (acc, v) -> acc + v)"
-    c = num.cast("double") / (
-        F.sqrt(F.expr(sq.format("tr_q")).cast("double"))
-        * F.sqrt(F.expr(sq.format("ev_q")).cast("double"))
-    )
+    c = num.cast("double") / (F.col("tr_norm") * F.col("ev_norm"))
     mx = (
         tr.crossJoin(F.broadcast(ev))
         .select(
