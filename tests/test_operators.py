@@ -1845,3 +1845,29 @@ def test_holt_linear_fit_witness():
 
     with _pytest.raises(ValueError, match="at least 2"):
         holt_linear_fit([1.0])
+
+
+def test_r12_curve_invariants(spark, sf_dir):
+    """Cross-row invariants of the r12 sweep families — properties the
+    pinned/computed oracles can't state (they freeze values, not
+    relationships): n-gram coverage is monotone in k; pack truncation
+    waste and split-doc count are non-increasing in the budget; the
+    cluster-keyed split straddles zero pairs while the doc-keyed split
+    audits the SAME pair universe."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    qs = all_queries()
+    cov = {r["top_k"]: r for r in qs["ngram_coverage_curve"].builder(spark, sf_dir).collect()}
+    assert cov[10]["covered"] <= cov[100]["covered"] <= cov[1000]["covered"]
+    assert cov[10]["total_grams"] == cov[1000]["total_grams"]
+    assert 0 < cov[1000]["coverage_micro"] <= 1_000_000
+
+    pk = {r["budget"]: r for r in qs["pack_length_tradeoff_curve"].builder(spark, sf_dir).collect()}
+    budgets = sorted(pk)
+    for a, b in zip(budgets, budgets[1:]):
+        assert pk[a]["split_docs"] >= pk[b]["split_docs"]
+        assert pk[a]["n_shards"] >= pk[b]["n_shards"]
+
+    leak = {r["method"]: r for r in qs["split_leakage_audit"].builder(spark, sf_dir).collect()}
+    assert leak["cluster_key"]["n_straddle"] == 0
+    assert leak["cluster_key"]["n_pairs"] == leak["doc_key"]["n_pairs"]

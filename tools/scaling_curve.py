@@ -97,6 +97,10 @@ EXTRA_QUERIES = (
     "pq_index_probe",  # codes-only write + partition-pruned ADC probe
     "copurchase_kcore2",  # k=2 peel (non-empty at every scale)
     "multimodal_feature_extract",  # real decode + luma histogram
+    "split_leakage_audit",  # family pair join + md5 split exprs
+    "semantic_contamination_report",  # broadcast eval x one train scan
+    "ngram_coverage_curve",  # gram counts + TakeOrdered(1000) + grid
+    "pack_length_tradeoff_curve",  # one prefix sum + broadcast L-grid
 )
 
 
