@@ -79,7 +79,27 @@ def main() -> int:
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             continue
-        odf = con.execute(spec.oracle).fetchdf()
+        oracle = spec.oracle
+        if "PINNED VALUES oracle" in oracle and not sf_dir.rstrip("/").endswith(
+            "sf0.01"
+        ):
+            # same scale-matched pin swap as tools/oracle_check.py: pins
+            # encode sf0.01 outputs; at sf0.1 use the sf0.1 pin when one
+            # exists, else degrade to a rows-only check — so the sweep
+            # can run at SF_DIR=/root/testdata/sf0.1 (10x data + hostile
+            # session in one axis, r12)
+            sf01_pin = None
+            if sf_dir.rstrip("/").endswith("sf0.1"):
+                from reactionetl_etl_spark.plans.pinned_sf0_1 import (
+                    PINNED_ORACLES_SF0_1,
+                )
+
+                sf01_pin = PINNED_ORACLES_SF0_1.get(name)
+            if sf01_pin is None:
+                print(f"rows  {name}: {len(sdf)} rows (pin is sf0.01-only)")
+                continue
+            oracle = sf01_pin
+        odf = con.execute(oracle).fetchdf()
         if len(sdf) != len(odf):
             failures.append(name)
             print(f"FAIL  {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
