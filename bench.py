@@ -441,11 +441,20 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
         spread: dict[str, list[float]] = {}
-        for name, spec in sorted(bench_queries().items()):
+        names = sorted(bench_queries().items())
+        for i, (name, spec) in enumerate(names):
             c, w, runs = _time_plan(lambda: spec.builder(spark, sf_dir))
             cold[name] = round(c, 3)
             timings[name] = round(w, 3)
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+            if i == len(names) // 2:
+                # mid-run calibration probe: r12 recorded a 40.26 s run
+                # (vs a 31/33 s band) whose pre AND post probes both
+                # passed — the contention burst lived entirely inside
+                # the ~5-minute query loop. A third probe at the
+                # midpoint halves the largest window a burst can hide
+                # in; folded into the same two-sided contended flag.
+                section_mid_calib.append(host_calibration(spark))
 
         for name, (c, w, runs) in bench_index_probes(spark, sf_dir).items():
             cold[name] = round(c, 3)
@@ -478,15 +487,20 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
     attempt_calibs: list[list[float]] = []
     for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
         calib_pre = _wait_for_quiet()
+        section_mid_calib: list[float] = []
         section = _timed_section()
+        calib_mid = section_mid_calib[0] if section_mid_calib else calib_pre
         calib_post = host_calibration(spark)
-        attempt_calibs.append([round(calib_pre, 3), round(calib_post, 3)])
-        contended = _off(calib_pre) or _off(calib_post)
+        attempt_calibs.append(
+            [round(calib_pre, 3), round(calib_mid, 3), round(calib_post, 3)]
+        )
+        contended = _off(calib_pre) or _off(calib_mid) or _off(calib_post)
         if not contended:
             break
         print(
             f"bench: attempt {attempt}/{MAX_BENCH_ATTEMPTS} contended "
-            f"(calibration pre={calib_pre:.3f}s post={calib_post:.3f}s vs "
+            f"(calibration pre={calib_pre:.3f}s mid={calib_mid:.3f}s "
+            f"post={calib_post:.3f}s vs "
             f"ref {HOST_CALIBRATION_REF_SEC}s) — "
             + ("retrying" if attempt < MAX_BENCH_ATTEMPTS else "recording as contended"),
             file=sys.stderr,
@@ -496,7 +510,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
     spread = section["spread"]
     etl_cold, etl_mbps = section["etl_cold"], section["etl_mbps"]
     lg_sec, lg_mbps = section["lg_sec"], section["lg_mbps"]
-    calib = max(calib_pre, calib_post)
+    calib = max(calib_pre, calib_mid, calib_post)
 
     spark.stop()
 
