@@ -94,11 +94,11 @@ COMPACT_KEYS = (
 # all) is documented in BASELINE.md § "Host-calibration protocol".
 # Host-speed drift consumed a verdict item in both r8 and r9 — same-code
 # numbers moved 2x with external CPU contention — so every bench record
-# now carries the measured calibration time (max of a sample BEFORE
-# and a sample AFTER the timed section — mid-run contention onset is
-# invisible to a single pre-run probe) and a `contended` flag when
-# EITHER sample deviates >CONTENDED_TOLERANCE from this value in
-# EITHER direction (a faster-than-reference host also breaks
+# now carries the measured calibration time (max of samples BEFORE,
+# MIDWAY THROUGH, and AFTER the timed section — r12 added the midpoint
+# probe after a burst hid entirely between a passing pre and post) and
+# a `contended` flag when ANY sample deviates >CONTENDED_TOLERANCE
+# from this value in EITHER direction (a faster-than-reference host also breaks
 # round-over-round comparability). PERF_NOTES compares rounds through
 # these fields instead of ad-hoc A/B reruns.
 HOST_CALIBRATION_REF_SEC = float(
