@@ -381,6 +381,38 @@ def test_ivf_index_probe_matches_inplan_batch(spark, tmp_path):
         S.write_ivf_index(second, dim=64, path=path, mode="append")
 
 
+def test_ivf_legacy_centroid_sidecar_reads(spark, tmp_path):
+    """A pre-r12 index whose centroid sidecar used the legacy
+    (cell, centroid array) schema must still load — r12 flattened the
+    sidecar to (cell, dim_idx, value) and without the fallback an old
+    index raises UNRESOLVED_COLUMN on dim_idx, which the streaming
+    append writer misreads as a fatal non-missing-index error
+    (ADVICE r12)."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "ivf_legacy")
+    cents = S.write_ivf_index(emb, dim=64, path=path, n_cells=4)
+    # rewrite the sidecar in the legacy pre-r12 shape
+    legacy = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    legacy.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assert S.read_ivf_centroids(spark, path) == [
+        [float(x) for x in c] for c in cents
+    ]
+    # and the streaming append writer accepts the legacy index: the
+    # batch lands as an append, not a retrain (centroids unchanged)
+    from reactionetl_etl_spark.streaming.sinks import ivf_append_batch_writer
+
+    writer = ivf_append_batch_writer(path, dim=64, n_cells=4)
+    writer(emb.filter(F.col("vec_id") < 8), batch_id=1)
+    assert S.read_ivf_centroids(spark, path) == [
+        [float(x) for x in c] for c in cents
+    ]
+
+
 def test_lsh_topk_subset_of_corpus(spark, sf_dir):
     from reactionetl_etl_spark.sources.tables import load_table
 
