@@ -16766,8 +16766,14 @@ def minhash_eval_report(
     recall are measured on a complete sub-universe. A family whose
     edit touches the first 32 chars can still split (documented, not
     hidden — the same prefix-locality assumption the yield curve
-    makes). ``full_exact=True`` restores the whole-corpus eval."""
+    makes). ``full_exact=True`` restores the whole-corpus eval. The
+    report carries its own ``universe`` column ('sampled_1_8' / 'full')
+    so sampled and full runs are distinguishable FROM THE DATA — r12
+    changed the default universe under an unchanged query name, and a
+    consumer diffing r11 vs r12 precision/recall had no in-band signal
+    of the population change (ADVICE r12)."""
     docs = _t(spark, sf_dir, "documents")
+    universe = "full" if full_exact else f"sampled_1_{sample_mod}"
     if not full_exact:
         pfx = F.substring(
             F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 32
@@ -16800,6 +16806,7 @@ def minhash_eval_report(
             .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
             .select(
                 F.lit(tau).alias("tau"),
+                F.lit(universe).alias("universe"),
                 "n_true",
                 "n_pred",
                 "n_hit",
