@@ -844,13 +844,21 @@ def probe_ivf_index(
     vec_col: str = "embedding",
     query_vec_col: str | None = None,
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch ANN against a PERSISTED IVF index
     (``spark.read.parquet(f"{path}/vectors")`` +
     `read_ivf_centroids`): queries explode to their n_probe nearest
     stored cells and equi-join the index on its PARTITION column, so
     dynamic partition pruning reads only probed cells. Per-query top-k
-    as in `cosine_topk_batch`."""
+    as in `cosine_topk_batch`.
+
+    ``broadcast_queries=False`` is the UNBOUNDED-query-set shape: the
+    exploded (query, probe_cell) side meets the index in a plain
+    hash-partitioned equi-join on the cell id instead of a driver
+    broadcast — no driver memory bound on the query side, at the cost
+    of partition pruning (an unbounded probe set touches every cell
+    anyway) and a shuffle of both sides keyed on ~n_cells values."""
     qv = query_vec_col or vec_col
     qvec = as_double_array(qv)
     cell_scores = F.array(
@@ -873,8 +881,10 @@ def probe_ivf_index(
         )
         .select("__qid", "__q", F.explode(probe_cells).alias("__probe_cell"))
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     pairs = index_vectors.join(
-        F.broadcast(q), on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner"
+        q, on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner"
     )
     return _score_and_topk(pairs, k, query_id_col, id_col, vec_col, exclude_self)
 

@@ -16111,7 +16111,9 @@ def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "quality", "sampling", "llm"),
 )
-def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_contamination_report(
+    spark: SparkSession, sf_dir: str, max_eval_rows: int | None = 5_000_000
+) -> DataFrame:
     """SEMANTIC decontamination report (r12) — the embedding-space
     sibling of the n-gram/bloom contamination checks: for every doc
     the hash split assigns to an EVAL slice (val/test, the same 90/5/5
@@ -16122,8 +16124,11 @@ def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     (paraphrases). Scale shape: the EVAL side of a decontamination run
     is bounded (benchmarks are small), so it broadcasts and the train
     corpus streams past it in ONE scan — max-cosine folds map-side
-    under the partial agg; for unbounded eval sets compose with the
-    LSH/IVF probes instead. Exactness (the PCA Gram lesson applied to
+    under the partial agg; the broadcast is GUARDED (``max_eval_rows``,
+    r13) so an oversized eval side refuses with the escape hatch named
+    instead of OOMing the driver: for unbounded eval sets use
+    `semantic_contamination_ann`, the shipped IVF-probed composition
+    with recall accounting. Exactness (the PCA Gram lesson applied to
     cosine): a float dot product's SUMMATION ORDER differs between
     engines, and of 2.25M pairs at sf0.1 one reliably lands within an
     ulp of a rounding boundary — no decimal rounding of a float dot
@@ -16158,6 +16163,22 @@ def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("qe").alias("tr_q"),
         F.sqrt(F.expr(sq.format("qe")).cast("double")).alias("tr_norm"),
     )
+    # guarded broadcast (r13): the exact report's scale contract is a
+    # BOUNDED eval side — without a bound, an oversized "eval" slice
+    # hits a driver OOM mid-broadcast instead of the instructive error
+    # every other exact path raises (_guard_exact_collect discipline).
+    # The count is column-pruned to the id scan; the refusal names the
+    # ANN escape hatch.
+    if max_eval_rows is not None:
+        n_eval = ev.count()
+        if n_eval > max_eval_rows:
+            raise ValueError(
+                f"semantic_contamination_report: eval split has {n_eval} "
+                f"rows > max_eval_rows={max_eval_rows}; the exact report "
+                "broadcasts the eval side. For unbounded eval sets use "
+                "semantic_contamination_ann (persisted-IVF probe, no "
+                "broadcast), or raise max_eval_rows explicitly."
+            )
     num = F.expr(
         "aggregate(zip_with(tr_q, ev_q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     )
@@ -16181,6 +16202,161 @@ def semantic_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band10")
     )
+
+
+@_q(
+    "semantic_contamination_ann",
+    None,  # seeded k-means IVF geometry — deterministic output pinned
+    tags=("similarity", "contamination", "index", "llm"),
+)
+def semantic_contamination_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """UNBOUNDED-eval semantic decontamination (r13) — the composition
+    `semantic_contamination_report`'s scale contract promises: instead
+    of broadcasting the eval set against every train embedding, the
+    TRAIN split is signed once into a persisted IVF index
+    (`write_ivf_index`) and the eval side probes it with
+    ``broadcast_queries=False`` — eval rows explode to their n_probe
+    nearest cells and meet the index in a plain hash-partitioned
+    equi-join on the cell id, so NEITHER side broadcasts and the eval
+    set may be corpus-sized. Per flag threshold tau in {0.30, 0.35,
+    0.40} — chosen where the near-uniform fixture embeddings actually
+    discriminate (max eval cosines land in 0.2-0.49 bands here; real
+    corpora cluster, and a production run flags at 0.8/0.9): eval docs
+    the exact report flags (max train-cosine >= tau), docs the ANN
+    probe flags, hits, and 4-dp precision/recall — the
+    `ann_recall_report` accounting applied to the decontamination
+    decision itself, so the n_probe recall trade is measured, not
+    guessed.
+
+    Exactness: both sides run on the SAME integer-quantized components
+    (10^-4 units) the exact report uses; products and 64-term sums stay
+    < 2^53, so the JVM's float folds are exact integer arithmetic and
+    the ANN cosine of a probed pair is BIT-IDENTICAL to the exact
+    path's — precision is provably 1.0 (an ANN flag implies the exact
+    max is at least that pair's cosine) and recall < 1 isolates exactly
+    the eval docs whose nearest train neighbor lives outside the
+    probed cells. Deterministic (seeded k-means, md5 split), so the
+    output is a pinned VALUES contract at sf0.01 and sf0.1."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.operators.similarity import (
+        probe_ivf_index,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+    from reactionetl_etl_spark.operators.split import split_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = split_bucket(F.col("vec_id"))
+    # same 10^-4 integer quantization as the exact report, carried as
+    # doubles (cosine is scale-invariant; exact-int folds per docstring)
+    qe = F.expr(
+        "transform(embedding, x -> CAST(CAST(floor(x * 10000 + 0.5) AS BIGINT) AS DOUBLE))"
+    )
+    sp = emb.select(
+        "vec_id",
+        qe.alias("embedding"),
+        (b < 9000).alias("is_train"),
+    )
+    tr = sp.filter(F.col("is_train")).select("vec_id", "embedding")
+    ev = sp.filter(~F.col("is_train")).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    work = _tempfile.mkdtemp(prefix="sem_ann_")
+    try:
+        write_ivf_index(tr, dim=64, path=work, n_cells=n_cells)
+        cents = read_ivf_centroids(spark, work)
+        ann = (
+            probe_ivf_index(
+                ev,
+                spark.read.parquet(f"{work}/vectors"),
+                cents,
+                k=1,
+                n_probe=n_probe,
+                exclude_self=False,
+                broadcast_queries=False,
+            )
+            .select(
+                F.col("query_id").alias("eval_id"),
+                F.floor(F.col("cosine_sim") * 1_000_000 + F.lit(0.5))
+                .cast("bigint")
+                .alias("ann_micro"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the tmp dir dies
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    # exact max-cosine per eval doc: the report's own integer-micro
+    # arithmetic (broadcast here is the MEASUREMENT side — the ANN path
+    # above is the production shape being certified)
+    qi = F.expr(
+        "transform(embedding, x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))"
+    )
+    spi = emb.select("vec_id", qi.alias("qe"), (b < 9000).alias("is_train"))
+    sq = "aggregate(transform({0}, x -> x * x), 0L, (acc, v) -> acc + v)"
+    ev_i = spi.filter(~F.col("is_train")).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("qe").alias("ev_q"),
+        F.sqrt(F.expr(sq.format("qe")).cast("double")).alias("ev_norm"),
+    )
+    tr_i = spi.filter(F.col("is_train")).select(
+        F.col("qe").alias("tr_q"),
+        F.sqrt(F.expr(sq.format("qe")).cast("double")).alias("tr_norm"),
+    )
+    num = F.expr(
+        "aggregate(zip_with(tr_q, ev_q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    c = num.cast("double") / (F.col("tr_norm") * F.col("ev_norm"))
+    exact = (
+        tr_i.crossJoin(F.broadcast(ev_i))
+        .select(
+            "eval_id",
+            F.floor(c * 1_000_000 + F.lit(0.5)).cast("bigint").alias("c_micro"),
+        )
+        .groupBy("eval_id")
+        .agg(F.max("c_micro").alias("exact_micro"))
+    )
+    # eval docs with no probed candidate at all retrieve nothing → never
+    # ANN-flagged (left join keeps them on the exact side)
+    both = exact.join(ann, "eval_id", "left").localCheckpoint(eager=True)
+    out = None
+    for tau in (0.30, 0.35, 0.40):
+        cut = int(tau * 1_000_000 + 0.5)
+        row = both.agg(
+            F.lit(tau).alias("tau"),
+            F.sum((F.col("exact_micro") >= cut).cast("long")).alias("n_exact"),
+            F.sum(
+                (F.coalesce(F.col("ann_micro"), F.lit(-(10**9))) >= cut).cast("long")
+            ).alias("n_ann"),
+            F.sum(
+                (
+                    (F.col("exact_micro") >= cut)
+                    & (F.coalesce(F.col("ann_micro"), F.lit(-(10**9))) >= cut)
+                ).cast("long")
+            ).alias("n_hit"),
+        ).select(
+            "tau",
+            "n_exact",
+            "n_ann",
+            "n_hit",
+            F.when(
+                F.col("n_ann") > 0,
+                F.floor(F.col("n_hit") / F.col("n_ann") * 10_000 + F.lit(0.5)) / 10_000,
+            ).alias("precision4"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.floor(F.col("n_hit") / F.col("n_exact") * 10_000 + F.lit(0.5))
+                / 10_000,
+            ).alias("recall4"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tau")
 
 
 @_q(

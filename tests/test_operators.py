@@ -1903,3 +1903,75 @@ def test_r12_curve_invariants(spark, sf_dir):
     leak = {r["method"]: r for r in qs["split_leakage_audit"].builder(spark, sf_dir).collect()}
     assert leak["cluster_key"]["n_straddle"] == 0
     assert leak["cluster_key"]["n_pairs"] == leak["doc_key"]["n_pairs"]
+
+
+def test_semantic_contamination_ann_invariants(spark, sf_dir):
+    """Cross-row invariants of the ANN decontamination report (r13):
+    ANN flags are a strict SUBSET of exact flags (the quantized-int
+    design makes a probed pair's cosine bit-identical to the exact
+    path's, so precision is provably 1.0 — n_hit == n_ann), flag
+    counts are non-increasing in tau, and the exact counts agree with
+    the exact report's band histogram (both derive the same per-eval
+    max-cosine micro values)."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    qs = all_queries()
+    rows = {
+        r["tau"]: r
+        for r in qs["semantic_contamination_ann"].builder(spark, sf_dir).collect()
+    }
+    taus = sorted(rows)
+    for tau in taus:
+        r = rows[tau]
+        assert r["n_hit"] == r["n_ann"] <= r["n_exact"]
+        assert r["precision4"] is None or r["precision4"] == 1.0
+    for a, b in zip(taus, taus[1:]):
+        assert rows[a]["n_exact"] >= rows[b]["n_exact"]
+        assert rows[a]["n_ann"] >= rows[b]["n_ann"]
+    # exact side ≡ the exact report: n_exact at tau=0.3 equals the
+    # band histogram's mass at band10 >= 3
+    bands = qs["semantic_contamination_report"].builder(spark, sf_dir).collect()
+    assert rows[0.30]["n_exact"] == sum(
+        r["n_eval"] for r in bands if r["band10"] >= 3
+    )
+    assert rows[0.40]["n_exact"] == sum(
+        r["n_eval"] for r in bands if r["band10"] >= 4
+    )
+
+
+def test_semantic_contamination_report_guard(spark, sf_dir):
+    """The exact report's broadcast is bounded: an eval side larger
+    than max_eval_rows refuses with the ANN escape hatch named instead
+    of OOMing the driver mid-broadcast (r12 verdict item)."""
+    import pytest as _pytest
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    fn = all_queries()["semantic_contamination_report"].builder
+    with _pytest.raises(ValueError, match="semantic_contamination_ann"):
+        fn(spark, sf_dir, max_eval_rows=1)
+
+
+def test_probe_ivf_broadcast_and_shuffle_paths_agree(spark, tmp_path):
+    """probe_ivf_index(broadcast_queries=False) — the unbounded-query
+    shape — returns exactly the broadcast path's results."""
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    cents = S.write_ivf_index(emb, dim=64, path=path, n_cells=8)
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+
+    def rows(broadcast):
+        return {
+            (r["query_id"], r["vec_id"], r["cosine_sim"])
+            for r in S.probe_ivf_index(
+                qs, vectors, cents, k=5, n_probe=4, broadcast_queries=broadcast
+            ).collect()
+        }
+
+    bcast, shuf = rows(True), rows(False)
+    assert bcast == shuf and bcast
