@@ -16466,6 +16466,170 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "contamination_report",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i
+            FROM tok
+        )
+    ), gev AS (
+        SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
+    ), gtr AS (
+        SELECT doc_id AS train_id, gram FROM g WHERE doc_id % 97 <> 0
+    ), ng AS (
+        SELECT CAST(count(DISTINCT train_id) AS BIGINT) AS n_flagged
+        FROM gtr JOIN gev USING (gram)
+    ), ntr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM documents WHERE doc_id % 97 <> 0
+    ), esp AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS qe,
+               CAST(('0x' || substring(md5('s42:' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 10000 AS b
+        FROM embeddings
+    ), eev AS (SELECT vec_id, qe FROM esp WHERE b >= 9000),
+    etr AS (SELECT qe FROM esp WHERE b < 9000),
+    ecos AS (
+        SELECT eev.vec_id,
+               CAST(list_sum(list_transform(list_zip(etr.qe, eev.qe),
+                                            p -> p[1] * p[2])) AS DOUBLE)
+                 / (sqrt(CAST(list_sum(list_transform(etr.qe, x -> x * x)) AS DOUBLE))
+                    * sqrt(CAST(list_sum(list_transform(eev.qe, x -> x * x)) AS DOUBLE)))
+                 AS c
+        FROM eev CROSS JOIN etr
+    ), emx AS (
+        SELECT vec_id,
+               max(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) AS mc_micro
+        FROM ecos GROUP BY vec_id
+    ), sem AS (
+        SELECT CAST(sum(CASE WHEN mc_micro >= 400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(count(*) AS BIGINT) AS n_universe
+        FROM emx
+    ), snorm AS (
+        SELECT doc_id,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 32) AS pfx
+        FROM documents
+    ), sfam AS (
+        SELECT pfx FROM snorm GROUP BY pfx HAVING count(*) >= 2
+    ), smem AS (
+        SELECT n.doc_id, n.pfx,
+               CASE WHEN CAST(('0x' || substring(md5('s42:' || CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 10000 < 9000 THEN 'train'
+                    WHEN CAST(('0x' || substring(md5('s42:' || CAST(n.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % 10000 < 9500 THEN 'val' ELSE 'test' END AS s_doc
+        FROM snorm n JOIN sfam USING (pfx)
+    ), spairs AS (
+        SELECT a.s_doc AS sda, b.s_doc AS sdb
+        FROM smem a JOIN smem b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    ), spl AS (
+        SELECT CAST(sum(CASE WHEN sda <> sdb THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(count(*) AS BIGINT) AS n_universe
+        FROM spairs
+    )
+    SELECT method, n_flagged, n_universe FROM (
+        SELECT 'ngram_4gram' AS method, ng.n_flagged, ntr.n AS n_universe FROM ng, ntr
+        UNION ALL
+        SELECT 'ngram_bloom', ng.n_flagged, ntr.n FROM ng, ntr
+        UNION ALL
+        SELECT 'semantic_band40', n_flagged, n_universe FROM sem
+        UNION ALL
+        SELECT 'split_family_straddle', n_flagged, n_universe FROM spl
+    ) ORDER BY method
+    """,
+    tags=("text", "similarity", "contamination", "quality", "llm"),
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-STOP contamination audit (r13): the three leak regimes each
+    answer "is eval leaking into train" with a different blind spot —
+    exact n-gram overlap misses paraphrases, embedding cosine misses
+    verbatim spans shorter than its pooling window, and both miss the
+    subtler failure of near-dup FAMILIES straddling the split boundary
+    (each member clean against the other side's grams yet a near-copy
+    of one). This report unions all of them into one (method,
+    n_flagged, n_universe) table so the methods cross-check each other
+    in a single artifact:
+
+      ngram_4gram            train docs sharing a 4-gram with the eval
+                             slice, over the train-doc universe
+      ngram_bloom            the SAME check through the Bloom
+                             pre-filter regime — its row must equal
+                             ngram_4gram exactly (false positives cost
+                             a lookup, never a row); a divergence means
+                             the fast path is broken
+      semantic_band40        eval embeddings whose max train-cosine
+                             lands at band >= 0.4 (derived from
+                             `semantic_contamination_report`'s own
+                             output, so the two artifacts can never
+                             disagree), over the eval-embedding
+                             universe
+      split_family_straddle  near-dup-family pairs the per-doc hash
+                             split severs across train/eval
+                             (`split_leakage_audit`'s doc_key row),
+                             over the within-family pair universe
+
+    Composition, not re-implementation: every row is a small aggregate
+    over an existing oracled builder, so this report stays consistent
+    with the standalone queries by construction. Scale: the component
+    shapes are unchanged (broadcast/bloom gram probes, guarded
+    broadcast eval, bounded family pairs); the report adds only 1-row
+    aggregates and a 4-row union."""
+    from reactionetl_etl_spark.operators import text as _TX
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    n_train = tr.agg(F.count(F.lit(1)).cast("bigint").alias("n_universe"))
+
+    def _ngram_row(method: str, hits: DataFrame) -> DataFrame:
+        return (
+            hits.agg(F.count_distinct(F.col("train_id")).cast("bigint").alias("n_flagged"))
+            .crossJoin(F.broadcast(n_train))
+            .select(F.lit(method).alias("method"), "n_flagged", "n_universe")
+        )
+
+    row_4g = _ngram_row(
+        "ngram_4gram", _TX.ngram_contamination(tr, ev, "text", "doc_id", k=4)
+    )
+    row_bl = _ngram_row(
+        "ngram_bloom", _TX.ngram_contamination_bloom(tr, ev, "text", "doc_id", k=4)
+    )
+    row_sem = (
+        semantic_contamination_report(spark, sf_dir)
+        .agg(
+            F.sum(F.when(F.col("band10") >= 4, F.col("n_eval")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_eval").cast("bigint").alias("n_universe"),
+        )
+        .select(F.lit("semantic_band40").alias("method"), "n_flagged", "n_universe")
+    )
+    row_spl = (
+        split_leakage_audit(spark, sf_dir)
+        .filter(F.col("method") == "doc_key")
+        .select(
+            F.lit("split_family_straddle").alias("method"),
+            F.col("n_straddle").cast("bigint").alias("n_flagged"),
+            F.col("n_pairs").cast("bigint").alias("n_universe"),
+        )
+    )
+    return (
+        row_4g.unionByName(row_bl)
+        .unionByName(row_sem)
+        .unionByName(row_spl)
+        .orderBy("method")
+    )
+
+
+@_q(
     "split_lang_balance_chi2",
     """
     WITH sp AS (

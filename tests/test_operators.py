@@ -1939,6 +1939,42 @@ def test_semantic_contamination_ann_invariants(spark, sf_dir):
     )
 
 
+def test_contamination_report_cross_checks(spark, sf_dir):
+    """The unified report's designed cross-checks (r13): the Bloom row
+    equals the exact 4-gram row (the pre-filter is exact-verified, so
+    a divergence means the fast path is broken), the semantic row
+    re-aggregates the band report, and the split row is the audit's
+    doc_key row verbatim."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    qs = all_queries()
+    rep = {
+        r["method"]: r
+        for r in qs["contamination_report"].builder(spark, sf_dir).collect()
+    }
+    assert set(rep) == {
+        "ngram_4gram",
+        "ngram_bloom",
+        "semantic_band40",
+        "split_family_straddle",
+    }
+    assert rep["ngram_bloom"]["n_flagged"] == rep["ngram_4gram"]["n_flagged"]
+    assert rep["ngram_bloom"]["n_universe"] == rep["ngram_4gram"]["n_universe"]
+    for r in rep.values():
+        assert 0 <= r["n_flagged"] <= r["n_universe"]
+    bands = qs["semantic_contamination_report"].builder(spark, sf_dir).collect()
+    assert rep["semantic_band40"]["n_flagged"] == sum(
+        r["n_eval"] for r in bands if r["band10"] >= 4
+    )
+    assert rep["semantic_band40"]["n_universe"] == sum(r["n_eval"] for r in bands)
+    leak = {
+        r["method"]: r
+        for r in qs["split_leakage_audit"].builder(spark, sf_dir).collect()
+    }
+    assert rep["split_family_straddle"]["n_flagged"] == leak["doc_key"]["n_straddle"]
+    assert rep["split_family_straddle"]["n_universe"] == leak["doc_key"]["n_pairs"]
+
+
 def test_semantic_contamination_report_guard(spark, sf_dir):
     """The exact report's broadcast is bounded: an eval side larger
     than max_eval_rows refuses with the ANN escape hatch named instead
