@@ -165,6 +165,23 @@ def build_training_corpus(
     else:
         contam_drops = spark.createDataFrame([], "doc_id long, stage string, reason string")
 
+    # The ledger is written FIRST and the final keep-list derived from
+    # its read-back (r13): the drop stages (quality rules, MinHash
+    # near-dup clustering, contamination probe) execute exactly ONCE —
+    # previously the shards write, the ledger write, and the drop-stat
+    # collect each re-ran them (the dedup stage is the expensive one:
+    # LSH candidates + iterative connected components), tripling the
+    # pipeline's cost. This is also the module docstring's scale
+    # posture made literal: stages communicate by narrow doc_id
+    # keep/drop lists, and the corpus text is re-scanned only by the
+    # passes that need it.
+    ledger = quality_drops.unionByName(dup_drops).unionByName(contam_drops)
+    ledger.write.mode("overwrite").parquet(f"{out_path}/ledger")
+    ledger_r = spark.read.parquet(f"{out_path}/ledger")
+    kept = docs.join(
+        ledger_r.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+
     # deterministic shuffle order + token counts, then pack
     norm = D.normalize_text(text_col)
     with_tok = kept.withColumn("n_tokens", F.size(F.split(norm, " ")))
@@ -183,10 +200,16 @@ def build_training_corpus(
     )
 
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(f"{out_path}/shards")
-    ledger = quality_drops.unionByName(dup_drops).unionByName(contam_drops)
-    ledger.write.mode("overwrite").parquet(f"{out_path}/ledger")
-    shard_stats = packed.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    # shard stats from the WRITTEN shards, not the in-plan frame — the
+    # latter would re-run shuffle+pack a second time
+    shard_stats = (
+        spark.read.parquet(f"{out_path}/shards")
+        # the session disables partition-column type inference
+        # (session.py) so the partition column reads back as string;
+        # restore the packer's bigint type
+        .withColumn("shard_id", F.col("shard_id").cast("bigint"))
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
     )
     shard_stats.write.mode("overwrite").parquet(f"{out_path}/shard_stats")
 
@@ -196,7 +219,11 @@ def build_training_corpus(
         from reactionetl_etl_spark.io.webdataset import write_webdataset_shards
 
         write_webdataset_shards(
-            packed.withColumn("payload", F.encode(text_col, "utf-8")),
+            # read-back, not `packed`: the in-plan frame would re-run
+            # the shuffle+pack stages a third time
+            spark.read.parquet(f"{out_path}/shards").withColumn(
+                "payload", F.encode(text_col, "utf-8")
+            ),
             f"{out_path}/webdataset",
             key_col="doc_id",
             payload_col="payload",
@@ -208,7 +235,7 @@ def build_training_corpus(
 
     stats_rows = {
         r["stage"]: r["n"]
-        for r in ledger.groupBy("stage").agg(F.count("*").alias("n")).collect()
+        for r in ledger_r.groupBy("stage").agg(F.count("*").alias("n")).collect()
     }
     exported = spark.read.parquet(f"{out_path}/shards")
     n_exported = exported.count()

@@ -27,7 +27,13 @@ def _worst_case_compact_line() -> str:
     worst-case numeric widths (xxx.xxx seconds)."""
     from reactionetl_etl_spark.plans.catalog import bench_queries
 
-    names = sorted(bench_queries()) + ["etl_ingest", "probe_lsh_index", "probe_ivf_index"]
+    names = sorted(bench_queries()) + [
+        "etl_ingest",
+        "probe_lsh_index",
+        "probe_ivf_index",
+        "probe_pq_index",
+        "training_corpus_build",
+    ]
     queries = {n: 999.999 for n in names}
     # compact separators, as bench.py's stdout print uses
     return json.dumps(
@@ -42,8 +48,6 @@ def _worst_case_compact_line() -> str:
             "ingest_mb_per_s": 9999.99,
             "ingest_512_mb_per_s": 9999.99,
             "lfl_sec": 99999.999,
-            "lfl_prev_sec": 99999.999,
-            "lfl_prev_round": 99,
             "host_calibration_sec": 999.999,
             "contended": True,
             "bench_attempts": 99,

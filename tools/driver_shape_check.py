@@ -28,6 +28,20 @@ flip a plan-shape or hash-partitioning assumption):
                              every shuffle collapses to one partition,
                              exposing partition-order folds — and 7,
                              a prime that misaligns every modular key)
+  SPARK_GRAFT_SHAPE_ARROW    set to "false" to disable
+                             spark.sql.execution.arrow.pyspark.enabled
+                             (r12 verdict item 6 — the axis the
+                             TZ/master/shuffle sweep doesn't cover).
+                             Scope note: this flag governs only the
+                             driver-side pandas conversions (toPandas /
+                             createDataFrame-from-pandas); pandas UDFs,
+                             mapInPandas and applyInPandas* transfer
+                             via Arrow REGARDLESS of it (Spark has no
+                             non-Arrow execution for them), so the
+                             sweep certifies the engine's own
+                             local-relation builds and the check
+                             harness's collection path, not a
+                             hypothetical Arrow-free UDF engine.
   SWEEP_N / SPARK_GRAFT_SHAPE_SWEEP_N  how deep into _PRIORITY to go
 """
 
@@ -63,6 +77,9 @@ def main() -> int:
     shuffle = os.environ.get("SPARK_GRAFT_SHAPE_SHUFFLE")
     if shuffle:
         builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    arrow = os.environ.get("SPARK_GRAFT_SHAPE_ARROW")
+    if arrow:
+        builder = builder.config("spark.sql.execution.arrow.pyspark.enabled", arrow)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
