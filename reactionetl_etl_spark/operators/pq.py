@@ -439,3 +439,311 @@ def probe_pq_index(
         .withColumn("approx_cosine", 1 - F.col("adc_d2") / 2)
         .select("query_id", "vec_id", "approx_cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer over the FULL vector + PQ on the RESIDUAL
+# (Jégou et al. 2011 §IV "IVFADC" — the production FAISS architecture).
+# The persisted PQ index above is an IVF-PQ-LITE: its coarse cell is the
+# subspace-0 code, i.e. a quantizer of the LEADING dim/m dimensions only,
+# so cell quality degrades as m grows. The full IVF-PQ cells on the whole
+# vector and PQ-codes the residual x - centroid[cell], which is both a
+# better partitioner (cells see every dimension) and a finer code (the
+# codebook spends its k centroids on the residual's much smaller spread).
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_subspaces(x, m: int, k: int, iters: int, rng) -> list:
+    """Per-subspace Lloyd's over an (n, dim) matrix — the inner loop of
+    `train_pq_codebook`, shared with the residual trainer. Empty
+    clusters re-seed from the worst-served point."""
+    import numpy as np
+
+    sub = x.shape[1] // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cents = xs[rng.permutation(len(xs))[:k]].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+                else:
+                    cents[c] = xs[d.min(axis=1).argmax()]
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def train_ivfpq_geometry(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    max_sample: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+) -> tuple[list, list]:
+    """(coarse centroids n_cells × dim, residual codebook m × k × dim/m).
+
+    The coarse quantizer IS a PQ codebook with one subspace spanning
+    the whole vector (`train_pq_codebook(m=1, k=n_cells)` — same
+    bounded deterministic sample, same seed discipline); the residual
+    codebook then runs the same Lloyd's per subspace on x − c(x) over
+    that sample. Deterministic end to end."""
+    import numpy as np
+
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    coarse = train_pq_codebook(
+        df, dim, m=1, k=n_cells, vec_col=vec_col,
+        max_sample=max_sample, iters=iters, seed=seed,
+    )[0]
+    rows = (
+        non_null_vectors(df, vec_col).select(vec_col).orderBy(vec_col).limit(max_sample).collect()
+    )
+    x = _normalize(np.array([list(r[0]) for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    rng.shuffle(x)  # same mix as the coarse trainer: identical sample order
+    cents = np.array(coarse, dtype=np.float64)
+    assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    books = _lloyd_subspaces(x - cents[assign], m, k, iters, rng)
+    return [list(map(float, c)) for c in coarse], books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list,
+    codebook: list,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``ivf_cell`` (int — nearest coarse centroid of the
+    normalized vector) and ``pq_code`` (array<int>, length m — residual
+    codes). One vectorized Arrow pass, no shuffle; NULL vectors map to
+    NULL cell/code (column-appending convention, as `pq_encode`)."""
+    import numpy as np
+
+    cents = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            mask = pdf[vec_col].notna().to_numpy()
+            cell_out = [None] * len(pdf)
+            code_out = [None] * len(pdf)
+            if mask.any():
+                x = _normalize(np.array(list(pdf[vec_col][mask]), dtype=np.float64))
+                cell = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                r = x - cents[cell]
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for s in range(m):
+                    rs = r[:, s * sub : (s + 1) * sub]
+                    d = ((rs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, s] = d.argmin(axis=1)
+                for pos, c, row in zip(np.flatnonzero(mask), cell, codes):
+                    cell_out[pos] = int(c)
+                    code_out[pos] = list(map(int, row))
+            pdf["ivf_cell"] = cell_out
+            pdf["pq_code"] = code_out
+            yield pdf
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    schema = ", ".join(out_fields + ["ivf_cell int", "pq_code array<int>"])
+    return df.mapInPandas(encode, schema=schema)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    dim: int,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    centroids: list | None = None,
+    codebook: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> tuple[list, list]:
+    """Persist the IVF-PQ index: CODES ONLY (m bytes/vector — floats
+    never land in the index), parquet PARTITIONED BY the full-vector
+    coarse cell, with BOTH geometry sidecars — ``<path>/centroids``
+    (flat (cell, dim_idx, value), the `write_ivf_index` layout, so
+    `similarity.read_ivf_centroids` reads it) and ``<path>/codebook``
+    (the `write_pq_index` layout). Returns (centroids, codebook).
+
+    Appends must pass the stored geometry (`read_ivfpq_geometry`) —
+    retraining would cell AND code new batches differently from the
+    existing partitions; enforced like the IVF and PQ writers. Sidecars
+    always overwrite (appends pass the stored geometry, so they are
+    identical — append mode would duplicate their rows)."""
+    if mode == "append" and (centroids is None or codebook is None):
+        raise ValueError(
+            "append requires the index's stored geometry — pass "
+            "centroids, codebook = read_ivfpq_geometry(spark, path)"
+        )
+    if centroids is None or codebook is None:
+        centroids, codebook = train_ivfpq_geometry(
+            embeddings, dim, n_cells=n_cells, m=m, k=k, vec_col=vec_col
+        )
+    coded = ivfpq_encode(embeddings, centroids, codebook, vec_col=vec_col)
+    (
+        coded.filter(F.col("pq_code").isNotNull())
+        .select(id_col, "pq_code", "ivf_cell")
+        .write.mode(mode)
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/codes")
+    )
+    spark = embeddings.sparkSession
+    # both sidecars through PANDAS (JVM LocalRelation — see the
+    # write_pq_index note on the pickled-RDD path's ~4.5 s round trip)
+    cent_rows = pd.DataFrame(
+        [(i, j, float(x)) for i, c in enumerate(centroids) for j, x in enumerate(c)],
+        columns=["cell", "dim_idx", "value"],
+    )
+    spark.createDataFrame(cent_rows).select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("value").cast("double").alias("value"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = pd.DataFrame(
+        [
+            (s, c, j, float(x))
+            for s, book in enumerate(codebook)
+            for c, cent in enumerate(book)
+            for j, x in enumerate(cent)
+        ],
+        columns=["subspace", "centroid_idx", "dim_idx", "value"],
+    )
+    spark.createDataFrame(book_rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebook"
+    )
+    return centroids, codebook
+
+
+def read_ivfpq_geometry(spark, path: str) -> tuple[list, list]:
+    """(centroids, codebook) of a `write_ivfpq_index` layout — the
+    centroid sidecar shares `write_ivf_index`'s format (including its
+    legacy fallback), the codebook sidecar `write_pq_index`'s."""
+    from reactionetl_etl_spark.operators.similarity import read_ivf_centroids
+
+    return read_ivf_centroids(spark, path), read_pq_codebook(spark, path)
+
+
+def probe_ivfpq_index(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    centroids: list,
+    codebook: list,
+    k: int = 10,
+    n_probe: int | None = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN against a PERSISTED IVF-PQ index
+    (``spark.read.parquet(f"{path}/codes")`` + `read_ivfpq_geometry`):
+    queries explode to their ``n_probe`` nearest FULL-VECTOR coarse
+    cells and equi-join the index on its PARTITION column (dynamic
+    partition pruning reads only probed cells), then rank candidates by
+    residual ADC — the per-(query, cell) m×k table bakes the cell
+    centroid into every entry (t[s][j] = ‖q_s − c_s − book_s[j]‖²), so
+    scoring stays m lookups per candidate and the float vectors are
+    never read. ``n_probe=None`` probes every cell. Output:
+    (query_id, vec_id, approx_cosine, rank ≤ k); re-rank the shortlist
+    against a full-vector table if exactness matters. Query side is
+    the bounded-batch contract (collected to build ADC tables), as in
+    `probe_pq_index`."""
+    import numpy as np
+
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    cents = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebook]
+    m = len(books)
+    sub = books[0].shape[1]
+    n_cells = len(cents)
+    if n_probe is None:
+        n_probe = n_cells
+    n_probe = min(n_probe, n_cells)
+    q_rows = non_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    spark = queries.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, approx_cosine double, rank int"
+        )
+    qx = _normalize(np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64))
+    q_ids = [r[query_id_col] for r in q_rows]
+    coarse_d = ((qx[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = np.argsort(coarse_d, axis=1)[:, :n_probe]
+    # per-(query, probed cell) residual ADC tables: m × k lookups each
+    tables: dict[tuple[int, int], "np.ndarray"] = {}
+    pairs_rows = []
+    for qi, qid in enumerate(q_ids):
+        for c in probe_cells[qi]:
+            resid_q = qx[qi] - cents[c]
+            t = np.stack(
+                [
+                    (
+                        (resid_q[s * sub : (s + 1) * sub][None, :] - books[s]) ** 2
+                    ).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+            tables[(int(qid), int(c))] = t
+            pairs_rows.append((int(qid), int(c)))
+    probe = pd.DataFrame(pairs_rows, columns=["__qid", "__probe_cell"])
+    bq = spark.createDataFrame(probe).select(
+        F.col("__qid").cast("long").alias("__qid"),
+        F.col("__probe_cell").cast("int").alias("__probe_cell"),
+    )
+    pairs = index_codes.join(
+        F.broadcast(bq), on=F.col("ivf_cell") == F.col("__probe_cell"), how="inner"
+    ).select(
+        "__qid", F.col(id_col), "pq_code", F.col("ivf_cell").cast("int").alias("__cell")
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_arr = _np.array(list(pdf["pq_code"]), dtype=_np.int64)
+            qids = pdf["__qid"].to_numpy()
+            d = _np.zeros(len(pdf), dtype=_np.float64)
+            # group rows by (qid, cell) so each ADC table gathers once;
+            # positional indices, never id arithmetic (ids may be any
+            # int64)
+            grouped = pdf.reset_index(drop=True).groupby(["__qid", "__cell"]).indices
+            for (qid, cell), idx in grouped.items():
+                t = tables[(int(qid), int(cell))]
+                dd = _np.zeros(len(idx), dtype=_np.float64)
+                sub_codes = codes_arr[idx]
+                for s in range(m):
+                    dd += t[s][sub_codes[:, s]]
+                d[idx] = dd
+            yield pd.DataFrame(
+                {"query_id": qids, "vec_id": pdf[id_col], "adc_d2": d}
+            )
+
+    scored = pairs.mapInPandas(adc, "query_id long, vec_id long, adc_d2 double")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("approx_cosine", 1 - F.col("adc_d2") / 2)
+        .select("query_id", "vec_id", "approx_cosine", "rank")
+    )

@@ -292,6 +292,56 @@ def pq_append_batch_writer(
     return write_batch
 
 
+def ivfpq_append_batch_writer(
+    index_path: str,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch callback maintaining a persisted IVF-PQ index
+    (`operators/pq.py::write_ivfpq_index`) as embeddings stream in —
+    completes the streaming side of the index family alongside the
+    MinHash/IVF/PQ writers: the FIRST batch trains the coarse centroids
+    AND the residual codebook, every later batch cells/codes itself
+    with the STORED geometry and appends (`write_ivfpq_index` raises on
+    append-without-geometry). Same at-least-once caveat as the
+    siblings: a replayed batch re-appends its codes — harmless for ADC
+    top-k beyond duplicate neighbors; dedup on id_col at probe time if
+    exactness matters."""
+    from reactionetl_etl_spark.operators.pq import (
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            cents, book = read_ivfpq_geometry(spark, index_path)
+        except AnalysisException as e:
+            if e.getCondition() not in _MISSING_INDEX_ERROR_CLASSES:
+                raise
+            cents, book = None, None
+        if cents is None:
+            write_ivfpq_index(
+                batch_df, dim=dim, path=index_path, n_cells=n_cells, m=m, k=k,
+                id_col=id_col, vec_col=vec_col, mode="overwrite",
+            )
+            logger.info(
+                "ivfpq sink: trained index at %s from batch %d", index_path, batch_id
+            )
+        else:
+            write_ivfpq_index(
+                batch_df, dim=dim, path=index_path,
+                centroids=cents, codebook=book,
+                id_col=id_col, vec_col=vec_col, mode="append",
+            )
+
+    return write_batch
+
+
 def rollup_batch_writer(
     state_path: str,
     keys: list[str],

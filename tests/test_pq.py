@@ -186,3 +186,169 @@ def test_pq_index_probe_prunes_partitions(spark, tmp_path):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_ivfpq_probe_matches_numpy_reference(spark, tmp_path):
+    """probe_ivfpq_index ≡ a straight-line numpy IVFADC: encode every
+    vector (normalize → full-vector coarse cell → residual codes),
+    score probed-cell candidates with per-(query, cell) residual ADC
+    tables, top-k by (distance, id). Exact to 6 dp — the Spark path
+    computes the same float64 ops in the same order."""
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+        _normalize,
+    )
+
+    df, rows = _fixture(spark, n=300, dim=32)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(df, dim=32, path=path, n_cells=8, m=8, k=16)
+    cents, book = read_ivfpq_geometry(spark, path)
+    qs = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["approx_cosine"], 6))
+        for r in probe_ivfpq_index(
+            qs, spark.read.parquet(f"{path}/codes"), cents, book, k=5, n_probe=3
+        ).collect()
+    }
+
+    # numpy reference
+    cents_a = np.array(cents)
+    books_a = [np.array(b) for b in book]
+    m, sub = len(books_a), books_a[0].shape[1]
+    x = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    ids = np.array([r[0] for r in rows])
+    cell = ((x[:, None, :] - cents_a[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = x - cents_a[cell]
+    codes = np.stack(
+        [
+            ((resid[:, s * sub:(s + 1) * sub][:, None, :] - books_a[s][None, :, :]) ** 2)
+            .sum(axis=2).argmin(axis=1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    want = {}
+    for qi in range(5):
+        q = x[ids == qi][0]
+        probe = np.argsort(((q[None, :] - cents_a) ** 2).sum(axis=1))[:3]
+        cand = []
+        for c in probe:
+            sel = np.flatnonzero(cell == c)
+            rq = q - cents_a[c]
+            t = np.stack(
+                [((rq[s * sub:(s + 1) * sub][None, :] - books_a[s]) ** 2).sum(axis=1)
+                 for s in range(m)]
+            )
+            for i in sel:
+                if ids[i] == qi:
+                    continue  # exclude_self
+                d = sum(t[s][codes[i, s]] for s in range(m))
+                cand.append((d, int(ids[i])))
+        cand.sort()
+        for rank, (d, vid) in enumerate(cand[:5], start=1):
+            want[(qi, rank)] = (vid, round(1 - d / 2, 6))
+    assert got == want
+
+
+def test_ivfpq_append_requires_geometry_and_stays_consistent(spark, tmp_path):
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+    )
+    import pytest
+
+    df, _ = _fixture(spark, n=300, dim=32)
+    first = df.filter(F.col("vec_id") % 2 == 0)
+    second = df.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    cents, book = write_ivfpq_index(first, dim=32, path=path, n_cells=8, m=8, k=16)
+    with pytest.raises(ValueError, match="stored geometry"):
+        write_ivfpq_index(second, dim=32, path=path, mode="append")
+    stored = read_ivfpq_geometry(spark, path)
+    write_ivfpq_index(
+        second, dim=32, path=path, centroids=stored[0], codebook=stored[1],
+        mode="append",
+    )
+    # geometry unchanged by the append; the index now holds every id
+    assert read_ivfpq_geometry(spark, path) == stored
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 300
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = probe_ivfpq_index(qs, codes, stored[0], stored[1], k=5, n_probe=8)
+    assert out.count() == 15
+
+
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """The probe join must dynamic-partition-prune the codes scan, as
+    the LSH/IVF/PQ probes do."""
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+    )
+
+    df, _ = _fixture(spark, n=300, dim=32)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(df, dim=32, path=path, n_cells=8, m=8, k=16)
+    cents, book = read_ivfpq_geometry(spark, path)
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = probe_ivfpq_index(
+        qs, spark.read.parquet(f"{path}/codes"), cents, book, k=5, n_probe=2
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_ivfpq_beats_pqlite_recall_at_equal_probe_budget(spark):
+    """The reason IVF-PQ exists: cells on the FULL vector + residual
+    codes recall strictly more than the subspace-0-cell PQ-lite at the
+    same probe budget on the shipped fixture (measured 0.285 vs 0.215
+    at n_probe=4/16, sf0.01; floor pinned below the measurement)."""
+    import tempfile
+
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        probe_pq_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+    from reactionetl_etl_spark.operators.similarity import cosine_topk_batch
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_batch(qs, emb, k=10).collect()
+    }
+    w1, w2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    book = write_pq_index(emb, dim=64, path=w1, m=8, k=16)
+    lite = {
+        (r["query_id"], r["vec_id"])
+        for r in probe_pq_index(
+            qs, spark.read.parquet(f"{w1}/codes"), book, k=10, n_probe=4
+        ).collect()
+    }
+    cents, rbook = write_ivfpq_index(emb, dim=64, path=w2, n_cells=16, m=8, k=16)
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in probe_ivfpq_index(
+            qs, spark.read.parquet(f"{w2}/codes"), cents, rbook, k=10, n_probe=4
+        ).collect()
+    }
+    r_lite = len(lite & exact) / len(exact)
+    r_full = len(full & exact) / len(exact)
+    assert r_full > r_lite
+    assert r_full >= 0.25  # measured 0.285; slack for fixture evolution

@@ -922,3 +922,36 @@ def test_stream_pq_append_trains_once_then_reuses_codebook(spark, tmp_path):
         qs, spark.read.parquet(f"{one}/codes"), book_after_first, k=3, n_probe=None
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_stream_sink_trains_once_then_appends(spark, tmp_path):
+    """IVF-PQ streaming sink lifecycle (the ivf/pq writers' contract,
+    r13): first batch trains coarse centroids + residual codebook,
+    later batches append with the STORED geometry — geometry identical
+    after the append, every id probeable."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        read_ivfpq_geometry,
+    )
+    from reactionetl_etl_spark.streaming.sinks import ivfpq_append_batch_writer
+
+    idx = str(tmp_path / "ivfpq")
+    rng = np.random.default_rng(22)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(120)]
+    writer = ivfpq_append_batch_writer(idx, dim=16, n_cells=4, m=4, k=8)
+    writer(spark.createDataFrame(rows[:60], "vec_id long, embedding array<float>"), 0)
+    geo_after_first = read_ivfpq_geometry(spark, idx)
+    writer(spark.createDataFrame(rows[60:], "vec_id long, embedding array<float>"), 1)
+    assert read_ivfpq_geometry(spark, idx) == geo_after_first  # never retrained
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == 120
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:4]], "query_id long, embedding array<float>"
+    )
+    out = probe_ivfpq_index(
+        qs, codes, geo_after_first[0], geo_after_first[1], k=3, n_probe=4
+    )
+    assert out.count() == 12

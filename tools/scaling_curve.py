@@ -101,6 +101,9 @@ EXTRA_QUERIES = (
     "semantic_contamination_report",  # broadcast eval x one train scan
     "ngram_coverage_curve",  # gram counts + TakeOrdered(1000) + grid
     "pack_length_tradeoff_curve",  # one prefix sum + broadcast L-grid
+    # r13 families (training_corpus_build is benched by the main loop)
+    "semantic_contamination_ann",  # IVF sign-once + cell equi-join probe
+    "contamination_report",  # 1-row aggregates over 4 oracled builders
 )
 
 
