@@ -7653,6 +7653,7 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- correctness gate runs at sf0.01 only, which this pin encodes.
     SELECT * FROM (VALUES
         ('ivf_probe4', CAST(0.25 AS DOUBLE), CAST(0.595 AS DOUBLE)),
+        ('ivfpq_probe4', CAST(0.25 AS DOUBLE), CAST(0.285 AS DOUBLE)),
         ('lsh_b8_r1', CAST(0.0352 AS DOUBLE), CAST(0.105 AS DOUBLE)),
         ('lsh_b8_r2', CAST(0.1445 AS DOUBLE), CAST(0.325 AS DOUBLE)),
         ('pq_rerank', CAST(1.0 AS DOUBLE), CAST(0.84 AS DOUBLE))
@@ -7668,7 +7669,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, nothing to exploit — real corpora cluster), so the
     numbers read as a cost curve: LSH radius 1 probes 9/256 buckets,
     radius 2 probes 37/256, IVF probes 4/16 trained cells, PQ scans
-    100% of CODES (32× smaller bytes) then re-ranks a shortlist.
+    100% of CODES (32× smaller bytes) then re-ranks a shortlist, and
+    IVF-PQ (r13) probes the same 4/16 cells as IVF but ranks from
+    m-byte residual codes — its recall trailing ivf_probe4 at equal
+    scan_fraction IS the rows-vs-bytes trade made visible.
     Deterministic throughout (fixed hyperplanes, seeded k-means), so
     implementation drift moves a recall number in the driver's
     rows-only check; test_operators.py pins per-method floors."""
@@ -7713,6 +7717,27 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") != F.col("query_id")
         ),
         1.0,
+    )
+    # IVF-PQ (r13): full-vector coarse cells + residual ADC — probes
+    # the same 4/16 cells as ivf_probe4 but ranks from m-byte codes
+    # instead of full float vectors (the rows-vs-bytes trade the
+    # docstring describes); probe_ivfpq_index accepts the in-plan
+    # coded frame directly
+    from reactionetl_etl_spark.operators.pq import (
+        ivfpq_encode,
+        probe_ivfpq_index,
+        train_ivfpq_geometry,
+    )
+
+    cents13, rbook13 = train_ivfpq_geometry(emb, dim=64, n_cells=16, m=8, k=16)
+    coded13 = (
+        ivfpq_encode(emb, cents13, rbook13)
+        .select("vec_id", "pq_code", "ivf_cell")
+        .localCheckpoint(eager=True)
+    )
+    approx["ivfpq_probe4"] = (
+        probe_ivfpq_index(qs, coded13, cents13, rbook13, k=k, n_probe=4),
+        4 / 16,
     )
     rows = []
     for method, (df, scan) in approx.items():

@@ -1054,10 +1054,16 @@ def test_ann_recall_report_floors_and_ordering(spark, sf_dir):
 
     q = all_queries()["ann_recall_report"].builder
     got = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
-    assert set(got) == {"lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "pq_rerank"}
+    assert set(got) == {
+        "lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "ivfpq_probe4", "pq_rerank"
+    }
     assert got["lsh_b8_r2"][1] > got["lsh_b8_r1"][1]
     assert got["ivf_probe4"][1] >= 0.5
     assert got["pq_rerank"][1] >= 0.7
+    # IVF-PQ probes the same cells as ivf_probe4 but ranks from m-byte
+    # codes, not full floats: recall trails IVF's exact ranking (the
+    # bytes-vs-rows trade), must still be real
+    assert 0 < got["ivfpq_probe4"][1] <= got["ivf_probe4"][1]
     again = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
     assert again == got
 

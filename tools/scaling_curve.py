@@ -104,6 +104,7 @@ EXTRA_QUERIES = (
     # r13 families (training_corpus_build is benched by the main loop)
     "semantic_contamination_ann",  # IVF sign-once + cell equi-join probe
     "contamination_report",  # 1-row aggregates over 4 oracled builders
+    "ivfpq_index_probe",  # full round trip: train+encode+write+probe
 )
 
 
