@@ -301,6 +301,16 @@ def bench_index_probes(spark, sf_dir: str) -> dict[str, tuple[float, float, list
         out["probe_pq_index"] = _time_plan(
             lambda: PQ.probe_pq_index(qs, pq_codes, book, k=10, n_probe=6)
         )
+        ivfpq_path = os.path.join(work, "ivfpq")
+        ivfpq_cents, ivfpq_book = PQ.write_ivfpq_index(
+            emb, dim=64, path=ivfpq_path, n_cells=16, m=8, k=16
+        )
+        ivfpq_codes = spark.read.parquet(f"{ivfpq_path}/codes")
+        out["probe_ivfpq_index"] = _time_plan(
+            lambda: PQ.probe_ivfpq_index(
+                qs, ivfpq_codes, ivfpq_cents, ivfpq_book, k=10, n_probe=6
+            )
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out

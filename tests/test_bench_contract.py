@@ -32,6 +32,7 @@ def _worst_case_compact_line() -> str:
         "probe_lsh_index",
         "probe_ivf_index",
         "probe_pq_index",
+        "probe_ivfpq_index",
         "training_corpus_build",
     ]
     queries = {n: 999.999 for n in names}
