@@ -82,56 +82,12 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
-    "copurchase_kcore2",
-    "ngram_coverage_curve",
-    "pack_length_tradeoff_curve",
-    "pq_index_probe",
-    "semantic_contamination_report",
-    "split_leakage_audit",
-    "quality_classifier_eval",
-    "quality_classifier_scores",
-    "multimodal_feature_extract",
-    "classifier_calibration_bins",
-    "copurchase_label_propagation",
-    "multimodal_corpus_build",
-    "ivf_tuning_curve",
+    "contamination_report",
+    "ivfpq_index_probe",
+    "semantic_contamination_ann",
+    "ann_recall_report",
     "minhash_eval_report",
-    "pca_doc_projection",
-    "sole_late_supplier",
-    "tfidf_top_terms",
-    "top_parts_by_revenue_share",
-    "top_revenue_supplier",
-    "cube_status_priority",
-    "custkey_except",
-    "custkey_intersect",
-    "embedding_centroid_by_label",
-    "events_hourly_by_type",
-    "events_json_extract",
-    "events_json_struct",
-    "events_zscore_grouped_pandas",
-    "lineitem_stats_by_flag",
-    "monthly_order_stats",
-    "nation_acctbal_having",
-    "ngram_jaccard_pairs",
-    "order_gaps_lag_lead",
-    "orders_pivot_priority",
-    "part_string_functions",
-    "price_rank_ntile",
-    "promo_revenue_pct",
-    "quantity_percentiles",
-    "returned_items_top_customers",
-    "returnflag_priority_matrix",
-    "rollup_returnflag_status",
-    "salted_join_orders_customer",
-    "small_quantity_revenue",
-    "top_words_explode",
-    "totalprice_buckets",
-    "volume_between_nations",
-    "agg_max_bounds",
-    "conform_rename_part",
-    "corpus_deterministic_shuffle",
-    "custkey_union",
-    "customers_with_orders",
+    "semantic_contamination_report",
     "customers_without_orders",
     "distinct_segments",
     "doc_unicode_stats",
@@ -329,7 +285,6 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_time_travel",
     "trigram_perplexity_scores",
     "upsert_keyed_parity",
-    "ann_recall_report",
     "bpe_fertility_by_lang",
     "corpus_funnel_report",
     "cosine_topk_batch_exact",
@@ -376,6 +331,54 @@ _PRIORITY: tuple[str, ...] = (
     "split_length_psi",
     "webdataset_roundtrip",
     "weekly_ltv_cohorts",
+    "agg_max_bounds",
+    "classifier_calibration_bins",
+    "conform_rename_part",
+    "copurchase_kcore2",
+    "copurchase_label_propagation",
+    "corpus_deterministic_shuffle",
+    "cube_status_priority",
+    "custkey_except",
+    "custkey_intersect",
+    "custkey_union",
+    "customers_with_orders",
+    "embedding_centroid_by_label",
+    "events_hourly_by_type",
+    "events_json_extract",
+    "events_json_struct",
+    "events_zscore_grouped_pandas",
+    "ivf_tuning_curve",
+    "lineitem_stats_by_flag",
+    "monthly_order_stats",
+    "multimodal_corpus_build",
+    "multimodal_feature_extract",
+    "nation_acctbal_having",
+    "ngram_coverage_curve",
+    "ngram_jaccard_pairs",
+    "order_gaps_lag_lead",
+    "orders_pivot_priority",
+    "pack_length_tradeoff_curve",
+    "part_string_functions",
+    "pca_doc_projection",
+    "pq_index_probe",
+    "price_rank_ntile",
+    "promo_revenue_pct",
+    "quality_classifier_eval",
+    "quality_classifier_scores",
+    "quantity_percentiles",
+    "returned_items_top_customers",
+    "returnflag_priority_matrix",
+    "rollup_returnflag_status",
+    "salted_join_orders_customer",
+    "small_quantity_revenue",
+    "sole_late_supplier",
+    "split_leakage_audit",
+    "tfidf_top_terms",
+    "top_parts_by_revenue_share",
+    "top_revenue_supplier",
+    "top_words_explode",
+    "totalprice_buckets",
+    "volume_between_nations",
 )
 
 

@@ -275,7 +275,9 @@ def test_ann_recall_report_matches_recomputation(spark, sf_dir):
         r["method"]: r
         for r in all_queries()["ann_recall_report"].builder(spark, sf_dir).collect()
     }
-    assert set(report) == {"lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "pq_rerank"}
+    assert set(report) == {
+        "lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "ivfpq_probe4", "pq_rerank"
+    }
 
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20).select(
@@ -288,12 +290,25 @@ def test_ann_recall_report_matches_recomputation(spark, sf_dir):
     }
     book = train_pq_codebook(emb, dim=64, m=8, k=16)
     coded = pq_encode(emb, book)
+    from reactionetl_etl_spark.operators.pq import (
+        ivfpq_encode,
+        probe_ivfpq_index,
+        train_ivfpq_geometry,
+    )
+
+    cents13, rbook13 = train_ivfpq_geometry(emb, dim=64, n_cells=16, m=8, k=16)
+    coded13 = ivfpq_encode(emb, cents13, rbook13).select(
+        "vec_id", "pq_code", "ivf_cell"
+    )
     approx = {
         "lsh_b8_r1": lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=1),
         "lsh_b8_r2": lsh_cosine_topk_batch(qs, emb, dim=64, k=k, bits=8, probe_radius=2),
         "ivf_probe4": ivf_cosine_topk_batch(qs, emb, dim=64, k=k, n_cells=16, n_probe=4),
         "pq_rerank": pq_cosine_topk(qs, coded, book, k=k, refine=8).filter(
             F.col("vec_id") != F.col("query_id")
+        ),
+        "ivfpq_probe4": probe_ivfpq_index(
+            qs, coded13, cents13, rbook13, k=k, n_probe=4
         ),
     }
     for method, df in approx.items():
@@ -311,6 +326,7 @@ def test_ann_recall_report_matches_recomputation(spark, sf_dir):
         int(37 / 256 * 10000 + 0.5) / 10000.0
     )
     assert report["ivf_probe4"]["scan_fraction"] == 0.25
+    assert report["ivfpq_probe4"]["scan_fraction"] == 0.25
     assert report["pq_rerank"]["scan_fraction"] == 1.0
 
 
