@@ -667,3 +667,38 @@ def test_embedding_drift_sums_are_dim_keyed(spark, sf_dir):
     assert "Exchange hashpartitioning(split" in plan
     assert "partial_sum" in plan
     assert "PythonUDF" not in plan
+
+
+def test_ivf_probe_broadcast_flag_is_a_hint_not_a_strategy(spark, sf_dir, tmp_path):
+    """The unbounded-query probe shape (broadcast_queries=False) must
+    not FORCE a broadcast of the query side — the declared plan is a
+    plain cell-key equi-join and AQE picks the physical strategy from
+    actual sizes (at fixture scale it legitimately broadcasts the tiny
+    INDEX side; at 100 TB both sides exceed the threshold and it
+    becomes a shuffled join). The pin is therefore on the HINT, not the
+    physical operator: True plants a ResolvedHint on the query side,
+    False plants none."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_hint")
+    cents = write_ivf_index(emb, dim=64, path=path, n_cells=8)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vectors = spark.read.parquet(f"{path}/vectors")
+
+    def analyzed(broadcast):
+        df = probe_ivf_index(
+            qs, vectors, cents, k=3, n_probe=2, broadcast_queries=broadcast
+        )
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in analyzed(True)
+    assert "ResolvedHint" not in analyzed(False)
