@@ -1,0 +1,210 @@
+"""Sign-bit (1-bit) embedding quantization + Hamming-distance ANN.
+
+The cheapest useful vector compression: keep only the SIGN of each
+component. A 64-dim float32 embedding (256 B) becomes one int64 word
+(8 B) — 32× smaller — and similarity degrades gracefully because for
+mean-centered embeddings the Hamming distance between sign patterns is
+a monotone estimator of angular distance (Charikar's SimHash bound:
+P[sign(a·r) != sign(b·r)] = angle(a,b)/pi for random hyperplanes; the
+coordinate basis is the degenerate-but-deterministic case used by
+binary-quantization modes of production vector stores).
+
+Why this exists next to LSH/IVF/PQ (operators/similarity.py, pq.py):
+those trade recall for pruning — they SKIP candidates. Sign-bit
+Hamming is the opposite trade: scan EVERYTHING, but make the scan so
+cheap it stays viable at scales where float scans thrash memory
+bandwidth. The whole distance kernel is `bit_count(x ^ y)` over int64
+words — built-in JVM expressions inside whole-stage codegen, no UDF,
+no Arrow hop, ~8 B/vector of traffic. At 100 TB of float32 vectors the
+packed corpus is ~3 TB — the difference between "needs a shuffle-heavy
+index" and "fits a brute scan per query batch".
+
+The two-stage pattern (`hamming_rerank_topk`) is how real systems
+deploy it: a packed-bits scan produces a shortlist, then exact cosine
+re-ranks ONLY the shortlist rows — full vectors are touched for
+|queries|·shortlist rows instead of the whole corpus. The second scan
+joins the corpus against a broadcast shortlist (broadcast hash join —
+the corpus side never shuffles), which is exactly the "fetch full
+vectors from the store by id" step of a serving stack.
+
+No reference analogue (`/root/reference/` is a CSV→PostgreSQL ETL,
+see SURVEY.md §2.13) — north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    non_null_vectors,
+)
+
+__all__ = [
+    "sign_bits",
+    "hamming_distance",
+    "hamming_topk_batch",
+    "hamming_rerank_topk",
+]
+
+
+def sign_bits(vec_col: Column | str) -> Column:
+    """Pack the sign pattern of a numeric array into array<bigint>
+    words: bit ``i`` of word ``w`` is 1 iff component ``64*w + i`` is
+    strictly positive (NULL components count as non-positive).
+
+    Pure built-in higher-order functions — sequence/aggregate/
+    shiftleft/bitwise-or — so packing runs inside whole-stage codegen
+    on the scan, never in Python. Dimensions that are not a multiple
+    of 64 leave the tail word's high bits zero on every row, so
+    distances stay comparable. Requires a non-empty array (apply
+    `non_null_vectors` upstream, the engine-wide convention).
+    """
+    name = vec_col if isinstance(vec_col, str) else None
+    if name is None:
+        raise TypeError("sign_bits takes a column NAME (it builds a SQL expr)")
+    return F.expr(
+        f"transform(sequence(0, cast(ceil(size({name}) / 64.0) as int) - 1),"
+        f" w -> aggregate(sequence(0, 63), 0L,"
+        f" (acc, i) -> CASE WHEN 64 * w + i < size({name})"
+        f" AND element_at({name}, 64 * w + i + 1) > 0D"
+        f" THEN acc | shiftleft(1L, i) ELSE acc END))"
+    )
+
+
+def hamming_distance(a: str, b: str) -> Column:
+    """Hamming distance between two equal-length array<bigint> sign
+    words: sum of `bit_count(x ^ y)` per word — int arithmetic only,
+    exact, cross-engine reproducible (no floats anywhere)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)),"
+        f" 0, (acc, v) -> acc + v)"
+    )
+
+
+def hamming_topk_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k nearest sign patterns for every query row, one corpus pass.
+
+    Same plan skeleton as `similarity.cosine_topk_batch`: broadcast the
+    (small) query batch, crossJoin against the corpus scan, rank with
+    `row_number()` over `Window.partitionBy(query_id)` — Spark plans
+    the rank filter as WindowGroupLimit, so each map task emits only
+    its local top-k per query before the exchange. The difference is
+    the scored payload: 8 B of packed bits per 64 dims instead of the
+    float vector, and an integer XOR/POPCNT kernel instead of an FMA
+    loop.
+
+    Output: (query_id, id_col, hamming_dist int), k rows per query,
+    ordered by ascending distance, ties by ascending id — fully
+    deterministic (integer distances), so value-oracle-checkable
+    without any rounding protocol.
+    """
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    q = non_null_vectors(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
+        ),
+        "__q",
+    ).withColumn("__qbits", sign_bits("__q")).drop("__q")
+    c = non_null_vectors(corpus, vec_col).select(
+        F.col(id_col), sign_bits(vec_col).alias("__bits")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            hamming_distance("__bits", "__qbits").alias("hamming_dist"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hamming_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    shortlist: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage serving path: packed-bits Hamming scan → shortlist →
+    exact-cosine rerank of the shortlist only.
+
+    Stage 1 is `hamming_topk_batch(k=shortlist)` (default 4·k) over the
+    8-B/64-dim packed corpus. Stage 2 fetches full vectors for ONLY the
+    shortlist rows — the corpus scan is joined against the broadcast
+    shortlist id set (broadcast hash join; the corpus never shuffles)
+    — and ranks by exact cosine (round 6, the engine-wide rounding
+    protocol) with ties by ascending id. Full-precision work is
+    O(|queries|·shortlist), not O(|corpus|): at 100 TB the floats are
+    touched for a few thousand rows per query batch.
+
+    Output: (query_id, id_col, cosine_sim) — k rows per query. Recall
+    vs the exact scan is bounded by stage 1 (sign quantization loses
+    magnitude); widen ``shortlist`` to trade scan cost for recall, and
+    measure with the `ann_recall_report` pattern.
+    """
+    from pyspark.sql import Window
+
+    qv = query_vec_col or vec_col
+    short = shortlist if shortlist is not None else 4 * k
+    hits = hamming_topk_batch(
+        queries,
+        corpus,
+        k=short,
+        query_id_col=query_id_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_vec_col=qv,
+        exclude_self=exclude_self,
+    ).select(query_id_col, id_col)
+    q = non_null_vectors(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
+        ),
+        "__q",
+    )
+    cand = non_null_vectors(corpus, vec_col).join(
+        F.broadcast(hits), on=id_col, how="inner"
+    )
+    scored = cand.join(
+        F.broadcast(q), on=F.col(query_id_col) == F.col("__qid"), how="inner"
+    )
+    sim = cosine_similarity(as_double_array(vec_col), F.col("__q"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -83,8 +83,11 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "contamination_report",
+    "hamming_rerank_cosine",
+    "hamming_topk_bits",
     "ivfpq_index_probe",
     "semantic_contamination_ann",
+    "source_overlap_matrix",
     "ann_recall_report",
     "minhash_eval_report",
     "semantic_contamination_report",
@@ -17485,4 +17488,216 @@ def ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("n_probe")
+    )
+
+
+@_q(
+    "hamming_topk_bits",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(len(list_filter(range(1, len(q.qe) + 1),
+                         i -> (q.qe[i] > 0) <> (e.embedding[i] > 0)))
+                    AS INT) AS hamming_dist
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, hamming_dist
+    FROM (SELECT d.*,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming_dist ASC, vec_id ASC) AS rn
+          FROM d)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "batch", "quantization", "llm"),
+    # not bench-flagged: the compact bench stdout line is budgeted at
+    # 1800 chars for the driver's 2000-char tail (test_bench_contract)
+    # and is full; the family's timing story lives in SCALING.md
+    # ("late-r13 families" — flat, constant-dominated at local scales)
+)
+def hamming_topk_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit-quantized batch ANN: sign-pack each 64-dim embedding into
+    ONE int64 word (32x smaller than float32), score with
+    `bit_count(xor)` — integer built-ins inside whole-stage codegen, no
+    UDF, no Arrow hop — and keep each query's 5 nearest sign patterns
+    via the WindowGroupLimit top-k (map-side partial top-k before the
+    exchange, same skeleton as `cosine_topk_batch_exact`).
+
+    This is the opposite trade from the LSH/IVF/PQ indexes: no
+    candidate pruning at all, but the scan payload drops to 8 B per 64
+    dims, so a brute pass stays viable at corpus sizes where float
+    scans thrash memory bandwidth (~3 TB of packed bits per 100 TB of
+    float32 vectors). Distances are exact integers — the oracle match
+    needs no rounding protocol at all, unlike every cosine query.
+
+    No reference analogue (SURVEY.md §2.13 north-star surface); the
+    sign-bit construction is the deterministic coordinate-basis case of
+    Charikar's SimHash (cf. `simhash_neardup_pairs`, which hashes text
+    tokens instead of embedding components)."""
+    from reactionetl_etl_spark.operators import hamming as _H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _H.hamming_topk_batch(_batch_queries(emb), emb, k=5)
+
+
+@_q(
+    "hamming_rerank_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT q.query_id, e.vec_id, e.embedding, q.qe,
+               CAST(len(list_filter(range(1, len(q.qe) + 1),
+                         i -> (q.qe[i] > 0) <> (e.embedding[i] > 0)))
+                    AS INT) AS hd
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    sl AS (
+        SELECT query_id, vec_id, embedding, qe
+        FROM (SELECT d.*,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY hd ASC, vec_id ASC) AS rn
+              FROM d)
+        WHERE rn <= 20
+    ),
+    sc AS (
+        SELECT query_id, vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+                   AS cosine_sim
+        FROM sl
+    )
+    SELECT query_id, vec_id, cosine_sim
+    FROM (SELECT sc.*,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+          FROM sc)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "batch", "quantization", "llm"),
+)
+def hamming_rerank_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving path: packed-bits Hamming scan shortlists
+    20 candidates per query (`hamming_topk_bits`' kernel), then exact
+    cosine re-ranks ONLY the shortlist to a top-5 — full float vectors
+    are fetched for |queries|x20 rows via a broadcast-shortlist hash
+    join against the corpus scan (the corpus never shuffles), which is
+    the "fetch by id from the vector store" step of a real serving
+    stack. Full-precision work is O(|queries|*shortlist), not
+    O(|corpus|).
+
+    Recall vs the exact scan is stage-1-bounded (sign quantization
+    drops magnitudes); the shortlist width is the recall/cost dial.
+    Both stages are deterministic (integer distances, round-6 cosine,
+    id tie-breaks), so the composition is value-oracled end-to-end —
+    the same two-stage shape the PQ index probes use (`pq_index_probe`)
+    with ADC swapped for XOR/POPCNT."""
+    from reactionetl_etl_spark.operators import hamming as _H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _H.hamming_rerank_topk(_batch_queries(emb), emb, k=5, shortlist=20)
+
+
+@_q(
+    "source_overlap_matrix",
+    """
+    WITH tok AS (
+        SELECT source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    ), g AS (
+        SELECT DISTINCT source, array_to_string(toks[i:i+7], ' ') AS gram
+        FROM (SELECT source, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+              FROM tok)
+    ), sz AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source
+    ), it AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared, x.n AS n_a, y.n AS n_b,
+           CAST(floor(1000.0 * n_shared / (x.n + y.n - n_shared) + 0.5) AS BIGINT)
+               AS jaccard_milli,
+           CAST(floor(1000.0 * n_shared / least(x.n, y.n) + 0.5) AS BIGINT)
+               AS containment_milli
+    FROM it JOIN sz x ON x.source = source_a JOIN sz y ON y.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("text", "dedup", "quality", "llm"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pair overlap matrix: for every pair of sources, the
+    EXACT count of shared distinct 8-token shingles plus Jaccard and
+    max-containment (both in deterministic milli units) — the
+    curation-planning question "which sources duplicate each other"
+    that decides whether dedup must run globally or can run per-source,
+    and which acquisitions add content vs re-buy existing data.
+
+    Shape: explode to (source, shingle-digest), distinct (map-side
+    combined), then ONE shuffle on the digest to build each shingle's
+    source set — bounded by |sources|, never by corpus size — and
+    explode that set's within-row pairs (i<j) into pair counts.
+    Pair-count rows are <= |sources|^2 and the size sidecar is
+    broadcast, so nothing downstream of the digest shuffle scales with
+    data volume. The digest set per source IS the dedup universe
+    (`dedup.shingle` semantics: truncated shingle for docs shorter than
+    k), so the matrix's diagonal-free counts reconcile with
+    `cross_doc_dup_rate`'s shared-digest machinery.
+
+    Pairs with zero shared shingles are absent (inner join on the
+    digest), matching the oracle's join semantics — at 20 sources the
+    dense complement is derivable client-side; emitting it would
+    manufacture |sources|^2 rows of zeros at no analytic gain."""
+    grams = (
+        TX.token_ngrams(
+            _t(spark, sf_dir, "documents").select("source", "text"), "text", k=8
+        )
+        .select("source", F.md5("gram").alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per = (
+        grams.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = per.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) ->"
+                " transform(slice(ss, i + 2, size(ss)), b ->"
+                " struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.floor(1000.0 * F.col("n_shared") / union_n + 0.5)
+            .cast("bigint")
+            .alias("jaccard_milli"),
+            F.floor(1000.0 * F.col("n_shared") / F.least("n_a", "n_b") + 0.5)
+            .cast("bigint")
+            .alias("containment_milli"),
+        )
+        .orderBy("source_a", "source_b")
     )

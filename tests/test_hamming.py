@@ -1,0 +1,138 @@
+"""Sign-bit Hamming ANN (operators/hamming.py).
+
+Covers the packing kernel against a numpy reference (including the
+non-multiple-of-64 tail-word case the catalog's 64-dim data never
+exercises), the integer distance, the batch top-k contract, the
+two-stage rerank's shortlist containment, and the NULL-vector
+convention shared with the cosine paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.operators import hamming as H
+
+
+def _np_sign_bits(vec: list[float]) -> list[int]:
+    words = [0] * ((len(vec) + 63) // 64)
+    for j, v in enumerate(vec):
+        if v > 0:
+            words[j // 64] |= 1 << (j % 64)
+    # two's-complement to signed int64 to match Spark's LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _np_hamming(a: list[float], b: list[float]) -> int:
+    return sum((x > 0) != (y > 0) for x, y in zip(a, b))
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(7)
+    # dim 70: exercises the tail word (6 live bits, 58 dead high bits)
+    return [(i, [float(x) for x in rng.normal(size=70)]) for i in range(40)]
+
+
+def test_sign_bits_matches_numpy_reference(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: list(r.bits)
+        for r in df.select("vec_id", H.sign_bits("embedding").alias("bits")).collect()
+    }
+    for vid, v in vecs:
+        assert out[vid] == _np_sign_bits(v), f"vec {vid}"
+        assert len(out[vid]) == 2  # ceil(70/64)
+
+
+def test_sign_bits_high_bit_word(spark):
+    # component 63 positive -> bit 63 -> negative int64; xor/bit_count
+    # must still see exactly one differing bit
+    v1 = [0.0] * 63 + [1.0]
+    v2 = [0.0] * 64
+    df = spark.createDataFrame([(1, v1), (2, v2)], "vec_id long, embedding array<double>")
+    bits = {r.vec_id: list(r.bits) for r in df.select("vec_id", H.sign_bits("embedding").alias("bits")).collect()}
+    assert bits[1] == [-(1 << 63)]
+    assert bits[2] == [0]
+    d = (
+        df.select(H.sign_bits("embedding").alias("a"))
+        .crossJoin(df.select(H.sign_bits("embedding").alias("b")))
+        .select(H.hamming_distance("a", "b").alias("d"))
+        .collect()
+    )
+    assert sorted(r.d for r in d) == [0, 0, 1, 1]
+
+
+def test_hamming_topk_batch_matches_bruteforce(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.vec_id): r.hamming_dist
+        for r in H.hamming_topk_batch(q, df, k=4).collect()
+    }
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for qid, qv in vecs[:3]:
+        cand = sorted(
+            (( _np_hamming(qv, cv), cid) for cid, cv in vecs if cid != qid),
+        )[:4]
+        by_q[qid] = [(cid, d) for d, cid in cand]
+    assert len(got) == 12
+    for qid, pairs in by_q.items():
+        for cid, d in pairs:
+            assert got[(qid, cid)] == d
+
+
+def test_hamming_topk_excludes_self_and_is_k_deep(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = H.hamming_topk_batch(q, df, k=6).toPandas()
+    assert (out.groupby("query_id").size() == 6).all()
+    assert not (out["query_id"] == out["vec_id"]).any()
+
+
+def test_hamming_topk_plans_window_group_limit(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = H.hamming_topk_batch(q, df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side partial top-k
+    assert "BroadcastNestedLoopJoin" in plan  # queries broadcast, corpus never shuffles
+
+
+def test_rerank_subset_of_shortlist_and_cosine_ordered(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = H.hamming_topk_batch(q, df, k=10)
+    shortlist = {(r.query_id, r.vec_id) for r in short.collect()}
+    rr = H.hamming_rerank_topk(q, df, k=5, shortlist=10).toPandas()
+    assert (rr.groupby("query_id").size() == 5).all()
+    assert all((r.query_id, r.vec_id) in shortlist for r in rr.itertuples())
+    for _, g in rr.groupby("query_id"):
+        sims = list(g["cosine_sim"])
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_null_query_vector_retrieves_nothing(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, vecs[0][1]), (1, None)], "query_id long, embedding array<double>"
+    )
+    out = H.hamming_topk_batch(q, df, k=3).toPandas()
+    assert set(out["query_id"]) == {0}
+    out2 = H.hamming_rerank_topk(q, df, k=3, shortlist=6).toPandas()
+    assert set(out2["query_id"]) == {0}
+
+
+def test_null_corpus_vector_never_a_candidate(spark, vecs):
+    rows = vecs + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = H.hamming_topk_batch(q, df, k=len(rows)).toPandas()
+    assert 999 not in set(out["vec_id"])
