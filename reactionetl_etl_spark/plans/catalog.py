@@ -83,6 +83,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "contamination_report",
+    "corpus_cluster_map",
     "hamming_rerank_cosine",
     "hamming_topk_bits",
     "ivfpq_index_probe",
@@ -17700,4 +17701,98 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_milli"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+@_q(
+    "corpus_cluster_map",
+    None,  # pinned VALUES oracle (plans/pinned.py) — k-means cells are
+    # not ANSI-SQL-re-derivable; the output is a deterministic constant
+    # (TakeOrdered training sample + seeded numpy Lloyd's + pure-expr
+    # assignment + integer-quantized per-cell stats)
+    tags=("similarity", "text", "quality", "llm"),
+)
+def corpus_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data map: k-means-cluster the embeddings (the SemDeDup /
+    IVF trainer, `similarity.train_ivf_centroids` — bounded sample,
+    seeded, deterministic) and report, per cluster, what actually
+    lives there: size, dominant source and its share, dominant
+    language, mean document length, and mean cosine-to-centroid
+    (cluster tightness). This is the exploration artifact a curation
+    team builds FIRST — "what are the natural regions of this corpus,
+    which sources dominate each, and which clusters are diffuse enough
+    to need a second look" — the batch analogue of an embedding-atlas
+    UI, as one catalog query.
+
+    Scale shape: training reads a bounded sample (one TakeOrdered
+    job); assignment is a zero-shuffle pure-expression argmax over
+    broadcast centroid literals; the doc join is id-keyed; every
+    per-cell statistic is an associative integer sum or count (cosine
+    quantized to 10⁻⁴ per ROW before summing, so the mean is exact
+    int arithmetic — partition-order-independent, pinnable), and the
+    dominant source/lang windows run over ≤ cells × |sources| count
+    rows. Nothing after the sample collect scales with anything but
+    the one doc-keyed shuffle.
+
+    Inner join on vec_id = doc_id: docs without an embedding are not
+    mappable and are excluded (at sf0.1 that is 2000 of 5000 — the
+    embedded slice IS the map's universe, stated here so the n_docs
+    column is read correctly)."""
+    from reactionetl_etl_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        l2_norm,
+        lit_double_array,
+    )
+
+    n_cells = 8
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    cents = S.train_ivf_centroids(emb, n_cells=n_cells)
+    celled = S.with_ivf_cell(emb, dim=64, n_cells=n_cells, centroids=cents)
+    v = as_double_array("embedding")
+    scores = F.array(*[dot(v, lit_double_array(c)) for c in cents])
+    sim_q4 = F.floor(F.array_max(scores) / l2_norm(v) * 10000 + 0.5).cast("bigint")
+    base = (
+        celled.select(
+            F.col("ivf_cell").alias("cell"),
+            F.col("vec_id").alias("doc_id"),
+            sim_q4.alias("__sim_q4"),
+        )
+        .join(docs, "doc_id")
+    )
+    stats = base.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.floor(F.sum("n_chars") / F.count(F.lit(1))).cast("bigint").alias("mean_chars"),
+        F.floor(F.sum("__sim_q4") / F.count(F.lit(1))).cast("bigint").alias("mean_sim_q4"),
+    )
+
+    def _dominant(col: str, out: str, share: str | None) -> DataFrame:
+        counts = base.groupBy("cell", col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy("cell").orderBy(F.col("__c").desc(), F.col(col).asc())
+        top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        cols = [F.col("cell"), F.col(col).alias(out)]
+        if share:
+            cols.append(F.col("__c").alias(share))
+        return top.select(*cols)
+
+    top_src = _dominant("source", "top_source", "__src_c")
+    top_lang = _dominant("lang", "top_lang", None)
+    return (
+        stats.join(top_src, "cell")
+        .join(top_lang, "cell")
+        .select(
+            "cell",
+            "n_docs",
+            "top_source",
+            F.floor(1000.0 * F.col("__src_c") / F.col("n_docs") + 0.5)
+            .cast("bigint")
+            .alias("top_source_share_milli"),
+            "top_lang",
+            "mean_chars",
+            "mean_sim_q4",
+        )
+        .orderBy("cell")
     )

@@ -136,3 +136,29 @@ def test_null_corpus_vector_never_a_candidate(spark, vecs):
     )
     out = H.hamming_topk_batch(q, df, k=len(rows)).toPandas()
     assert 999 not in set(out["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# corpus_cluster_map (catalog) — semantic invariants at the test scale
+# (the VALUE contract is the sf0.01/sf0.1 pin; these check structure)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_cluster_map_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    out = all_queries()["corpus_cluster_map"].builder(spark, sf_dir).toPandas()
+    assert sorted(out["cell"]) == list(range(8))  # every cell reported once
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_mappable = emb.join(docs, "doc_id").count()
+    assert int(out["n_docs"].sum()) == n_mappable  # partition of the universe
+    assert (out["top_source_share_milli"] <= 1000).all()
+    assert (out["top_source_share_milli"] >= 1).all()
+    assert (out["mean_sim_q4"] <= 10000).all()
+    assert (out["n_docs"] > 0).all()

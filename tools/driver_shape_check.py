@@ -42,6 +42,16 @@ flip a plan-shape or hash-partitioning assumption):
                              local-relation builds and the check
                              harness's collection path, not a
                              hypothetical Arrow-free UDF engine.
+  SPARK_GRAFT_SHAPE_AQE      set to "false" to disable
+                             spark.sql.adaptive.enabled (late-r13 —
+                             AQE rewrites plans at RUNTIME: shuffle
+                             coalescing, broadcast-join demotion/
+                             promotion, skew-join splitting. The
+                             engine leans on AQE for scale, so every
+                             result must be bit-identical WITHOUT it:
+                             a query whose values depend on AQE's
+                             post-shuffle partition count has an
+                             order-sensitive fold bug by definition)
   SWEEP_N / SPARK_GRAFT_SHAPE_SWEEP_N  how deep into _PRIORITY to go
 """
 
@@ -80,6 +90,9 @@ def main() -> int:
     arrow = os.environ.get("SPARK_GRAFT_SHAPE_ARROW")
     if arrow:
         builder = builder.config("spark.sql.execution.arrow.pyspark.enabled", arrow)
+    aqe = os.environ.get("SPARK_GRAFT_SHAPE_AQE")
+    if aqe:
+        builder = builder.config("spark.sql.adaptive.enabled", aqe)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -105,9 +105,12 @@ EXTRA_QUERIES = (
     "semantic_contamination_ann",  # IVF sign-once + cell equi-join probe
     "contamination_report",  # 1-row aggregates over 4 oracled builders
     "ivfpq_index_probe",  # full round trip: train+encode+write+probe
-    # late-r13 families (hamming_topk_bits is benched by the main loop)
+    # late-r13 families (hamming_topk_bits is NOT bench-flagged — the
+    # compact bench line is at budget — so it gets a curve row here)
+    "hamming_topk_bits",  # packed-bits brute scan, bit_count(xor)
     "hamming_rerank_cosine",  # packed-bits shortlist + broadcast-id rerank
     "source_overlap_matrix",  # digest shuffle -> per-shingle source sets
+    "corpus_cluster_map",  # bounded k-means fit + zero-shuffle assignment
 )
 
 
