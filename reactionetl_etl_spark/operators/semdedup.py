@@ -226,3 +226,152 @@ def semantic_dedup(
         F.lit(True).alias("keep"),
     )
     return out.unionByName(null_rows)
+
+
+def _celled_frame(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(__id, __v unit-normalized, cell, centroid_sim) for non-NULL
+    vectors — the same normalize-once/argmax construction as
+    `semantic_dedup` (kept expression-identical so verdicts from the
+    two entry points agree bit-for-bit), exposed for the incremental
+    append path which cells TWO frames against one fixed geometry."""
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    norm = F.expr(
+        f"sqrt(aggregate(cast({vec_col} as array<double>),"
+        f" cast(0.0 as double), (a, y) -> a + y * y))"
+    )
+    v = F.expr(f"transform(cast({vec_col} as array<double>), x -> x / __n)")
+    scores = F.array(*[dot(F.col("__v"), lit_double_array(c)) for c in centroids])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    centroid_sim = F.round(F.array_max(scores), 6)
+    return (
+        non_null_vectors(embeddings, vec_col)
+        .select(F.col(id_col).alias("__id"), norm.alias("__n"), F.col(vec_col))
+        .select(F.col("__id"), v.alias("__v"))
+        .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
+    )
+
+
+def semdedup_append(
+    kept: DataFrame,
+    batch: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup maintenance: dedup an APPEND BATCH against
+    an already-deduped corpus without re-deduping the world — the
+    semantic rung's sign-once-maintain-forever path (the LSH/IVF/PQ
+    indexes already have theirs via the streaming append sinks).
+
+    Policy is KEEP-FIRST (stable corpus): an incumbent kept row always
+    beats an arriving near-duplicate, so corpus membership is monotone
+    under appends — nothing already shipped to training is ever
+    retroactively dropped, and the drop-list for each batch is final
+    the day it lands. Two stages:
+
+      1. corpus probe — batch rows meet kept rows in a CELL equi-join
+         (fixed ``centroids`` geometry, so cells are stable across
+         appends; never a cross product) and any batch row with
+         cosine >= threshold to an incumbent is dropped as
+         ``origin='corpus_dup'`` with ``dup_of`` = its most-similar
+         incumbent (ties to the lower id) — auditable provenance.
+      2. within-batch dedup — survivors run the standard
+         `semantic_dedup` under the SAME fixed geometry (train=False
+         semantics via explicit centroids): transitive components,
+         one keeper per group by the lowest-(centroid_sim, id) rule;
+         non-keepers emit ``origin='batch_dup'`` with ``dup_of`` =
+         their component keeper.
+
+    Returns ONE verdict row per batch row: (id, cell, centroid_sim,
+    origin 'corpus_dup'|'batch_dup'|'unique', dup_of, keep) — NULL
+    embeddings keep with NULL cell/sim/dup_of (`semantic_dedup`'s
+    convention). Deterministic end to end, so the output pins.
+
+    Invariants (tested): the post-append kept set contains no
+    within-threshold pair involving a kept batch row, and stage-1
+    drops never resurface as stage-2 keepers. NOTE the keep-first
+    asymmetry vs a full re-run: a batch row connected to an incumbent
+    only TRANSITIVELY through another dropped batch row is not pursued
+    across the corpus boundary (a full `semantic_dedup` over
+    corpus+batch might merge those components and elect a different
+    keeper). That locality is the price of never touching clean cells;
+    at threshold ~0.95 chains across the boundary are rare, and the
+    audit columns make any residual pair findable.
+
+    Scale: stage 1 shuffles both sides on the cell id only (the probe
+    is the `semantic_contamination_ann` shape — neither side
+    broadcasts); stage 2's quadratic term is per-cell over the BATCH
+    only. Cells untouched by the batch cost nothing — the whole point.
+    """
+    kc = _celled_frame(kept, centroids, id_col, vec_col).localCheckpoint(eager=True)
+    bc = _celled_frame(batch, centroids, id_col, vec_col).localCheckpoint(eager=True)
+
+    hits = (
+        bc.select(F.col("__id").alias("__bid"), F.col("__v").alias("__bv"), "cell")
+        .join(
+            kc.select(F.col("__id").alias("__kid"), F.col("__v").alias("__kv"), "cell"),
+            on="cell",
+        )
+        .withColumn("__sim", dot(F.col("__bv"), F.col("__kv")))
+        .filter(F.col("__sim") >= threshold)
+    )
+    # most-similar incumbent, ties to the LOWER corpus id: max_by over
+    # (sim, -id) — deterministic because both components are values,
+    # not partition order
+    corpus_dups = hits.groupBy("__bid").agg(
+        F.max_by("__kid", F.struct(F.col("__sim"), (-F.col("__kid")).alias("__nk")))
+        .alias("dup_of")
+    )
+
+    survivors = batch.join(
+        corpus_dups.select(F.col("__bid").alias(id_col)), on=id_col, how="left_anti"
+    )
+    inner = semantic_dedup(
+        survivors,
+        dim=dim,
+        centroids=centroids,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # component keeper id for batch_dup provenance: the kept member of
+    # the row's component (exactly one exists by construction)
+    keepers = (
+        inner.filter(F.col("keep") & F.col("component").isNotNull())
+        .select("component", F.col(id_col).alias("__keeper"))
+    )
+    inner_v = (
+        inner.join(keepers, on="component", how="left")
+        .select(
+            F.col(id_col),
+            "cell",
+            "centroid_sim",
+            F.when(F.col("keep"), F.lit("unique"))
+            .otherwise(F.lit("batch_dup"))
+            .alias("origin"),
+            F.when(F.col("keep"), F.lit(None).cast("long"))
+            .otherwise(F.col("__keeper").cast("long"))
+            .alias("dup_of"),
+            "keep",
+        )
+    )
+    corpus_v = (
+        bc.join(corpus_dups, bc["__id"] == corpus_dups["__bid"], "inner")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            "centroid_sim",
+            F.lit("corpus_dup").alias("origin"),
+            F.col("dup_of").cast("long"),
+            F.lit(False).alias("keep"),
+        )
+    )
+    return inner_v.unionByName(corpus_v)

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "hamming_topk_bits",
     "ivfpq_index_probe",
     "semantic_contamination_ann",
+    "semdedup_incremental",
     "source_overlap_matrix",
     "ann_recall_report",
     "minhash_eval_report",
@@ -17796,3 +17797,47 @@ def corpus_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@_q(
+    "semdedup_incremental",
+    None,  # pinned VALUES oracle (plans/pinned.py) — k-means geometry
+    # and the Arrow gram prefilter are not ANSI-SQL-re-derivable; the
+    # output is deterministic (fixed centroids, id tie-breaks)
+    tags=("dedup", "similarity", "semantic", "incremental", "llm"),
+)
+def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup maintenance (`semdedup.semdedup_append`):
+    an already-deduped corpus (vec_id % 4 != 0, deduped under its own
+    signed-once k-means geometry) absorbs an append batch
+    (vec_id % 4 == 0) WITHOUT re-deduping the world — batch rows meet
+    incumbents in a cell equi-join under the FIXED geometry (keep-first:
+    the incumbent always wins, so corpus membership is monotone under
+    appends), then survivors dedup among themselves with the standard
+    within-batch rule. One verdict row per batch row with provenance:
+    origin 'corpus_dup' (dup_of = most-similar incumbent),
+    'batch_dup' (dup_of = component keeper), or 'unique'.
+
+    This closes the maintenance story for the semantic dedup rung the
+    way the streaming sinks closed it for LSH/IVF/PQ: sign the
+    geometry once, then every nightly append costs only its own dirty
+    cells — cells the batch never touches are never read. Same 0.40
+    threshold as `semdedup_prune` (this corpus's near-dup band).
+
+    Scale: the probe shuffles both sides on the cell id only (the
+    `semantic_contamination_ann` shape — neither side broadcasts);
+    the within-batch quadratic term is per-cell over the BATCH only."""
+    from reactionetl_etl_spark.operators.semdedup import (
+        semantic_dedup,
+        semdedup_append,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = S.train_ivf_centroids(base, 8)
+    base_v = semantic_dedup(base, dim=64, n_cells=8, threshold=0.40, centroids=cents)
+    kept = base.join(base_v.filter(F.col("keep")).select("vec_id"), "vec_id")
+    return semdedup_append(
+        kept, batch, dim=64, centroids=cents, threshold=0.40
+    ).orderBy("vec_id")

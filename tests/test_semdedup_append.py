@@ -1,0 +1,155 @@
+"""Incremental SemDeDup maintenance (operators/semdedup.py::semdedup_append).
+
+Controlled geometry: 4 axis-aligned unit centroids in dim 8 passed
+explicitly (no training), so cell membership and every cosine are
+hand-checkable. Near-dup construction: perturbations small enough to
+stay within the 0.9 threshold of their seed and inside its cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from reactionetl_etl_spark.operators.semdedup import semantic_dedup, semdedup_append
+
+DIM = 8
+CENTS = [[1.0 if i == c else 0.0 for i in range(DIM)] for c in range(4)]
+THRESH = 0.9
+
+
+def _vec(axis: int, jitter: float, seed: int) -> list[float]:
+    rng = np.random.default_rng(seed)
+    v = np.zeros(DIM)
+    v[axis] = 1.0
+    v = v + jitter * rng.normal(size=DIM)
+    return [float(x) for x in (v / np.linalg.norm(v))]
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    # corpus: two docs per axis, mutually distinct (jitter 0.45 keeps
+    # same-cell cosines below 0.9)
+    corpus = [(100 + i, _vec(i % 4, 0.45, seed=i)) for i in range(8)]
+    # batch: a near-copy of corpus row 100 (corpus_dup), two near-copies
+    # of each other but far from the corpus (batch near-dup pair), two
+    # unique rows, and a NULL embedding
+    dup_of_corpus = [float(x) for x in (np.array(corpus[0][1]) + 0.01)]
+    pair_seed = _vec(2, 0.45, seed=991)
+    pair_twin = [float(x) for x in (np.array(pair_seed) + 0.01)]
+    batch = [
+        (200, dup_of_corpus),
+        (201, pair_seed),
+        (202, pair_twin),
+        (203, _vec(1, 0.45, seed=777)),
+        (204, _vec(3, 0.45, seed=778)),
+        (205, None),
+    ]
+    kept = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    bat = spark.createDataFrame(batch, "vec_id long, embedding array<double>")
+    return kept, bat
+
+
+def test_append_verdicts_partition_the_batch(spark, corpus_and_batch):
+    kept, bat = corpus_and_batch
+    out = semdedup_append(kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+    pdf = out.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert sorted(pdf["vec_id"]) == [200, 201, 202, 203, 204, 205]
+    by = dict(zip(pdf["vec_id"], pdf["origin"]))
+    assert by[200] == "corpus_dup"
+    assert {by[201], by[202]} == {"unique", "batch_dup"}  # one keeper
+    assert by[203] == "unique" and by[204] == "unique"
+    assert by[205] == "unique"  # NULL embedding keeps by convention
+    null_row = pdf[pdf.vec_id == 205].iloc[0]
+    assert null_row["keep"] and null_row["cell"] is None or np.isnan(null_row["cell"])
+
+
+def test_append_provenance_points_at_real_duplicates(spark, corpus_and_batch):
+    kept, bat = corpus_and_batch
+    pdf = (
+        semdedup_append(kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+        .toPandas()
+    )
+    row = pdf[pdf.vec_id == 200].iloc[0]
+    assert row["dup_of"] == 100 and not row["keep"]
+    dropped_twin = pdf[pdf.origin == "batch_dup"].iloc[0]
+    keeper = pdf[(pdf.origin == "unique") & pdf.vec_id.isin([201, 202])].iloc[0]
+    assert dropped_twin["dup_of"] == keeper["vec_id"]
+
+
+def test_append_is_deterministic(spark, corpus_and_batch):
+    kept, bat = corpus_and_batch
+    cols = ["vec_id", "cell", "centroid_sim", "origin", "dup_of", "keep"]
+    a = (
+        semdedup_append(kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+        .toPandas()[cols].sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semdedup_append(kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+        .toPandas()[cols].sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_no_within_cell_threshold_pair_survives(spark, corpus_and_batch):
+    kept, bat = corpus_and_batch
+    pdf = (
+        semdedup_append(kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+        .toPandas()
+    )
+    kept_batch = pdf[pdf.keep & pdf.cell.notna()]
+    vecs = {r.vec_id: np.array(r.embedding) for r in kept.collect()}
+    vecs.update(
+        {r.vec_id: np.array(r.embedding) for r in bat.collect() if r.embedding}
+    )
+    cents = np.array(CENTS)
+
+    def cell_of(v):
+        u = v / np.linalg.norm(v)
+        return int((cents @ u).argmax())
+
+    final = list(vecs)  # corpus ids + all batch ids with vectors
+    kept_final = [int(r.vec_id) for r in kept.collect()] + list(
+        kept_batch["vec_id"].astype(int)
+    )
+    for i in kept_batch["vec_id"].astype(int):
+        for j in kept_final:
+            if i == j:
+                continue
+            vi, vj = vecs[i], vecs[j]
+            if cell_of(vi) != cell_of(vj):
+                continue  # SemDeDup compares within a cell only
+            cos = float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj)))
+            assert cos < THRESH, f"kept pair {i},{j} at cosine {cos}"
+
+
+def test_maintenance_loop_reappend_drops_everything(spark, corpus_and_batch):
+    """Union kept batch rows into the corpus (the maintenance step),
+    re-append the same batch: every row with a vector must now be a
+    corpus_dup of its own kept copy (or of the keeper that shadowed
+    it), so a replayed batch adds nothing — at-least-once delivery of
+    append batches is safe."""
+    kept, bat = corpus_and_batch
+    first = semdedup_append(kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+    kept_ids = [int(r.vec_id) for r in first.filter("keep AND cell IS NOT NULL").collect()]
+    corpus2 = kept.unionByName(bat.filter(F.col("vec_id").isin(kept_ids)))
+    replay = semdedup_append(corpus2, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+    pdf = replay.toPandas()
+    with_vec = pdf[pdf.cell.notna()]
+    assert (with_vec["origin"] == "corpus_dup").all()
+    assert not with_vec["keep"].any()
+
+
+def test_full_dedup_unchanged_by_helper_refactor(spark, corpus_and_batch):
+    """`_celled_frame` must be expression-identical to semantic_dedup's
+    inline construction: verdicts under explicit centroids agree with
+    the documented keeper rule on the controlled fixture."""
+    kept, bat = corpus_and_batch
+    allv = kept.unionByName(bat).filter(F.col("embedding").isNotNull())
+    v = semantic_dedup(allv, dim=DIM, centroids=CENTS, threshold=THRESH)
+    pdf = v.toPandas()
+    assert len(pdf) == 13
+    # the three near-dup relations (100~200, 201~202) resolve to one
+    # keeper each; everything else is unique
+    assert int((~pdf["keep"]).sum()) == 2

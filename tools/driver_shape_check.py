@@ -52,6 +52,16 @@ flip a plan-shape or hash-partitioning assumption):
                              a query whose values depend on AQE's
                              post-shuffle partition count has an
                              order-sensitive fold bug by definition)
+  SPARK_GRAFT_SHAPE_CODEGEN  set to "false" to disable
+                             spark.sql.codegen.wholeStage — every
+                             expression runs on the interpreted
+                             (non-generated) evaluation path instead
+                             of fused Java codegen. The engine's perf
+                             story leans on wide codegen spans, so
+                             results must be identical WITHOUT them;
+                             a divergence means an expression relies
+                             on codegen-specific evaluation order or
+                             overflow behavior
   SWEEP_N / SPARK_GRAFT_SHAPE_SWEEP_N  how deep into _PRIORITY to go
 """
 
@@ -93,6 +103,9 @@ def main() -> int:
     aqe = os.environ.get("SPARK_GRAFT_SHAPE_AQE")
     if aqe:
         builder = builder.config("spark.sql.adaptive.enabled", aqe)
+    codegen = os.environ.get("SPARK_GRAFT_SHAPE_CODEGEN")
+    if codegen:
+        builder = builder.config("spark.sql.codegen.wholeStage", codegen)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

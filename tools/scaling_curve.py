@@ -111,6 +111,7 @@ EXTRA_QUERIES = (
     "hamming_rerank_cosine",  # packed-bits shortlist + broadcast-id rerank
     "source_overlap_matrix",  # digest shuffle -> per-shingle source sets
     "corpus_cluster_map",  # bounded k-means fit + zero-shuffle assignment
+    "semdedup_incremental",  # base dedup + keep-first append (cert round trip)
 )
 
 
