@@ -47,6 +47,9 @@ __all__ = [
     "hamming_distance",
     "hamming_topk_batch",
     "hamming_rerank_topk",
+    "write_bits_index",
+    "read_bits_index",
+    "probe_bits_index",
 ]
 
 
@@ -207,4 +210,87 @@ def hamming_rerank_topk(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def write_bits_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "append",
+) -> None:
+    """Persist the packed-bits index: a flat parquet table of
+    (id, bits array<bigint>) — 8 B of payload per 64 dims. Unlike the
+    LSH/IVF/PQ indexes there is NO partition key: the bits scan prunes
+    nothing by design (it wins by making the full scan cheap), so a
+    flat layout with max parquet row-group compaction is the right
+    shape; at 100 TB of float32 vectors the index is ~3 TB and a probe
+    is one column-pruned scan of it.
+
+    Appends are STATELESS-safe — sign packing has no trained geometry
+    to version (the property every other index here must enforce via
+    stored-sidecar checks), so ``mode='append'`` is always consistent
+    with the existing rows. NULL vectors are dropped (the engine-wide
+    convention: a row that can't be embedded is never a candidate)."""
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    non_null_vectors(embeddings, vec_col).select(
+        F.col(id_col), sign_bits(vec_col).alias("bits")
+    ).write.mode(mode).parquet(path)
+
+
+def read_bits_index(spark, path: str) -> DataFrame:
+    """The persisted (id, bits) table, as written by `write_bits_index`."""
+    return spark.read.parquet(path)
+
+
+def probe_bits_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k Hamming neighbours for every query row against the
+    persisted bits index: queries sign-pack on the fly (same kernel,
+    so probe results are IDENTICAL to the in-plan `hamming_topk_batch`
+    over the corpus the index was built from — the parity every
+    persisted index here guarantees), broadcast, and meet the stored
+    bits in the same WindowGroupLimit top-k. The float vectors are
+    never read — the probe's entire input is the 8 B/vector index."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        _non_null_queries(queries, query_id_col, query_vec_col).withColumn(
+            "__qbits", sign_bits("__q")
+        ).drop("__q")
+    )
+    pairs = read_bits_index(spark, path).crossJoin(q)
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            hamming_distance("bits", "__qbits").alias("hamming_dist"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _non_null_queries(queries: DataFrame, query_id_col: str, qv: str) -> DataFrame:
+    return non_null_vectors(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), as_double_array(qv).alias("__q")
+        ),
+        "__q",
     )

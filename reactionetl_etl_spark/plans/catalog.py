@@ -82,6 +82,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
+    "bits_index_probe",
     "contamination_report",
     "corpus_cluster_map",
     "hamming_rerank_cosine",
@@ -17841,3 +17842,59 @@ def semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_append(
         kept, batch, dim=64, centroids=cents, threshold=0.40
     ).orderBy("vec_id")
+
+
+@_q(
+    "bits_index_probe",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 8),
+    d AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(len(list_filter(range(1, len(q.qe) + 1),
+                         i -> (q.qe[i] > 0) <> (e.embedding[i] > 0)))
+                    AS INT) AS hamming_dist
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, hamming_dist
+    FROM (SELECT d.*,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming_dist ASC, vec_id ASC) AS rn
+          FROM d)
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "batch", "quantization", "index", "llm"),
+)
+def bits_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted packed-bits index, full round trip per invocation:
+    write the (id, bits) table from HALF the corpus, APPEND the other
+    half (sign packing is stateless — no trained geometry to version,
+    so appends are always consistent; the property every other index
+    here must enforce with stored-sidecar checks comes for free), then
+    probe with the standard query batch. The probe reads ONLY the 8-B
+    index rows — floats never leave the write path.
+
+    The oracle is the SAME computed SQL as `hamming_topk_bits` — the
+    round trip must be value-invisible (probe ≡ in-plan scan), which
+    makes this the only persisted index in the engine whose probe is
+    fully ANSI-SQL-re-derivable (LSH/IVF/PQ geometries are seeded
+    training artifacts and pin instead). Completes the persisted-index
+    family: LSH / IVF / PQ / IVF-PQ / bits."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reactionetl_etl_spark.operators import hamming as _H
+
+    emb = _t(spark, sf_dir, "embeddings")
+    work = _tempfile.mkdtemp(prefix="bits_idx_")
+    try:
+        path = _os.path.join(work, "bits")
+        _H.write_bits_index(emb.filter(F.col("vec_id") % 2 == 0), path)
+        _H.write_bits_index(emb.filter(F.col("vec_id") % 2 != 0), path, mode="append")
+        return _H.probe_bits_index(
+            spark, path, _batch_queries(emb), k=5
+        ).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

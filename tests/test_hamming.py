@@ -162,3 +162,44 @@ def test_corpus_cluster_map_invariants(spark, sf_dir):
     assert (out["top_source_share_milli"] >= 1).all()
     assert (out["mean_sim_q4"] <= 10000).all()
     assert (out["n_docs"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# persisted bits index
+# ---------------------------------------------------------------------------
+
+
+def test_bits_index_probe_equals_in_plan_scan(spark, vecs, tmp_path):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "bits")
+    H.write_bits_index(df, path)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = sorted(
+        tuple(r) for r in H.probe_bits_index(spark, path, q, k=5).collect()
+    )
+    inplan = sorted(tuple(r) for r in H.hamming_topk_batch(q, df, k=5).collect())
+    assert probe == inplan  # round trip is value-invisible
+
+
+def test_bits_index_append_is_stateless_consistent(spark, vecs, tmp_path):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    whole = str(tmp_path / "whole")
+    split = str(tmp_path / "split")
+    H.write_bits_index(df, whole)
+    H.write_bits_index(df.filter(F.col("vec_id") % 2 == 0), split)
+    H.write_bits_index(df.filter(F.col("vec_id") % 2 != 0), split, mode="append")
+    q = df.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(tuple(r) for r in H.probe_bits_index(spark, whole, q, k=4).collect())
+    b = sorted(tuple(r) for r in H.probe_bits_index(spark, split, q, k=4).collect())
+    assert a == b
+
+
+def test_bits_index_drops_null_vectors(spark, vecs, tmp_path):
+    rows = vecs + [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "bits")
+    H.write_bits_index(df, path)
+    stored = {r.vec_id for r in H.read_bits_index(spark, path).collect()}
+    assert 999 not in stored and len(stored) == len(vecs)

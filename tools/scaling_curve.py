@@ -112,6 +112,7 @@ EXTRA_QUERIES = (
     "source_overlap_matrix",  # digest shuffle -> per-shingle source sets
     "corpus_cluster_map",  # bounded k-means fit + zero-shuffle assignment
     "semdedup_incremental",  # base dedup + keep-first append (cert round trip)
+    "bits_index_probe",  # flat 8 B/vec index write+append+probe round trip
 )
 
 
