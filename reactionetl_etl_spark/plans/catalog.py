@@ -7661,6 +7661,7 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- deterministic output frozen as the value contract; the driver's
     -- correctness gate runs at sf0.01 only, which this pin encodes.
     SELECT * FROM (VALUES
+        ('bits_rerank20', CAST(1.0 AS DOUBLE), CAST(0.4 AS DOUBLE)),
         ('ivf_probe4', CAST(0.25 AS DOUBLE), CAST(0.595 AS DOUBLE)),
         ('ivfpq_probe4', CAST(0.25 AS DOUBLE), CAST(0.285 AS DOUBLE)),
         ('lsh_b8_r1', CAST(0.0352 AS DOUBLE), CAST(0.105 AS DOUBLE)),
@@ -7681,10 +7682,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100% of CODES (32× smaller bytes) then re-ranks a shortlist, and
     IVF-PQ (r13) probes the same 4/16 cells as IVF but ranks from
     m-byte residual codes — its recall trailing ivf_probe4 at equal
-    scan_fraction IS the rows-vs-bytes trade made visible.
+    scan_fraction IS the rows-vs-bytes trade made visible. The
+    bits_rerank20 row (late r13) scans 100% of rows as 1-bit sign
+    words (8 B per 64 dims — 32× below even PQ's code bytes) and
+    re-ranks a 20-wide shortlist with exact cosine: where it lands
+    between pq_rerank and the pruned methods quantifies what the last
+    factor-of-32 of quantization costs in recall.
     Deterministic throughout (fixed hyperplanes, seeded k-means), so
     implementation drift moves a recall number in the driver's
-    rows-only check; test_operators.py pins per-method floors."""
+    value check; test_operators.py pins per-method floors."""
     from reactionetl_etl_spark.operators.pq import (
         pq_cosine_topk,
         pq_encode,
@@ -7747,6 +7753,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx["ivfpq_probe4"] = (
         probe_ivfpq_index(qs, coded13, cents13, rbook13, k=k, n_probe=4),
         4 / 16,
+    )
+    # sign-bit Hamming shortlist + exact rerank (late r13): all rows,
+    # 1-bit payload — the 32×-below-PQ end of the quantization axis
+    from reactionetl_etl_spark.operators.hamming import hamming_rerank_topk
+
+    approx["bits_rerank20"] = (
+        hamming_rerank_topk(qs, emb, k=k, shortlist=20),
+        1.0,
     )
     rows = []
     for method, (df, scan) in approx.items():

@@ -1055,7 +1055,8 @@ def test_ann_recall_report_floors_and_ordering(spark, sf_dir):
     q = all_queries()["ann_recall_report"].builder
     got = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
     assert set(got) == {
-        "lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "ivfpq_probe4", "pq_rerank"
+        "lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "ivfpq_probe4", "pq_rerank",
+        "bits_rerank20",
     }
     assert got["lsh_b8_r2"][1] > got["lsh_b8_r1"][1]
     assert got["ivf_probe4"][1] >= 0.5
@@ -1064,6 +1065,9 @@ def test_ann_recall_report_floors_and_ordering(spark, sf_dir):
     # codes, not full floats: recall trails IVF's exact ranking (the
     # bytes-vs-rows trade), must still be real
     assert 0 < got["ivfpq_probe4"][1] <= got["ivf_probe4"][1]
+    # 1-bit signs keep less geometry than PQ's 8 sub-codebooks at 32×
+    # fewer bytes: recall must be real but below pq_rerank's
+    assert 0 < got["bits_rerank20"][1] <= got["pq_rerank"][1]
     again = {r["method"]: (r["scan_fraction"], r["recall"]) for r in q(spark, sf_dir).collect()}
     assert again == got
 
