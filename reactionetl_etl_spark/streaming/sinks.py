@@ -342,6 +342,30 @@ def ivfpq_append_batch_writer(
     return write_batch
 
 
+def bits_append_batch_writer(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch callback maintaining a persisted packed-bits index
+    (`operators/hamming.py::write_bits_index`) as embeddings stream in.
+    The simplest member of the index-sink family BY CONSTRUCTION: sign
+    packing has no trained geometry, so there is no train-once-first-
+    batch phase, no stored-sidecar consistency check, and no
+    append-without-geometry failure mode — every batch packs and
+    appends unconditionally, and any interleaving of batches yields
+    the same index contents. Same at-least-once caveat as the
+    siblings: a replayed batch re-appends its rows — harmless for
+    Hamming top-k beyond duplicate neighbors; dedup on id_col at probe
+    time if exactness matters."""
+    from reactionetl_etl_spark.operators.hamming import write_bits_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_bits_index(batch_df, index_path, id_col=id_col, vec_col=vec_col)
+
+    return write_batch
+
+
 def rollup_batch_writer(
     state_path: str,
     keys: list[str],

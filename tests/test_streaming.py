@@ -955,3 +955,43 @@ def test_ivfpq_stream_sink_trains_once_then_appends(spark, tmp_path):
         qs, codes, geo_after_first[0], geo_after_first[1], k=3, n_probe=4
     )
     assert out.count() == 12
+
+
+def test_bits_stream_sink_appends_statelessly(spark, tmp_path):
+    """The packed-bits sink has no geometry phase at all: batches pack
+    and append unconditionally, and the streamed index probes
+    identically to a one-shot index over the union — in ANY batch
+    order (the stateless-append property the other index sinks must
+    enforce with sidecar checks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators.hamming import (
+        probe_bits_index,
+        write_bits_index,
+    )
+    from reactionetl_etl_spark.streaming.sinks import bits_append_batch_writer
+
+    rng = np.random.default_rng(44)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(90)]
+    df = lambda rs: spark.createDataFrame(rs, "vec_id long, embedding array<float>")  # noqa: E731
+
+    streamed = str(tmp_path / "bits_stream")
+    writer = bits_append_batch_writer(streamed)
+    writer(df(rows[:30]), 0)
+    writer(df(rows[30:]), 1)
+
+    reversed_order = str(tmp_path / "bits_rev")
+    writer2 = bits_append_batch_writer(reversed_order)
+    writer2(df(rows[30:]), 0)
+    writer2(df(rows[:30]), 1)
+
+    oneshot = str(tmp_path / "bits_oneshot")
+    write_bits_index(df(rows), oneshot)
+
+    qs = df(rows[:3]).select(F.col("vec_id").alias("query_id"), "embedding")
+    outs = [
+        sorted(map(tuple, probe_bits_index(spark, p, qs, k=4).collect()))
+        for p in (streamed, reversed_order, oneshot)
+    ]
+    assert outs[0] == outs[1] == outs[2]
