@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "bits_index_probe",
     "contamination_report",
     "corpus_cluster_map",
+    "dedup_method_agreement",
     "hamming_rerank_cosine",
     "hamming_topk_bits",
     "ivfpq_index_probe",
@@ -17912,3 +17913,115 @@ def bits_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@_q(
+    "dedup_method_agreement",
+    None,  # pinned VALUES oracle (plans/pinned.py) — the MinHash and
+    # SimHash flag sets are xxhash64-seeded (not ANSI-SQL-re-derivable);
+    # output is deterministic integer counts
+    tags=("dedup", "quality", "llm"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation of the LEXICAL dedup ladder: for every pair of
+    methods, the 2×2 agreement counts over the per-doc "flagged as
+    having a near-duplicate" verdicts — the `contamination_report`
+    consolidation pattern applied to dedup. The methods deliberately
+    overlap:
+
+      exact      identical normalized text (fingerprint group ≥ 2)
+      minhash    MinHash-LSH candidates, est. Jaccard ≥ 0.5
+      jaccard    exact token-set Jaccard ≥ 0.5 on prefix-blocked pairs
+      simhash    SimHash Hamming ≤ 3 via 16-bit chunk blocking
+
+    so the off-diagonal counts are diagnostic: docs `minhash` flags
+    that `jaccard` doesn't are LSH estimation noise (est ≥ 0.5, true
+    < 0.5); `jaccard`-only docs are blocking misses (shared content,
+    different 32-char prefix reaches minhash's bands but not the
+    prefix block — or vice versa); `simhash`-only docs have similar
+    token DISTRIBUTIONS without set overlap. A healthy corpus shows a
+    large `both` diagonal among the set-based methods; divergence
+    localizes which knob (bands, threshold, blocking) drifted.
+    (`semdedup` is excluded: its universe is the EMBEDDED slice, and
+    mixing universes would make every count ambiguous — the semantic
+    rung cross-checks through `contamination_report` instead.)
+
+    One row per unordered method pair: (method_a, method_b, n_both,
+    n_only_a, n_only_b, n_universe). Composition, not
+    re-implementation: every flag set re-aggregates an existing
+    oracled builder, so this report can never disagree with the
+    standalone queries. Scale: each component keeps its own bounded
+    blocked shape; the agreement pass is ONE scan over the per-doc
+    boolean frame with map-side-combined integer sums."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = D.normalize_text("text")
+    fp = docs.select("doc_id", F.md5(norm).alias("__fp"))
+    wf = Window.partitionBy("__fp")
+    exact_ids = (
+        fp.withColumn("__n", F.count(F.lit(1)).over(wf))
+        .filter(F.col("__n") >= 2)
+        .select("doc_id")
+    )
+
+    def _pair_ids(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+        return (
+            pairs.select(F.col(a).alias("doc_id"))
+            .unionByName(pairs.select(F.col(b).alias("doc_id")))
+            .distinct()
+        )
+
+    flagged = {
+        "exact": exact_ids.distinct(),
+        "minhash": _pair_ids(minhash_neardup_pairs(spark, sf_dir)),
+        "jaccard": _pair_ids(
+            ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+        ),
+        "simhash": _pair_ids(simhash_neardup_pairs(spark, sf_dir)),
+    }
+    flags = docs.select("doc_id")
+    for name, ids in flagged.items():
+        flags = flags.join(
+            ids.withColumn(f"__{name}", F.lit(True)), on="doc_id", how="left"
+        )
+    flags = flags.select(
+        "doc_id",
+        *[F.coalesce(f"__{n}", F.lit(False)).alias(n) for n in flagged],
+    )
+    methods = sorted(flagged)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, a in enumerate(methods):
+        for b in methods[i + 1 :]:
+            aggs.append(
+                F.sum(F.when(F.col(a) & F.col(b), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"both_{a}_{b}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col(a) & ~F.col(b), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"onlya_{a}_{b}")
+            )
+            aggs.append(
+                F.sum(F.when(~F.col(a) & F.col(b), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"onlyb_{a}_{b}")
+            )
+    row = flags.agg(*aggs).collect()[0]
+    out = []
+    for i, a in enumerate(methods):
+        for b in methods[i + 1 :]:
+            out.append(
+                (
+                    a,
+                    b,
+                    int(row[f"both_{a}_{b}"]),
+                    int(row[f"onlya_{a}_{b}"]),
+                    int(row[f"onlyb_{a}_{b}"]),
+                    int(row["__n"]),
+                )
+            )
+    return spark.createDataFrame(
+        out,
+        "method_a string, method_b string, n_both bigint, n_only_a bigint,"
+        " n_only_b bigint, n_universe bigint",
+    ).orderBy("method_a", "method_b")

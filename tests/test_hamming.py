@@ -203,3 +203,24 @@ def test_bits_index_drops_null_vectors(spark, vecs, tmp_path):
     H.write_bits_index(df, path)
     stored = {r.vec_id for r in H.read_bits_index(spark, path).collect()}
     assert 999 not in stored and len(stored) == len(vecs)
+
+
+def test_dedup_method_agreement_internal_consistency(spark, sf_dir):
+    """Every method's total flagged count must be identical across all
+    of its rows (both + only_a for method_a rows, both + only_b for
+    method_b rows) — the 2x2 cells are all views of the same four flag
+    sets, so any drift means the one-pass aggregate miscounted."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+
+    pdf = (
+        all_queries()["dedup_method_agreement"].builder(spark, sf_dir).toPandas()
+    )
+    assert len(pdf) == 6
+    totals: dict[str, set[int]] = {}
+    for r in pdf.itertuples():
+        totals.setdefault(r.method_a, set()).add(int(r.n_both + r.n_only_a))
+        totals.setdefault(r.method_b, set()).add(int(r.n_both + r.n_only_b))
+        assert r.n_both + r.n_only_a <= r.n_universe
+        assert r.n_both + r.n_only_b <= r.n_universe
+    for m, tots in totals.items():
+        assert len(tots) == 1, f"method {m} disagrees across rows: {tots}"

@@ -276,7 +276,8 @@ def test_ann_recall_report_matches_recomputation(spark, sf_dir):
         for r in all_queries()["ann_recall_report"].builder(spark, sf_dir).collect()
     }
     assert set(report) == {
-        "lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "ivfpq_probe4", "pq_rerank"
+        "lsh_b8_r1", "lsh_b8_r2", "ivf_probe4", "ivfpq_probe4", "pq_rerank",
+        "bits_rerank20",
     }
 
     emb = load_table(spark, sf_dir, "embeddings")

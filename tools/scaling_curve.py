@@ -113,6 +113,7 @@ EXTRA_QUERIES = (
     "corpus_cluster_map",  # bounded k-means fit + zero-shuffle assignment
     "semdedup_incremental",  # base dedup + keep-first append (cert round trip)
     "bits_index_probe",  # flat 8 B/vec index write+append+probe round trip
+    "dedup_method_agreement",  # 4 flag-set builders + one boolean-frame agg
 )
 
 
