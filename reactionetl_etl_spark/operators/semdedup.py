@@ -265,6 +265,7 @@ def semdedup_append(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup maintenance: dedup an APPEND BATCH against
     an already-deduped corpus without re-deduping the world — the
@@ -314,6 +315,23 @@ def semdedup_append(
     kc = _celled_frame(kept, centroids, id_col, vec_col).localCheckpoint(eager=True)
     bc = _celled_frame(batch, centroids, id_col, vec_col).localCheckpoint(eager=True)
 
+    if max_cell_rows is not None:
+        # same refusal contract as semantic_dedup's guard: the probe's
+        # per-cell term is |kept_cell| x |batch_cell| — verify the
+        # larger side with one count aggregate and raise BEFORE
+        # scheduling a blown-up join (fix: more cells in the signed
+        # geometry, re-signing the index — exactly the SemDeDup paper's
+        # n_cells ~ N / target_cell_size scaling)
+        for label, frame in (("kept", kc), ("batch", bc)):
+            biggest = frame.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+            if biggest and biggest > max_cell_rows:
+                raise ValueError(
+                    f"largest {label}-side cell holds {biggest} rows >"
+                    f" max_cell_rows={max_cell_rows}; re-sign the geometry"
+                    f" with more cells (probe cost is per-cell"
+                    f" |kept| x |batch|)"
+                )
+
     hits = (
         bc.select(F.col("__id").alias("__bid"), F.col("__v").alias("__bv"), "cell")
         .join(
@@ -341,6 +359,7 @@ def semdedup_append(
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,
+        max_cell_rows=max_cell_rows,
     )
     # component keeper id for batch_dup provenance: the kept member of
     # the row's component (exactly one exists by construction)

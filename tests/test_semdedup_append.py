@@ -153,3 +153,19 @@ def test_full_dedup_unchanged_by_helper_refactor(spark, corpus_and_batch):
     # the three near-dup relations (100~200, 201~202) resolve to one
     # keeper each; everything else is unique
     assert int((~pdf["keep"]).sum()) == 2
+
+
+def test_append_cell_guard_refuses_loudly(spark, corpus_and_batch):
+    """max_cell_rows must raise BEFORE scheduling the probe join when a
+    cell exceeds the bound — the same instructive-refusal contract as
+    semantic_dedup's guard."""
+    kept, bat = corpus_and_batch
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        semdedup_append(
+            kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH, max_cell_rows=1
+        )
+    # generous bound passes through untouched
+    out = semdedup_append(
+        kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH, max_cell_rows=1000
+    )
+    assert out.count() == 6
