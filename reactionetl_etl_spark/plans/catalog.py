@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "hamming_rerank_cosine",
     "hamming_topk_bits",
     "ivfpq_index_probe",
+    "kmeans_elbow_curve",
     "semantic_contamination_ann",
     "semdedup_incremental",
     "source_overlap_matrix",
@@ -18025,3 +18026,74 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method_a string, method_b string, n_both bigint, n_only_a bigint,"
         " n_only_b bigint, n_universe bigint",
     ).orderBy("method_a", "method_b")
+
+
+@_q(
+    "kmeans_elbow_curve",
+    None,  # pinned VALUES oracle (plans/pinned.py) — seeded k-means
+    # geometries are not ANSI-SQL-re-derivable; all reported stats are
+    # per-row-quantized integer sums (partition-order-independent)
+    tags=("similarity", "quality", "llm"),
+)
+def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k dial for `corpus_cluster_map` / SemDeDup / IVF, measured:
+    for k ∈ {2, 4, 8, 16}, spherical-k-means inertia (Σ(1 − cosine to
+    own centroid), in exact 10⁻⁴ integer units summed per row) plus
+    cell-balance stats (cells used, largest/smallest cell) — the elbow
+    read and the skew read in one artifact. Inertia says when more
+    cells stop buying tightness; balance says whether a k that looks
+    good on inertia hides a mega-cell that would blow up SemDeDup's
+    per-cell quadratic term or IVF probe selectivity. The clustering
+    analogue of `ivf_tuning_curve` (which dials n_probe at fixed k).
+
+    Shape: each k's fit is the bounded-sample driver-side trainer (one
+    TakeOrdered job each — data-size-independent); ALL k's assignments
+    are evaluated in ONE corpus scan (per-row argmax over each of the
+    four broadcast centroid grids), and the per-(k, cell) counts
+    shuffle on ≤ Σk = 30 keys. Nothing but that single scan touches
+    the data."""
+    from reactionetl_etl_spark.functions.vectors import (
+        as_double_array,
+        dot,
+        l2_norm,
+        lit_double_array,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ks = (2, 4, 8, 16)
+    cents = {k: S.train_ivf_centroids(emb, n_cells=k) for k in ks}
+    v = as_double_array("embedding")
+    cols = []
+    for k in ks:
+        scores = F.array(*[dot(v, lit_double_array(c)) for c in cents[k]])
+        sim = F.array_max(scores) / l2_norm(v)
+        cols.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias(f"cell_{k}"))
+        cols.append(F.floor((1.0 - sim) * 10000 + 0.5).cast("bigint").alias(f"inertia_{k}"))
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    base = non_null_vectors(emb, "embedding").select(*cols).localCheckpoint(eager=True)
+    out = []
+    for k in ks:
+        per_cell = base.groupBy(f"cell_{k}").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
+        )
+        stats = per_cell.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+            F.max("__n").alias("max_cell_rows"),
+            F.min("__n").alias("min_cell_rows"),
+        ).collect()[0]
+        inertia = base.agg(F.sum(f"inertia_{k}").cast("bigint")).collect()[0][0]
+        out.append(
+            (
+                k,
+                int(inertia),
+                int(stats["n_cells_used"]),
+                int(stats["max_cell_rows"]),
+                int(stats["min_cell_rows"]),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "k int, inertia_q4 bigint, n_cells_used bigint,"
+        " max_cell_rows bigint, min_cell_rows bigint",
+    ).orderBy("k")

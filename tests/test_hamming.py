@@ -224,3 +224,23 @@ def test_dedup_method_agreement_internal_consistency(spark, sf_dir):
         assert r.n_both + r.n_only_b <= r.n_universe
     for m, tots in totals.items():
         assert len(tots) == 1, f"method {m} disagrees across rows: {tots}"
+
+
+def test_kmeans_elbow_curve_monotone_and_partitioned(spark, sf_dir):
+    """More cells can only tighten the best-of-k fit on the same data
+    (inertia non-increasing in k — each larger trained set is a better
+    quantizer here), every cell is used, and cell counts partition the
+    non-NULL universe at every k."""
+    from reactionetl_etl_spark.plans.catalog import all_queries
+    from reactionetl_etl_spark.sources.tables import load_table
+
+    pdf = (
+        all_queries()["kmeans_elbow_curve"].builder(spark, sf_dir)
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(pdf["k"]) == [2, 4, 8, 16]
+    assert (pdf["inertia_q4"].diff().dropna() <= 0).all()
+    assert (pdf["n_cells_used"] == pdf["k"]).all()
+    n = load_table(spark, sf_dir, "embeddings").filter("embedding IS NOT NULL").count()
+    assert (pdf["max_cell_rows"] >= (n + pdf["k"] - 1) // pdf["k"]).all()
+    assert (pdf["min_cell_rows"] >= 1).all()

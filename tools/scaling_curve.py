@@ -114,6 +114,7 @@ EXTRA_QUERIES = (
     "semdedup_incremental",  # base dedup + keep-first append (cert round trip)
     "bits_index_probe",  # flat 8 B/vec index write+append+probe round trip
     "dedup_method_agreement",  # 4 flag-set builders + one boolean-frame agg
+    "kmeans_elbow_curve",  # 4 bounded fits + one all-k assignment scan
 )
 
 
