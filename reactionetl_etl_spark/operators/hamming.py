@@ -62,14 +62,18 @@ def sign_bits(vec_col: Column | str) -> Column:
     shiftleft/bitwise-or — so packing runs inside whole-stage codegen
     on the scan, never in Python. Dimensions that are not a multiple
     of 64 leave the tail word's high bits zero on every row, so
-    distances stay comparable. Requires a non-empty array (apply
-    `non_null_vectors` upstream, the engine-wide convention).
+    distances stay comparable. NULL vectors are the caller's problem
+    (apply `non_null_vectors` upstream, the engine-wide convention);
+    an EMPTY (non-NULL) array packs to one all-zero word — the word
+    count is clamped to ≥ 1 because ceil(0/64) − 1 = −1 would make
+    `sequence(0, -1)` DESCEND (Spark infers step −1) and emit a bogus
+    two-word [0, 0] pattern (r13 ADVICE).
     """
     name = vec_col if isinstance(vec_col, str) else None
     if name is None:
         raise TypeError("sign_bits takes a column NAME (it builds a SQL expr)")
     return F.expr(
-        f"transform(sequence(0, cast(ceil(size({name}) / 64.0) as int) - 1),"
+        f"transform(sequence(0, greatest(cast(ceil(size({name}) / 64.0) as int), 1) - 1),"
         f" w -> aggregate(sequence(0, 63), 0L,"
         f" (acc, i) -> CASE WHEN 64 * w + i < size({name})"
         f" AND element_at({name}, 64 * w + i + 1) > 0D"
@@ -80,7 +84,11 @@ def sign_bits(vec_col: Column | str) -> Column:
 def hamming_distance(a: str, b: str) -> Column:
     """Hamming distance between two equal-length array<bigint> sign
     words: sum of `bit_count(x ^ y)` per word — int arithmetic only,
-    exact, cross-engine reproducible (no floats anywhere)."""
+    exact, cross-engine reproducible (no floats anywhere). Unequal
+    word counts (a dimension-mismatched vector) make `zip_with` pad
+    with NULL and the whole sum goes NULL — every top-k consumer in
+    this module orders with `asc_nulls_last` so a malformed row can
+    never outrank a real neighbour (r13 ADVICE)."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)),"
         f" 0, (acc, v) -> acc + v)"
@@ -96,6 +104,7 @@ def hamming_topk_batch(
     vec_col: str = "embedding",
     query_vec_col: str | None = None,
     exclude_self: bool = True,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Top-k nearest sign patterns for every query row, one corpus pass.
 
@@ -112,6 +121,17 @@ def hamming_topk_batch(
     ordered by ascending distance, ties by ascending id — fully
     deterministic (integer distances), so value-oracle-checkable
     without any rounding protocol.
+
+    The query batch is BROADCAST (scan-everything is the design — the
+    corpus side never shuffles), so the batch must fit the driver and
+    every executor; ``max_query_rows`` refuses a corpus-sized query
+    set BEFORE building the broadcast instead of OOMing mid-job. For
+    query sets beyond the cap, split them into ≤ cap chunks and union
+    the results (each chunk's top-k is independent), or use the celled
+    unbounded probes — `similarity.probe_ivf_index` /
+    `pq.probe_ivfpq_index` with ``broadcast_queries=False`` — which
+    meet the corpus in a hash-partitioned cell equi-join and need
+    neither side resident.
     """
     from pyspark.sql import Window
 
@@ -122,6 +142,17 @@ def hamming_topk_batch(
         ),
         "__q",
     ).withColumn("__qbits", sign_bits("__q")).drop("__q")
+    if max_query_rows is not None:
+        n_q = q.limit(max_query_rows + 1).count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"hamming_topk_batch query batch exceeds max_query_rows="
+                f"{max_query_rows}; the batch is broadcast to every task, so"
+                f" split it into <= max_query_rows chunks (per-chunk top-k is"
+                f" independent) or probe a celled index with"
+                f" broadcast_queries=False (probe_ivf_index /"
+                f" probe_ivfpq_index) for corpus-sized query sets"
+            )
     c = non_null_vectors(corpus, vec_col).select(
         F.col(id_col), sign_bits(vec_col).alias("__bits")
     )
@@ -129,7 +160,7 @@ def hamming_topk_batch(
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("hamming_dist").asc(), F.col(id_col).asc()
+        F.col("hamming_dist").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         pairs.select(
@@ -153,6 +184,7 @@ def hamming_rerank_topk(
     vec_col: str = "embedding",
     query_vec_col: str | None = None,
     exclude_self: bool = True,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Two-stage serving path: packed-bits Hamming scan → shortlist →
     exact-cosine rerank of the shortlist only.
@@ -184,6 +216,7 @@ def hamming_rerank_topk(
         vec_col=vec_col,
         query_vec_col=qv,
         exclude_self=exclude_self,
+        max_query_rows=max_query_rows,
     ).select(query_id_col, id_col)
     q = non_null_vectors(
         queries.select(
@@ -254,6 +287,7 @@ def probe_bits_index(
     id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Top-k Hamming neighbours for every query row against the
     persisted bits index: queries sign-pack on the fly (same kernel,
@@ -261,19 +295,30 @@ def probe_bits_index(
     over the corpus the index was built from — the parity every
     persisted index here guarantees), broadcast, and meet the stored
     bits in the same WindowGroupLimit top-k. The float vectors are
-    never read — the probe's entire input is the 8 B/vector index."""
+    never read — the probe's entire input is the 8 B/vector index.
+    ``max_query_rows`` refuses a corpus-sized query batch before the
+    broadcast (same contract and escape hatches as
+    `hamming_topk_batch`)."""
     from pyspark.sql import Window
 
-    q = F.broadcast(
-        _non_null_queries(queries, query_id_col, query_vec_col).withColumn(
-            "__qbits", sign_bits("__q")
-        ).drop("__q")
-    )
+    qq = _non_null_queries(queries, query_id_col, query_vec_col).withColumn(
+        "__qbits", sign_bits("__q")
+    ).drop("__q")
+    if max_query_rows is not None:
+        n_q = qq.limit(max_query_rows + 1).count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"probe_bits_index query batch exceeds max_query_rows="
+                f"{max_query_rows}; split it into <= max_query_rows chunks"
+                f" or probe a celled index with broadcast_queries=False"
+                f" (probe_ivf_index / probe_ivfpq_index)"
+            )
+    q = F.broadcast(qq)
     pairs = read_bits_index(spark, path).crossJoin(q)
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("__qid"))
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("hamming_dist").asc(), F.col(id_col).asc()
+        F.col("hamming_dist").asc_nulls_last(), F.col(id_col).asc()
     )
     return (
         pairs.select(

@@ -342,6 +342,8 @@ def probe_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Batch ANN against a PERSISTED PQ index
     (``spark.read.parquet(f"{path}/codes")`` + `read_pq_codebook`):
@@ -355,6 +357,25 @@ def probe_pq_index(
     Output: (query_id, vec_id, approx_cosine, rank ≤ k) — re-rank by
     joining the shortlist to a full-vector table if exactness matters,
     as `pq_cosine_topk(refine=)` does.
+
+    Two query-side contracts (r14 — the `probe_ivf_index` pattern):
+
+    - ``broadcast_queries=True`` (default, bounded batch): the query
+      set is collected to the driver once to build per-query ADC
+      tables that ship in the task closure — zero per-candidate float
+      traffic. ``max_query_rows`` refuses a corpus-sized query set
+      BEFORE the collect can OOM the driver.
+    - ``broadcast_queries=False`` (UNBOUNDED query set — the
+      decontamination shape): nothing is ever collected. Probe-cell
+      selection runs executor-side in one Arrow pass over the query
+      frame (same numpy kernel, so cells are IDENTICAL to the bounded
+      path — parity-tested), the exploded (query, cell, vector) rows
+      meet the index in a hash-partitioned equi-join on the cell —
+      NEITHER side broadcasts — and the ADC stage rebuilds each
+      query's table from the vector riding the join, grouped per
+      Arrow batch. Costs |candidates| × dim of float traffic where
+      the bounded path pays none: that is the price of unboundedness,
+      not a different answer.
     """
     import numpy as np
 
@@ -366,7 +387,26 @@ def probe_pq_index(
     n_cells = books[0].shape[0]
     if n_probe is None:
         n_probe = n_cells
-    q_rows = non_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    n_probe = min(n_probe, n_cells)
+    if not broadcast_queries:
+        return _probe_pq_unbounded(
+            queries, index_codes, books, n_probe,
+            query_id_col, id_col, vec_col, exclude_self, k,
+            cell_join_col="pq_cell", centroids=None,
+        )
+    q_src = non_null_vectors(queries, vec_col).select(query_id_col, vec_col)
+    if max_query_rows is not None:
+        q_rows = q_src.limit(max_query_rows + 1).collect()
+        if len(q_rows) > max_query_rows:
+            raise ValueError(
+                f"probe_pq_index query batch exceeds max_query_rows="
+                f"{max_query_rows}; the bounded contract collects the batch"
+                f" driver-side to build ADC tables — pass"
+                f" broadcast_queries=False for corpus-sized query sets"
+                f" (cell equi-join, nothing collected)"
+            )
+    else:
+        q_rows = q_src.collect()
     spark = queries.sparkSession
     if not q_rows:
         return spark.createDataFrame(
@@ -427,6 +467,137 @@ def probe_pq_index(
                 d[sel] = dd
             yield pd.DataFrame(
                 {"query_id": qids, "vec_id": pdf[id_col], "adc_d2": d}
+            )
+
+    scored = pairs.mapInPandas(adc, "query_id long, vec_id long, adc_d2 double")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("approx_cosine", 1 - F.col("adc_d2") / 2)
+        .select("query_id", "vec_id", "approx_cosine", "rank")
+    )
+
+
+def _probe_pq_unbounded(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    books: list,
+    n_probe: int,
+    query_id_col: str,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    k: int,
+    cell_join_col: str,
+    centroids,
+) -> DataFrame:
+    """Unbounded-query-set probe shared by the PQ-lite and IVF-PQ
+    persisted indexes (``broadcast_queries=False``): no collect, no
+    broadcast — the `semantic_contamination_ann` /
+    `probe_ivf_index(broadcast_queries=False)` shape, ported to ADC
+    ranking (r14, the r13 verdict's missing variant).
+
+    Stage 1 (Arrow, one pass over the query frame, no shuffle):
+    normalize each query vector and pick its ``n_probe`` probe cells
+    with the SAME numpy kernel the bounded path runs driver-side —
+    subspace-0 table distances for PQ-lite (``centroids is None``),
+    full-vector coarse distances for IVF-PQ — emitting one
+    (qid, probe_cell, normalized vector) row per probe.
+
+    Stage 2: hash-partitioned equi-join of the exploded queries
+    against the index on its cell partition column. Neither side
+    broadcasts; the join key has ≤ n_cells values, so at 100 TB this
+    is the same celled-shuffle shape as the IVF unbounded probe (AQE
+    skew-split handles hot cells).
+
+    Stage 3 (Arrow): per batch, group candidates by query (and cell,
+    for residual codes), rebuild that query's m×k ADC table from the
+    vector riding the join — the codebook/centroids are closure
+    constants, a few KB — and score codes with the identical gather
+    the bounded path uses. Same math on the same inputs → bit-equal
+    distances (parity-tested in test_pq.py).
+    """
+    import numpy as np
+
+    from reactionetl_etl_spark.functions.vectors import (
+        as_double_array,
+        non_null_vectors,
+    )
+
+    m = len(books)
+    sub = books[0].shape[1]
+    cents = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+
+    q_in = non_null_vectors(queries, vec_col).select(
+        F.col(query_id_col).cast("long").alias("__qid"),
+        as_double_array(vec_col).alias("__qv"),
+    )
+
+    def pick_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = _normalize(_np.array(list(pdf["__qv"]), dtype=_np.float64))
+            if cents is None:
+                # PQ-lite: probe cells = nearest subspace-0 centroids
+                d0 = ((qx[:, :sub][:, None, :] - books[0][None, :, :]) ** 2).sum(axis=2)
+            else:
+                d0 = ((qx[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = _np.argsort(d0, axis=1)[:, :n_probe]
+            qids = pdf["__qid"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "__qid": _np.repeat(qids, n_probe),
+                    "__probe_cell": order.ravel().astype(_np.int32),
+                    "__qn": [list(qx[i]) for i in range(len(qx)) for _ in range(n_probe)],
+                }
+            )
+
+    q_cells = q_in.mapInPandas(
+        pick_cells, "__qid long, __probe_cell int, __qn array<double>"
+    )
+    pairs = index_codes.join(
+        q_cells, on=F.col(cell_join_col) == F.col("__probe_cell"), how="inner"
+    ).select(
+        "__qid",
+        F.col(id_col),
+        "pq_code",
+        F.col(cell_join_col).cast("int").alias("__cell"),
+        "__qn",
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_arr = _np.array(list(pdf["pq_code"]), dtype=_np.int64)
+            qids = pdf["__qid"].to_numpy()
+            d = _np.zeros(len(pdf), dtype=_np.float64)
+            pdf_r = pdf.reset_index(drop=True)
+            grouped = pdf_r.groupby(["__qid", "__cell"]).indices
+            for (qid, cell), idx in grouped.items():
+                qn = _np.array(pdf_r["__qn"].iloc[idx[0]], dtype=_np.float64)
+                resid_q = qn if cents is None else qn - cents[int(cell)]
+                t = [
+                    (
+                        (resid_q[s * sub : (s + 1) * sub][None, :] - books[s]) ** 2
+                    ).sum(axis=1)
+                    for s in range(m)
+                ]
+                dd = _np.zeros(len(idx), dtype=_np.float64)
+                sub_codes = codes_arr[idx]
+                for s in range(m):
+                    dd += t[s][sub_codes[:, s]]
+                d[idx] = dd
+            yield pd.DataFrame(
+                {"query_id": qids, "vec_id": pdf_r[id_col], "adc_d2": d}
             )
 
     scored = pairs.mapInPandas(adc, "query_id long, vec_id long, adc_d2 double")
@@ -650,6 +821,8 @@ def probe_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Batch ANN against a PERSISTED IVF-PQ index
     (``spark.read.parquet(f"{path}/codes")`` + `read_ivfpq_geometry`):
@@ -661,9 +834,16 @@ def probe_ivfpq_index(
     scoring stays m lookups per candidate and the float vectors are
     never read. ``n_probe=None`` probes every cell. Output:
     (query_id, vec_id, approx_cosine, rank ≤ k); re-rank the shortlist
-    against a full-vector table if exactness matters. Query side is
-    the bounded-batch contract (collected to build ADC tables), as in
-    `probe_pq_index`."""
+    against a full-vector table if exactness matters.
+
+    Query-side contracts (r14): ``broadcast_queries=True`` is the
+    bounded batch (collected once to build ADC tables driver-side;
+    ``max_query_rows`` refuses a corpus-sized set before the collect).
+    ``broadcast_queries=False`` is the UNBOUNDED shape — probe-cell
+    selection and residual ADC both run executor-side and the
+    exploded queries meet the index in a hash-partitioned cell
+    equi-join, neither side broadcast; see `_probe_pq_unbounded`.
+    Both return identical rows (parity-tested)."""
     import numpy as np
 
     from reactionetl_etl_spark.functions.vectors import non_null_vectors
@@ -676,7 +856,25 @@ def probe_ivfpq_index(
     if n_probe is None:
         n_probe = n_cells
     n_probe = min(n_probe, n_cells)
-    q_rows = non_null_vectors(queries, vec_col).select(query_id_col, vec_col).collect()
+    if not broadcast_queries:
+        return _probe_pq_unbounded(
+            queries, index_codes, books, n_probe,
+            query_id_col, id_col, vec_col, exclude_self, k,
+            cell_join_col="ivf_cell", centroids=cents,
+        )
+    q_src = non_null_vectors(queries, vec_col).select(query_id_col, vec_col)
+    if max_query_rows is not None:
+        q_rows = q_src.limit(max_query_rows + 1).collect()
+        if len(q_rows) > max_query_rows:
+            raise ValueError(
+                f"probe_ivfpq_index query batch exceeds max_query_rows="
+                f"{max_query_rows}; the bounded contract collects the batch"
+                f" driver-side to build residual ADC tables — pass"
+                f" broadcast_queries=False for corpus-sized query sets"
+                f" (cell equi-join, nothing collected)"
+            )
+    else:
+        q_rows = q_src.collect()
     spark = queries.sparkSession
     if not q_rows:
         return spark.createDataFrame(

@@ -82,6 +82,7 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
+    "ivfpq_drift_report",
     "bits_index_probe",
     "contamination_report",
     "corpus_cluster_map",
@@ -7621,7 +7622,16 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids on the residual's smaller spread; test-pinned floor).
     Deterministic (seeded k-means, fixed sample order) → pinned VALUES
     contract; numpy-reference parity, append-geometry, and
-    partition-pruning are pinned in test_pq.py."""
+    partition-pruning are pinned in test_pq.py.
+
+    r14: probes with ``broadcast_queries=False`` — the UNBOUNDED
+    query-set path (executor-side cell selection, hash-partitioned
+    cell equi-join, nothing collected; `pq._probe_pq_unbounded`) — so
+    the driver's pinned VALUES validate the unbounded variant while
+    `pq_index_probe` keeps the bounded contract driver-exercised; the
+    two paths are additionally pinned equal in test_pq.py parity
+    tests. The pins did NOT change across the flip (same rows from
+    either path — the parity claim, proven at the value-hash level)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -7641,7 +7651,8 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, book = read_ivfpq_geometry(spark, work)
         out = (
             probe_ivfpq_index(
-                qs, spark.read.parquet(f"{work}/codes"), cents, book, k=5, n_probe=6
+                qs, spark.read.parquet(f"{work}/codes"), cents, book, k=5, n_probe=6,
+                broadcast_queries=False,
             )
             .select(
                 "query_id",
@@ -7654,6 +7665,137 @@ def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@_q(
+    "ivfpq_drift_report",
+    None,  # pinned VALUES oracle (plans/pinned.py) — seeded k-means
+    # geometry is not ANSI-SQL-re-derivable; every reported stat is an
+    # integer aggregate over per-row-quantized values (deterministic)
+    tags=("similarity", "pq", "index", "lifecycle", "llm"),
+)
+def ivfpq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-drift tripwire + re-sign lifecycle in one artifact
+    (r14 — the missing WHEN/HOW half of the train-once-append-forever
+    index contract). Three phases of one IVF-PQ index's life, one row
+    each, all stats from the CODES ALONE (`resign.ivfpq_index_stats`:
+    one narrow scan, per-row decoded-residual norm = m literal-table
+    lookups in whole-stage codegen):
+
+      trained      — index built on the base corpus (vec_id % 3 != 0,
+                     n_cells=8): the post-train baseline readings.
+      after_append — a distribution-shifted batch (0.2·x + 0.8 per
+                     component — mass concentrated far from every
+                     trained centroid) appended under the STORED
+                     geometry, as the append writers require: the
+                     occupancy skew (imbalance_milli) and residual
+                     energy (mean_resid_q4) readings that tell an
+                     operator the geometry has gone stale.
+      resigned     — `resign.resign_ivfpq_index` retrains at
+                     n_cells=16 on the full corpus under the same
+                     deterministic sample discipline, re-encodes, and
+                     writes a versioned new index: every cell in use
+                     and mean_resid_q4 drops BELOW the trained
+                     baseline (the new geometry gives the drifted
+                     mass its own centroid, so residuals shrink
+                     corpus-wide). imbalance_milli stays high — the
+                     drifted batch IS a tight cluster, and a dense
+                     cluster owning a big cell is correct clustering,
+                     not staleness. That is the operational cross-
+                     read this artifact teaches: high imbalance +
+                     high residual energy = stale geometry (re-sign);
+                     high imbalance + LOW residual energy = genuinely
+                     clustered data (the skew is irreducible — tune
+                     per-cell guards instead).
+
+    Scale shape: each snapshot is one codes-table scan with ≤ n_cells
+    groups; training stays the bounded-sample driver-side discipline;
+    encode is one Arrow pass per write. Nothing quadratic anywhere.
+    Deterministic end to end → pinned VALUES contract at both SFs;
+    the re-sign's probe-parity and provenance-carry contracts are
+    pinned in tests/test_resign.py."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pandas as _pd
+
+    from reactionetl_etl_spark.operators.pq import (
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+    )
+    from reactionetl_etl_spark.operators.resign import (
+        ivfpq_index_stats,
+        resign_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("cast(embedding as array<double>)").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    drifted = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.expr("transform(embedding, x -> 0.2 * x + 0.8)").alias("embedding"),
+    )
+    work = _tempfile.mkdtemp(prefix="ivfpq_drift_")
+    rows: list[tuple] = []
+
+    def _snap(phase_id: int, phase: str, path: str) -> None:
+        r = ivfpq_index_stats(spark, path).collect()[0]
+        rows.append(
+            (
+                phase_id,
+                phase,
+                int(r["n_rows"]),
+                int(r["n_cells_used"]),
+                int(r["max_cell_rows"]),
+                int(r["min_cell_rows"]),
+                int(r["imbalance_milli"]),
+                int(r["mean_resid_q4"]),
+            )
+        )
+
+    try:
+        src, dst = f"{work}/v0", f"{work}/v1"
+        write_ivfpq_index(base, dim=64, path=src, n_cells=8, m=8, k=16)
+        _snap(0, "trained", src)
+        cents, book = read_ivfpq_geometry(spark, src)
+        write_ivfpq_index(
+            drifted, dim=64, path=src, centroids=cents, codebook=book, mode="append"
+        )
+        _snap(1, "after_append", src)
+        resign_ivfpq_index(
+            base.unionByName(drifted), dim=64, src_path=src, dest_path=dst, n_cells=16
+        )
+        _snap(2, "resigned", dst)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    pdf = _pd.DataFrame(
+        rows,
+        columns=[
+            "phase_id",
+            "phase",
+            "n_rows",
+            "n_cells_used",
+            "max_cell_rows",
+            "min_cell_rows",
+            "imbalance_milli",
+            "mean_resid_q4",
+        ],
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .select(
+            F.col("phase_id").cast("int").alias("phase_id"),
+            "phase",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_cells_used").cast("bigint").alias("n_cells_used"),
+            F.col("max_cell_rows").cast("bigint").alias("max_cell_rows"),
+            F.col("min_cell_rows").cast("bigint").alias("min_cell_rows"),
+            F.col("imbalance_milli").cast("bigint").alias("imbalance_milli"),
+            F.col("mean_resid_q4").cast("bigint").alias("mean_resid_q4"),
+        )
+        .orderBy("phase_id")
+    )
 
 
 @_q(
@@ -17770,7 +17912,15 @@ def corpus_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     celled = S.with_ivf_cell(emb, dim=64, n_cells=n_cells, centroids=cents)
     v = as_double_array("embedding")
     scores = F.array(*[dot(v, lit_double_array(c)) for c in cents])
-    sim_q4 = F.floor(F.array_max(scores) / l2_norm(v) * 10000 + 0.5).cast("bigint")
+    # zero-norm guard (r13 ADVICE): a zero-norm embedding would make
+    # the division NULL and silently drop the row from the sim sum
+    # while still counting in n_docs — define its similarity as 0.0
+    # (cosine_similarity's convention) so numerators and denominators
+    # cover the same rows. No fixture row triggers it; pins unchanged.
+    sim = F.when(l2_norm(v) == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(scores) / l2_norm(v)
+    )
+    sim_q4 = F.floor(sim * 10000 + 0.5).cast("bigint")
     base = (
         celled.select(
             F.col("ivf_cell").alias("cell"),
@@ -18066,7 +18216,13 @@ def kmeans_elbow_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = []
     for k in ks:
         scores = F.array(*[dot(v, lit_double_array(c)) for c in cents[k]])
-        sim = F.array_max(scores) / l2_norm(v)
+        # zero-norm guard (r13 ADVICE, as corpus_cluster_map): sim 0.0
+        # instead of NULL, so the row contributes (1-0)*10⁴ inertia
+        # rather than silently vanishing from the sum while still
+        # counting in the cell sizes. No fixture row triggers it.
+        sim = F.when(l2_norm(v) == 0.0, F.lit(0.0)).otherwise(
+            F.array_max(scores) / l2_norm(v)
+        )
         cols.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias(f"cell_{k}"))
         cols.append(F.floor((1.0 - sim) * 10000 + 0.5).cast("bigint").alias(f"inertia_{k}"))
     from reactionetl_etl_spark.functions.vectors import non_null_vectors

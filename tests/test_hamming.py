@@ -128,6 +128,52 @@ def test_null_query_vector_retrieves_nothing(spark, vecs):
     assert set(out2["query_id"]) == {0}
 
 
+def test_empty_vector_packs_to_single_zero_word(spark):
+    # r13 ADVICE: ceil(0/64)-1 = -1 made sequence(0,-1) descend and
+    # emit a bogus two-word [0, 0]; the clamp pins empty -> one word
+    df = spark.createDataFrame(
+        [(1, []), (2, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    bits = {
+        r.vec_id: list(r.bits)
+        for r in df.select("vec_id", H.sign_bits("embedding").alias("bits")).collect()
+    }
+    assert bits[1] == [0]
+    assert len(bits[2]) == 1
+
+
+def test_malformed_corpus_vector_never_outranks_real_neighbors(spark, vecs):
+    # r13 ADVICE: a dim-mismatched corpus row hamming-distances to NULL
+    # (zip_with pads) — asc_nulls_last must keep it out of the top-k
+    rows = vecs + [(999, [1.0] * 200)]  # 4 words vs the 70-dim corpus's 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = H.hamming_topk_batch(q, df, k=5).toPandas()
+    assert 999 not in set(out["vec_id"])
+    assert out["hamming_dist"].notna().all()
+
+
+def test_hamming_max_query_rows_refusal(spark, vecs):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        H.hamming_topk_batch(q, df, k=3, max_query_rows=10)
+    # under the cap: unchanged behavior
+    ok = H.hamming_topk_batch(q.limit(2), df, k=3, max_query_rows=10).toPandas()
+    assert len(ok) == 6
+
+
+def test_probe_bits_index_max_query_rows_refusal(spark, vecs, tmp_path):
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "bits")
+    H.write_bits_index(df, path)
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        H.probe_bits_index(spark, path, q, k=3, max_query_rows=10)
+
+
 def test_null_corpus_vector_never_a_candidate(spark, vecs):
     rows = vecs + [(999, None)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

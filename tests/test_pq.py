@@ -352,3 +352,103 @@ def test_ivfpq_beats_pqlite_recall_at_equal_probe_budget(spark):
     r_full = len(full & exact) / len(exact)
     assert r_full > r_lite
     assert r_full >= 0.25  # measured 0.285; slack for fixture evolution
+
+
+# ---------------------------------------------------------------------------
+# unbounded-query-set probes (r14 — broadcast_queries=False ported from the
+# IVF tier; the r13 verdict's missing variant)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_probe_unbounded_matches_bounded(spark, tmp_path):
+    """broadcast_queries=False must return exactly the bounded path's
+    rows: same probe cells (same numpy kernel, executor-side), same
+    ADC distances (same gather math on the same normalized inputs)."""
+    from reactionetl_etl_spark.operators.pq import probe_pq_index, write_pq_index
+
+    df, rows = _fixture(spark)
+    path = str(tmp_path / "pq_idx")
+    book = write_pq_index(df, dim=32, path=path, m=8, k=16)
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:7]], "query_id long, embedding array<double>"
+    )
+    index = spark.read.parquet(f"{path}/codes")
+    for n_probe in (4, None):
+        bounded = sorted(
+            map(tuple, probe_pq_index(qs, index, book, k=5, n_probe=n_probe).collect())
+        )
+        unbounded_df = probe_pq_index(
+            qs, index, book, k=5, n_probe=n_probe, broadcast_queries=False
+        )
+        unbounded = sorted(map(tuple, unbounded_df.collect()))
+        assert bounded == unbounded, f"n_probe={n_probe}"
+    # the unbounded join is keyed on the cell — never a cartesian
+    plan = unbounded_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_probe_unbounded_matches_bounded(spark, tmp_path):
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+    )
+
+    df, rows = _fixture(spark, n=300, dim=32)
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(df, dim=32, path=path, n_cells=8, m=8, k=16)
+    cents, book = read_ivfpq_geometry(spark, path)
+    qs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:7]], "query_id long, embedding array<double>"
+    )
+    index = spark.read.parquet(f"{path}/codes")
+    for n_probe in (3, None):
+        bounded = sorted(
+            map(
+                tuple,
+                probe_ivfpq_index(qs, index, cents, book, k=5, n_probe=n_probe).collect(),
+            )
+        )
+        unbounded_df = probe_ivfpq_index(
+            qs, index, cents, book, k=5, n_probe=n_probe, broadcast_queries=False
+        )
+        unbounded = sorted(map(tuple, unbounded_df.collect()))
+        assert bounded == unbounded, f"n_probe={n_probe}"
+    plan = unbounded_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_probes_max_query_rows_refusal_and_escape_hatch(spark, tmp_path):
+    """The bounded contract refuses a query set beyond max_query_rows
+    BEFORE collecting it, naming broadcast_queries=False — and that
+    escape hatch actually handles the same oversized set."""
+    import pytest
+
+    from reactionetl_etl_spark.operators.pq import (
+        probe_ivfpq_index,
+        probe_pq_index,
+        read_ivfpq_geometry,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+
+    df, rows = _fixture(spark, n=120, dim=32)
+    pq_path = str(tmp_path / "pq_idx")
+    book = write_pq_index(df, dim=32, path=pq_path, m=8, k=16)
+    ivf_path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(df, dim=32, path=ivf_path, n_cells=4, m=8, k=16)
+    cents, rbook = read_ivfpq_geometry(spark, ivf_path)
+
+    qs = df.select(F.col("vec_id").alias("query_id"), "embedding")  # 120 > 50
+    pq_index = spark.read.parquet(f"{pq_path}/codes")
+    ivf_index = spark.read.parquet(f"{ivf_path}/codes")
+    with pytest.raises(ValueError, match="broadcast_queries=False"):
+        probe_pq_index(qs, pq_index, book, k=3, max_query_rows=50)
+    with pytest.raises(ValueError, match="broadcast_queries=False"):
+        probe_ivfpq_index(qs, ivf_index, cents, rbook, k=3, max_query_rows=50)
+    out = probe_ivfpq_index(
+        qs, ivf_index, cents, rbook, k=3, n_probe=2, broadcast_queries=False
+    )
+    pdf = out.toPandas()
+    assert set(pdf["query_id"]) == set(range(120))
+    assert (pdf.groupby("query_id").size() == 3).all()
