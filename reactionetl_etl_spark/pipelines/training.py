@@ -37,10 +37,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from reactionetl_etl_spark.operators import dedup as D
 from reactionetl_etl_spark.operators.graph import connected_components
-from reactionetl_etl_spark.operators.packing import pack_by_token_budget
-from reactionetl_etl_spark.operators.rank import global_order_ranks
 from reactionetl_etl_spark.operators.text import ngram_contamination
 
 
@@ -129,7 +129,13 @@ def build_training_corpus(
     byte-identical shard assignment (hash order, no RNG)."""
     n_input = docs.count()
 
-    verdicts = quality_verdicts(docs, text_col)
+    # The verdict frame is NARROW (doc_id + rule strings) but computing
+    # it is a full normalize+split text pass; without a lineage break it
+    # re-runs inside every consumer — the quality branch of the ledger
+    # write, the dedup stage's kept-input, and the contamination stage's
+    # kept-input each replayed it (r14 decompose: the ledger job alone
+    # carried ~3 redundant text passes). One eager checkpoint = one pass.
+    verdicts = quality_verdicts(docs, text_col).localCheckpoint(eager=True)
     quality_drops = verdicts.filter(~F.col("keep")).select(
         "doc_id",
         F.lit("quality").alias("stage"),
@@ -139,7 +145,16 @@ def build_training_corpus(
         verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
 
-    dup_drops_raw = duplicate_drop_list(kept, text_col, min_jaccard)
+    # Same reasoning: (doc_id, kept_doc) is tiny, but its plan tails the
+    # LSH candidate join + the per-cluster keeper join over doc lengths
+    # (a full text-column scan) — referenced by both the ledger's
+    # near_dup branch and the contamination stage's anti-join, so the
+    # keeper join ran twice per build. connected_components already
+    # materializes the expensive candidate graph internally; this pins
+    # the two joins above it too.
+    dup_drops_raw = duplicate_drop_list(kept, text_col, min_jaccard).localCheckpoint(
+        eager=True
+    )
     dup_drops = dup_drops_raw.select(
         "doc_id",
         F.lit("near_dup").alias("stage"),
@@ -182,21 +197,76 @@ def build_training_corpus(
         ledger_r.select("doc_id").distinct(), "doc_id", "left_anti"
     )
 
-    # deterministic shuffle order + token counts, then pack
+    # deterministic shuffle order + token counts, then pack — FUSED
+    # (r14): the general composition (global_order_ranks over md5 →
+    # pack_by_token_budget over the rank) is built for reuse, but here
+    # it moves the corpus TEXT through three exchanges (the rank-key
+    # join, then running-sum's range repartition, then its __pid window
+    # exchange) plus a range-sampling pass, and aggregates a row-count-
+    # sized key table besides (every md5 key is unique, so the rank
+    # operator's distinct-key optimization degenerates). Both outputs
+    # are pure functions of the same total order (md5(doc_id), doc_id),
+    # and the md5 HEX PREFIX is a deterministic, order-monotone bucket
+    # of that order — so ONE hash exchange on the prefix bucket
+    # replaces range partitioning outright (no boundary-sampling job,
+    # no nondeterministic partitioner to pin): per-bucket row_number /
+    # exclusive token cumsum via one window, per-bucket totals read off
+    # the windowed rows themselves (count = max row number, sum = max
+    # inclusive cumsum), broadcast prefix offsets over the tiny bucket
+    # table. Integer arithmetic end to end — shuffle_pos, tokens_before
+    # and shard_id are identical to the two-operator composition for
+    # ANY bucket count (the global order never depends on bucketing;
+    # parity-pinned by test_training_pipeline, pins unchanged at both
+    # SFs). The eager localCheckpoint materializes the windowed frame
+    # once: the offsets aggregate, the broadcast-joined write, and the
+    # shard write all read it back without re-running the window or the
+    # upstream text pass. Bucket width adapts to the session's
+    # shuffle-partition setting (≥16 buckets per partition so AQE can
+    # balance); results are bucket-count-invariant by construction.
     norm = D.normalize_text(text_col)
     with_tok = kept.withColumn("n_tokens", F.size(F.split(norm, " ")))
-    shuffled = global_order_ranks(
-        with_tok,
-        rank_exprs=[F.md5(F.col("doc_id").cast("string"))],
-        rank_desc=[False],
-        tie_exprs=[F.col("doc_id")],
-        tie_desc=[False],
-    ).withColumnRenamed("global_row_number", "shuffle_pos")
-    packed = pack_by_token_budget(
-        shuffled.select("doc_id", text_col, "n_tokens", "shuffle_pos"),
-        order_col="shuffle_pos",
-        token_col="n_tokens",
-        budget=token_budget,
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    hex_chars = 2
+    while 16**hex_chars < n_parts * 16:
+        hex_chars += 1
+    key = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(key, 1, hex_chars), 16, 10).cast("bigint")
+    w_ord = Window.partitionBy("__pid").orderBy(
+        F.col("__key").asc(), F.col("doc_id").asc()
+    )
+    local = (
+        with_tok.withColumn("__key", key)
+        .withColumn("__pid", bucket)
+        .withColumn("__lrn", F.row_number().over(w_ord))
+        .withColumn(
+            "__lcum",
+            F.sum("n_tokens").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = local.groupBy("__pid").agg(
+        F.max("__lrn").alias("__pn"), F.max("__lcum").alias("__ps")
+    )
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__pid",
+        F.coalesce(F.sum("__pn").over(w_prev), F.lit(0)).alias("__noff"),
+        F.coalesce(F.sum("__ps").over(w_prev), F.lit(0)).alias("__soff"),
+    )
+    packed = (
+        local.join(F.broadcast(offsets), on="__pid")
+        .withColumn("shuffle_pos", F.col("__lrn") + F.col("__noff"))
+        # exclusive prefix: inclusive cumsum minus the row's own tokens
+        .withColumn(
+            "tokens_before", F.col("__lcum") - F.col("n_tokens") + F.col("__soff")
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("tokens_before") / F.lit(token_budget)).cast("bigint"),
+        )
+        .select(
+            "doc_id", text_col, "n_tokens", "shuffle_pos", "tokens_before", "shard_id"
+        )
     )
 
     packed.write.mode("overwrite").partitionBy("shard_id").parquet(f"{out_path}/shards")
@@ -233,13 +303,34 @@ def build_training_corpus(
             sort_col="shuffle_pos",
         )
 
-    stats_rows = {
-        r["stage"]: r["n"]
-        for r in ledger_r.groupBy("stage").agg(F.count("*").alias("n")).collect()
-    }
-    exported = spark.read.parquet(f"{out_path}/shards")
-    n_exported = exported.count()
-    n_shards = exported.select("shard_id").distinct().count()
+    # Tail tallies (r14): the drop-stage counts and the export totals are
+    # independent grid-sized aggregates — run them as overlapping jobs
+    # (guide §2.6: actions are only sequential because the driver calls
+    # them sequentially) instead of three back-to-back jobs. The export
+    # totals also derive from the WRITTEN shard_stats (n rows = shards,
+    # sum(n_docs) = docs) rather than a second full scan of the shards
+    # themselves — same values by construction, metadata-sized read.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ledger_tally() -> dict:
+        return {
+            r["stage"]: r["n"]
+            for r in ledger_r.groupBy("stage").agg(F.count("*").alias("n")).collect()
+        }
+
+    def _export_tally() -> tuple[int, int]:
+        tot = (
+            spark.read.parquet(f"{out_path}/shard_stats")
+            .agg(F.sum("n_docs").alias("n"), F.count("*").alias("s"))
+            .first()
+        )
+        return int(tot["n"] or 0), int(tot["s"])
+
+    with ThreadPoolExecutor(2) as pool:
+        f_ledger = pool.submit(_ledger_tally)
+        f_export = pool.submit(_export_tally)
+        stats_rows = f_ledger.result()
+        n_exported, n_shards = f_export.result()
     return CorpusBuildStats(
         n_input=n_input,
         n_quality_dropped=int(stats_rows.get("quality", 0)),
