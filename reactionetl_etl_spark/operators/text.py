@@ -196,6 +196,31 @@ def token_ngrams_pos(df: DataFrame, text_col: str, k: int) -> DataFrame:
     ).drop("__toks")
 
 
+def _token_ngram_hashes_pos(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, pos, __gh): one row per k-token shingle position with the
+    shingle's 64-bit digest — xxhash64 over the token-array SLICE
+    itself, never a joined string (r14). The span operators only ever
+    compare shingles for EQUALITY, and slice equality ⟺ joined-string
+    equality (tokens are split on the join character), so building the
+    per-shingle string and hashing it was pure constant-factor cost:
+    one O(k·token_len) string allocation per shingle per row. Digest
+    VALUES differ from the string form, but no digest ever leaves the
+    plan — only equality classes do."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    pairs = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+        f" i -> struct(i AS pos, xxhash64(slice(__toks, i, {k})) AS gh))"
+    )
+    d = df.select(id_col, text_col).withColumn("__toks", toks).withColumn(
+        "__pg", F.explode(pairs)
+    )
+    return d.select(
+        id_col, F.col("__pg.pos").alias("pos"), F.col("__pg.gh").alias("__gh")
+    )
+
+
 def duplicated_span_extents(
     df: DataFrame,
     text_col: str = "text",
@@ -212,24 +237,32 @@ def duplicated_span_extents(
     1-based inclusive; overlapping/adjacent covered ranges merge.
 
     Scale: shingles shuffle as 8-byte xxhash64 digests (never gram
-    strings); the shared-gram filter is one partial-aggregated count
-    per digest; the island merge is a per-document window — bounded by
+    strings — r14: hashed straight off the token-array slice, no
+    per-shingle string build); "appears in ≥2 distinct documents" is
+    decided by ONE window over the digest partition (min(id) ≠ max(id)
+    ⟺ countDistinct(id) ≥ 2) instead of a count aggregate joined back
+    — the digest rows cross the wire once, not twice, and the join
+    disappears; the island merge is a per-document window — bounded by
     single-document token counts, so no hot-key reducer. Because every
     covered interval has the same length k, island starts reduce to
     `pos > lag(pos) + k` (the running-max-end of general interval
     merging is unnecessary), one lag + one running sum."""
     from pyspark.sql import Window
 
-    grams = token_ngrams_pos(df.select(id_col, text_col), text_col, k).select(
-        id_col, "pos", F.xxhash64("gram").alias("__gh")
+    grams = _token_ngram_hashes_pos(df, text_col, id_col, k)
+    wg = Window.partitionBy("__gh")
+    dup_pos = (
+        grams.withColumn("__min_id", F.min(id_col).over(wg))
+        .withColumn("__max_id", F.max(id_col).over(wg))
+        .filter(F.col("__min_id") != F.col("__max_id"))
+        .select(id_col, "pos")
+        # hash-cluster by doc BEFORE the (id, pos) dedup: a partitioning
+        # on id satisfies the dedup's (id, pos) clustering AND the
+        # extents window's id clustering, so one exchange serves both
+        # (was: distinct's (id, pos) exchange + the window's id exchange)
+        .repartition(id_col)
+        .dropDuplicates([id_col, "pos"])
     )
-    shared = (
-        grams.groupBy("__gh")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
-        .select("__gh")
-    )
-    dup_pos = grams.join(shared, on="__gh", how="left_semi").select(id_col, "pos").distinct()
     return _covered_extents(dup_pos, id_col, k)
 
 
@@ -282,22 +315,33 @@ def cut_duplicated_spans(
     collapsed whitespace — the shingling normalization) with cut
     ranges removed; a fully-duplicated non-owner doc comes back empty.
 
-    Scale: shingles shuffle as 8-byte digests; ownership is one
-    partial-aggregated min per digest; per-doc cut extents are FEW
-    (merged islands), so the rebuild is an in-row `filter()` over the
-    token array against a broadcast-sized extent list per row — no
-    token-level shuffle ever happens."""
-    grams = token_ngrams_pos(df.select(id_col, text_col), text_col, k).select(
-        id_col, "pos", F.xxhash64("gram").alias("__gh")
-    )
-    owners = grams.groupBy("__gh").agg(
-        F.min(id_col).alias("__owner"), F.countDistinct(id_col).alias("__nd")
-    )
+    Scale: shingles shuffle as 8-byte digests (r14: hashed straight off
+    the token-array slice, no per-shingle string build); ownership and
+    the shared-across-docs test are ONE window over the digest
+    partition (owner = min(id); shared ⟺ min(id) ≠ max(id) ⟺
+    countDistinct(id) ≥ 2) instead of a min+countDistinct aggregate
+    joined back to the gram rows — the digest rows cross the wire once,
+    not twice, the join disappears, and countDistinct's expand phase
+    with it; per-doc cut extents are FEW (merged islands), so the
+    rebuild is an in-row `filter()` over the token array against a
+    broadcast-sized extent list per row — no token-level shuffle ever
+    happens."""
+    from pyspark.sql import Window
+
+    grams = _token_ngram_hashes_pos(df, text_col, id_col, k)
+    wg = Window.partitionBy("__gh")
     dup_pos = (
-        grams.join(owners.filter(F.col("__nd") >= 2), on="__gh")
-        .filter(F.col(id_col) != F.col("__owner"))
+        grams.withColumn("__owner", F.min(id_col).over(wg))
+        .withColumn("__max_id", F.max(id_col).over(wg))
+        .filter(
+            (F.col("__owner") != F.col("__max_id"))
+            & (F.col(id_col) != F.col("__owner"))
+        )
         .select(id_col, "pos")
-        .distinct()
+        # one id-clustered exchange serves the dedup, the extents
+        # window AND the cuts aggregate below (see duplicated_span_extents)
+        .repartition(id_col)
+        .dropDuplicates([id_col, "pos"])
     )
     cuts = (
         _covered_extents(dup_pos, id_col, k)

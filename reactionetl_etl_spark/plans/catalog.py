@@ -8808,18 +8808,34 @@ def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy over digests. ndocs≥2 counts distinct
     docs because the per-doc gram set is deduplicated BEFORE the join
     — a doc repeating its own gram doesn't inflate the cross-doc
-    count."""
-    from reactionetl_etl_spark.operators.text import token_ngrams
+    count.
 
+    r14 shape: the per-doc gram set is deduplicated ROW-LOCALLY
+    (array_distinct over the per-row digest array, before the explode)
+    — a document's shingles never need a shuffle to be deduplicated
+    against themselves — and `ndocs` is a count window over the digest
+    partition instead of a count aggregate joined back, so the digest
+    rows cross the wire once (one exchange on the digest + the final
+    per-doc aggregate) with no join at all. Digests are 8-byte
+    xxhash64 of the token-array slice itself — equality classes are
+    unchanged (slice equality ⟺ joined-string equality), no string is
+    ever built per shingle, and only equality classes feed the counts
+    (the oracle's md5-string digest groups identically)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    t = (
-        token_ngrams(docs, "text", 8)
-        .select("doc_id", F.md5("gram").alias("g"))
-        .distinct()
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
-    gc = t.groupBy("g").agg(F.count("*").alias("ndocs"))
+    hashes = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(__toks) - 7, 1)),"
+        " i -> xxhash64(slice(__toks, i, 8))))"
+    )
+    t = (
+        docs.withColumn("__toks", toks)
+        .select("doc_id", F.explode(hashes).alias("g"))
+    )
+    wg = Window.partitionBy("g")
     return (
-        t.join(gc, "g")
+        t.withColumn("ndocs", F.count("*").over(wg))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
