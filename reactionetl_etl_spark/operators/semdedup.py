@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reactionetl_etl_spark.functions.vectors import dot, lit_double_array
+from reactionetl_etl_spark.functions.vectors import dot
 from reactionetl_etl_spark.operators.graph import connected_components
 from reactionetl_etl_spark.operators.similarity import (
     _coarse_centroids,
@@ -97,6 +97,89 @@ def _cell_pairs(celled: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _cell_assign_arrow(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(__id, __v unit-normalized, cell, centroid_sim) for non-NULL
+    vectors — the Arrow/numpy formulation of the original HOF-expression
+    celling (r14), BIT-IDENTICAL by construction:
+
+    - the SQL norm fold `aggregate(v, 0.0, (a,y) -> a + y*y)` and the
+      `dot` fold `aggregate(zip_with(u,c,*), 0.0, +)` are strict
+      left-to-right IEEE-double accumulations; `np.add.accumulate`
+      performs the same sequential accumulation over the same widened
+      (float64-cast) elements, and IEEE multiply/divide/sqrt are
+      deterministic, so every norm, unit component, and centroid score
+      carries the same bits as the interpreted fold produced;
+    - cell = FIRST index attaining the array max under Spark's ordering
+      and equality (NaN greatest, NaN equal to NaN, -0.0 equal to 0.0)
+      — replicated with an explicit NaN branch;
+    - rounding of centroid_sim stays a JVM `F.round` on the raw score,
+      so the HALF_UP decimal behavior is Spark's own, not a Python
+      reimplementation.
+
+    Why: the expression path ran 16 interpreted 64-element folds per
+    row (plus the norm fold) outside whole-stage codegen — the single
+    costliest slice of semantic_dedup's assignment checkpoint
+    (PERF_NOTES r8/r14). One Arrow pass replaces ~1k lambda
+    evaluations per row with vectorized numpy; row-local math, so the
+    result is independent of batching and partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from reactionetl_etl_spark.functions.vectors import non_null_vectors
+
+    C = np.array([np.asarray(c, dtype=np.float64) for c in centroids])
+    n_cells = len(C)
+    inp = non_null_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__e")
+    )
+    id_type = inp.schema["__id"].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__e"]])
+            sq = V * V
+            n = np.sqrt(np.add.accumulate(sq, axis=1)[:, -1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                U = V / n[:, None]
+            S = np.empty((len(V), n_cells))
+            for c in range(n_cells):
+                S[:, c] = np.add.accumulate(U * C[c], axis=1)[:, -1]
+            nanrow = np.isnan(S).any(axis=1)
+            cells = np.empty(len(V), dtype=np.int32)
+            sims = np.empty(len(V))
+            ok = ~nanrow
+            if ok.any():
+                sm = S[ok]
+                m = sm.max(axis=1)
+                cells[ok] = (sm == m[:, None]).argmax(axis=1)
+                sims[ok] = m
+            if nanrow.any():
+                cells[nanrow] = np.isnan(S[nanrow]).argmax(axis=1)
+                sims[nanrow] = np.nan
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "__v": list(U),
+                    "cell": cells,
+                    "__sim": sims,
+                }
+            )
+
+    out = inp.mapInPandas(
+        assign, f"__id {id_type}, __v array<double>, cell int, __sim double"
+    )
+    return out.select(
+        "__id", "__v", "cell", F.round("__sim", 6).alias("centroid_sim")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     dim: int,
@@ -148,34 +231,17 @@ def semantic_dedup(
     # so every downstream cosine collapses to a plain dot product — the
     # pair predicate then runs ONE array fold per candidate instead of
     # cosine's three (dot + two norms), which is where the per-pair
-    # cost lives at bench scale. The norm fold is hoisted into its own
-    # column: inlined inside the transform lambda it re-runs per
-    # ELEMENT (dim× redundant — measured ~1 s of the assignment
-    # checkpoint at bench scale). x / sqrt(S) with the same sequential
-    # fold for S is arithmetic-identical either way, so the pinned
-    # outputs are unchanged.
-    norm = F.expr(
-        f"sqrt(aggregate(cast({vec_col} as array<double>),"
-        f" cast(0.0 as double), (a, y) -> a + y * y))"
-    )
-    v = F.expr(f"transform(cast({vec_col} as array<double>), x -> x / __n)")
-    norm_scores = [dot(F.col("__v"), lit_double_array(c)) for c in centroids]
-    scores = F.array(*norm_scores)
-    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    centroid_sim = F.round(F.array_max(scores), 6)
-    # NULL embeddings are excluded BEFORE celling: they would land in a
-    # shared NULL cell whose applyInPandas group crashes the numpy gram
-    # build as soon as it holds two of them (np.asarray(None)). A row
-    # that can't be embedded can't be semantically deduplicated, so it
-    # re-enters the verdict frame below as keep=True with NULL
-    # cell/centroid_sim/component — row count preserved.
-    from reactionetl_etl_spark.functions.vectors import non_null_vectors
-
-    scored = non_null_vectors(embeddings, vec_col)
+    # cost lives at bench scale. NULL embeddings are excluded BEFORE
+    # celling (inside _cell_assign_arrow): they would land in a shared
+    # NULL cell whose applyInPandas group crashes the numpy gram build
+    # as soon as it holds two of them. A row that can't be embedded
+    # can't be semantically deduplicated, so it re-enters the verdict
+    # frame below as keep=True with NULL cell/centroid_sim/component —
+    # row count preserved. r14: assignment runs the Arrow/numpy path
+    # (bit-identical; see _cell_assign_arrow) instead of 16 interpreted
+    # folds per row.
     celled = (
-        scored.select(F.col(id_col).alias("__id"), norm.alias("__n"), F.col(vec_col))
-        .select(F.col("__id"), v.alias("__v"))
-        .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
+        _cell_assign_arrow(embeddings, centroids, id_col, vec_col)
         # reused by the pair join (both sides) and the final verdict
         # join; checkpoint so the scan + normalize + argmax run once
         .localCheckpoint(eager=True)
@@ -235,26 +301,13 @@ def _celled_frame(
     vec_col: str,
 ) -> DataFrame:
     """(__id, __v unit-normalized, cell, centroid_sim) for non-NULL
-    vectors — the same normalize-once/argmax construction as
-    `semantic_dedup` (kept expression-identical so verdicts from the
-    two entry points agree bit-for-bit), exposed for the incremental
-    append path which cells TWO frames against one fixed geometry."""
-    from reactionetl_etl_spark.functions.vectors import non_null_vectors
-
-    norm = F.expr(
-        f"sqrt(aggregate(cast({vec_col} as array<double>),"
-        f" cast(0.0 as double), (a, y) -> a + y * y))"
-    )
-    v = F.expr(f"transform(cast({vec_col} as array<double>), x -> x / __n)")
-    scores = F.array(*[dot(F.col("__v"), lit_double_array(c)) for c in centroids])
-    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    centroid_sim = F.round(F.array_max(scores), 6)
-    return (
-        non_null_vectors(embeddings, vec_col)
-        .select(F.col(id_col).alias("__id"), norm.alias("__n"), F.col(vec_col))
-        .select(F.col("__id"), v.alias("__v"))
-        .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
-    )
+    vectors — the same construction as `semantic_dedup` (SHARED code
+    path so verdicts from the two entry points agree bit-for-bit),
+    exposed for the incremental append path which cells TWO frames
+    against one fixed geometry. r14: both entry points run the
+    Arrow/numpy assignment (`_cell_assign_arrow`, bit-identical to the
+    retired HOF-expression formulation)."""
+    return _cell_assign_arrow(embeddings, centroids, id_col, vec_col)
 
 
 def semdedup_append(

@@ -169,3 +169,53 @@ def test_append_cell_guard_refuses_loudly(spark, corpus_and_batch):
         kept, bat, dim=DIM, centroids=CENTS, threshold=THRESH, max_cell_rows=1000
     )
     assert out.count() == 6
+
+
+def test_arrow_cell_assignment_bit_identical_to_expression_path(spark, sf_dir):
+    """r14: the celling stage moved from interpreted HOF folds to an
+    Arrow/numpy pass (_cell_assign_arrow). The claim is BIT-identity,
+    not approximate equality: the SQL folds are strict left-to-right
+    IEEE accumulations, which np.add.accumulate reproduces exactly.
+    Pin it by rebuilding the retired expression formulation inline and
+    comparing every (cell, centroid_sim) AND every unit-vector
+    component bit for bit on the real fixture embeddings."""
+    import math
+    import os
+
+    from reactionetl_etl_spark.functions.vectors import dot, lit_double_array
+    from reactionetl_etl_spark.operators.semdedup import _cell_assign_arrow
+    from reactionetl_etl_spark.operators.similarity import train_ivf_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    centroids = train_ivf_centroids(emb, 8, "embedding", seed=42, max_iter=10)
+
+    # retired formulation, verbatim
+    norm = F.expr(
+        "sqrt(aggregate(cast(embedding as array<double>),"
+        " cast(0.0 as double), (a, y) -> a + y * y))"
+    )
+    v = F.expr("transform(cast(embedding as array<double>), x -> x / __n)")
+    scores = F.array(*[dot(F.col("__v"), lit_double_array(c)) for c in centroids])
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    centroid_sim = F.round(F.array_max(scores), 6)
+    old = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("__id"), norm.alias("__n"), F.col("embedding"))
+        .select(F.col("__id"), v.alias("__v"))
+        .select("__id", "__v", cell.alias("cell"), centroid_sim.alias("centroid_sim"))
+    )
+    new = _cell_assign_arrow(emb, centroids, "vec_id", "embedding")
+
+    old_rows = {r["__id"]: r for r in old.collect()}
+    new_rows = {r["__id"]: r for r in new.collect()}
+    assert set(old_rows) == set(new_rows) and old_rows
+    for k, o in old_rows.items():
+        n = new_rows[k]
+        assert o["cell"] == n["cell"], k
+        assert (
+            math.isnan(o["centroid_sim"]) and math.isnan(n["centroid_sim"])
+        ) or o["centroid_sim"] == n["centroid_sim"], k
+        assert all(
+            a == b or (math.isnan(a) and math.isnan(b))
+            for a, b in zip(o["__v"], n["__v"])
+        ), k
