@@ -38,6 +38,7 @@ def label_propagation(
     rounds: int = 4,
     directed: bool = False,
     checkpoint_every: int = 2,
+    small_graph_max: int | None = 200_000,
 ) -> DataFrame:
     """(node, community) after ``rounds`` synchronous min-label
     propagation rounds. ``directed=False`` symmetrizes the edges, so
@@ -55,6 +56,49 @@ def label_propagation(
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+
+    if small_graph_max is not None:
+        # Small-graph fast path (r14; the `connected_components`
+        # discipline verbatim): ONE bounded action on the raw edge plan
+        # doubles as size probe + edge fetch. Community graphs out of
+        # the dedup/co-occurrence builders are usually a sliver of the
+        # table they derive from — the benched co-purchase graph is
+        # ~3.6k edges at sf0.1, yet the distributed loop paid 4 rounds
+        # × (join + min-aggregate) plus eager checkpoints ≈ 2 s of pure
+        # job scheduling for it. At or below the bound (≈ a few MB of
+        # long pairs) the SAME synchronous recurrence runs on the
+        # driver — integer mins over a dict adjacency, bit-equal labels
+        # (pinned by test_label_propagation_matches_python_witness).
+        # Larger graphs fall through to the distributed loop, so the
+        # path caps overhead, never scale.
+        head = edges.select(src, dst).limit(small_graph_max + 1).collect()
+        if len(head) <= small_graph_max:
+            out_schema = edges.select(
+                F.col(src).alias("node"), F.col(dst).alias("community")
+            ).schema
+            # nbrs[v] = the label sources v hears each round: itself
+            # (the folded self-loop) + every u with an edge u -> v
+            # (+ v -> u when undirected)
+            nbrs: dict = {}
+            for a, b in head:
+                nbrs.setdefault(a, {a})
+                nbrs.setdefault(b, {b}).add(a)
+                if not directed:
+                    nbrs[a].add(b)
+            lab = {v: v for v in nbrs}
+            for _ in range(rounds):
+                lab = {v: min(lab[u] for u in nbrs[v]) for v in nbrs}
+            rows = sorted(lab.items())
+            # pandas, not a Python list: Arrow turns it into a JVM
+            # LocalRelation, so downstream aggregates run as local
+            # single-stage plans — a list-of-tuples frame round-trips
+            # through parallelize and schedules full-width shuffles
+            # (the r12 coalesce(1)-on-Python-frames lesson)
+            import pandas as pd
+
+            pdf = pd.DataFrame(rows, columns=["node", "community"])
+            return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))

@@ -95,7 +95,15 @@ def connected_components(
                         ra, rb = rb, ra
                     parent[rb] = ra
             rows = sorted((n, find(n)) for n in parent)
-            return edges.sparkSession.createDataFrame(rows, schema=out_schema)
+            # pandas, not a Python list: Arrow turns it into a JVM
+            # LocalRelation, so downstream joins/aggregates run as
+            # broadcast/local plans — a list-of-tuples frame round-trips
+            # through parallelize and schedules full-width shuffles
+            # (the r12 coalesce(1)-on-Python-frames lesson)
+            import pandas as pd
+
+            pdf = pd.DataFrame(rows, columns=["node", "component"])
+            return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
 
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -154,6 +162,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    small_graph_max: int | None = 200_000,
 ) -> DataFrame:
     """(node, degree, n_triangles) for every node of an UNDIRECTED
     graph — the local-clustering / community-density primitive (how
@@ -178,6 +187,55 @@ def triangle_counts(
     All keys are node ids or node pairs — nothing is ever keyed on a
     partition-unbounded value. Deterministic: no RNG, ties in the
     degree order broken by node id."""
+    if small_graph_max is not None:
+        # Small-graph fast path (r14; the `connected_components` /
+        # `label_propagation` discipline): one bounded action on the
+        # raw edge plan doubles as size probe + edge fetch. The benched
+        # co-purchase graph is ~3.6k edges, yet the distributed wedge
+        # pipeline paid two eager checkpoints + a degree groupBy + two
+        # rank joins + the wedge self-join + the closing join in
+        # scheduling overhead for it. At or below the bound the SAME
+        # counts come from a driver pass: canonicalize + dedup edges,
+        # count degrees, orient each edge by (degree, id), and close
+        # wedges against a neighbor-set dict — integer-exact, identical
+        # output (value-oracled cross-engine). Larger graphs stop
+        # fetching at the bound and fall through.
+        head = edges.select(src, dst).limit(small_graph_max + 1).collect()
+        if len(head) <= small_graph_max:
+            es = {
+                (a, b) if a < b else (b, a)
+                for a, b in head
+                if a != b
+            }
+            deg: dict = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            out_nbrs: dict = {}
+            for u, v in es:
+                lo, hi = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+                out_nbrs.setdefault(lo, set()).add(hi)
+            tri = {n: 0 for n in deg}
+            for s, outs in out_nbrs.items():
+                for a in outs:
+                    closing = outs & out_nbrs.get(a, set())
+                    for b in closing:
+                        tri[s] += 1
+                        tri[a] += 1
+                        tri[b] += 1
+            out_schema = edges.select(
+                F.col(src).alias("node"),
+                F.lit(0).cast("long").alias("degree"),
+                F.lit(0).cast("long").alias("n_triangles"),
+            ).schema
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                sorted((n, deg[n], tri[n]) for n in deg),
+                columns=["node", "degree", "n_triangles"],
+            )
+            return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
+
     # checkpoint the canonical edge set FIRST: it feeds the degree
     # count, two rank joins, and (via `oriented`) the wedge stages —
     # without it the caller's edge-derivation plan (often a fact

@@ -9906,17 +9906,29 @@ def part_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both sides."""
     from reactionetl_etl_spark.operators.graph import triangle_counts
 
-    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = lp.alias("a"), lp.alias("b")
+    # Edge build (r14): the same collect_set + in-row pair explode the
+    # co-purchase LP query adopted in r12 — groupBy(l_orderkey) dedups
+    # in the aggregate and the basket stays ONE row until the (tiny)
+    # pair explode, so the fact is never self-joined: two shuffles
+    # instead of three and no join. sort_array makes pa < pb, exactly
+    # the canonical pair the old self-join's l_partkey < l_partkey
+    # predicate produced — identical edge set, identical counts.
+    li = _t(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")

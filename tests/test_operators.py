@@ -2021,3 +2021,28 @@ def test_probe_ivf_broadcast_and_shuffle_paths_agree(spark, tmp_path):
 
     bcast, shuf = rows(True), rows(False)
     assert bcast == shuf and bcast
+
+
+def test_triangle_counts_driver_path_matches_distributed(spark):
+    """r14: triangle_counts gained the bounded small-graph driver path.
+    The two paths must return IDENTICAL rows (node, degree,
+    n_triangles) — pinned on the known graph plus a pseudo-random
+    60-node graph, including duplicate/reversed/self-loop noise."""
+    from reactionetl_etl_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 4),
+             (100, 7), (100, 8), (100, 9), (100, 10), (2, 1), (3, 4), (7, 7)]
+    # deterministic pseudo-random extra graph
+    x = 1234567
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 60
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 60
+        edges.append((200 + a, 200 + b))
+    df = spark.createDataFrame(edges, "src int, dst int")
+    fast = sorted(tuple(r) for r in triangle_counts(df).collect())
+    dist = sorted(
+        tuple(r) for r in triangle_counts(df, small_graph_max=None).collect()
+    )
+    assert fast == dist and fast
