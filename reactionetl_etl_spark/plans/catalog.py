@@ -16056,25 +16056,31 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     norm = D.normalize_text("text")
+    # r14: the checkpoints carry n_toks (an int) instead of the token
+    # ARRAY — every consumer downstream only ever needs the count
+    # (stage aggregates sum sizes; the contamination pass re-tokenizes
+    # from text itself), so materializing the array tripled the
+    # checkpoint bytes for nothing. sum(size(toks)) == sum(n_toks)
+    # exactly.
     s1 = docs.select(
         "doc_id",
         "n_chars",
         "text",
-        F.split(norm, " ").alias("toks"),
+        F.size(F.split(norm, " ")).alias("n_toks"),
         F.md5(norm).alias("fp"),
     ).localCheckpoint(eager=True)  # 3 stage scans + the gram pass reuse it
     keepers = s1.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     s2 = s1.join(
         keepers,
         (s1["fp"] == keepers["fp"]) & (s1["doc_id"] == keepers["keeper"]),
-    ).select(s1["doc_id"], s1["n_chars"], s1["text"], s1["toks"])
+    ).select(s1["doc_id"], s1["n_chars"], s1["text"], s1["n_toks"])
     band = s2.agg(
         F.ceil(F.expr("percentile(n_chars, 0.05)")).alias("lo"),
         F.floor(F.expr("percentile(n_chars, 0.95)")).alias("hi"),
     )
     s3 = s2.crossJoin(F.broadcast(band)).filter(
         F.col("n_chars").between(F.col("lo"), F.col("hi"))
-    ).select("doc_id", "n_chars", "text", "toks")
+    ).select("doc_id", "n_chars", "text", "n_toks")
     s3 = s3.localCheckpoint(eager=True)  # contamination + count reuse
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     flagged = (
@@ -16091,7 +16097,7 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(no).alias("stage_no"),
             F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
         )
 
     stages = (
