@@ -219,6 +219,27 @@ class ReactionLake:
         fact_loaded = dim_loaded = quarantined_files = 0
         _t0 = time.perf_counter()
 
+        # Overlap (r14, guide-§2.6 shape): the CSV PARSE does not depend
+        # on the dims phase — only the fact append's inline enrich join
+        # does. Kick the cleanse scan's cache materialization off on a
+        # driver thread so it back-fills executor cores while the dims
+        # phase runs its (small, underparallelized) jobs; the fact
+        # branch below joins the by-then-appended dim exactly as
+        # before. count() on the clean projection populates the persist
+        # of the full parsed scan (InMemoryRelation materializes every
+        # column). NOTE: the per-phase wall timers overlap under this —
+        # rp_dims absorbs parse time that previously showed under
+        # rp_fact_cleanse_write.
+        from concurrent.futures import ThreadPoolExecutor
+
+        csv_result = None
+        _csv_warm = _csv_pool = None
+        if csvs:
+            csv_result = cleanse_incoming_csvs(spark, csvs, dir_read=csv_dir_read)
+            if jsons:
+                _csv_pool = ThreadPoolExecutor(1)
+                _csv_warm = _csv_pool.submit(csv_result.clean.count)
+
         # ---- metadata JSONs → dim_rxn (V3 + W3 + X4) ----
         # Dims are processed BEFORE the facts so the fact append can
         # pick up this batch's simulation_nums inline (enrich_inline).
@@ -295,12 +316,19 @@ class ReactionLake:
                 .repartition(max(1, len(jsons) // 100_000))
                 .localCheckpoint(eager=True)
             )
-            dim_new.write.mode("append").parquet(self.dim_path)
+            # overlap (r14): the dim append reads dim_new's cache, the
+            # tally reads the json_st checkpoint — independent jobs, so
+            # the tally back-fills cores while the write commits
+            with ThreadPoolExecutor(1) as _dim_pool:
+                _dim_wr = _dim_pool.submit(
+                    lambda: dim_new.write.mode("append").parquet(self.dim_path)
+                )
+                tally = json_st.agg(
+                    F.sum("records_inserted").alias("loaded"),
+                    F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
+                ).first()
+                _dim_wr.result()
             dim_new.unpersist()
-            tally = json_st.agg(
-                F.sum("records_inserted").alias("loaded"),
-                F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
-            ).first()
             dim_loaded += int(tally["loaded"] or 0)
             quarantined_files += int(tally["q"] or 0)
             if tally["q"]:
@@ -312,9 +340,11 @@ class ReactionLake:
         _pt["dims"] = time.perf_counter() - _t0
         # ---- reaction CSVs → fact_sim (EP2 + W2; + inline J1) ----
         _t0 = time.perf_counter()
-        csv_result = None
         if csvs:
-            result = csv_result = cleanse_incoming_csvs(spark, csvs, dir_read=csv_dir_read)
+            result = csv_result
+            if _csv_warm is not None:
+                _csv_warm.result()  # surface any cleanse error here
+                _csv_pool.shutdown(wait=False)
             fact_cols = [
                 "row_id",
                 "simulation_id",
@@ -343,61 +373,27 @@ class ReactionLake:
                 dim_now = self.dim(spark)
                 if dim_now is not None:
                     fact_new = enrich_fact(fact_new, dim_now).select(*fact_cols)
-            fact_new.write.mode("append").partitionBy("day").parquet(self.fact_path)
+            # overlap (r14): the fact append and the per-file status
+            # checkpoint both read the (already-materialized) cleanse
+            # cache and nothing else they share, so the status build
+            # back-fills cores while the write commits. When no JSON
+            # batch pre-warmed the cache, populate it first — two cold
+            # concurrent consumers would otherwise both compute the
+            # parse (CacheManager does not dedupe in-flight partition
+            # computation across jobs).
+            if _csv_warm is None:
+                csv_result.clean.count()
+            with ThreadPoolExecutor(1) as _fact_pool:
+                _fact_wr = _fact_pool.submit(
+                    lambda: fact_new.write.mode("append")
+                    .partitionBy("day")
+                    .parquet(self.fact_path)
+                )
+                csv_st = self._csv_status_frame(spark, csvs, result, fact_new, run_token)
+                _fact_wr.result()
             _pt["fact_cleanse_write"] = time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
-            files_df = spark.createDataFrame(
-                [(f.path, f.day) for f in csvs], "path string, day string"
-            )
-            ok_counts = fact_new.groupBy("source_file").agg(F.count("*").alias("n_ok")).select(
-                _strip_scheme_col(F.col("source_file")).alias("path"), "n_ok"
-            )
-            bad_counts = (
-                result.quarantined.groupBy("source_file")
-                .agg(F.count("*").alias("n_bad"))
-                .select(_strip_scheme_col(F.col("source_file")).alias("path"), "n_bad")
-            )
-            rejected_df = spark.createDataFrame(
-                [(rf.path, why) for rf, why in result.rejected_files],
-                "path string, reject_reason string",
-            )
-            n_bad_expr = F.col("n_bad") > 0
-            fully_bad = n_bad_expr & (F.col("n_ok") == 0)
-            csv_st = (
-                files_df.join(ok_counts, "path", "left")
-                .join(bad_counts, "path", "left")
-                .join(rejected_df, "path", "left")
-                .withColumns(
-                    {"n_ok": F.coalesce("n_ok", F.lit(0)), "n_bad": F.coalesce("n_bad", F.lit(0))}
-                )
-                .withColumn(
-                    "status",
-                    F.when(F.col("reject_reason").isNotNull() | fully_bad, "quarantined").otherwise(
-                        "success"
-                    ),
-                )
-                .withColumn(
-                    "error_message",
-                    F.when(F.col("reject_reason").isNotNull(), F.col("reject_reason"))
-                    .when(fully_bad, F.concat(F.col("n_bad").cast("string"), F.lit(" malformed rows")))
-                    .when(n_bad_expr, F.concat(F.col("n_bad").cast("string"), F.lit(" rows quarantined"))),
-                )
-                .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
-                .withColumn("simulation_id", _filename_key(F.col("path"), r"^reaction(.+)\.csv$"))
-                .withColumn("etl_type", F.lit("reaction"))
-                .withColumn("records_inserted", F.col("n_ok").cast("int"))
-                # Eager lineage break (files-sized frame): the audit and
-                # manifest writes must not re-evaluate this plan after
-                # csv_result.release() drops the cleanse persists.
-                # repartition (NOT coalesce — coalesce would drag the
-                # whole upstream cleanse down to one task) keeps the
-                # checkpointed frame at one partition per ~100k files so
-                # the downstream jobs (audit, manifest, tally) don't
-                # each schedule near-empty tasks.
-                .repartition(max(1, len(csvs) // 100_000))
-                .localCheckpoint(eager=True)
-            )
             tally = csv_st.agg(
                 F.sum(F.when(F.col("status") == "success", F.col("n_ok")).otherwise(F.lit(0))).alias("ok"),
                 F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
@@ -449,6 +445,70 @@ class ReactionLake:
             fact_loaded, dim_loaded, len(csvs) + len(jsons), quarantined_files,
         )
         return RunResult(fact_loaded, dim_loaded, len(csvs) + len(jsons), quarantined_files)
+
+    def _csv_status_frame(
+        self,
+        spark: SparkSession,
+        csvs: list[RawFile],
+        result,
+        fact_new: DataFrame,
+        run_token: str,
+    ) -> DataFrame:
+        """Per-file status frame for the reaction-CSV branch (rows =
+        files), eagerly checkpointed. Factored out of run_once (r14) so
+        it can build concurrently with the fact append — both consume
+        the materialized cleanse cache and nothing else they share."""
+        files_df = spark.createDataFrame(
+            [(f.path, f.day) for f in csvs], "path string, day string"
+        )
+        ok_counts = fact_new.groupBy("source_file").agg(F.count("*").alias("n_ok")).select(
+            _strip_scheme_col(F.col("source_file")).alias("path"), "n_ok"
+        )
+        bad_counts = (
+            result.quarantined.groupBy("source_file")
+            .agg(F.count("*").alias("n_bad"))
+            .select(_strip_scheme_col(F.col("source_file")).alias("path"), "n_bad")
+        )
+        rejected_df = spark.createDataFrame(
+            [(rf.path, why) for rf, why in result.rejected_files],
+            "path string, reject_reason string",
+        )
+        n_bad_expr = F.col("n_bad") > 0
+        fully_bad = n_bad_expr & (F.col("n_ok") == 0)
+        return (
+            files_df.join(ok_counts, "path", "left")
+            .join(bad_counts, "path", "left")
+            .join(rejected_df, "path", "left")
+            .withColumns(
+                {"n_ok": F.coalesce("n_ok", F.lit(0)), "n_bad": F.coalesce("n_bad", F.lit(0))}
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("reject_reason").isNotNull() | fully_bad, "quarantined").otherwise(
+                    "success"
+                ),
+            )
+            .withColumn(
+                "error_message",
+                F.when(F.col("reject_reason").isNotNull(), F.col("reject_reason"))
+                .when(fully_bad, F.concat(F.col("n_bad").cast("string"), F.lit(" malformed rows")))
+                .when(n_bad_expr, F.concat(F.col("n_bad").cast("string"), F.lit(" rows quarantined"))),
+            )
+            .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
+            .withColumn("simulation_id", _filename_key(F.col("path"), r"^reaction(.+)\.csv$"))
+            .withColumn("etl_type", F.lit("reaction"))
+            .withColumn("records_inserted", F.col("n_ok").cast("int"))
+            # Eager lineage break (files-sized frame): the audit and
+            # manifest writes must not re-evaluate this plan after
+            # csv_result.release() drops the cleanse persists.
+            # repartition (NOT coalesce — coalesce would drag the
+            # whole upstream cleanse down to one task) keeps the
+            # checkpointed frame at one partition per ~100k files so
+            # the downstream jobs (audit, manifest, tally) don't
+            # each schedule near-empty tasks.
+            .repartition(max(1, len(csvs) // 100_000))
+            .localCheckpoint(eager=True)
+        )
 
     # -- enrichment (EP3) -------------------------------------------------
 
