@@ -1709,6 +1709,10 @@ def image_dhash(
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # one dot against the power table packs all 64 bits (r14): the
+        # bits are distinct powers of two, so the uint64 sum carries
+        # nothing and equals the old 64-iteration OR loop bit for bit
+        pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf[id_col], pdf[binary_col]):
@@ -1722,9 +1726,7 @@ def image_dhash(
                 )
                 g = resample_nearest(luma, 9, 8)
                 bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).reshape(-1)
-                h = np.uint64(0)
-                for i, b in enumerate(bits):
-                    h |= b << np.uint64(i)
+                h = np.dot(bits, pow2)
                 ids.append(mid)
                 hashes.append(int(h.view(np.int64)))
             yield pd.DataFrame({id_col: ids, out_col: hashes})
