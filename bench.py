@@ -311,9 +311,54 @@ def bench_index_probes(spark, sf_dir: str) -> dict[str, tuple[float, float, list
                 qs, ivfpq_codes, ivfpq_cents, ivfpq_book, k=10, n_probe=6
             )
         )
+        # r14 (verdict item 5): the sign-bit Hamming serving tier joins
+        # the headline under probe-style SHORT names (the compact
+        # stdout line is budget-bound — test_bench_contract):
+        #   bits_topk  — in-plan hamming_topk_batch scan (no index)
+        #   bits_probe — probe of the persisted bits index (built once
+        #                outside the timer, like every other index here)
+        from reactionetl_etl_spark.operators import hamming as H
+
+        bits_path = os.path.join(work, "bits")
+        H.write_bits_index(emb, bits_path, mode="overwrite")
+        out["bits_topk"] = _time_plan(lambda: H.hamming_topk_batch(qs, emb, k=10))
+        out["bits_probe"] = _time_plan(
+            lambda: H.probe_bits_index(spark, bits_path, qs, k=10)
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def bench_semdedup_append(spark, sf_dir: str) -> tuple[float, float, list[float]]:
+    """The incremental-SemDeDup APPEND half (r14, verdict item 5): the
+    kept corpus, its signed-once geometry, and the base dedup verdicts
+    are built ONCE outside the timer — in production they are the
+    persisted state a nightly append runs against — and the timed part
+    is `semdedup_append`: cell the batch, probe incumbents in the cell
+    equi-join, dedup survivors within the batch. Same split (vec_id%4)
+    and 0.40 threshold as the oracled `semdedup_incremental` query,
+    which certifies the full trained->append lifecycle; this entry
+    prices only the recurring half."""
+    from pyspark.sql import functions as F
+
+    from reactionetl_etl_spark.operators import similarity as S
+    from reactionetl_etl_spark.operators.semdedup import (
+        semantic_dedup,
+        semdedup_append,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = S.train_ivf_centroids(base, 8)
+    base_v = semantic_dedup(base, dim=64, n_cells=8, threshold=0.40, centroids=cents)
+    kept = base.join(
+        base_v.filter(F.col("keep")).select("vec_id"), "vec_id"
+    ).localCheckpoint(eager=True)
+    return _time_plan(
+        lambda: semdedup_append(kept, batch, dim=64, centroids=cents, threshold=0.40)
+    )
 
 
 def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[float, float, list[float]]:
@@ -486,6 +531,11 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
             cold[name] = round(c, 3)
             timings[name] = round(w, 3)
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+
+        c, w, runs = bench_semdedup_append(spark, sf_dir)
+        cold["semdedup_append"] = round(c, 3)
+        timings["semdedup_append"] = round(w, 3)
+        spread["semdedup_append"] = [round(min(runs), 3), round(max(runs), 3)]
 
         c, w, runs = bench_corpus_pipeline(spark, sf_dir)
         cold["training_corpus_build"] = round(c, 3)

@@ -17707,10 +17707,11 @@ def ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 5
     """,
     tags=("similarity", "batch", "quantization", "llm"),
-    # not bench-flagged: the compact bench stdout line is budgeted at
-    # 1800 chars for the driver's 2000-char tail (test_bench_contract)
-    # and is full; the family's timing story lives in SCALING.md
-    # ("late-r13 families" — flat, constant-dominated at local scales)
+    # not bench-flagged by NAME (the compact stdout line is
+    # budget-bound, test_bench_contract) — r14: the same serving shape
+    # IS in the headline as the short-named `bits_topk` entry
+    # (bench.py::bench_index_probes), alongside `bits_probe` for the
+    # persisted-index path
 )
 def hamming_topk_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit-quantized batch ANN: sign-pack each 64-dim embedding into
