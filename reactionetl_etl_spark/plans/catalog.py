@@ -83,56 +83,27 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
     "ivfpq_drift_report",
+    "image_neardup_dhash",
+    "part_triangle_clustering",
+    "canonical_doc_per_cluster",
+    "cross_doc_dup_rate",
+    "cut_duplicated_spans",
+    "duplicate_clusters",
+    "repeated_span_extents",
+    "corpus_funnel_report",
+    "neardup_yield_curve",
+    "semdedup_prune",
+    "copurchase_label_propagation",
+    "pq_index_probe",
+    "ann_recall_report",
     "bits_index_probe",
     "contamination_report",
     "corpus_cluster_map",
-    "dedup_method_agreement",
     "hamming_rerank_cosine",
     "hamming_topk_bits",
     "ivfpq_index_probe",
     "kmeans_elbow_curve",
-    "semantic_contamination_ann",
     "semdedup_incremental",
-    "source_overlap_matrix",
-    "ann_recall_report",
-    "minhash_eval_report",
-    "semantic_contamination_report",
-    "customers_without_orders",
-    "distinct_segments",
-    "doc_unicode_stats",
-    "enrich_orders_customer",
-    "events_approx_distinct_check",
-    "events_dedup_earliest",
-    "events_ewma_final",
-    "events_funnel_3step",
-    "events_hourly_gapfill",
-    "events_sliding_window",
-    "events_trailing_hour_sum",
-    "events_value_histogram",
-    "filter_scan_pushdown",
-    "ingest_rowcount",
-    "key_extract_regexp",
-    "lineitem_regression_stats",
-    "local_supplier_volume",
-    "nation_acctbal_concat",
-    "order_priority_check",
-    "orders_approx_percentile_check",
-    "orders_column_profile",
-    "orders_count_if_share",
-    "orders_date_arithmetic",
-    "orders_lag_defaults",
-    "part_bool_bit_aggs",
-    "pricing_summary",
-    "priority_mode_by_month",
-    "quantity_band_range_join_binned",
-    "revenue_forecast",
-    "revenue_grouping_sets",
-    "running_total_per_customer",
-    "shipping_priority_top10",
-    "top10_orders_global",
-    "top_order_per_customer",
-    "totalprice_percent_rank",
-    "user_retention_cohorts",
     "bm25_index_probe",
     "bm25_search_topk",
     "corpus_profile",
@@ -197,7 +168,6 @@ _PRIORITY: tuple[str, ...] = (
     "event_funnel_steps",
     "events_mad_anomalies",
     "events_xml_extract",
-    "image_neardup_dhash",
     "image_neardup_phash",
     "incremental_join_materialize",
     "incremental_neardup_probe",
@@ -210,7 +180,6 @@ _PRIORITY: tuple[str, ...] = (
     "nation_revenue_trend",
     "orders_benford_deviation",
     "part_neighbor_jaccard",
-    "part_triangle_clustering",
     "personalized_pagerank_parts",
     "purchase_hits_scores",
     "quality_auc_mannwhitney",
@@ -259,17 +228,13 @@ _PRIORITY: tuple[str, ...] = (
     "token_cms_estimates",
     "train_val_test_split",
     "bpe_learned_merges",
-    "canonical_doc_per_cluster",
     "conformal_event_value",
     "contamination_check_shuffle",
     "corpus_drift_kl",
-    "cross_doc_dup_rate",
     "customer_rank_kendall",
-    "cut_duplicated_spans",
     "decontaminated_corpus",
     "dense_sequence_customer",
     "doc_chunking_overlap",
-    "duplicate_clusters",
     "embedding_quantize_error",
     "event_value_welch_ttest",
     "events_cusum_alarms",
@@ -283,7 +248,6 @@ _PRIORITY: tuple[str, ...] = (
     "orders_scd2_temporal_join",
     "part_copurchase_pagerank",
     "regex_token_totals",
-    "repeated_span_extents",
     "revenue_by_nation_sql",
     "scd2_customer_history",
     "search_mrr_eval",
@@ -295,7 +259,6 @@ _PRIORITY: tuple[str, ...] = (
     "trigram_perplexity_scores",
     "upsert_keyed_parity",
     "bpe_fertility_by_lang",
-    "corpus_funnel_report",
     "cosine_topk_batch_exact",
     "cosine_topk_bruteforce",
     "cross_lang_template_report",
@@ -326,7 +289,6 @@ _PRIORITY: tuple[str, ...] = (
     "matryoshka_truncation_profile",
     "min_cost_supplier_per_part",
     "mutual_nearest_pairs",
-    "neardup_yield_curve",
     "orders_moving_avg_range_frame",
     "pack_efficiency_report",
     "part_measures_unpivot",
@@ -334,7 +296,6 @@ _PRIORITY: tuple[str, ...] = (
     "pq_cosine_topk_batch",
     "quantity_band_range_join",
     "referential_integrity_report",
-    "semdedup_prune",
     "split_embedding_drift",
     "split_lang_balance_chi2",
     "split_length_psi",
@@ -344,7 +305,6 @@ _PRIORITY: tuple[str, ...] = (
     "classifier_calibration_bins",
     "conform_rename_part",
     "copurchase_kcore2",
-    "copurchase_label_propagation",
     "corpus_deterministic_shuffle",
     "cube_status_priority",
     "custkey_except",
@@ -369,7 +329,6 @@ _PRIORITY: tuple[str, ...] = (
     "pack_length_tradeoff_curve",
     "part_string_functions",
     "pca_doc_projection",
-    "pq_index_probe",
     "price_rank_ntile",
     "promo_revenue_pct",
     "quality_classifier_eval",
@@ -388,6 +347,47 @@ _PRIORITY: tuple[str, ...] = (
     "top_words_explode",
     "totalprice_buckets",
     "volume_between_nations",
+    "customers_without_orders",
+    "dedup_method_agreement",
+    "distinct_segments",
+    "doc_unicode_stats",
+    "enrich_orders_customer",
+    "events_approx_distinct_check",
+    "events_dedup_earliest",
+    "events_ewma_final",
+    "events_funnel_3step",
+    "events_hourly_gapfill",
+    "events_sliding_window",
+    "events_trailing_hour_sum",
+    "events_value_histogram",
+    "filter_scan_pushdown",
+    "ingest_rowcount",
+    "key_extract_regexp",
+    "lineitem_regression_stats",
+    "local_supplier_volume",
+    "minhash_eval_report",
+    "nation_acctbal_concat",
+    "order_priority_check",
+    "orders_approx_percentile_check",
+    "orders_column_profile",
+    "orders_count_if_share",
+    "orders_date_arithmetic",
+    "orders_lag_defaults",
+    "part_bool_bit_aggs",
+    "pricing_summary",
+    "priority_mode_by_month",
+    "quantity_band_range_join_binned",
+    "revenue_forecast",
+    "revenue_grouping_sets",
+    "running_total_per_customer",
+    "semantic_contamination_ann",
+    "semantic_contamination_report",
+    "shipping_priority_top10",
+    "source_overlap_matrix",
+    "top10_orders_global",
+    "top_order_per_customer",
+    "totalprice_percent_rank",
+    "user_retention_cohorts",
 )
 
 
