@@ -240,111 +240,129 @@ class ReactionLake:
                 _csv_pool = ThreadPoolExecutor(1)
                 _csv_warm = _csv_pool.submit(csv_result.clean.count)
 
+        def _abort_csv_pool() -> None:
+            # r15 (ADVICE): every exceptional exit between the warm-up
+            # submit above and its consumption in the fact branch must
+            # still shut the executor down — otherwise the non-daemon
+            # worker keeps the interpreter alive while the exception
+            # propagates. cancel_futures drops the job if it has not
+            # started; a mid-flight count just finishes into a dropped
+            # future.
+            if _csv_pool is not None:
+                _csv_pool.shutdown(wait=False, cancel_futures=True)
+
         # ---- metadata JSONs → dim_rxn (V3 + W3 + X4) ----
         # Dims are processed BEFORE the facts so the fact append can
         # pick up this batch's simulation_nums inline (enrich_inline).
-        if jsons:
-            result = cleanse_metadata_jsons(spark, jsons, dir_read=json_dir_read)
-            existing_dim = self.dim(spark)
-            new_meta = result.clean
-            if existing_dim is not None:
-                # PK semantics (create_tables.sql:19): never load a
-                # simulation_id twice — skip already-present, dedupe batch
-                new_meta = new_meta.join(
-                    existing_dim.select("simulation_id"), on="simulation_id", how="left_anti"
+        try:
+            if jsons:
+                result = cleanse_metadata_jsons(spark, jsons, dir_read=json_dir_read)
+                existing_dim = self.dim(spark)
+                new_meta = result.clean
+                if existing_dim is not None:
+                    # PK semantics (create_tables.sql:19): never load a
+                    # simulation_id twice — skip already-present, dedupe batch
+                    new_meta = new_meta.join(
+                        existing_dim.select("simulation_id"), on="simulation_id", how="left_anti"
+                    )
+                new_meta = new_meta.dropDuplicates(["simulation_id"])
+                offset = current_max_simulation_num(existing_dim) if existing_dim is not None else 0
+                # approx_rows = file count (≤1 dim row per file): small
+                # batches take dense_sequence's one-task window, skipping
+                # the distributed rank's constant-overhead stages
+                dim_new = assign_simulation_nums(new_meta, offset, approx_rows=len(jsons)).select(
+                    "simulation_id",
+                    "simulation_num",
+                    "reaction_name",
+                    "activation_energy",
+                    "ca0",
+                    "cb0",
+                    "t0",
+                    "date_run",
+                    "stop_reason",
+                    "stop_time_s",
+                    "source_file",
+                    "day",
+                ).persist()
+                files_df = spark.createDataFrame(
+                    [(f.path, f.day) for f in jsons], "path string, day string"
                 )
-            new_meta = new_meta.dropDuplicates(["simulation_id"])
-            offset = current_max_simulation_num(existing_dim) if existing_dim is not None else 0
-            # approx_rows = file count (≤1 dim row per file): small
-            # batches take dense_sequence's one-task window, skipping
-            # the distributed rank's constant-overhead stages
-            dim_new = assign_simulation_nums(new_meta, offset, approx_rows=len(jsons)).select(
-                "simulation_id",
-                "simulation_num",
-                "reaction_name",
-                "activation_energy",
-                "ca0",
-                "cb0",
-                "t0",
-                "date_run",
-                "stop_reason",
-                "stop_time_s",
-                "source_file",
-                "day",
-            ).persist()
-            files_df = spark.createDataFrame(
-                [(f.path, f.day) for f in jsons], "path string, day string"
-            )
-            loaded = (
-                dim_new.select(_strip_scheme_col(F.col("source_file")).alias("path"))
-                .distinct()
-                .withColumn("__loaded", F.lit(True))
-            )
-            bad = (
-                result.quarantined.select(_strip_scheme_col(F.col("source_file")).alias("path"))
-                .distinct()
-                .withColumn("__bad", F.lit(True))
-            )
-            json_st = (
-                files_df.join(loaded, "path", "left")
-                .join(bad, "path", "left")
-                .withColumn("status", F.when(F.col("__bad"), "quarantined").otherwise(F.lit("success")))
-                .withColumn(
-                    "error_message",
-                    F.when(F.col("__bad"), "metadata validation failed").when(
-                        F.col("__loaded").isNull() & F.col("__bad").isNull(),
-                        "duplicate simulation_id (skipped)",
-                    ),
+                loaded = (
+                    dim_new.select(_strip_scheme_col(F.col("source_file")).alias("path"))
+                    .distinct()
+                    .withColumn("__loaded", F.lit(True))
                 )
-                .withColumn(
-                    "records_inserted",
-                    F.when(F.col("__bad").isNull() & F.col("__loaded").isNotNull(), 1)
-                    .otherwise(0)
-                    .cast("int"),
+                bad = (
+                    result.quarantined.select(_strip_scheme_col(F.col("source_file")).alias("path"))
+                    .distinct()
+                    .withColumn("__bad", F.lit(True))
                 )
-                .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
-                .withColumn("simulation_id", _filename_key(F.col("path"), r"^metadata_(.+)\.json$"))
-                .withColumn("etl_type", F.lit("metadata"))
-                # Eager lineage break BEFORE the dim append: st's plan
-                # contains the anti-join against dim_path, so any later
-                # re-evaluation (and dim_new.unpersist() CASCADES the
-                # uncache into dependent cached plans, making one
-                # likely) would see the appended output and anti-join
-                # the new rows away. localCheckpoint decouples st from
-                # dim_path entirely; a plain persist() does not survive
-                # the cascade.
-                .repartition(max(1, len(jsons) // 100_000))
-                .localCheckpoint(eager=True)
-            )
-            # overlap (r14): the dim append reads dim_new's cache, the
-            # tally reads the json_st checkpoint — independent jobs, so
-            # the tally back-fills cores while the write commits
-            with ThreadPoolExecutor(1) as _dim_pool:
-                _dim_wr = _dim_pool.submit(
-                    lambda: dim_new.write.mode("append").parquet(self.dim_path)
+                json_st = (
+                    files_df.join(loaded, "path", "left")
+                    .join(bad, "path", "left")
+                    .withColumn("status", F.when(F.col("__bad"), "quarantined").otherwise(F.lit("success")))
+                    .withColumn(
+                        "error_message",
+                        F.when(F.col("__bad"), "metadata validation failed").when(
+                            F.col("__loaded").isNull() & F.col("__bad").isNull(),
+                            "duplicate simulation_id (skipped)",
+                        ),
+                    )
+                    .withColumn(
+                        "records_inserted",
+                        F.when(F.col("__bad").isNull() & F.col("__loaded").isNotNull(), 1)
+                        .otherwise(0)
+                        .cast("int"),
+                    )
+                    .withColumn("etl_id", _derived_etl_id(F.col("path"), run_token))
+                    .withColumn("simulation_id", _filename_key(F.col("path"), r"^metadata_(.+)\.json$"))
+                    .withColumn("etl_type", F.lit("metadata"))
+                    # Eager lineage break BEFORE the dim append: st's plan
+                    # contains the anti-join against dim_path, so any later
+                    # re-evaluation (and dim_new.unpersist() CASCADES the
+                    # uncache into dependent cached plans, making one
+                    # likely) would see the appended output and anti-join
+                    # the new rows away. localCheckpoint decouples st from
+                    # dim_path entirely; a plain persist() does not survive
+                    # the cascade.
+                    .repartition(max(1, len(jsons) // 100_000))
+                    .localCheckpoint(eager=True)
                 )
-                tally = json_st.agg(
-                    F.sum("records_inserted").alias("loaded"),
-                    F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
-                ).first()
-                _dim_wr.result()
-            dim_new.unpersist()
-            dim_loaded += int(tally["loaded"] or 0)
-            quarantined_files += int(tally["q"] or 0)
-            if tally["q"]:
-                result.quarantined.write.mode("append").parquet(self.quarantine_path)
-                log.warning("quarantined %d metadata files (validation failed)", int(tally["q"]))
-            log.info("metadata: %d files, %d dim rows loaded", len(jsons), int(tally["loaded"] or 0))
-            result.release()
+                # overlap (r14): the dim append reads dim_new's cache, the
+                # tally reads the json_st checkpoint — independent jobs, so
+                # the tally back-fills cores while the write commits
+                with ThreadPoolExecutor(1) as _dim_pool:
+                    _dim_wr = _dim_pool.submit(
+                        lambda: dim_new.write.mode("append").parquet(self.dim_path)
+                    )
+                    tally = json_st.agg(
+                        F.sum("records_inserted").alias("loaded"),
+                        F.sum((F.col("status") == "quarantined").cast("int")).alias("q"),
+                    ).first()
+                    _dim_wr.result()
+                dim_new.unpersist()
+                dim_loaded += int(tally["loaded"] or 0)
+                quarantined_files += int(tally["q"] or 0)
+                if tally["q"]:
+                    result.quarantined.write.mode("append").parquet(self.quarantine_path)
+                    log.warning("quarantined %d metadata files (validation failed)", int(tally["q"]))
+                log.info("metadata: %d files, %d dim rows loaded", len(jsons), int(tally["loaded"] or 0))
+                result.release()
 
-        _pt["dims"] = time.perf_counter() - _t0
+            _pt["dims"] = time.perf_counter() - _t0
+        except BaseException:
+            _abort_csv_pool()
+            raise
         # ---- reaction CSVs → fact_sim (EP2 + W2; + inline J1) ----
         _t0 = time.perf_counter()
         if csvs:
             result = csv_result
             if _csv_warm is not None:
-                _csv_warm.result()  # surface any cleanse error here
-                _csv_pool.shutdown(wait=False)
+                try:
+                    _csv_warm.result()  # surface any cleanse error here
+                finally:
+                    # shutdown even when the warm-up raised (r15, ADVICE)
+                    _csv_pool.shutdown(wait=False)
             fact_cols = [
                 "row_id",
                 "simulation_id",

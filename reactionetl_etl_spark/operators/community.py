@@ -70,8 +70,17 @@ def label_propagation(
         # driver — integer mins over a dict adjacency, bit-equal labels
         # (pinned by test_label_propagation_matches_python_witness).
         # Larger graphs fall through to the distributed loop, so the
-        # path caps overhead, never scale.
-        head = edges.select(src, dst).limit(small_graph_max + 1).collect()
+        # path caps overhead, never scale. NULL endpoints are dropped
+        # up front (r15, ADVICE): Python min() raises TypeError on
+        # None, and no catalog graph produces NULL node ids (edges
+        # derive from join keys) — the distributed loop's behavior on
+        # a NULL-keyed row is an engine-wide non-contract.
+        head = (
+            edges.select(src, dst)
+            .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .limit(small_graph_max + 1)
+            .collect()
+        )
         if len(head) <= small_graph_max:
             out_schema = edges.select(
                 F.col(src).alias("node"), F.col(dst).alias("community")

@@ -72,7 +72,15 @@ def connected_components(
         # fetching past the bound and falls through to the distributed
         # loop. Union-find needs neither dedup nor symmetry — repeats
         # and direction just cost a find() each. Bounded at ≈ a few MB.
-        head = edges.select(src, dst).limit(small_graph_max + 1).collect()
+        # NULL endpoints are dropped up front (r15, ADVICE): the
+        # distributed loop's `a != b` filter silently drops such edges,
+        # while Python's `<`/min/sorted raise TypeError on None.
+        head = (
+            edges.select(src, dst)
+            .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .limit(small_graph_max + 1)
+            .collect()
+        )
         if len(head) <= small_graph_max:
             parent: dict = {}
 
@@ -199,8 +207,16 @@ def triangle_counts(
         # count degrees, orient each edge by (degree, id), and close
         # wedges against a neighbor-set dict — integer-exact, identical
         # output (value-oracled cross-engine). Larger graphs stop
-        # fetching at the bound and fall through.
-        head = edges.select(src, dst).limit(small_graph_max + 1).collect()
+        # fetching at the bound and fall through. NULL endpoints are
+        # dropped up front (r15, ADVICE): the distributed pipeline's
+        # `u != v` filter silently drops such edges, while Python's
+        # `(deg, id)` ordering raises TypeError on None.
+        head = (
+            edges.select(src, dst)
+            .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .limit(small_graph_max + 1)
+            .collect()
+        )
         if len(head) <= small_graph_max:
             es = {
                 (a, b) if a < b else (b, a)

@@ -86,6 +86,10 @@ def _cell_pairs(celled: DataFrame, threshold: float) -> DataFrame:
             {"id_a": np.minimum(a, b).astype(np.int64), "id_b": np.maximum(a, b).astype(np.int64)}
         )
 
+    # degenerate rows (NULL cell — zero/non-finite norm, NULL elements;
+    # see _cell_assign_arrow) can't pair: drop them before the grouped
+    # gram build, mirroring the NULL-vector exclusion upstream
+    celled = celled.filter(F.col("cell").isNotNull())
     cand = celled.groupBy("cell").applyInPandas(emit, "id_a long, id_b long")
     va = celled.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = celled.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
@@ -115,11 +119,23 @@ def _cell_assign_arrow(
       deterministic, so every norm, unit component, and centroid score
       carries the same bits as the interpreted fold produced;
     - cell = FIRST index attaining the array max under Spark's ordering
-      and equality (NaN greatest, NaN equal to NaN, -0.0 equal to 0.0)
-      — replicated with an explicit NaN branch;
+      and equality (-0.0 equal to 0.0);
     - rounding of centroid_sim stays a JVM `F.round` on the raw score,
       so the HALF_UP decimal behavior is Spark's own, not a Python
       reimplementation.
+
+    Degenerate embeddings (r15, ADVICE item): a row whose norm is ZERO
+    or NON-FINITE — the all-zero vector, any NULL element (NULL list
+    slots arrive as NaN through Arrow), any NaN/Inf element — cannot
+    be placed on the unit sphere, so it gets NULL cell / NULL
+    centroid_sim / all-NULL __v and is EXCLUDED from pair joins; it
+    re-enters the final verdict as keep=True, exactly the NULL-vector
+    convention. (The retired HOF expression did not define a usable
+    alternative: under Spark 4 ANSI mode its `x / 0.0` RAISES
+    DIVIDE_BY_ZERO on a zero-norm row, and a NULL element NULLed the
+    whole row's scores — the NULL verdict is the one consistent,
+    non-crashing semantics. Pinned by
+    test_degenerate_embeddings_get_null_cell.)
 
     Why: the expression path ran 16 interpreted 64-element folds per
     row (plus the norm fold) outside whole-stage codegen — the single
@@ -146,27 +162,47 @@ def _cell_assign_arrow(
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__e"]])
             sq = V * V
             n = np.sqrt(np.add.accumulate(sq, axis=1)[:, -1])
+            ok = np.isfinite(n) & (n > 0.0)
             with np.errstate(divide="ignore", invalid="ignore"):
                 U = V / n[:, None]
-            S = np.empty((len(V), n_cells))
-            for c in range(n_cells):
-                S[:, c] = np.add.accumulate(U * C[c], axis=1)[:, -1]
-            nanrow = np.isnan(S).any(axis=1)
-            cells = np.empty(len(V), dtype=np.int32)
-            sims = np.empty(len(V))
-            ok = ~nanrow
+            if ok.all():
+                # fast path (every real corpus batch): fully vectorized,
+                # bit-identical to the r14 formulation
+                S = np.empty((len(V), n_cells))
+                for c in range(n_cells):
+                    S[:, c] = np.add.accumulate(U * C[c], axis=1)[:, -1]
+                m = S.max(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"].to_numpy(),
+                        "__v": list(U),
+                        "cell": (S == m[:, None]).argmax(axis=1).astype(np.int32),
+                        "__sim": m,
+                    }
+                )
+                continue
+            cells = np.full(len(V), None, dtype=object)
+            sims = np.full(len(V), None, dtype=object)
+            vs: list = [None] * len(V)
             if ok.any():
-                sm = S[ok]
-                m = sm.max(axis=1)
-                cells[ok] = (sm == m[:, None]).argmax(axis=1)
-                sims[ok] = m
-            if nanrow.any():
-                cells[nanrow] = np.isnan(S[nanrow]).argmax(axis=1)
-                sims[nanrow] = np.nan
+                Uo = U[ok]
+                S = np.empty((len(Uo), n_cells))
+                for c in range(n_cells):
+                    S[:, c] = np.add.accumulate(Uo * C[c], axis=1)[:, -1]
+                m = S.max(axis=1)
+                ok_cells = (S == m[:, None]).argmax(axis=1)
+                for row, c, s, u in zip(np.nonzero(ok)[0], ok_cells, m, Uo):
+                    cells[row] = int(c)
+                    sims[row] = float(s)
+                    vs[row] = u
+            # degenerate rows: NULL cell/sim and an all-NULL unit vector
+            # of the same length (docstring convention)
+            for row in np.nonzero(~ok)[0]:
+                vs[row] = [None] * V.shape[1]
             yield pd.DataFrame(
                 {
                     "__id": pdf["__id"].to_numpy(),
-                    "__v": list(U),
+                    "__v": vs,
                     "cell": cells,
                     "__sim": sims,
                 }

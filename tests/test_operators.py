@@ -2046,3 +2046,71 @@ def test_triangle_counts_driver_path_matches_distributed(spark):
         tuple(r) for r in triangle_counts(df, small_graph_max=None).collect()
     )
     assert fast == dist and fast
+
+
+def test_label_propagation_driver_path_matches_distributed(spark):
+    """r15 (ADVICE item): label_propagation's driver fast path vs the
+    distributed loop (small_graph_max=None) — identical labels on the
+    witness graph plus a pseudo-random 60-node graph with duplicate/
+    reversed/self-loop noise, at several round counts and both
+    directed modes. Mirrors the triangle_counts dual-path pin so the
+    distributed loop keeps output coverage."""
+    from reactionetl_etl_spark.operators.community import label_propagation
+
+    edges = [(10, 7), (7, 3), (3, 12), (20, 21), (21, 22), (30, 30), (7, 10)]
+    x = 7654321
+    for _ in range(200):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 60
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 60
+        edges.append((100 + a, 100 + b))
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for rounds in (0, 1, 3):
+        for directed in (False, True):
+            fast = sorted(
+                tuple(r)
+                for r in label_propagation(
+                    df, rounds=rounds, directed=directed
+                ).collect()
+            )
+            dist = sorted(
+                tuple(r)
+                for r in label_propagation(
+                    df, rounds=rounds, directed=directed, small_graph_max=None
+                ).collect()
+            )
+            assert fast == dist and fast, (rounds, directed)
+
+
+def test_graph_fast_paths_drop_null_endpoints(spark):
+    """r15 (ADVICE item): NULL src/dst edges must not crash the driver
+    fast paths (Python <'s TypeError on None); they are dropped, which
+    is exactly what the distributed paths' a != b filters do."""
+    from reactionetl_etl_spark.operators.community import label_propagation
+    from reactionetl_etl_spark.operators.graph import (
+        connected_components,
+        triangle_counts,
+    )
+
+    edges = [(1, 2), (2, 3), (None, 4), (5, None), (None, None), (1, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1}
+    cc_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_max=None).collect()
+    }
+    assert cc == cc_dist
+
+    tri = {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(df).collect()}
+    assert tri == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+    tri_dist = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(df, small_graph_max=None).collect()
+    }
+    assert tri == tri_dist
+
+    lp = {r["node"]: r["community"] for r in label_propagation(df, rounds=4).collect()}
+    assert lp == {1: 1, 2: 1, 3: 1}

@@ -219,3 +219,71 @@ def test_arrow_cell_assignment_bit_identical_to_expression_path(spark, sf_dir):
             a == b or (math.isnan(a) and math.isnan(b))
             for a, b in zip(o["__v"], n["__v"])
         ), k
+
+
+def test_degenerate_embeddings_get_null_cell(spark):
+    """r15 (ADVICE item): zero-norm, NULL-element, and NaN-element
+    embeddings cannot sit on the unit sphere — the celling stage emits
+    NULL cell / NULL centroid_sim / all-NULL unit vector for them, they
+    are excluded from pair joins, and semantic_dedup keeps them (the
+    NULL-vector convention). The retired HOF expression offered no
+    usable alternative: under Spark 4 ANSI its x/0.0 RAISES
+    DIVIDE_BY_ZERO on the zero-norm row, and NULL elements NULLed the
+    row's scores anyway."""
+    from reactionetl_etl_spark.operators.semdedup import _cell_assign_arrow
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0] * DIM),                       # zero norm
+            (2, [1.0] + [None] * (DIM - 1)),        # NULL element
+            (3, [float("nan")] + [1.0] * (DIM - 1)),  # NaN element
+            (4, _vec(0, 0.1, seed=5)),              # healthy control
+            (5, None),                               # NULL vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    celled = {r["__id"]: r for r in _cell_assign_arrow(emb, CENTS, "vec_id", "embedding").collect()}
+    assert set(celled) == {1, 2, 3, 4}  # NULL vector filtered upstream
+    for bad in (1, 2, 3):
+        assert celled[bad]["cell"] is None
+        assert celled[bad]["centroid_sim"] is None
+        assert all(x is None for x in celled[bad]["__v"])
+        assert len(celled[bad]["__v"]) == DIM
+    assert celled[4]["cell"] == 0 and celled[4]["centroid_sim"] is not None
+
+    verdicts = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, dim=DIM, centroids=CENTS, threshold=THRESH
+        ).collect()
+    }
+    assert set(verdicts) == {1, 2, 3, 4, 5}
+    for vid in (1, 2, 3, 5):
+        v = verdicts[vid]
+        assert v["keep"] is True and v["cell"] is None and v["component"] is None
+    assert verdicts[4]["keep"] is True and verdicts[4]["cell"] == 0
+
+
+def test_degenerate_batch_rows_survive_append(spark, corpus_and_batch):
+    """Degenerate rows in an APPEND batch flow through both stages as
+    unique keeps with NULL cell — never joined, never crashing the
+    gram builds."""
+    kept, _ = corpus_and_batch
+    batch = spark.createDataFrame(
+        [
+            (300, [0.0] * DIM),
+            (301, [None] * DIM),
+            (302, _vec(2, 0.1, seed=31)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_append(
+            kept, batch, dim=DIM, centroids=CENTS, threshold=THRESH
+        ).collect()
+    }
+    assert set(out) == {300, 301, 302}
+    for vid in (300, 301):
+        assert out[vid]["origin"] == "unique" and out[vid]["keep"] is True
+        assert out[vid]["cell"] is None and out[vid]["dup_of"] is None
