@@ -283,6 +283,33 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
 
+    out = _dedup_verdicts(celled, threshold, id_col, max_cell_rows)
+    # NULL-embedding rows: semantically unique by convention (nothing
+    # to compare), NULL cell/sim/component, keep=True
+    null_rows = embeddings.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col).cast(out.schema[id_col].dataType),
+        F.lit(None).cast(out.schema["cell"].dataType).alias("cell"),
+        F.lit(None).cast(out.schema["centroid_sim"].dataType).alias("centroid_sim"),
+        F.lit(None).cast(out.schema["component"].dataType).alias("component"),
+        F.lit(True).alias("keep"),
+    )
+    return out.unionByName(null_rows)
+
+
+def _dedup_verdicts(
+    celled: DataFrame,
+    threshold: float,
+    id_col: str,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """(id, cell, centroid_sim, component, keep) over an already-celled
+    (__id, __v, cell, centroid_sim) frame — `semantic_dedup`'s verdict
+    machinery factored out (r15) so the incremental append path can run
+    it over batch rows it has ALREADY celled (reusing the batch's
+    Arrow celling pass for the within-batch stage) instead of celling
+    the survivor rows a second time. Callers union their own
+    NULL-vector rows; ``celled`` must be materialized (checkpoint or
+    parquet) because the pair join reads it from three sides."""
     if max_cell_rows is not None:
         biggest = celled.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
         if biggest and biggest > max_cell_rows:
@@ -311,23 +338,13 @@ def semantic_dedup(
             (F.col("node") == F.col("__keeper")).alias("keep"),
         )
     )
-    out = celled.join(verdicts, on="__id", how="left").select(
+    return celled.join(verdicts, on="__id", how="left").select(
         F.col("__id").alias(id_col),
         "cell",
         "centroid_sim",
         "component",
         F.coalesce("keep", F.lit(True)).alias("keep"),
     )
-    # NULL-embedding rows: semantically unique by convention (nothing
-    # to compare), NULL cell/sim/component, keep=True
-    null_rows = embeddings.filter(F.col(vec_col).isNull()).select(
-        F.col(id_col).cast(out.schema[id_col].dataType),
-        F.lit(None).cast(out.schema["cell"].dataType).alias("cell"),
-        F.lit(None).cast(out.schema["centroid_sim"].dataType).alias("centroid_sim"),
-        F.lit(None).cast(out.schema["component"].dataType).alias("component"),
-        F.lit(True).alias("keep"),
-    )
-    return out.unionByName(null_rows)
 
 
 def _celled_frame(
@@ -346,8 +363,47 @@ def _celled_frame(
     return _cell_assign_arrow(embeddings, centroids, id_col, vec_col)
 
 
-def semdedup_append(
+def write_semdedup_state(
     kept: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the celled incumbent geometry — (__id, __v
+    unit-normalized, centroid_sim, cell) parquet PARTITIONED BY cell,
+    the IVF-index sink pattern — so nightly `semdedup_append` calls
+    probe it via ``kept_celled=read_semdedup_state(...)`` instead of
+    re-celling the whole kept corpus per append (r15: the celling pass
+    over the incumbents was the dominant recurring cost, and it is
+    recomputed work — the corpus does not move between appends; the
+    geometry is fixed by ``centroids`` exactly as for the IVF index,
+    so cells written in January match probes in June).
+
+    ``mode='append'`` grows the state incrementally with each batch's
+    kept rows (cell assignment is deterministic under the FIXED
+    centroids, so old and new rows cell consistently). Degenerate rows
+    (NULL cell — zero/non-finite norm, NULL elements) are dropped:
+    the probe is a cell equi-join, which a NULL key can never match,
+    and they would land in the unreadable Hive default partition."""
+    _celled_frame(kept, centroids, id_col, vec_col).filter(
+        F.col("cell").isNotNull()
+    ).write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def read_semdedup_state(spark, path: str) -> DataFrame:
+    """The persisted celled-incumbent table, in the exact shape
+    `semdedup_append`'s ``kept_celled`` expects. The partition column
+    comes back as a string (partition type inference is disabled
+    engine-wide); cast it back to the int the celling stage wrote."""
+    return spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+
+
+def semdedup_append(
+    kept: DataFrame | None,
     batch: DataFrame,
     dim: int,
     centroids: list[list[float]],
@@ -355,6 +411,7 @@ def semdedup_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_rows: int | None = None,
+    kept_celled: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup maintenance: dedup an APPEND BATCH against
     an already-deduped corpus without re-deduping the world — the
@@ -400,8 +457,24 @@ def semdedup_append(
     is the `semantic_contamination_ann` shape — neither side
     broadcasts); stage 2's quadratic term is per-cell over the BATCH
     only. Cells untouched by the batch cost nothing — the whole point.
+
+    r15: pass ``kept_celled`` (the persisted celled-incumbent table —
+    `read_semdedup_state` of a `write_semdedup_state` layout, or any
+    (__id, __v, cell) frame produced by `_celled_frame` under the SAME
+    centroids) to skip re-celling the kept corpus — the production
+    shape, where the incumbent geometry is signed once at corpus-build
+    time and every nightly append only cells its own batch. ``kept``
+    is ignored (may be None) when ``kept_celled`` is given. The batch's
+    own celling pass is also reused for stage 2 (survivors filter out
+    of the already-celled batch frame instead of being re-celled) —
+    bit-identical because cell assignment is row-local math.
     """
-    kc = _celled_frame(kept, centroids, id_col, vec_col).localCheckpoint(eager=True)
+    if kept_celled is not None:
+        kc = kept_celled
+    else:
+        kc = _celled_frame(kept, centroids, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
     bc = _celled_frame(batch, centroids, id_col, vec_col).localCheckpoint(eager=True)
 
     if max_cell_rows is not None:
@@ -438,18 +511,26 @@ def semdedup_append(
         .alias("dup_of")
     )
 
-    survivors = batch.join(
-        corpus_dups.select(F.col("__bid").alias(id_col)), on=id_col, how="left_anti"
+    # within-batch stage over the survivors: filter the ALREADY-celled
+    # batch frame instead of re-celling the survivor rows (r15) — cell
+    # assignment is row-local, so the filtered frame carries exactly
+    # the values a second Arrow pass would recompute. Checkpoint: the
+    # pair join reads it from three sides.
+    surv_celled = bc.join(
+        corpus_dups.select(F.col("__bid").alias("__id")), on="__id", how="left_anti"
+    ).localCheckpoint(eager=True)
+    inner = _dedup_verdicts(surv_celled, threshold, id_col, max_cell_rows)
+    # NULL-embedding batch rows are not in bc (excluded before celling)
+    # and can never be corpus dups: unique keeps, semantic_dedup's
+    # convention
+    null_rows = batch.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col).cast(inner.schema[id_col].dataType),
+        F.lit(None).cast(inner.schema["cell"].dataType).alias("cell"),
+        F.lit(None).cast(inner.schema["centroid_sim"].dataType).alias("centroid_sim"),
+        F.lit(None).cast(inner.schema["component"].dataType).alias("component"),
+        F.lit(True).alias("keep"),
     )
-    inner = semantic_dedup(
-        survivors,
-        dim=dim,
-        centroids=centroids,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_cell_rows=max_cell_rows,
-    )
+    inner = inner.unionByName(null_rows)
     # component keeper id for batch_dup provenance: the kept member of
     # the row's component (exactly one exists by construction)
     keepers = (

@@ -264,6 +264,48 @@ def test_degenerate_embeddings_get_null_cell(spark):
     assert verdicts[4]["keep"] is True and verdicts[4]["cell"] == 0
 
 
+def test_append_against_persisted_state_matches_inline_celling(
+    spark, corpus_and_batch, tmp_path
+):
+    """r15: `write_semdedup_state` + `kept_celled=` must produce
+    verdicts identical to celling the kept frame inline — the persisted
+    state is the same celled table (parquet round-trips doubles
+    exactly; the partition column casts back to its int), so the probe
+    join sees bit-identical incumbents. Degenerate incumbents (NULL
+    cell) are dropped at write: a NULL key can never match the cell
+    equi-join, so their absence is unobservable."""
+    from reactionetl_etl_spark.operators.semdedup import (
+        read_semdedup_state,
+        write_semdedup_state,
+    )
+
+    kept, bat = corpus_and_batch
+    # a degenerate incumbent exercises the drop-at-write rule
+    kept_plus = kept.unionByName(
+        spark.createDataFrame(
+            [(900, [0.0] * DIM)], "vec_id long, embedding array<double>"
+        )
+    )
+    path = str(tmp_path / "state")
+    write_semdedup_state(kept_plus, path, CENTS)
+    state = read_semdedup_state(spark, path)
+    assert dict(state.dtypes)["cell"] == "int"
+
+    cols = ["vec_id", "cell", "centroid_sim", "origin", "dup_of", "keep"]
+    inline = (
+        semdedup_append(kept_plus, bat, dim=DIM, centroids=CENTS, threshold=THRESH)
+        .toPandas()[cols].sort_values("vec_id").reset_index(drop=True)
+    )
+    via_state = (
+        semdedup_append(
+            None, bat, dim=DIM, centroids=CENTS, threshold=THRESH,
+            kept_celled=state,
+        )
+        .toPandas()[cols].sort_values("vec_id").reset_index(drop=True)
+    )
+    assert inline.equals(via_state)
+
+
 def test_degenerate_batch_rows_survive_append(spark, corpus_and_batch):
     """Degenerate rows in an APPEND batch flow through both stages as
     unique keeps with NULL cell — never joined, never crashing the
