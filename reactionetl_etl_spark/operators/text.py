@@ -197,27 +197,40 @@ def token_ngrams_pos(df: DataFrame, text_col: str, k: int) -> DataFrame:
 
 
 def _token_ngram_hashes_pos(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, pos, __gh): one row per k-token shingle position with the
-    shingle's 64-bit digest — xxhash64 over the token-array SLICE
-    itself, never a joined string (r14). The span operators only ever
-    compare shingles for EQUALITY, and slice equality ⟺ joined-string
-    equality (tokens are split on the join character), so building the
+    """(id, pos, __gh, __gh2): one row per k-token shingle position with
+    the shingle's digest — xxhash64 over the token-array SLICE itself,
+    never a joined string (r14). The span operators only ever compare
+    shingles for EQUALITY, and slice equality ⟺ joined-string equality
+    (tokens are split on the join character), so building the
     per-shingle string and hashing it was pure constant-factor cost:
     one O(k·token_len) string allocation per shingle per row. Digest
     VALUES differ from the string form, but no digest ever leaves the
-    plan — only equality classes do."""
+    plan — only equality classes do.
+
+    r15: the digest is a PAIR of independently-seeded xxhash64 values
+    (the salt literal comes FIRST, so the second hash runs the whole
+    slice under a different effective seed — salting last would make
+    __gh2 a pure function of __gh). One 64-bit digest carries real
+    birthday-collision mass at 100 TB (~10¹⁰ distinct shingles →
+    millions of expected false merges feeding a REPORTED rate metric);
+    the pair restores effective 128-bit equality for 16 bytes/row on
+    the wire — still half the retired 32-char md5 string."""
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
     pairs = F.expr(
         f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
-        f" i -> struct(i AS pos, xxhash64(slice(__toks, i, {k})) AS gh))"
+        f" i -> struct(i AS pos, xxhash64(slice(__toks, i, {k})) AS gh,"
+        f" xxhash64(7, slice(__toks, i, {k})) AS gh2))"
     )
     d = df.select(id_col, text_col).withColumn("__toks", toks).withColumn(
         "__pg", F.explode(pairs)
     )
     return d.select(
-        id_col, F.col("__pg.pos").alias("pos"), F.col("__pg.gh").alias("__gh")
+        id_col,
+        F.col("__pg.pos").alias("pos"),
+        F.col("__pg.gh").alias("__gh"),
+        F.col("__pg.gh2").alias("__gh2"),
     )
 
 
@@ -236,9 +249,11 @@ def duplicated_span_extents(
     Output: (id, span_start, span_end, span_tokens), token positions
     1-based inclusive; overlapping/adjacent covered ranges merge.
 
-    Scale: shingles shuffle as 8-byte xxhash64 digests (never gram
-    strings — r14: hashed straight off the token-array slice, no
-    per-shingle string build); "appears in ≥2 distinct documents" is
+    Scale: shingles shuffle as paired 16-byte xxhash64 digests (never
+    gram strings — r14: hashed straight off the token-array slice, no
+    per-shingle string build; r15: a second independently-seeded hash
+    restores effective 128-bit equality — one 64-bit digest has real
+    birthday-collision mass at 100 TB); "appears in ≥2 distinct documents" is
     decided by ONE window over the digest partition (min(id) ≠ max(id)
     ⟺ countDistinct(id) ≥ 2) instead of a count aggregate joined back
     — the digest rows cross the wire once, not twice, and the join
@@ -250,7 +265,7 @@ def duplicated_span_extents(
     from pyspark.sql import Window
 
     grams = _token_ngram_hashes_pos(df, text_col, id_col, k)
-    wg = Window.partitionBy("__gh")
+    wg = Window.partitionBy("__gh", "__gh2")
     dup_pos = (
         grams.withColumn("__min_id", F.min(id_col).over(wg))
         .withColumn("__max_id", F.max(id_col).over(wg))
@@ -315,8 +330,10 @@ def cut_duplicated_spans(
     collapsed whitespace — the shingling normalization) with cut
     ranges removed; a fully-duplicated non-owner doc comes back empty.
 
-    Scale: shingles shuffle as 8-byte digests (r14: hashed straight off
-    the token-array slice, no per-shingle string build); ownership and
+    Scale: shingles shuffle as paired 16-byte digests (r14: hashed
+    straight off the token-array slice, no per-shingle string build;
+    r15: effective 128-bit equality — see _token_ngram_hashes_pos);
+    ownership and
     the shared-across-docs test are ONE window over the digest
     partition (owner = min(id); shared ⟺ min(id) ≠ max(id) ⟺
     countDistinct(id) ≥ 2) instead of a min+countDistinct aggregate
@@ -329,7 +346,7 @@ def cut_duplicated_spans(
     from pyspark.sql import Window
 
     grams = _token_ngram_hashes_pos(df, text_col, id_col, k)
-    wg = Window.partitionBy("__gh")
+    wg = Window.partitionBy("__gh", "__gh2")
     dup_pos = (
         grams.withColumn("__owner", F.min(id_col).over(wg))
         .withColumn("__max_id", F.max(id_col).over(wg))

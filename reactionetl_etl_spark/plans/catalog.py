@@ -4473,8 +4473,9 @@ def repeated_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE the duplicated content sits: per-doc maximal token ranges
     covered by 8-gram shingles shared with another document — the
     span-level map an exact-substring dedup pass cuts by, versus
-    `cross_doc_dup_rate`'s per-doc scalar. Shingles shuffle as 8-byte
-    digests; the island merge is a per-document window
+    `cross_doc_dup_rate`'s per-doc scalar. Shingles shuffle as paired
+    16-byte digests (r15 — effective 128-bit equality at 100 TB scale);
+    the island merge is a per-document window
     (operators/text.py duplicated_span_extents)."""
     docs = _t(spark, sf_dir, "documents")
     return TX.duplicated_span_extents(docs, "text", "doc_id", k=8)
@@ -8816,24 +8817,34 @@ def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against themselves — and `ndocs` is a count window over the digest
     partition instead of a count aggregate joined back, so the digest
     rows cross the wire once (one exchange on the digest + the final
-    per-doc aggregate) with no join at all. Digests are 8-byte
-    xxhash64 of the token-array slice itself — equality classes are
-    unchanged (slice equality ⟺ joined-string equality), no string is
-    ever built per shingle, and only equality classes feed the counts
-    (the oracle's md5-string digest groups identically)."""
+    per-doc aggregate) with no join at all. Digests are xxhash64 of the
+    token-array slice itself — equality classes are unchanged (slice
+    equality ⟺ joined-string equality), no string is ever built per
+    shingle, and only equality classes feed the counts (the oracle's
+    md5-string digest groups identically).
+
+    r15: the digest is a PAIR of independently-seeded xxhash64 values
+    (salt literal FIRST — salting last would make g2 a function of g).
+    A single 64-bit digest carries real birthday-collision mass at
+    100 TB (~10¹⁰ distinct shingles → millions of expected false
+    merges silently biasing this REPORTED rate); the pair restores
+    effective 128-bit equality for 16 bytes/row — still half the
+    retired 32-char md5 string."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
     hashes = F.expr(
         "array_distinct(transform(sequence(1, greatest(size(__toks) - 7, 1)),"
-        " i -> xxhash64(slice(__toks, i, 8))))"
+        " i -> struct(xxhash64(slice(__toks, i, 8)) AS g,"
+        " xxhash64(7, slice(__toks, i, 8)) AS g2)))"
     )
     t = (
         docs.withColumn("__toks", toks)
-        .select("doc_id", F.explode(hashes).alias("g"))
+        .select("doc_id", F.explode(hashes).alias("__g"))
+        .select("doc_id", F.col("__g.g").alias("g"), F.col("__g.g2").alias("g2"))
     )
-    wg = Window.partitionBy("g")
+    wg = Window.partitionBy("g", "g2")
     return (
         t.withColumn("ndocs", F.count("*").over(wg))
         .groupBy("doc_id")
