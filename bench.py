@@ -115,9 +115,16 @@ CONTENDED_TOLERANCE = 0.15
 # The record keeps the LAST attempt either way and carries
 # `bench_attempts`; a record with contended=true and bench_attempts=N
 # therefore documents N failed attempts, not a skipped protocol.
-MAX_BENCH_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+MAX_BENCH_ATTEMPTS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "4")))
 CALIB_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "20"))
-CALIB_PRE_PROBES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PRE_PROBES", "6")))
+CALIB_PRE_PROBES = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PRE_PROBES", "9")))
+# r15 (r14 verdict item 4): attempts 3 → 4 and pre-probes 6 → 9 — the
+# r13/r14 driver runs burned all 3 attempts contended; one more attempt
+# plus a 3-minute wait window per attempt buys materially more chances
+# at a quiet window for ~7 extra minutes worst case. When every attempt
+# STILL lands contended, the record is now composed from the quietest
+# attempt per entry (see the attempt loop) instead of keeping the last
+# attempt wholesale.
 
 
 def host_calibration(spark=None) -> float:
@@ -332,20 +339,27 @@ def bench_index_probes(spark, sf_dir: str) -> dict[str, tuple[float, float, list
 
 def bench_semdedup_append(spark, sf_dir: str) -> tuple[float, float, list[float]]:
     """The incremental-SemDeDup APPEND half (r14, verdict item 5): the
-    kept corpus, its signed-once geometry, and the base dedup verdicts
-    are built ONCE outside the timer — in production they are the
-    persisted state a nightly append runs against — and the timed part
-    is `semdedup_append`: cell the batch, probe incumbents in the cell
-    equi-join, dedup survivors within the batch. Same split (vec_id%4)
-    and 0.40 threshold as the oracled `semdedup_incremental` query,
-    which certifies the full trained->append lifecycle; this entry
-    prices only the recurring half."""
+    kept corpus, its signed-once geometry, the base dedup verdicts, AND
+    the persisted celled-incumbent state (r15: `write_semdedup_state`,
+    the IVF-index sink pattern) are built ONCE outside the timer — in
+    production they are the persisted state a nightly append runs
+    against — and the timed part is `semdedup_append` probing that
+    state: cell the batch, probe incumbents in the cell equi-join,
+    dedup survivors within the batch. Same split (vec_id%4) and 0.40
+    threshold as the oracled `semdedup_incremental` query, which
+    certifies the full trained->append lifecycle; this entry prices
+    only the recurring half. (r14 timed the incumbent re-celling too —
+    recomputed work a persisted index amortizes, called out by the r14
+    verdict; r15 moved it next to the index builds where it belongs.
+    The r14-scope reading is kept in OPTIMIZATION_r15.md.)"""
     from pyspark.sql import functions as F
 
     from reactionetl_etl_spark.operators import similarity as S
     from reactionetl_etl_spark.operators.semdedup import (
+        read_semdedup_state,
         semantic_dedup,
         semdedup_append,
+        write_semdedup_state,
     )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -353,12 +367,22 @@ def bench_semdedup_append(spark, sf_dir: str) -> tuple[float, float, list[float]
     batch = emb.filter(F.col("vec_id") % 4 == 0)
     cents = S.train_ivf_centroids(base, 8)
     base_v = semantic_dedup(base, dim=64, n_cells=8, threshold=0.40, centroids=cents)
-    kept = base.join(
-        base_v.filter(F.col("keep")).select("vec_id"), "vec_id"
-    ).localCheckpoint(eager=True)
-    return _time_plan(
-        lambda: semdedup_append(kept, batch, dim=64, centroids=cents, threshold=0.40)
-    )
+    kept = base.join(base_v.filter(F.col("keep")).select("vec_id"), "vec_id")
+    work = tempfile.mkdtemp(prefix="spark_bench_semdedup_")
+    try:
+        state_path = os.path.join(work, "state")
+        write_semdedup_state(kept, state_path, cents)
+        # table handle opened ONCE, like a serving process would (the
+        # index-probe discipline above)
+        state = read_semdedup_state(spark, state_path)
+        return _time_plan(
+            lambda: semdedup_append(
+                None, batch, dim=64, centroids=cents, threshold=0.40,
+                kept_celled=state,
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_corpus_pipeline(spark, sf_dir: str) -> tuple[float, float, list[float]]:
@@ -450,6 +474,88 @@ def bench_etl_ingest_large(spark) -> tuple[float, float]:
     return sec, n_bytes / 1e6 / sec
 
 
+def compose_attempts(
+    sections: list[dict],
+    attempt_calibs: list[list[float]],
+    ref: float | None = None,
+    tol: float | None = None,
+) -> dict:
+    """Collapse the attempt loop's sections into ONE record (r15, r14
+    verdict item 4). A single section (the loop broke on a quiet
+    attempt, or only one was budgeted) passes through unchanged — the
+    pre-r15 protocol byte for byte. When EVERY attempt landed
+    contended, the record is composed from the quietest attempt PER
+    ENTRY instead of keeping the last attempt wholesale: each entry is
+    bracketed by the two calibration probes nearest it in time —
+    (pre, mid) for catalog queries timed before the midpoint probe,
+    (mid, post) for everything after — and the attempt whose bracket
+    deviates least from the reference wins that entry. A burst that hit
+    attempt 1's first half and attempt 2's second half no longer
+    contaminates the record twice (r13/r14 were both
+    all-attempts-contended, so the driver scored host comparisons two
+    rounds running). Selection is by CALIBRATION distance, never by the
+    entry's own timing, so it cannot cherry-pick lucky runs; the
+    composed `contended` flag reports the record's real exposure (quiet
+    only if every selected bracket passes the two-sided gate) and
+    `calib` is the worst calibration any recorded number saw."""
+    ref = HOST_CALIBRATION_REF_SEC if ref is None else ref
+    tol = CONTENDED_TOLERANCE if tol is None else tol
+
+    def off(c: float) -> bool:
+        return abs(c - ref) > ref * tol
+
+    def bracket(i: int, name: str) -> tuple[float, float]:
+        pre, mid, post = attempt_calibs[i]
+        return (pre, mid) if name in sections[i]["pre_mid"] else (mid, post)
+
+    def badness(i: int, name: str) -> float:
+        return max(abs(s - ref) for s in bracket(i, name))
+
+    if len(sections) == 1:
+        s = sections[0]
+        return {
+            "timings": s["timings"],
+            "cold": s["cold"],
+            "spread": s["spread"],
+            "etl_cold": s["etl_cold"],
+            "etl_mbps": s["etl_mbps"],
+            "lg_sec": s["lg_sec"],
+            "lg_mbps": s["lg_mbps"],
+            "contended": any(off(c) for c in attempt_calibs[0]),
+            "calib": max(attempt_calibs[0]),
+            "entry_attempt": {},
+        }
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    entry_attempt: dict[str, int] = {}
+    chosen: list[float] = []
+    for name in sections[-1]["timings"]:
+        best = min(range(len(sections)), key=lambda i: badness(i, name))
+        entry_attempt[name] = best + 1
+        timings[name] = sections[best]["timings"][name]
+        cold[name] = sections[best]["cold"][name]
+        spread[name] = sections[best]["spread"][name]
+        chosen.extend(bracket(best, name))
+    etl_att = entry_attempt["etl_ingest"] - 1
+    lg_att = min(range(len(sections)), key=lambda i: badness(i, "__ingest512"))
+    entry_attempt["__ingest512"] = lg_att + 1
+    chosen.extend(bracket(lg_att, "__ingest512"))
+    return {
+        "timings": timings,
+        "cold": cold,
+        "spread": spread,
+        "etl_cold": sections[etl_att]["etl_cold"],
+        "etl_mbps": sections[etl_att]["etl_mbps"],
+        "lg_sec": sections[lg_att]["lg_sec"],
+        "lg_mbps": sections[lg_att]["lg_mbps"],
+        "contended": any(off(s) for s in chosen),
+        "calib": max(chosen),
+        "entry_attempt": entry_attempt,
+    }
+
+
 def run_bench(sf_dir: str) -> tuple[dict, dict]:
     """Returns (compact stdout record, per-query detail for stderr)."""
     # Console progress bars write \r-spam to stderr/stdout; keep the
@@ -512,12 +618,15 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
         spread: dict[str, list[float]] = {}
+        pre_mid: set[str] = set()
         names = sorted(bench_queries().items())
         for i, (name, spec) in enumerate(names):
             c, w, runs = _time_plan(lambda: spec.builder(spark, sf_dir))
             cold[name] = round(c, 3)
             timings[name] = round(w, 3)
             spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+            if i <= len(names) // 2:
+                pre_mid.add(name)
             if i == len(names) // 2:
                 # mid-run calibration probe: r12 recorded a 40.26 s run
                 # (vs a 31/33 s band) whose pre AND post probes both
@@ -552,6 +661,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
             "timings": timings,
             "cold": cold,
             "spread": spread,
+            "pre_mid": pre_mid,
             "etl_cold": etl_cold,
             "etl_mbps": etl_mbps,
             "lg_sec": lg_sec,
@@ -566,6 +676,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
     # round-over-round deltas non-comparable (crediting code for host
     # speed is the same failure as blaming it for contention).
     attempt_calibs: list[list[float]] = []
+    sections: list[dict] = []
     for attempt in range(1, MAX_BENCH_ATTEMPTS + 1):
         calib_pre = _wait_for_quiet()
         section_mid_calib: list[float] = []
@@ -575,6 +686,7 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         attempt_calibs.append(
             [round(calib_pre, 3), round(calib_mid, 3), round(calib_post, 3)]
         )
+        sections.append(section)
         contended = _off(calib_pre) or _off(calib_mid) or _off(calib_post)
         if not contended:
             break
@@ -586,12 +698,16 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
             + ("retrying" if attempt < MAX_BENCH_ATTEMPTS else "recording as contended"),
             file=sys.stderr,
         )
-    timings = section["timings"]
-    cold = section["cold"]
-    spread = section["spread"]
-    etl_cold, etl_mbps = section["etl_cold"], section["etl_mbps"]
-    lg_sec, lg_mbps = section["lg_sec"], section["lg_mbps"]
-    calib = max(calib_pre, calib_mid, calib_post)
+
+    composed = compose_attempts(sections, attempt_calibs)
+    timings = composed["timings"]
+    cold = composed["cold"]
+    spread = composed["spread"]
+    etl_cold, etl_mbps = composed["etl_cold"], composed["etl_mbps"]
+    lg_sec, lg_mbps = composed["lg_sec"], composed["lg_mbps"]
+    contended = composed["contended"]
+    calib = composed["calib"]
+    entry_attempt = composed["entry_attempt"]
 
     spark.stop()
 
@@ -624,9 +740,16 @@ def run_bench(sf_dir: str) -> tuple[dict, dict]:
         # stays on stdout
         "lfl_prev_sec": round(sum(prev_queries[n] for n in common), 3),
         "lfl_prev_round": prev_round,
-        # one [pre, post] pair per attempt; the record keeps the last
+        # one [pre, mid, post] triple per attempt; single-attempt records
+        # keep that attempt, all-contended multi-attempt records compose
+        # per entry (see the attempt loop) — entry_attempt maps each
+        # entry to the attempt its reading came from (empty when the
+        # record is a single attempt), attempt_timings carries every
+        # attempt's full per-query map so the composition is auditable
         "host_calibration_pre_post": attempt_calibs[-1],
         "attempt_calibrations": attempt_calibs,
+        "entry_attempt": entry_attempt,
+        "attempt_timings": [s["timings"] for s in sections],
         # moved off stdout in r10 to keep the compact line inside the
         # driver's tail window as the bench set grows; the MB/s
         # throughputs (the baseline-comparable numbers) stay on stdout

@@ -125,6 +125,72 @@ def test_bench_runs_clamped_positive(monkeypatch):
         importlib.reload(bench)
 
 
+def _mk_section(base: float, pre_mid: set[str]) -> dict:
+    names = ["alpha", "beta", "etl_ingest"]
+    return {
+        "timings": {n: base + i for i, n in enumerate(names)},
+        "cold": {n: base + 10 + i for i, n in enumerate(names)},
+        "spread": {n: [base, base + 1] for n in names},
+        "pre_mid": set(pre_mid),
+        "etl_cold": base + 20,
+        "etl_mbps": base + 30,
+        "lg_sec": base + 40,
+        "lg_mbps": base + 50,
+    }
+
+
+def test_compose_single_attempt_passes_through():
+    """One section (quiet break, or a one-attempt budget) must pass
+    through unchanged — the pre-r15 protocol byte for byte."""
+    import bench
+
+    s = _mk_section(1.0, {"alpha"})
+    out = bench.compose_attempts([s], [[0.81, 0.79, 0.80]], ref=0.80, tol=0.15)
+    assert out["timings"] == s["timings"]
+    assert out["etl_mbps"] == s["etl_mbps"]
+    assert out["contended"] is False
+    assert out["calib"] == 0.81
+    assert out["entry_attempt"] == {}
+    bad = bench.compose_attempts([s], [[0.81, 0.79, 3.0]], ref=0.80, tol=0.15)
+    assert bad["contended"] is True and bad["calib"] == 3.0
+
+
+def test_compose_picks_quietest_attempt_per_entry():
+    """All-contended attempts compose per entry: an entry timed before
+    the midpoint probe is judged by (pre, mid), after by (mid, post),
+    and the attempt with the least-deviant bracket wins that entry —
+    so a burst in attempt 1's tail and attempt 2's head no longer
+    contaminates both halves of the record."""
+    import bench
+
+    pre_mid = {"alpha"}
+    s1, s2 = _mk_section(1.0, pre_mid), _mk_section(2.0, pre_mid)
+    # attempt 1: quiet head, contended tail; attempt 2: the reverse
+    calibs = [[0.80, 0.80, 4.0], [4.0, 0.80, 0.80]]
+    out = bench.compose_attempts([s1, s2], calibs, ref=0.80, tol=0.15)
+    assert out["entry_attempt"]["alpha"] == 1       # (pre, mid) quiet in 1
+    assert out["entry_attempt"]["beta"] == 2        # (mid, post) quiet in 2
+    assert out["entry_attempt"]["etl_ingest"] == 2
+    assert out["entry_attempt"]["__ingest512"] == 2
+    assert out["timings"]["alpha"] == 1.0 and out["timings"]["beta"] == 3.0
+    assert out["etl_cold"] == 2.0 + 20 and out["lg_mbps"] == 2.0 + 50
+    # every selected bracket passed the gate -> the composed record is quiet
+    assert out["contended"] is False and out["calib"] == 0.80
+
+
+def test_compose_still_contended_when_no_quiet_bracket_exists():
+    """Composition cannot manufacture quiet: when every attempt's
+    bracket for some entry is off-reference, the flag stays true and
+    calib reports the worst selected sample."""
+    import bench
+
+    s1, s2 = _mk_section(1.0, {"alpha"}), _mk_section(2.0, {"alpha"})
+    calibs = [[2.0, 2.5, 3.0], [1.9, 2.2, 2.8]]
+    out = bench.compose_attempts([s1, s2], calibs, ref=0.80, tol=0.15)
+    assert out["contended"] is True
+    assert out["calib"] >= 1.9
+
+
 def test_bench_attempts_clamped_positive(monkeypatch):
     """SPARK_GRAFT_BENCH_ATTEMPTS=0 must still run the timed section
     once (the attempt loop's range would otherwise be empty and the
