@@ -186,6 +186,12 @@ def _png_unfilter(raw, h: int, w: int, channels: int):
         return None
     raw = raw.reshape(h, stride + 1)
     ftypes = raw[:, 0]
+    if not ftypes.any():
+        # all-None filters (filter byte 0 on every scanline — what
+        # encode_png writes, and common for tool-generated PNGs): the
+        # stored bytes ARE the pixels, so the whole image is one
+        # reshape instead of h per-row Python iterations (r15)
+        return raw[:, 1:].reshape(h, w, channels).copy()
     lines = raw[:, 1:].astype(np.int32)
     out = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
@@ -1714,22 +1720,53 @@ def image_dhash(
         # nothing and equals the old 64-iteration OR loop bit for bit
         pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         for pdf in batches:
-            ids, hashes = [], []
-            for mid, payload in zip(pdf[id_col], pdf[binary_col]):
-                arr = decode_pixels(bytes(payload))
-                if arr is None:
-                    ids.append(mid)
-                    hashes.append(None)
-                    continue
-                luma = (
-                    0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-                )
-                g = resample_nearest(luma, 9, 8)
-                bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).reshape(-1)
-                h = np.dot(bits, pow2)
-                ids.append(mid)
-                hashes.append(int(h.view(np.int64)))
-            yield pd.DataFrame({id_col: ids, out_col: hashes})
+            n = len(pdf)
+            hashes: list = [None] * n
+            arrs = [decode_pixels(bytes(p)) for p in pdf[binary_col]]
+            # r15: group decoded images by shape and run luma → resample
+            # → gradient → pack over the STACKED group — the per-image
+            # numpy-call overhead (~10 small kernel launches each) was
+            # a third of the stage; the stacked ops perform the same
+            # IEEE multiplies/adds, the same integer gathers, and the
+            # same exact integer dot elementwise, so every hash is
+            # bit-identical to the per-image formulation (pinned by
+            # test_image_dhash_batched_matches_scalar_reference).
+            # Variable shapes just mean more, smaller groups.
+            groups: dict = {}
+            for i, a in enumerate(arrs):
+                if a is not None:
+                    groups.setdefault(a.shape[:2], []).append(i)
+            # bounded stacks: a whole Arrow batch of large images stacked
+            # at once allocates tens of MB in one burst, which measured
+            # multi-second page-fault stalls in reused workers under
+            # host memory pressure (bimodal 0.25 s / 7.6 s per batch);
+            # 256-image chunks keep the peak ~1-2 MB while retaining the
+            # vectorization win (1.8x at chunk width ~150)
+            chunk = 256
+            for (h_, w_), idxs in groups.items():
+                # resample_nearest's gather, over the stacked axis
+                rows = np.minimum(
+                    (np.arange(8) + 0.5) * h_ / 8, h_ - 1
+                ).astype(np.int64)
+                cols = np.minimum(
+                    (np.arange(9) + 0.5) * w_ / 9, w_ - 1
+                ).astype(np.int64)
+                for c0 in range(0, len(idxs), chunk):
+                    part = idxs[c0 : c0 + chunk]
+                    S = np.stack([arrs[i] for i in part])  # (n, h, w, 3) uint8
+                    luma = (
+                        0.299 * S[..., 0] + 0.587 * S[..., 1] + 0.114 * S[..., 2]
+                    )
+                    g = luma[:, rows][:, :, cols]  # (n, 8, 9)
+                    bits = (
+                        (g[:, :, :-1] > g[:, :, 1:])
+                        .astype(np.uint64)
+                        .reshape(len(part), 64)
+                    )
+                    hs = (bits @ pow2).view(np.int64)
+                    for j, i in enumerate(part):
+                        hashes[i] = int(hs[j])
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: hashes})
 
     return df.select(id_col, binary_col).mapInPandas(
         hash_batches, f"{id_col} long, {out_col} long"

@@ -1069,6 +1069,69 @@ def test_image_dhash_container_invariant_and_perturbation_tolerant(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_image_dhash_batched_matches_scalar_reference(spark):
+    """r15: the dhash stage groups same-shape images per Arrow batch
+    and runs luma → resample → gradient → pack over the STACK. The
+    claim is BIT-identity with the per-image formulation — stacked IEEE
+    multiplies/adds, integer gathers, and the exact integer dot perform
+    the same elementwise operations — pinned here by recomputing every
+    hash with a scalar reference (decode_pixels + the retired
+    one-image-at-a-time math) over MIXED shapes, formats, an
+    undecodable payload, and both filter-0 and Up-filtered PNG rows."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+        resample_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        encode_bmp(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)),
+        encode_png(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)),
+        encode_ppm(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)),
+        encode_bmp(rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)),  # odd shape
+        encode_png(rng.integers(0, 256, (8, 64, 3), dtype=np.uint8)),
+        encode_ppm(rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)),  # shares a group
+        b"definitely not an image",
+    ]
+    rows = [(i, bytearray(b)) for i, b in enumerate(imgs)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    pow2 = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    for i, b in enumerate(imgs):
+        arr = decode_pixels(bytes(b))
+        if arr is None:
+            assert got[i] is None, i
+            continue
+        luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+        g = resample_nearest(luma, 9, 8)
+        bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).reshape(-1)
+        assert got[i] == int(np.dot(bits, pow2).view(np.int64)), i
+
+
+def test_png_unfilter_filter0_fast_path_exact():
+    """The all-None-filter shortcut must reproduce the generic loop's
+    pixels exactly (it is the same bytes, reshaped) — checked by
+    decoding a filter-0 PNG and comparing against the source array."""
+    import numpy as np
+
+    from reactionetl_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    out = decode_pixels(encode_png(a))
+    assert out is not None and np.array_equal(out, a)
+
+
 def test_video_scene_cuts_witness_numpy(spark):
     """Non-circular witness for the pinned video_scene_cuts query: the
     mean-abs-delta per frame pair recomputed in numpy from the SAME
