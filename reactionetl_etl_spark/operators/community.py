@@ -106,7 +106,17 @@ def label_propagation(
             import pandas as pd
 
             pdf = pd.DataFrame(rows, columns=["node", "community"])
-            return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
+            # coalesce(1): the pandas conversion slices the local rows
+            # into defaultParallelism (32) partitions, so every consumer
+            # aggregate paid a 32-task scan + 32-reducer exchange for a
+            # few-thousand-row table (~0.26 s of pure scheduling per
+            # job at bench scale, r15). One partition is the right
+            # shape for a <= small_graph_max result; narrow coalesce of
+            # Arrow-backed local slices is cheap (the r12 hazard was
+            # pickled PYTHON-list partitions, not these).
+            return edges.sparkSession.createDataFrame(
+                pdf, schema=out_schema
+            ).coalesce(1)
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not directed:

@@ -111,7 +111,17 @@ def connected_components(
             import pandas as pd
 
             pdf = pd.DataFrame(rows, columns=["node", "component"])
-            return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
+            # coalesce(1): the pandas conversion slices the local rows
+            # into defaultParallelism (32) partitions, so every consumer
+            # aggregate paid a 32-task scan + 32-reducer exchange for a
+            # few-thousand-row table (~0.26 s of pure scheduling per
+            # job at bench scale, r15). One partition is the right
+            # shape for a <= small_graph_max result; narrow coalesce of
+            # Arrow-backed local slices is cheap (the r12 hazard was
+            # pickled PYTHON-list partitions, not these).
+            return edges.sparkSession.createDataFrame(
+                pdf, schema=out_schema
+            ).coalesce(1)
 
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -250,7 +260,17 @@ def triangle_counts(
                 sorted((n, deg[n], tri[n]) for n in deg),
                 columns=["node", "degree", "n_triangles"],
             )
-            return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
+            # coalesce(1): the pandas conversion slices the local rows
+            # into defaultParallelism (32) partitions, so every consumer
+            # aggregate paid a 32-task scan + 32-reducer exchange for a
+            # few-thousand-row table (~0.26 s of pure scheduling per
+            # job at bench scale, r15). One partition is the right
+            # shape for a <= small_graph_max result; narrow coalesce of
+            # Arrow-backed local slices is cheap (the r12 hazard was
+            # pickled PYTHON-list partitions, not these).
+            return edges.sparkSession.createDataFrame(
+                pdf, schema=out_schema
+            ).coalesce(1)
 
     # checkpoint the canonical edge set FIRST: it feeds the degree
     # count, two rank joins, and (via `oriented`) the wedge stages —
