@@ -8834,10 +8834,13 @@ def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
+    # nested transform slices ONCE per shingle (see
+    # text._token_ngram_hashes_pos — inlining slice() under each hash
+    # materialized every window twice)
     hashes = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(__toks) - 7, 1)),"
-        " i -> struct(xxhash64(slice(__toks, i, 8)) AS g,"
-        " xxhash64(7, slice(__toks, i, 8)) AS g2)))"
+        "array_distinct(transform(transform(sequence(1, greatest(size(__toks) - 7, 1)),"
+        " i -> slice(__toks, i, 8)),"
+        " s -> struct(xxhash64(s) AS g, xxhash64(7, s) AS g2)))"
     )
     t = (
         docs.withColumn("__toks", toks)
