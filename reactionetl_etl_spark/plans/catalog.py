@@ -82,56 +82,24 @@ def _q(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = 
 # reads nothing from the environment. Regenerate + paste with:
 #     python tools/verify_ledger.py --priority
 _PRIORITY: tuple[str, ...] = (
-    "ivfpq_drift_report",
-    "image_neardup_dhash",
-    "part_triangle_clustering",
+    "image_neardup_phash",
+    "incremental_neardup_probe",
+    "minhash_neardup_pairs",
+    "multimodal_resize_pixels",
+    "multimodal_feature_extract",
+    "minhash_eval_report",
     "canonical_doc_per_cluster",
+    "contamination_report",
+    "copurchase_label_propagation",
     "cross_doc_dup_rate",
     "cut_duplicated_spans",
     "duplicate_clusters",
-    "repeated_span_extents",
-    "corpus_funnel_report",
+    "image_neardup_dhash",
     "neardup_yield_curve",
-    "semdedup_prune",
-    "copurchase_label_propagation",
-    "pq_index_probe",
-    "ann_recall_report",
-    "bits_index_probe",
-    "contamination_report",
-    "corpus_cluster_map",
-    "hamming_rerank_cosine",
-    "hamming_topk_bits",
-    "ivfpq_index_probe",
-    "kmeans_elbow_curve",
+    "part_triangle_clustering",
+    "repeated_span_extents",
     "semdedup_incremental",
-    "bm25_index_probe",
-    "bm25_search_topk",
-    "corpus_profile",
-    "curriculum_order",
-    "dau_wau_mau",
-    "doc_char_stats",
-    "domain_cap_sample",
-    "event_transition_matrix",
-    "events_seasonal_anomalies",
-    "frequent_tokens_exact",
-    "leakage_safe_split",
-    "mixture_resample_uniform",
-    "nation_market_share",
-    "orders_expectations_report",
-    "orders_time_split_embargo",
-    "part_pair_affinity",
-    "product_type_profit",
-    "quality_filter_verdicts",
-    "token_budget_packing",
-    "token_pair_stats",
-    "totalprice_winsorized_by_segment",
-    "user_event_sequences",
-    "weighted_sample_hash",
-    "asof_cogroup_pandas",
-    "bigram_logprob_scores",
-    "contamination_check_bloom",
-    "customer_spend_balance_spearman",
-    "doc_compression_by_source",
+    "semdedup_prune",
     "dsir_importance_weights",
     "event_trigram_paths",
     "events_trimmed_mean_udaf",
@@ -168,15 +136,11 @@ _PRIORITY: tuple[str, ...] = (
     "event_funnel_steps",
     "events_mad_anomalies",
     "events_xml_extract",
-    "image_neardup_phash",
     "incremental_join_materialize",
-    "incremental_neardup_probe",
     "jaccard_prefix_join_pairs",
     "lang_source_chi2",
     "lineitem_correlation_matrix",
-    "minhash_neardup_pairs",
     "mjpeg_avi_frame_sample",
-    "multimodal_resize_pixels",
     "nation_revenue_trend",
     "orders_benford_deviation",
     "part_neighbor_jaccard",
@@ -320,7 +284,6 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_stats_by_flag",
     "monthly_order_stats",
     "multimodal_corpus_build",
-    "multimodal_feature_extract",
     "nation_acctbal_having",
     "ngram_coverage_curve",
     "ngram_jaccard_pairs",
@@ -365,7 +328,6 @@ _PRIORITY: tuple[str, ...] = (
     "key_extract_regexp",
     "lineitem_regression_stats",
     "local_supplier_volume",
-    "minhash_eval_report",
     "nation_acctbal_concat",
     "order_priority_check",
     "orders_approx_percentile_check",
@@ -388,6 +350,44 @@ _PRIORITY: tuple[str, ...] = (
     "top_order_per_customer",
     "totalprice_percent_rank",
     "user_retention_cohorts",
+    "ann_recall_report",
+    "asof_cogroup_pandas",
+    "bigram_logprob_scores",
+    "bits_index_probe",
+    "bm25_index_probe",
+    "bm25_search_topk",
+    "contamination_check_bloom",
+    "corpus_cluster_map",
+    "corpus_funnel_report",
+    "corpus_profile",
+    "curriculum_order",
+    "customer_spend_balance_spearman",
+    "dau_wau_mau",
+    "doc_char_stats",
+    "doc_compression_by_source",
+    "domain_cap_sample",
+    "event_transition_matrix",
+    "events_seasonal_anomalies",
+    "frequent_tokens_exact",
+    "hamming_rerank_cosine",
+    "hamming_topk_bits",
+    "ivfpq_drift_report",
+    "ivfpq_index_probe",
+    "kmeans_elbow_curve",
+    "leakage_safe_split",
+    "mixture_resample_uniform",
+    "nation_market_share",
+    "orders_expectations_report",
+    "orders_time_split_embargo",
+    "part_pair_affinity",
+    "pq_index_probe",
+    "product_type_profit",
+    "quality_filter_verdicts",
+    "token_budget_packing",
+    "token_pair_stats",
+    "totalprice_winsorized_by_segment",
+    "user_event_sequences",
+    "weighted_sample_hash",
 )
 
 
